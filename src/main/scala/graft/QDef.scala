@@ -26,4 +26,11 @@ object QDef {
     QDef(name, fn, Some(oracle.stripMargin.trim))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QDef =
     QDef(name, fn, None)
+  /** One SQL text valid in both Spark SQL and DuckDB: runs through
+    * Engine.sql (our parse→validate→optimize→execute entry, the analogue of
+    * the reference's JDBC prepare) and doubles as its own oracle. */
+  def common(name: String, text: String): QDef = {
+    val sqlText = text.stripMargin.trim
+    QDef(name, (s, dir) => Engine.sql(s, dir, sqlText), Some(sqlText))
+  }
 }

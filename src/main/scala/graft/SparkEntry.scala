@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All operator definitions, in registration order. */
   def allDefs: Seq[QDef] =
-    operators.Relational.defs ++ operators.Functions.defs
+    operators.Relational.defs ++ operators.Functions.defs ++
+      operators.Recursive.defs ++ operators.AsOf.defs ++
+      operators.MatchRecognize.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal operators: as-of join + snapshot.
+  *
+  * The reference models these as Snapshot (`FOR SYSTEM_TIME AS OF`,
+  * reference: core/src/main/java/org/apache/calcite/rel/core/Snapshot.java:47,
+  * sql/SqlSnapshot.java:30, schema/TemporalTable.java); an as-of join is the
+  * correlated form (probe row's time against the build side's history).
+  *
+  * Scale design — the union+window trick, NOT a per-row subquery:
+  * interleave probe and build rows on (key, time), then a single
+  * partition-by-key running `last(_, ignoreNulls)` carries the most recent
+  * build attributes forward onto each probe row. One shuffle on the key,
+  * no nested-loop, no skew amplification; this is the plan that survives a
+  * 100 TB build side (a lateral subquery re-scans the build side per probe
+  * row and does not).
+  */
+object AsOf {
+
+  /** Left as-of join: for each probe row, attach the latest build row with
+    * the same key and buildTime strictly earlier than probeTime.
+    * Probe keeps all its columns; selected build columns arrive as
+    * `asof_<name>` (null when no earlier build row exists).
+    */
+  def asofJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: Column,
+      buildKey: Column,
+      probeTime: Column,
+      buildTime: Column,
+      buildCols: Seq[String],
+      tieBreak: Column): DataFrame = {
+    val probeCols = probe.columns
+    val pTagged = probe.select(
+      Seq(probeKey.as("__k"), probeTime.as("__t"), lit(1).as("__isProbe"),
+        lit(null).cast("long").as("__tie"),
+        struct(probeCols.map(probe(_)): _*).as("__p")) ++
+        buildCols.map(c => lit(null).cast(build.schema(c).dataType).as(s"__b_$c")): _*)
+    val bTagged = build.select(
+      Seq(buildKey.as("__k"), buildTime.as("__t"), lit(0).as("__isProbe"),
+        tieBreak.cast("long").as("__tie"),
+        lit(null).cast(pTagged.schema("__p").dataType).as("__p")) ++
+        buildCols.map(c => build(c).as(s"__b_$c")): _*)
+    // Strict '<': at equal time, probes sort BEFORE builds (desc on __isProbe)
+    // so the running last() cannot see a same-timestamp build row.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__isProbe").desc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = pTagged.unionByName(bTagged)
+      .select(
+        Seq(col("__isProbe"), col("__p")) ++
+          buildCols.map(c => last(col(s"__b_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+    carried.where(col("__isProbe") === 1)
+      .select(probeCols.map(c => col(s"__p.$c").as(c)) ++
+        buildCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- As-of join: each purchase gets the user's latest prior click -----
+    QDef.sql("asof_join_events",
+      """SELECT p.event_id, p.user_id, p.ts,
+        |       c.event_id AS asof_event_id, c.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id, e.value
+        |  FROM events e
+        |  WHERE e.user_id = p.user_id AND e.event_type = 'click' AND e.ts < p.ts
+        |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+        |) c ON TRUE""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+      asofJoin(
+        probe = purchases, build = clicks,
+        probeKey = col("user_id"), buildKey = col("user_id"),
+        probeTime = col("ts"), buildTime = col("ts"),
+        buildCols = Seq("event_id", "value"),
+        tieBreak = col("event_id"))
+    },
+
+    // ---- Snapshot: table state FOR SYSTEM_TIME AS OF a cutoff -------------
+    // Latest row per key with ts <= cutoff — Delta-style time travel
+    // reduced to a window dedup (reference: Snapshot.java:47 semantics).
+    QDef.sql("temporal_snapshot",
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-06-01 00:00:00'
+        |) WHERE rn = 1""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.t(s, dir, "events")
+        .where(col("ts") <= lit("2024-06-01 00:00:00").cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    }
+  )
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MATCH_RECOGNIZE — row-pattern matching over partitioned, ordered rows.
+  *
+  * The reference compiles the pattern regex to an NFA/DFA and runs it over
+  * the sorted input (reference: core/src/main/java/org/apache/calcite/runtime/Pattern.java,
+  * Automaton.java, AutomatonBuilder.java, Matcher.java; logical operator
+  * rel/core/Match.java:57; physical adapter/enumerable/EnumerableMatch.java:66;
+  * SQL node sql/SqlMatchRecognize.java:35).
+  *
+  * Spark-first shape: `ds.groupByKey(partition).flatMapGroups` — each
+  * partition key's rows are sorted in memory and scanned by a greedy
+  * backtracking matcher (equivalent to the reference's automaton for the
+  * greedy-quantifier patterns MATCH_RECOGNIZE defines; ONE ROW PER MATCH +
+  * AFTER MATCH SKIP PAST LAST ROW semantics, Match.java:57 defaults).
+  *
+  * Scale notes: the shuffle is one hash exchange on the partition key —
+  * identical to what any engine needs for this operator. Per-key groups are
+  * sorted in executor memory; MATCH_RECOGNIZE partitions are user-bounded
+  * (sessions, devices, symbols) so this holds at 100 TB total as long as a
+  * single key's history fits an executor — the same contract Spark's own
+  * `flatMapGroupsWithState` imposes. The streaming variant maps to
+  * flatMapGroupsWithState with the NFA state in the state store.
+  */
+object MatchRecognize {
+
+  /** Row-pattern AST — mirrors the reference's Pattern ops
+    * (runtime/Pattern.java: SEQ, OR, REPEAT, STAR, PLUS, OPTIONAL). */
+  sealed trait Pat
+  object Pat {
+    final case class Sym(name: String) extends Pat
+    final case class Cat(ps: Seq[Pat]) extends Pat
+    final case class Alt(ps: Seq[Pat]) extends Pat
+    /** min..max repetitions; max = -1 for unbounded. Greedy. */
+    final case class Rep(p: Pat, min: Int, max: Int) extends Pat
+    def plus(p: Pat): Pat = Rep(p, 1, -1)
+    def star(p: Pat): Pat = Rep(p, 0, -1)
+    def opt(p: Pat): Pat = Rep(p, 0, 1)
+    def atLeast(p: Pat, n: Int): Pat = Rep(p, n, -1)
+  }
+
+  /** DEFINE predicate: (current row, previous row in partition) => matches.
+    * The previous row enables PREV()-style conditions
+    * (reference: SqlStdOperatorTable PREV :1734-1759). */
+  type Define = (Row, Option[Row]) => Boolean
+
+  /** Greedy backtracking match of `pattern` anchored at `start`; returns
+    * (end exclusive, per-row symbol assignment) of the longest match. */
+  private def matchAt(
+      pattern: Pat,
+      rows: IndexedSeq[Row],
+      start: Int,
+      defines: Map[String, Define]): Option[(Int, Array[String])] = {
+    val syms = new Array[String](rows.length)
+    var best: Option[(Int, Array[String])] = None
+
+    def go(p: Pat, pos: Int)(k: Int => Boolean): Boolean = p match {
+      case Pat.Sym(name) =>
+        pos < rows.length && {
+          val prev = if (pos == 0) None else Some(rows(pos - 1))
+          defines(name)(rows(pos), prev) && { syms(pos) = name; k(pos + 1) }
+        }
+      case Pat.Cat(ps) =>
+        def cat(i: Int, q: Int): Boolean =
+          if (i == ps.length) k(q) else go(ps(i), q)(r => cat(i + 1, r))
+        cat(0, pos)
+      case Pat.Alt(ps) => ps.exists(alt => go(alt, pos)(k))
+      case Pat.Rep(inner, min, max) =>
+        // greedy: consume as many as allowed, then fall back
+        def rep(count: Int, q: Int): Boolean = {
+          val more = (max < 0 || count < max) &&
+            go(inner, q)(r => r > q && rep(count + 1, r))
+          more || (count >= min && k(q))
+        }
+        rep(0, pos)
+    }
+
+    go(pattern, start) { end =>
+      if (end > start && best.forall(_._1 < end)) best = Some((end, syms.clone()))
+      false // keep backtracking: find the longest accepting end
+    }
+    best
+  }
+
+  /** One-row-per-match scan with AFTER MATCH SKIP PAST LAST ROW. */
+  def findMatches(
+      rows: IndexedSeq[Row],
+      pattern: Pat,
+      defines: Map[String, Define]): Seq[IndexedSeq[(Row, String)]] = {
+    val out = Seq.newBuilder[IndexedSeq[(Row, String)]]
+    var i = 0
+    while (i < rows.length) {
+      matchAt(pattern, rows, i, defines) match {
+        case Some((end, syms)) =>
+          out += (i until end).map(j => (rows(j), syms(j)))
+          i = end
+        case None => i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Generic batch MATCH_RECOGNIZE over a Long partition key. */
+  def matchRecognize[Out: org.apache.spark.sql.Encoder](
+      df: DataFrame,
+      partitionKey: Row => Long,
+      orderKey: Row => (Long, Long),
+      pattern: Pat,
+      defines: Map[String, Define],
+      measure: (Long, IndexedSeq[(Row, String)]) => Out): org.apache.spark.sql.Dataset[Out] = {
+    import df.sparkSession.implicits._
+    df.groupByKey(partitionKey)
+      .flatMapGroups { (key: Long, it: Iterator[Row]) =>
+        val rows = it.toIndexedSeq.sortBy(orderKey)
+        findMatches(rows, pattern, defines).iterator.map(m => measure(key, m))
+      }
+  }
+
+  private def tsMicros(r: Row, field: String): Long = {
+    val t = r.getAs[java.sql.Timestamp](field)
+    (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
+  }
+
+  final case class ClickRun(user_id: Long, n_clicks: Long, purchase_id: Long)
+  final case class VShape(user_id: Long, len: Long, start_id: Long, end_id: Long)
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- Pattern: CLICK{3,} PURCHASE per user, ordered by event time ------
+    // MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+    //   MEASURES COUNT(C.*) AS n_clicks, P.event_id AS purchase_id
+    //   ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+    //   PATTERN (C{3,} P)
+    //   DEFINE C AS event_type = 'click', P AS event_type = 'purchase')
+    // Oracle: gaps-and-islands formulation of the same semantics.
+    QDef.sql("match_recognize_runs",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), runs AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY rn) AS grp
+        |  FROM seq
+        |), islands AS (
+        |  SELECT user_id, event_type, max(rn) AS end_rn, count(*) AS len
+        |  FROM runs GROUP BY user_id, event_type, grp
+        |)
+        |SELECT p.user_id, i.len AS n_clicks, p.event_id AS purchase_id
+        |FROM seq p
+        |JOIN islands i ON p.user_id = i.user_id AND i.event_type = 'click'
+        |              AND i.end_rn = p.rn - 1 AND i.len >= 3
+        |WHERE p.event_type = 'purchase'""") { (s, dir) =>
+      import Pat._
+      val ev = Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      implicit val enc: org.apache.spark.sql.Encoder[ClickRun] =
+        org.apache.spark.sql.Encoders.product[ClickRun]
+      matchRecognize[ClickRun](
+        ev,
+        partitionKey = _.getAs[Long]("user_id"),
+        orderKey = r => (tsMicros(r, "ts"), r.getAs[Long]("event_id")),
+        pattern = Cat(Seq(atLeast(Sym("C"), 3), Sym("P"))),
+        defines = Map(
+          "C" -> ((r, _) => r.getAs[String]("event_type") == "click"),
+          "P" -> ((r, _) => r.getAs[String]("event_type") == "purchase")),
+        measure = (key, m) => ClickRun(
+          user_id = key,
+          n_clicks = m.count(_._2 == "C").toLong,
+          purchase_id = m.last._1.getAs[Long]("event_id"))
+      ).toDF()
+    },
+
+    // ---- Pattern with PREV(): falling-then-rising value (V-shape) ---------
+    // DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value) —
+    // exercises the PREV navigation the reference implements in
+    // EnumerableMatch.java's history buffer. Rows-only (the gaps-and-islands
+    // SQL for V-shapes is not portably expressible without deep nesting).
+    QDef.rowsOnly("match_recognize_vshape") { (s, dir) =>
+      import Pat._
+      val ev = Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "value", "ts")
+      implicit val enc: org.apache.spark.sql.Encoder[VShape] =
+        org.apache.spark.sql.Encoders.product[VShape]
+      matchRecognize[VShape](
+        ev,
+        partitionKey = _.getAs[Long]("user_id"),
+        orderKey = r => (tsMicros(r, "ts"), r.getAs[Long]("event_id")),
+        pattern = Cat(Seq(plus(Sym("DOWN")), plus(Sym("UP")))),
+        defines = Map(
+          "DOWN" -> ((r, prev) => prev.exists(p =>
+            r.getAs[Double]("value") < p.getAs[Double]("value"))),
+          "UP" -> ((r, prev) => prev.exists(p =>
+            r.getAs[Double]("value") > p.getAs[Double]("value")))),
+        measure = (key, m) => VShape(
+          user_id = key,
+          len = m.length.toLong,
+          start_id = m.head._1.getAs[Long]("event_id"),
+          end_id = m.last._1.getAs[Long]("event_id"))
+      ).toDF()
+    }
+  )
+}

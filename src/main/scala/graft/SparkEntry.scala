@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Recursive.defs ++ operators.AsOf.defs ++
       operators.MatchRecognize.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
-      pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs
+      pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++
+      streaming.StreamOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

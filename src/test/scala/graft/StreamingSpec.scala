@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming behavior: the same events table replayed as a
+  * stream must reproduce the batch results (the reference's unified
+  * Delta/table semantics), plus watermarked append mode, stateful dedup,
+  * stream-static joins, and flatMapGroupsWithState custom state. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: OutputMode): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("streaming tumbling agg equals batch tumbling agg") {
+    val stream = StreamOps.readEventsStream(spark, sfDir)
+    val got = runToCompletion(
+      StreamOps.tumblingAgg(stream, "1 hour"), "t_tumble", OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = StreamOps.tumblingAgg(Tables.t(spark, sfDir, "events"), "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("watermarked append-mode windows are a closed subset of batch") {
+    val stream = StreamOps.readEventsStream(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+    val appended = runToCompletion(
+      stream.groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n")),
+      "t_append", OutputMode.Append())
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val batch = Tables.t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(appended.nonEmpty)
+    // every emitted (closed) window must agree exactly with batch
+    assert(appended.forall { case (w, n) => batch.get(w).contains(n) })
+  }
+
+  test("streaming dropDuplicates dedups by key") {
+    val stream = StreamOps.readEventsStream(spark, sfDir)
+    val got = runToCompletion(
+      stream.dropDuplicates("user_id").select("user_id"),
+      "t_dedup", OutputMode.Append())
+    assert(got.count() == Tables.t(spark, sfDir, "events")
+      .select("user_id").distinct().count())
+  }
+
+  test("stream-static join matches batch join") {
+    val stream = StreamOps.readEventsStream(spark, sfDir)
+    val cust = Tables.t(spark, sfDir, "customer")
+    val got = runToCompletion(
+      stream.join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      "t_sjoin", OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Tables.t(spark, sfDir, "events")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState running per-user count equals batch count") {
+    val s = spark
+    import s.implicits._
+    val stream = StreamOps.readEventsStream(spark, sfDir)
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+    val counted = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val newCount = state.getOption.getOrElse(0L) + rows.size
+          state.update(newCount)
+          Iterator.single((key, newCount))
+      }.toDF("user_id", "n")
+    val got = runToCompletion(counted, "t_fmgws", OutputMode.Append())
+      // last emitted count per key is the final state
+      .groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Tables.t(spark, sfDir, "events").groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+}

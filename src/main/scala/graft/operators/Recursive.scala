@@ -30,19 +30,23 @@ object Recursive {
       seed: DataFrame,
       step: DataFrame => DataFrame,
       maxIter: Int = 100,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 8): DataFrame = {
     var acc = seed.distinct().localCheckpoint(eager = true)
     var delta = acc
     var i = 0
-    while (!delta.isEmpty && (maxIter < 0 || i < maxIter)) {
-      // new rows this round = step(delta) minus everything seen so far
-      delta = step(delta).distinct().except(acc)
-      if (i % checkpointEvery == checkpointEvery - 1) {
-        delta = delta.localCheckpoint(eager = true)
-        acc = acc.localCheckpoint(eager = true)
+    var done = false
+    while (!done && (maxIter < 0 || i < maxIter)) {
+      // One job per iteration: the delta is checkpointed eagerly, so the
+      // emptiness probe and the next step read materialized partitions
+      // instead of replaying the whole lineage chain each round.
+      delta = step(delta).distinct().except(acc).localCheckpoint(eager = true)
+      done = delta.isEmpty
+      if (!done) {
+        acc = acc.union(delta)
+        if (i % checkpointEvery == checkpointEvery - 1)
+          acc = acc.localCheckpoint(eager = true)
+        i += 1
       }
-      acc = acc.union(delta)
-      i += 1
     }
     acc.distinct()
   }

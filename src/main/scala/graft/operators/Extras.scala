@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Remaining operator-surface items: window navigation functions with
+  * IGNORE NULLS, pivot, SIMILAR TO translation, SOUNDEX/DIFFERENCE.
+  */
+object Extras {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.t(s, dir, n)
+
+  /** Translate a SQL:2003 SIMILAR TO pattern into a Java/RE2 regex —
+    * the reference's semantics live in runtime/Like.java (% → .*, _ → .,
+    * SQL character classes and (|) pass through, regex metacharacters not
+    * special in SIMILAR TO are escaped). Anchored on both ends.
+    */
+  def similarToRegex(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    pattern.foreach {
+      case '%' => sb.append(".*")
+      case '_' => sb.append('.')
+      case c @ ('.' | '^' | '$' | '\\') => sb.append("\\").append(c)
+      case c => sb.append(c) // [], (), |, *, +, ?, {n,m} are SIMILAR TO syntax
+    }
+    sb.append("$").toString
+  }
+
+  /** SOUNDEX DIFFERENCE (reference: SqlLibraryOperators DIFFERENCE) —
+    * count of matching positions of the two 4-char soundex codes. */
+  def differenceCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val sa = soundex(a); val sb = soundex(b)
+    (0 until 4).map(i => when(substring(sa, i + 1, 1) === substring(sb, i + 1, 1), 1)
+      .otherwise(0)).reduce(_ + _)
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- Window navigation: IGNORE NULLS, nth_value, offsets/defaults -----
+    // reference: RexImpTable.java:616-627 (FIRST_VALUE, NTH_VALUE,
+    // LAST_VALUE, LEAD, LAG) + RexWindowBound frames.
+    QDef.sql("window_navigation",
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER w AS last_ok_value,
+        |  nth_value(event_id, 2) OVER w AS second_event,
+        |  lag(event_id, 2, -1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag2,
+        |  lead(event_id, 2, -1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lead2,
+        |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id), 9) AS cdist,
+        |  round(percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id), 9) AS prank
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""") { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        last(when(col("event_type") === "error", lit(null)).otherwise(col("value")),
+          ignoreNulls = true).over(w).as("last_ok_value"),
+        nth_value(col("event_id"), 2).over(w).as("second_event"),
+        lag(col("event_id"), 2, -1).over(wOrd).as("lag2"),
+        lead(col("event_id"), 2, -1).over(wOrd).as("lead2"),
+        round(cume_dist().over(wOrd), 9).as("cdist"),
+        round(percent_rank().over(wOrd), 9).as("prank"))
+    },
+
+    // ---- Pivot (groupBy().pivot() ≡ per-value FILTER aggregates) ----------
+    QDef.sql("pivot_segments",
+      """SELECT c_nationkey,
+        |  COALESCE(COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE'), 0) AS AUTOMOBILE,
+        |  COALESCE(COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING'), 0) AS BUILDING,
+        |  COALESCE(COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE'), 0) AS FURNITURE,
+        |  COALESCE(COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD'), 0) AS HOUSEHOLD,
+        |  COALESCE(COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY'), 0) AS MACHINERY
+        |FROM customer GROUP BY c_nationkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // ---- SIMILAR TO (SQL:2003 pattern → regex translation) ----------------
+    // reference semantics: runtime/Like.java. The oracle uses DuckDB's
+    // SIMILAR TO, which takes an (anchored) regex — i.e. exactly the
+    // translation target — so it pins the translated semantics per row.
+    QDef.sql("similar_to",
+      """SELECT p_partkey, p_type,
+        |  p_type SIMILAR TO '.*(BRASS|STEEL).*' AS m_metal,
+        |  p_type SIMILAR TO '(ECONOMY|PROMO).*' AS m_class,
+        |  p_type SIMILAR TO '.{5,20}' AS m_len
+        |FROM part""") { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"), col("p_type"),
+        col("p_type").rlike(similarToRegex("%(BRASS|STEEL)%")).as("m_metal"),
+        col("p_type").rlike(similarToRegex("(ECONOMY|PROMO)%")).as("m_class"),
+        // SIMILAR TO quantified wildcard: _{5,20} → .{5,20}
+        col("p_type").rlike(similarToRegex("_{5,20}")).as("m_len"))
+    },
+
+    // ---- SOUNDEX + DIFFERENCE (no DuckDB soundex → rows-only) -------------
+    QDef.rowsOnly("soundex_difference") { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        soundex(col("c_mktsegment")).as("sdx"),
+        differenceCol(col("c_mktsegment"), lit("BUILDING")).as("diff_building"))
+    }
+  )
+}

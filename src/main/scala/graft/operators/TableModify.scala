@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TableModify — INSERT / UPDATE / DELETE / MERGE
+  * (reference: core/src/main/java/org/apache/calcite/rel/core/TableModify.java:54,
+  * Operation enum :60; physical EnumerableTableModify; sinks via
+  * ModifiableTable, schema/ModifiableTable.java).
+  *
+  * Plain parquet has no row-level mutation, so updates/deletes/merges are
+  * copy-on-write: read → transform → atomic swap (write to a fresh
+  * directory, then promote). That is exactly the mechanism table formats
+  * (Delta/Iceberg CoW) use underneath; here it is explicit and
+  * self-contained. All transforms are distributed DataFrame plans — the
+  * rewrite scales with cluster size; only the directory promotion is a
+  * driver-side filesystem rename.
+  */
+object TableModify {
+
+  private def swapIn(spark: SparkSession, staged: String, target: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val t = new org.apache.hadoop.fs.Path(target)
+    val tmpOld = new org.apache.hadoop.fs.Path(target + "__old")
+    if (fs.exists(t)) fs.rename(t, tmpOld)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), t)
+    if (fs.exists(tmpOld)) fs.delete(tmpOld, true)
+  }
+
+  /** INSERT INTO target VALUES/SELECT — append semantics. */
+  def insertInto(rows: DataFrame, targetDir: String): Unit =
+    rows.write.mode(SaveMode.Append).parquet(targetDir)
+
+  /** DELETE FROM target WHERE cond — copy-on-write anti-filter. */
+  def delete(spark: SparkSession, targetDir: String, cond: Column): Unit = {
+    val staged = targetDir + "__staged"
+    spark.read.parquet(targetDir).where(!cond)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    swapIn(spark, staged, targetDir)
+  }
+
+  /** UPDATE target SET assignments WHERE cond — copy-on-write projection. */
+  def update(spark: SparkSession, targetDir: String, cond: Column,
+      assignments: Map[String, Column]): Unit = {
+    val df = spark.read.parquet(targetDir)
+    val updated = df.columns.foldLeft(df) { (acc, c) =>
+      assignments.get(c) match {
+        case Some(expr) => acc.withColumn(c, when(cond, expr).otherwise(col(c)))
+        case None => acc
+      }
+    }
+    val staged = targetDir + "__staged"
+    updated.write.mode(SaveMode.Overwrite).parquet(staged)
+    swapIn(spark, staged, targetDir)
+  }
+
+  /** MERGE INTO target USING source ON key:
+    * matched → update assignments; not matched → insert source row.
+    * One full-outer join over the key — the scalable CoW merge plan. */
+  def merge(spark: SparkSession, targetDir: String, source: DataFrame,
+      key: String, updateAssignments: Map[String, Column]): Unit = {
+    val target = spark.read.parquet(targetDir).alias("t")
+    val src = source.alias("s")
+    val joined = target.join(src, col(s"t.$key") === col(s"s.$key"), "full")
+    val merged = joined.select(target.columns.map { c =>
+      val tCol = col(s"t.$c"); val sCol = col(s"s.$c")
+      val matchedValue = updateAssignments.getOrElse(c, tCol)
+      when(col(s"s.$key").isNotNull && col(s"t.$key").isNotNull, matchedValue) // matched
+        .when(col(s"t.$key").isNull, sCol)                                     // insert
+        .otherwise(tCol)                                                       // keep
+        .as(c)
+    }: _*)
+    val staged = targetDir + "__staged"
+    merged.write.mode(SaveMode.Overwrite).parquet(staged)
+    swapIn(spark, staged, targetDir)
+  }
+}

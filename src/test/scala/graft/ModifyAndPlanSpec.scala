@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.TableModify
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TableModify write-path semantics + Rel builder surface + Catalyst
+  * plan-shape assertions (the reference's planner-rule golden tests,
+  * adapted: we assert on the optimized/physical plan of OUR queries —
+  * pushdown reached the scan, dimensions broadcast, aggregates partial). */
+class ModifyAndPlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def freshTable(name: String): String = {
+    val dir = s"/tmp/graft_modify/$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Tables.t(spark, sfDir, "region").write.parquet(dir)
+    dir
+  }
+
+  test("TableModify insert appends rows") {
+    val dir = freshTable("ins")
+    val extra = spark.createDataFrame(Seq((9, "ATLANTIS"))).toDF("r_regionkey", "r_name")
+    TableModify.insertInto(extra, dir)
+    assert(spark.read.parquet(dir).count() == 6)
+  }
+
+  test("TableModify delete removes matching rows") {
+    val dir = freshTable("del")
+    TableModify.delete(spark, dir, col("r_regionkey") >= 3)
+    val names = spark.read.parquet(dir).select("r_regionkey").collect().map(_.getInt(0)).sorted
+    assert(names.toSeq == Seq(0, 1, 2))
+  }
+
+  test("TableModify update rewrites matching rows only") {
+    val dir = freshTable("upd")
+    TableModify.update(spark, dir, col("r_regionkey") === 0,
+      Map("r_name" -> lit("PANGAEA")))
+    val m = spark.read.parquet(dir).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m(0) == "PANGAEA" && m(1) != "PANGAEA")
+  }
+
+  test("TableModify merge updates matched and inserts new") {
+    val dir = freshTable("mrg")
+    val src = spark.createDataFrame(Seq((0, "ZERO"), (7, "SEVEN")))
+      .toDF("r_regionkey", "r_name")
+    TableModify.merge(spark, dir, src, "r_regionkey",
+      Map("r_name" -> col("s.r_name")))
+    val m = spark.read.parquet(dir).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m.size == 6 && m(0) == "ZERO" && m(7) == "SEVEN" && m(1) != "ZERO")
+  }
+
+  test("Rel builder mirrors RelBuilder programs") {
+    val df = Rel.builder(spark, sfDir)
+      .scan("customer")
+      .filter(col("c_acctbal") > 0)
+      .project(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .scan("nation")
+      .join("inner", col("c_nationkey") === col("n_nationkey"))
+      .aggregate(Seq(col("n_name")), count(lit(1)).as("n"))
+      .sortLimit(0, 5, col("n").desc, col("n_name"))
+      .build()
+    assert(df.count() == 5)
+    val setop = Rel.builder(spark, sfDir)
+      .scan("customer").project(col("c_nationkey").as("nk"))
+      .scan("supplier").project(col("s_nationkey").as("nk"))
+      .intersect(all = false)
+      .build()
+    assert(setop.count() > 0)
+  }
+
+  test("plan: filters and projections reach the parquet scan") {
+    val df = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_quantity"),
+      s"no pushed filter in scan: $scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("l_extendedprice"),
+      "column pruning failed — scan reads unused columns")
+  }
+
+  test("plan: dimension joins broadcast, no shuffle of the fact side") {
+    val plan = SparkEntry.queries("join_inner_multiway")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  test("plan: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = SparkEntry.queries("agg_tpch_q1")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+    // partial + final pair: two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+  }
+
+  test("similarToRegex translation matches reference Like.java semantics") {
+    import graft.operators.Extras.similarToRegex
+    assert("PROMO BRASS".matches(similarToRegex("%BRASS")))
+    assert("PROMO BRASS".matches(similarToRegex("PROMO%")))
+    assert(!"PROMO BRASS".matches(similarToRegex("BRASS")))
+    assert("abc".matches(similarToRegex("a_c")))
+    assert(!"a.c".matches(similarToRegex("a_c")) == false) // '_' matches '.' too
+    assert("a.c".matches(similarToRegex("a.c")))           // '.' is literal
+    assert(!"axc".matches(similarToRegex("a.c")))
+    assert("ab".matches(similarToRegex("a(b|d)")))
+    assert("aaab".matches(similarToRegex("a{2,4}b")))
+  }
+}

@@ -44,6 +44,7 @@ object Engine {
     */
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
+    functions.GraftExtensions.register(spark)
     spark.sql(query)
   }
 }

@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension pack — the analogue of the reference's model-file
+  * function registration (reference: core/src/main/java/org/apache/calcite/
+  * model/ModelHandler.java addFunctions; operator table plugging via
+  * SqlOperatorTable). Injected with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or at runtime via
+  * [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration for sessions built without the extensions conf. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+}

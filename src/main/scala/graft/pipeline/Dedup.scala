@@ -114,13 +114,13 @@ object Dedup {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(Similarity.dSum(transform(col("v"), x => x * x))))
+        .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
         .repartition(col("label"))
       val a = e.select(col("vec_id").as("id_a"), col("label").as("la"),
         col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("id_b"), col("label").as("lb"),
         col("v").as("vb"), col("nrm").as("nb"))
-      val dot = Similarity.dSum(zip_with(col("va"), col("vb"), (x, y) => x * y))
+      val dot = graft.functions.DotProduct.dot_product(col("va"), col("vb"))
       a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), (dot / (col("na") * col("nb"))).as("cosim"))
         .where(col("cosim") >= 0.3)

@@ -36,11 +36,15 @@ object Similarity {
     * for aggregations over rows). */
   def dSum(arr: Column): Column = aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity of two double vectors, computed with sequential
-    * folds so any engine reproduces it bit-for-bit. */
-  def cosine(a: Column, b: Column): Column =
-    dSum(zip_with(a, b, (x, y) => x * y)) /
-      (sqrt(dSum(transform(a, x => x * x))) * sqrt(dSum(transform(b, x => x * x))))
+  /** Cosine similarity of two double vectors. Uses the codegen'd
+    * DotProduct expression — same left-to-right accumulation as the
+    * interpreted fold and DuckDB's list_reduce, so results are bit-equal;
+    * only the execution path changes (WholeStageCodegen loop vs
+    * CodegenFallback lambda dispatch). */
+  def cosine(a: Column, b: Column): Column = {
+    import graft.functions.DotProduct.dot_product
+    dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
+  }
 
   /** 8-bit random-hyperplane LSH bucket. Hyperplane weights are integer
     * pseudo-noise ((i*31 + b*17) % 7 - 3, 1-based dim index) so the bucket
@@ -76,14 +80,14 @@ object Similarity {
       val cpus = s.sparkContext.defaultParallelism
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(dSum(transform(col("v"), x => x * x))))
+        .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
       // corpus side repartitioned: the fixture parquet is one split, and a
       // broadcast-NL join over one partition would run single-threaded
       val corpus = e.repartition(cpus)
         .select(col("vec_id").as("vid"), col("v").as("vc"), col("nrm").as("nv"))
-      val dot = dSum(zip_with(col("vq"), col("vc"), (x, y) => x * y))
+      val dot = graft.functions.DotProduct.dot_product(col("vq"), col("vc"))
       val scored = broadcast(q).join(corpus, col("vid") =!= col("qid"))
         .select(col("qid"), col("vid"), (dot / (col("nq") * col("nv"))).as("cosim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vid"))
@@ -117,7 +121,7 @@ object Similarity {
     QDef.rowsOnly("sim_ann_lsh_topk") { (s, dir) =>
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(dSum(transform(col("v"), x => x * x))))
+        .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
         .withColumn("bucket", hyperplaneBucket(col("v")))
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("vq"),
@@ -125,7 +129,7 @@ object Similarity {
       val corpus = e.repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id").as("vid"), col("v").as("vc"),
           col("nrm").as("nv"), col("bucket").as("cb"))
-      val dot = dSum(zip_with(col("vq"), col("vc"), (x, y) => x * y))
+      val dot = graft.functions.DotProduct.dot_product(col("vq"), col("vc"))
       val scored = broadcast(q)
         .join(corpus, col("qb") === col("cb") && col("vid") =!= col("qid"))
         .select(col("qid"), col("vid"), (dot / (col("nq") * col("nv"))).as("cosim"))

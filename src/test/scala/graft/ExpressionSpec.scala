@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.{DotProduct, GraftExtensions}
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom codegen'd Catalyst expression: correctness (eval == codegen ==
+  * interpreted fold), null handling, SQL registration, and confirmation it
+  * stays inside WholeStageCodegen. */
+class ExpressionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("dot_product equals the interpreted fold bit-for-bit on real vectors") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val both = e.select(
+      DotProduct.dot_product(col("v"), col("v")).as("cg"),
+      Similarity.dSum(zip_with(col("v"), col("v"), (x, y) => x * y)).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "codegen dot product diverges from the sequential fold")
+  }
+
+  test("dot_product handles nulls and empty arrays") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])))
+      .toDF("a", "b")
+    val out = df.select(DotProduct.dot_product(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
+  test("dot_product registered for SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val v = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("dot_product projection runs inside WholeStageCodegen") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .select(DotProduct.dot_product(col("v"), col("v")).as("d"))
+    val plan = e.queryExecution.executedPlan.toString
+    // the '*(n)' prefix marks operators inside a WholeStageCodegen span
+    val dpLine = plan.linesIterator.find(_.contains("dot_product")).getOrElse("")
+    assert(dpLine.trim.startsWith("*"), s"dot_product not codegen'd:\n$plan")
+    assert(e.collect().nonEmpty)
+  }
+}

@@ -48,19 +48,29 @@ object MatchRecognize {
     * (reference: SqlStdOperatorTable PREV :1734-1759). */
   type Define = (Row, Option[Row]) => Boolean
 
-  /** Greedy backtracking match of `pattern` anchored at `start`; returns
-    * (end exclusive, per-row symbol assignment) of the longest match. */
+  /** Result of one anchored match attempt: the longest complete match (if
+    * any) plus whether some exploration path ran off the end of the buffer
+    * — i.e. the attempt could extend or complete given MORE rows. The
+    * streaming matcher uses `hitEnd` to hold back rows instead of
+    * declaring failure (the reference's Matcher keeps partial automaton
+    * states across input for the same reason). */
+  private final case class Attempt(
+      best: Option[(Int, Array[String])], hitEnd: Boolean)
+
+  /** Greedy backtracking match of `pattern` anchored at `start`. */
   private def matchAt(
       pattern: Pat,
       rows: IndexedSeq[Row],
       start: Int,
-      defines: Map[String, Define]): Option[(Int, Array[String])] = {
+      defines: Map[String, Define]): Attempt = {
     val syms = new Array[String](rows.length)
     var best: Option[(Int, Array[String])] = None
+    var hitEnd = false
 
     def go(p: Pat, pos: Int)(k: Int => Boolean): Boolean = p match {
       case Pat.Sym(name) =>
-        pos < rows.length && {
+        if (pos >= rows.length) { hitEnd = true; false }
+        else {
           val prev = if (pos == 0) None else Some(rows(pos - 1))
           defines(name)(rows(pos), prev) && { syms(pos) = name; k(pos + 1) }
         }
@@ -83,10 +93,11 @@ object MatchRecognize {
       if (end > start && best.forall(_._1 < end)) best = Some((end, syms.clone()))
       false // keep backtracking: find the longest accepting end
     }
-    best
+    Attempt(best, hitEnd)
   }
 
-  /** One-row-per-match scan with AFTER MATCH SKIP PAST LAST ROW. */
+  /** One-row-per-match scan with AFTER MATCH SKIP PAST LAST ROW.
+    * Bounded-input (batch) semantics: end-of-input means no extension. */
   def findMatches(
       rows: IndexedSeq[Row],
       pattern: Pat,
@@ -94,7 +105,7 @@ object MatchRecognize {
     val out = Seq.newBuilder[IndexedSeq[(Row, String)]]
     var i = 0
     while (i < rows.length) {
-      matchAt(pattern, rows, i, defines) match {
+      matchAt(pattern, rows, i, defines).best match {
         case Some((end, syms)) =>
           out += (i until end).map(j => (rows(j), syms(j)))
           i = end
@@ -102,6 +113,35 @@ object MatchRecognize {
       }
     }
     out.result()
+  }
+
+  /** Unbounded-input scan: emits only matches that cannot extend with
+    * future rows, and reports the index from which rows must stay
+    * buffered — either because an attempt hit the end of the buffer
+    * (could complete/extend later) or because a complete match might
+    * still grow. Rows before that index are consumed for good. */
+  def findMatchesStreaming(
+      rows: IndexedSeq[Row],
+      pattern: Pat,
+      defines: Map[String, Define]): (Seq[IndexedSeq[(Row, String)]], Int) = {
+    val out = Seq.newBuilder[IndexedSeq[(Row, String)]]
+    var i = 0
+    var retainFrom = rows.length
+    var open = false
+    while (i < rows.length && !open) {
+      val attempt = matchAt(pattern, rows, i, defines)
+      if (attempt.hitEnd) {
+        // a viable path wants more input: hold everything from i
+        retainFrom = i
+        open = true
+      } else attempt.best match {
+        case Some((end, syms)) =>
+          out += (i until end).map(j => (rows(j), syms(j)))
+          i = end
+        case None => i += 1
+      }
+    }
+    (out.result(), retainFrom)
   }
 
   /** Generic batch MATCH_RECOGNIZE over a Long partition key. */
@@ -117,6 +157,38 @@ object MatchRecognize {
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
         val rows = it.toIndexedSeq.sortBy(orderKey)
         findMatches(rows, pattern, defines).iterator.map(m => measure(key, m))
+      }
+  }
+
+  /** Streaming MATCH_RECOGNIZE: the NFA state (the unconsumed row buffer)
+    * lives in the state store, matches emit in append mode — the
+    * `flatMapGroupsWithState` mapping SURVEY.md §7 prescribes for the
+    * reference's streaming Match. Emission policy: a match is emitted only
+    * once no viable pattern path could extend it with future rows;
+    * attempts that hit the end of the buffer hold their rows in state.
+    * Assumes per-key event-time-ordered arrival across micro-batches
+    * (replay sources and watermarked upstreams provide this).
+    */
+  def matchRecognizeStream[Out: org.apache.spark.sql.Encoder](
+      df: DataFrame,
+      partitionKey: Row => Long,
+      orderKey: Row => (Long, Long),
+      pattern: Pat,
+      defines: Map[String, Define],
+      measure: (Long, IndexedSeq[(Row, String)]) => Out): org.apache.spark.sql.Dataset[Out] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc: org.apache.spark.sql.Encoder[IndexedSeq[Row]] =
+      org.apache.spark.sql.Encoders.kryo[IndexedSeq[Row]]
+    df.groupByKey(partitionKey)
+      .flatMapGroupsWithState[IndexedSeq[Row], Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[Row], state: GroupState[IndexedSeq[Row]]) =>
+          val buffered = state.getOption.getOrElse(IndexedSeq.empty)
+          val all = (buffered ++ it).sortBy(orderKey)
+          val (matches, retainFrom) = findMatchesStreaming(all, pattern, defines)
+          state.update(all.drop(retainFrom))
+          matches.iterator.map(m => measure(key, m))
       }
   }
 

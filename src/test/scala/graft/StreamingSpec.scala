@@ -73,6 +73,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming MATCH_RECOGNIZE equals batch matches across micro-batches") {
+    import graft.operators.MatchRecognize
+    import MatchRecognize.{ClickRun, Pat}
+    // stage events into 4 event-time-range files so the file source
+    // delivers them as 4 ordered micro-batches
+    val stagedDir = "/tmp/graft_stream_mr"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stagedDir), true)
+    val ev = Tables.t(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+    ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(stagedDir)
+    val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+    def micros(r: org.apache.spark.sql.Row) = {
+      val t = r.getAs[java.sql.Timestamp]("ts")
+      (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
+    }
+    implicit val enc: org.apache.spark.sql.Encoder[ClickRun] =
+      org.apache.spark.sql.Encoders.product[ClickRun]
+    val pattern = Pat.Cat(Seq(Pat.atLeast(Pat.Sym("C"), 3), Pat.Sym("P")))
+    val defines = Map[String, MatchRecognize.Define](
+      "C" -> ((r, _) => r.getAs[String]("event_type") == "click"),
+      "P" -> ((r, _) => r.getAs[String]("event_type") == "purchase"))
+    val measure = (key: Long, m: IndexedSeq[(org.apache.spark.sql.Row, String)]) =>
+      ClickRun(key, m.count(_._2 == "C").toLong, m.last._1.getAs[Long]("event_id"))
+    val streamed = MatchRecognize.matchRecognizeStream[ClickRun](
+      stream, _.getAs[Long]("user_id"), r => (micros(r), r.getAs[Long]("event_id")),
+      pattern, defines, measure).toDF()
+    val got = runToCompletion(streamed, "t_mr", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("match_recognize_runs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size} diff=${(got diff want) ++ (want diff got)}")
+  }
+
   test("flatMapGroupsWithState running per-user count equals batch count") {
     val s = spark
     import s.implicits._

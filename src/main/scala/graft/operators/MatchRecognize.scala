@@ -41,6 +41,14 @@ object MatchRecognize {
     def star(p: Pat): Pat = Rep(p, 0, -1)
     def opt(p: Pat): Pat = Rep(p, 0, 1)
     def atLeast(p: Pat, n: Int): Pat = Rep(p, n, -1)
+    /** Can the pattern match zero rows? (Position-independent: a
+      * zero-width match evaluates no predicates.) */
+    def nullable(p: Pat): Boolean = p match {
+      case Sym(_) => false
+      case Cat(ps) => ps.forall(nullable)
+      case Alt(ps) => ps.exists(nullable)
+      case Rep(q, min, _) => min == 0 || nullable(q)
+    }
   }
 
   /** DEFINE predicate: (current row, previous row in partition) => matches.
@@ -80,11 +88,15 @@ object MatchRecognize {
         cat(0, pos)
       case Pat.Alt(ps) => ps.exists(alt => go(alt, pos)(k))
       case Pat.Rep(inner, min, max) =>
-        // greedy: consume as many as allowed, then fall back
+        // greedy: consume as many as allowed, then fall back. The `r > q`
+        // guard stops zero-width iteration loops; a nullable inner can
+        // satisfy any min count with empty repetitions, so min is then
+        // considered met (matches regex/{m,n} quantifier semantics).
+        val minSatisfiableEmpty = Pat.nullable(inner)
         def rep(count: Int, q: Int): Boolean = {
           val more = (max < 0 || count < max) &&
             go(inner, q)(r => r > q && rep(count + 1, r))
-          more || (count >= min && k(q))
+          more || ((count >= min || minSatisfiableEmpty) && k(q))
         }
         rep(0, pos)
     }

@@ -31,24 +31,33 @@ object Recursive {
       step: DataFrame => DataFrame,
       maxIter: Int = 100,
       checkpointEvery: Int = 8): DataFrame = {
-    var acc = seed.distinct().localCheckpoint(eager = true)
-    var delta = acc
-    var i = 0
-    var done = false
-    while (!done && (maxIter < 0 || i < maxIter)) {
-      // One job per iteration: the delta is checkpointed eagerly, so the
-      // emptiness probe and the next step read materialized partitions
-      // instead of replaying the whole lineage chain each round.
-      delta = step(delta).distinct().except(acc).localCheckpoint(eager = true)
-      done = delta.isEmpty
-      if (!done) {
-        acc = acc.union(delta)
-        if (i % checkpointEvery == checkpointEvery - 1)
-          acc = acc.localCheckpoint(eager = true)
-        i += 1
+    val spark = seed.sparkSession
+    // Iteration deltas are tiny relative to the cluster; the per-iteration
+    // floor is scheduler overhead, so run the loop's shuffles at minimal
+    // width and restore the session's setting afterwards. (At true scale a
+    // recursive step with large deltas would keep the session default.)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      var acc = seed.distinct().localCheckpoint(eager = true)
+      var delta = acc
+      var i = 0
+      var done = false
+      while (!done && (maxIter < 0 || i < maxIter)) {
+        // One job per iteration: the delta is checkpointed eagerly, so the
+        // emptiness probe and the next step read materialized partitions
+        // instead of replaying the whole lineage chain each round.
+        delta = step(delta).distinct().except(acc).localCheckpoint(eager = true)
+        done = delta.isEmpty
+        if (!done) {
+          acc = acc.union(delta)
+          if (i % checkpointEvery == checkpointEvery - 1)
+            acc = acc.localCheckpoint(eager = true)
+          i += 1
+        }
       }
-    }
-    acc.distinct()
+      acc.distinct()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   val defs: Seq[QDef] = Seq(

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.MatchRecognize
+import graft.operators.MatchRecognize.Pat
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based check of the MATCH_RECOGNIZE matcher against an
+  * independent reference implementation (java.util.regex longest-match
+  * enumeration) — the reference project's fuzzing strategy
+  * (reference: core/src/test/java/org/apache/calcite/test/fuzzer/
+  * RexProgramFuzzyTest.java applies the same idea to the simplifier).
+  *
+  * Model: each row carries one symbol character; a Pat over symbols A/B/C
+  * is equivalent to a regex over the induced character string. The matcher
+  * must produce exactly the leftmost-longest non-overlapping spans that
+  * regex full-matching yields.
+  */
+object MatcherProps extends Properties("MatchRecognize.matcher") {
+
+  private val schema = StructType(Seq(StructField("v", StringType)))
+  private def rowsOf(s: String): IndexedSeq[Row] =
+    s.map(c => new GenericRowWithSchema(Array(c.toString), schema): Row).toIndexedSeq
+
+  private val defines: Map[String, MatchRecognize.Define] = Map(
+    "A" -> ((r, _) => r.getAs[String]("v") == "a"),
+    "B" -> ((r, _) => r.getAs[String]("v") == "b"),
+    "C" -> ((r, _) => r.getAs[String]("v") == "c"))
+
+  private def toRegex(p: Pat): String = p match {
+    case Pat.Sym(n) => n.toLowerCase
+    case Pat.Cat(ps) => ps.map(q => s"(?:${toRegex(q)})").mkString
+    case Pat.Alt(ps) => ps.map(q => s"(?:${toRegex(q)})").mkString("(?:", "|", ")")
+    case Pat.Rep(q, min, -1) => s"(?:${toRegex(q)}){$min,}"
+    case Pat.Rep(q, min, max) => s"(?:${toRegex(q)}){$min,$max}"
+  }
+
+  /** Reference scan: at each position, find the LONGEST substring the
+    * anchored regex fully matches; skip past it; else advance one. */
+  private def referenceSpans(s: String, p: Pat): Seq[(Int, Int)] = {
+    val re = toRegex(p).r.pattern
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      val end = (s.length to (i + 1) by -1)
+        .find(e => re.matcher(s.substring(i, e)).matches())
+      end match {
+        case Some(e) => out += ((i, e)); i = e
+        case None => i += 1
+      }
+    }
+    out.result()
+  }
+
+  private val genSym: Gen[Pat] = Gen.oneOf("A", "B", "C").map(Pat.Sym.apply)
+  private def genPat(depth: Int): Gen[Pat] =
+    if (depth <= 0) genSym
+    else Gen.frequency(
+      3 -> genSym,
+      2 -> Gen.listOfN(2, genPat(depth - 1)).map(Pat.Cat.apply),
+      2 -> Gen.listOfN(2, genPat(depth - 1)).map(Pat.Alt.apply),
+      2 -> (for {
+        inner <- genPat(depth - 1)
+        min <- Gen.choose(0, 2)
+        max <- Gen.oneOf(-1, math.max(min, 1), 3)
+      } yield Pat.Rep(inner, min, if (max != -1 && max < min) min else max)))
+
+  private val genInput: Gen[String] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  property("matches equal regex leftmost-longest non-overlapping spans") =
+    forAll(genPat(3), genInput) { (p: Pat, s: String) =>
+      val got = {
+        val rows = rowsOf(s)
+        var spans = List.empty[(Int, Int)]
+        var consumed = 0
+        MatchRecognize.findMatches(rows, p, defines).foreach { m =>
+          // recover the span from row identity (rows are distinct objects)
+          val start = rows.indexWhere(_ eq m.head._1, consumed)
+          spans :+= ((start, start + m.size))
+          consumed = start + m.size
+        }
+        spans
+      }
+      val want = referenceSpans(s, p).toList
+      got == want
+    }
+
+  property("streaming split at any boundary emits the same matches") =
+    forAll(genPat(2), genInput, Gen.choose(0, 12)) { (p: Pat, s: String, cutRaw: Int) =>
+      val cut = math.min(cutRaw, s.length)
+      val rows = rowsOf(s)
+      // batch ground truth
+      val batch = MatchRecognize.findMatches(rows, p, defines).map(_.map(_._2))
+      // streaming: first chunk, retain buffer, then rest + flush semantics
+      val (m1, retain1) = MatchRecognize.findMatchesStreaming(rows.take(cut), p, defines)
+      val carried = rows.take(cut).drop(retain1) ++ rows.drop(cut)
+      // end-of-stream flush = batch semantics on the carried buffer
+      val m2 = MatchRecognize.findMatches(carried, p, defines)
+      (m1.map(_.map(_._2)) ++ m2.map(_.map(_._2))) == batch
+    }
+}

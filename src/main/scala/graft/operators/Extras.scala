@@ -106,6 +106,24 @@ object Extras {
         col("c_custkey"),
         soundex(col("c_mktsegment")).as("sdx"),
         differenceCol(col("c_mktsegment"), lit("BUILDING")).as("diff_building"))
+    },
+
+    // ---- JSON construction: JSON_OBJECT / JSON_ARRAY ----------------------
+    // reference: SqlStdOperatorTable JSON_OBJECT/JSON_ARRAY :1298-1337,
+    // runtime/JsonFunctions.java. Both engines emit compact key-ordered
+    // JSON, so the text compares exactly.
+    QDef.sql("fn_json_build",
+      """SELECT event_id,
+        |  to_json({'id': event_id, 'type': event_type}) AS j_obj,
+        |  to_json([event_id, user_id]) AS j_arr,
+        |  to_json({'outer': {'k': CAST(json_extract_string(props, '$.k') AS BIGINT)}}) AS j_nested
+        |FROM events WHERE event_id % 13 = 0""") { (s, dir) =>
+      t(s, dir, "events").where(col("event_id") % 13 === 0).select(
+        col("event_id"),
+        to_json(struct(col("event_id").as("id"), col("event_type").as("type"))).as("j_obj"),
+        to_json(array(col("event_id"), col("user_id"))).as("j_arr"),
+        to_json(struct(struct(get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .as("outer"))).as("j_nested"))
     }
   )
 }

@@ -38,6 +38,39 @@ object Tpch {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
 
+    // Q7 — volume shipping between two nations (six-way join, two nation
+    // roles — the join-reorder workout)
+    QDef.common("tpch_q7",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year"""),
+
+    // Q9 — product-type profit (adapted: no partsupp, cost proxied at 50%)
+    QDef.common("tpch_q9",
+      """SELECT nation, o_year,
+        |  CAST(SUM(CAST(amount AS DECIMAL(28,8))) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1.0 - l_discount) - 0.5 * l_extendedprice AS amount
+        |  FROM part, supplier, lineitem, orders, nation
+        |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%a%'
+        |) profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC"""),
+
     // Q10 — returned-item reporting
     QDef.common("tpch_q10",
       """SELECT c_custkey, c_name,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink adapters (SURVEY.md §2.6): csv and json round-trips with
+  * schema inference (the reference's CsvScannableTable / JsonScannableTable
+  * shapes), plus DDL through the SQL entry (CREATE/DROP VIEW — the
+  * reference's server module DDL). */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def fresh(name: String): String = {
+    val dir = s"/tmp/graft_sources/$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    dir
+  }
+
+  test("csv round-trip with header + schema inference") {
+    val dir = fresh("csv")
+    val src = Tables.t(spark, sfDir, "part")
+    src.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == src.count())
+    // inference lands on usable numeric types
+    assert(back.schema("p_size").dataType == org.apache.spark.sql.types.IntegerType)
+    val sumSrc = src.agg(sum("p_size")).head().getLong(0)
+    val sumBack = back.agg(sum("p_size")).head().getLong(0)
+    assert(sumSrc == sumBack)
+  }
+
+  test("json round-trip with schema inference (schema-on-read)") {
+    val dir = fresh("json")
+    val src = Tables.t(spark, sfDir, "customer")
+    src.write.json(dir)
+    val back = spark.read.json(dir) // full inference, no declared schema
+    assert(back.count() == src.count())
+    assert(back.columns.sorted.toSeq == src.columns.sorted.toSeq)
+    val m1 = src.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m2 = back.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 == m2)
+  }
+
+  test("DDL: CREATE / query / DROP temp view through the SQL entry") {
+    Tables.registerAll(spark, sfDir)
+    spark.sql("CREATE OR REPLACE TEMP VIEW big_orders AS " +
+      "SELECT * FROM orders WHERE o_totalprice > 100000.0")
+    val n = spark.sql("SELECT count(*) AS n FROM big_orders").head().getLong(0)
+    val want = Tables.t(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 100000.0).count()
+    assert(n == want)
+    spark.sql("DROP VIEW big_orders")
+    assertThrows[Exception](spark.sql("SELECT * FROM big_orders").collect())
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.MaterializedViews
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized-view rewrite: a query matching a registered definition is
+  * answered from the stored tile (plan shows the tile scan, not the fact
+  * scan), with identical results; non-matching queries are untouched. */
+class MaterializedViewSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def aggQuery() =
+    Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  test("exact-match query is rewritten to the tile and results are identical") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    val path = "/tmp/graft_mv/agg_tile"
+    val want = aggQuery().collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+
+    MaterializedViews.create(spark, "mv_agg", aggQuery(), path)
+    val rewritten = aggQuery() // same shape, fresh plan
+    val optimized = rewritten.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Aggregate"), s"aggregate not replaced:\n$optimized")
+    val physical = rewritten.queryExecution.executedPlan.toString
+    assert(physical.contains("agg_tile"), s"tile not scanned:\n$physical")
+    assert(!physical.contains("lineitem.parquet"), "fact table still scanned")
+    val got = rewritten.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+    MaterializedViews.drop("mv_agg")
+  }
+
+  test("non-matching queries are left untouched") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    MaterializedViews.create(spark, "mv_agg", aggQuery(), "/tmp/graft_mv/agg_tile2")
+    val other = Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val optimized = other.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("agg_tile"), "unrelated query wrongly rewritten")
+    assert(other.count() == 3)
+    MaterializedViews.drop("mv_agg")
+  }
+
+  test("dropping the view restores direct evaluation") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    MaterializedViews.create(spark, "mv_agg", aggQuery(), "/tmp/graft_mv/agg_tile3")
+    MaterializedViews.drop("mv_agg")
+    val optimized = aggQuery().queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("agg_tile"))
+  }
+}

@@ -124,6 +124,28 @@ object Extras {
         to_json(array(col("event_id"), col("user_id"))).as("j_arr"),
         to_json(struct(struct(get_json_object(col("props"), "$.k").cast("long").as("k"))
           .as("outer"))).as("j_nested"))
+    },
+
+    // ---- Misc encodings: HEX/UNHEX/BIN/printf/isnan -----------------------
+    // reference: SqlLibraryOperators TO_BASE64-family and format functions;
+    // runtime/SqlFunctions.java hex/toBase.
+    QDef.sql("fn_misc_encodings",
+      """SELECT p_partkey,
+        |  hex(p_size) AS hex_size,
+        |  hex(p_brand) AS hex_brand,
+        |  CAST(unhex(hex(p_brand)) AS VARCHAR) AS roundtrip,
+        |  bin(p_size) AS bin_size,
+        |  printf('%s=%d', p_brand, p_size) AS fmt,
+        |  isnan(CAST(p_retailprice AS DOUBLE)) AS is_nan
+        |FROM part""") { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        hex(col("p_size")).as("hex_size"),
+        hex(col("p_brand")).as("hex_brand"),
+        unhex(hex(col("p_brand"))).cast("string").as("roundtrip"),
+        bin(col("p_size")).as("bin_size"),
+        format_string("%s=%d", col("p_brand"), col("p_size")).as("fmt"),
+        isnan(col("p_retailprice")).as("is_nan"))
     }
   )
 }

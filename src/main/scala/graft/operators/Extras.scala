@@ -146,6 +146,41 @@ object Extras {
         bin(col("p_size")).as("bin_size"),
         format_string("%s=%d", col("p_brand"), col("p_size")).as("fmt"),
         isnan(col("p_retailprice")).as("is_nan"))
+    },
+
+    // ---- MULTISET operators ------------------------------------------------
+    // reference: SqlMultisetSetOperator (MULTISET UNION/INTERSECT/EXCEPT),
+    // MEMBER OF, IS A SET (SqlStdOperatorTable :2033-2206). Multisets map
+    // to arrays; results are sort-normalized since multiset identity is
+    // order-free.
+    QDef.sql("fn_multiset",
+      """WITH m AS (
+        |  SELECT n_regionkey,
+        |    list_sort(list(n_nationkey)) AS ks,
+        |    list_sort(list(n_nationkey % 5)) AS ms
+        |  FROM nation GROUP BY n_regionkey
+        |)
+        |SELECT n_regionkey,
+        |  list_sort(list_distinct(list_concat(ks, ms))) AS m_union,
+        |  list_sort(list_intersect(ks, ms)) AS m_intersect,
+        |  list_sort(list_filter(ks, x -> NOT list_contains(ms, x))) AS m_except,
+        |  list_contains(ks, 7) AS member_of_7,
+        |  len(list_distinct(ms)) = len(ms) AS is_a_set,
+        |  len(ks) AS card
+        |FROM m""") { (s, dir) =>
+      Tables.t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          sort_array(collect_list(col("n_nationkey"))).as("ks"),
+          sort_array(collect_list(col("n_nationkey") % 5)).as("ms"))
+        .select(
+          col("n_regionkey"),
+          sort_array(array_union(col("ks"), col("ms"))).as("m_union"),
+          sort_array(array_intersect(col("ks"), col("ms"))).as("m_intersect"),
+          sort_array(array_except(col("ks"), col("ms"))).as("m_except"),
+          array_contains(col("ks"), 7).as("member_of_7"),
+          (size(array_distinct(col("ms"))) === size(col("ms"))).as("is_a_set"),
+          size(col("ks")).as("card"))
     }
   )
 }

@@ -17,12 +17,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("intersect_size_sorted"),
+      new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size_sorted"),
+      (exprs: Seq[Expression]) => IntersectSizeSorted(exprs.head, exprs(1))))
   }
 }
 
 object GraftExtensions {
   /** Runtime registration for sessions built without the extensions conf. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_size_sorted",
+      exprs => IntersectSizeSorted(exprs.head, exprs(1)), "built-in")
+  }
 }

@@ -37,28 +37,32 @@ object AsOf {
       buildCols: Seq[String],
       tieBreak: Column): DataFrame = {
     val probeCols = probe.columns
+    // Carry ONE struct of all requested build columns, so every asof_* value
+    // comes from the same (latest) build row: a NULL field in the latest row
+    // stays NULL rather than falling back to an older row per-column.
+    val pType = org.apache.spark.sql.types.StructType(probeCols.map(c => probe.schema(c)))
+    val bType = org.apache.spark.sql.types.StructType(buildCols.map(c => build.schema(c)))
     val pTagged = probe.select(
-      Seq(probeKey.as("__k"), probeTime.as("__t"), lit(1).as("__isProbe"),
-        lit(null).cast("long").as("__tie"),
-        struct(probeCols.map(probe(_)): _*).as("__p")) ++
-        buildCols.map(c => lit(null).cast(build.schema(c).dataType).as(s"__b_$c")): _*)
+      probeKey.as("__k"), probeTime.as("__t"), lit(1).as("__isProbe"),
+      lit(null).cast("long").as("__tie"),
+      struct(probeCols.map(probe(_)): _*).as("__p"),
+      lit(null).cast(bType).as("__b"))
     val bTagged = build.select(
-      Seq(buildKey.as("__k"), buildTime.as("__t"), lit(0).as("__isProbe"),
-        tieBreak.cast("long").as("__tie"),
-        lit(null).cast(pTagged.schema("__p").dataType).as("__p")) ++
-        buildCols.map(c => build(c).as(s"__b_$c")): _*)
+      buildKey.as("__k"), buildTime.as("__t"), lit(0).as("__isProbe"),
+      tieBreak.cast("long").as("__tie"),
+      lit(null).cast(pType).as("__p"),
+      struct(buildCols.map(build(_)): _*).as("__b"))
     // Strict '<': at equal time, probes sort BEFORE builds (desc on __isProbe)
     // so the running last() cannot see a same-timestamp build row.
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__isProbe").desc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = pTagged.unionByName(bTagged)
-      .select(
-        Seq(col("__isProbe"), col("__p")) ++
-          buildCols.map(c => last(col(s"__b_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .select(col("__isProbe"), col("__p"),
+        last(col("__b"), ignoreNulls = true).over(w).as("__asof"))
     carried.where(col("__isProbe") === 1)
       .select(probeCols.map(c => col(s"__p.$c").as(c)) ++
-        buildCols.map(c => col(s"asof_$c")): _*)
+        buildCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   val defs: Seq[QDef] = Seq(

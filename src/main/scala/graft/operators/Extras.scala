@@ -27,12 +27,15 @@ object Extras {
     sb.append("$").toString
   }
 
-  /** SOUNDEX DIFFERENCE (reference: SqlLibraryOperators DIFFERENCE) —
-    * count of matching positions of the two 4-char soundex codes. */
+  /** SOUNDEX DIFFERENCE (reference: SqlLibraryOperators DIFFERENCE,
+    * runtime SqlFunctions.difference) — index of the FIRST mismatching
+    * position of the two 4-char soundex codes, i.e. their common-prefix
+    * length; 4 when the codes are identical. */
   def differenceCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val sa = soundex(a); val sb = soundex(b)
-    (0 until 4).map(i => when(substring(sa, i + 1, 1) === substring(sb, i + 1, 1), 1)
-      .otherwise(0)).reduce(_ + _)
+    (3 to 0 by -1).foldLeft(lit(4): org.apache.spark.sql.Column) { (acc, i) =>
+      when(substring(sa, i + 1, 1) =!= substring(sb, i + 1, 1), lit(i)).otherwise(acc)
+    }
   }
 
   val defs: Seq[QDef] = Seq(
@@ -161,13 +164,15 @@ object Extras {
         |  FROM nation GROUP BY n_regionkey
         |)
         |SELECT n_regionkey,
-        |  list_sort(list_distinct(list_concat(ks, ms))) AS m_union,
-        |  list_sort(list_intersect(ks, ms)) AS m_intersect,
-        |  list_sort(list_filter(ks, x -> NOT list_contains(ms, x))) AS m_except,
+        |  array_to_string(list_sort(list_distinct(list_concat(ks, ms))), ',') AS m_union,
+        |  array_to_string(list_sort(list_intersect(ks, ms)), ',') AS m_intersect,
+        |  array_to_string(list_sort(list_filter(ks, x -> NOT list_contains(ms, x))), ',') AS m_except,
         |  list_contains(ks, 7) AS member_of_7,
         |  len(list_distinct(ms)) = len(ms) AS is_a_set,
         |  len(ks) AS card
         |FROM m""") { (s, dir) =>
+      // Array outputs serialized to text for the driver's hash comparator.
+      def js(c: org.apache.spark.sql.Column) = array_join(c.cast("array<string>"), ",")
       Tables.t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
         .agg(
@@ -175,9 +180,9 @@ object Extras {
           sort_array(collect_list(col("n_nationkey") % 5)).as("ms"))
         .select(
           col("n_regionkey"),
-          sort_array(array_union(col("ks"), col("ms"))).as("m_union"),
-          sort_array(array_intersect(col("ks"), col("ms"))).as("m_intersect"),
-          sort_array(array_except(col("ks"), col("ms"))).as("m_except"),
+          js(sort_array(array_union(col("ks"), col("ms")))).as("m_union"),
+          js(sort_array(array_intersect(col("ks"), col("ms")))).as("m_intersect"),
+          js(sort_array(array_except(col("ks"), col("ms")))).as("m_except"),
           array_contains(col("ks"), 7).as("member_of_7"),
           (size(array_distinct(col("ms"))) === size(col("ms"))).as("is_a_set"),
           size(col("ks")).as("card"))

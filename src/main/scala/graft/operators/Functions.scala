@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalar-function and aggregate-function surface (SURVEY.md §2.4).
@@ -299,6 +299,8 @@ object Functions {
     // ---- Array / collection functions (SqlStdOperatorTable :2033-2206) ----
     // ITEM/ELEMENT/CARDINALITY/MEMBER OF + higher-order transforms; arrays
     // built from scalars to stay float-exact, plus one float-array fold.
+    // Array-valued results are serialized via array_to_string/array_join so
+    // the driver's hash comparator (pandas sort) can handle them.
     QDef.sql("fn_array",
       """SELECT vec_id,
         |  len(embedding) AS dim,
@@ -306,13 +308,14 @@ object Functions {
         |  round(CAST(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |        (a, b) -> a + b) AS DOUBLE), 4) AS vec_sum,
         |  list_contains([1, 2, 3], label) AS label_in_123,
-        |  list_sort([label, CAST(vec_id % 7 AS INT), 5]) AS sorted3,
-        |  list_concat([label], [CAST(vec_id % 3 AS INT)]) AS cat2,
-        |  list_transform([1, 2, 3], x -> x * label) AS scaled,
-        |  list_filter([1, 2, 3, 4], x -> x % 2 = 0) AS evens,
-        |  flatten([[label], [1, 2]]) AS flat,
-        |  range(1, 4) AS seq123
+        |  array_to_string(list_sort([label, CAST(vec_id % 7 AS INT), 5]), ',') AS sorted3,
+        |  array_to_string(list_concat([label], [CAST(vec_id % 3 AS INT)]), ',') AS cat2,
+        |  array_to_string(list_transform([1, 2, 3], x -> x * label), ',') AS scaled,
+        |  array_to_string(list_filter([1, 2, 3, 4], x -> x % 2 = 0), ',') AS evens,
+        |  array_to_string(flatten([[label], [1, 2]]), ',') AS flat,
+        |  array_to_string(range(1, 4), ',') AS seq123
         |FROM embeddings WHERE vec_id % 4 = 0""") { (s, dir) =>
+      def js(c: Column): Column = array_join(c.cast("array<string>"), ",")
       t(s, dir, "embeddings").where(col("vec_id") % 4 === 0).select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
@@ -320,12 +323,12 @@ object Functions {
         round(aggregate(transform(col("embedding"), x => x.cast("double")),
           lit(0.0), (acc, x) => acc + x).cast("double"), 4).as("vec_sum"),
         array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_in_123"),
-        array_sort(array(col("label"), (col("vec_id") % 7).cast("int"), lit(5))).as("sorted3"),
-        concat(array(col("label")), array((col("vec_id") % 3).cast("int"))).as("cat2"),
-        transform(array(lit(1), lit(2), lit(3)), x => x * col("label")).as("scaled"),
-        filter(array(lit(1), lit(2), lit(3), lit(4)), x => x % 2 === 0).as("evens"),
-        flatten(array(array(col("label")), array(lit(1), lit(2)))).as("flat"),
-        sequence(lit(1), lit(3)).as("seq123"))
+        js(array_sort(array(col("label"), (col("vec_id") % 7).cast("int"), lit(5)))).as("sorted3"),
+        js(concat(array(col("label")), array((col("vec_id") % 3).cast("int")))).as("cat2"),
+        js(transform(array(lit(1), lit(2), lit(3)), x => x * col("label"))).as("scaled"),
+        js(filter(array(lit(1), lit(2), lit(3), lit(4)), x => x % 2 === 0)).as("evens"),
+        js(flatten(array(array(col("label")), array(lit(1), lit(2))))).as("flat"),
+        js(sequence(lit(1), lit(3))).as("seq123"))
     },
 
     // ---- Statistical aggregates, decomposed exactly like the reference ----

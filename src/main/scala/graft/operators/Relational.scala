@@ -339,12 +339,14 @@ object Relational {
 
     // ---- Collect (nest rows into arrays) ----------------------------------
     // reference: rel/core/Collect.java:44; deterministic via sort.
+    // Array output serialized to canonical text so the driver's hash
+    // comparator (pandas sort + hash) can handle it (arrays are unhashable).
     QDef.sql("collect_array",
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations
+      """SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations
         |FROM nation GROUP BY n_regionkey""") { (s, dir) =>
       t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
-        .agg(array_sort(collect_list(col("n_name"))).as("nations"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
     },
 
     // ---- Scalar subquery --------------------------------------------------

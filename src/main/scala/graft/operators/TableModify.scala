@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * ModifiableTable, schema/ModifiableTable.java).
   *
   * Plain parquet has no row-level mutation, so updates/deletes/merges are
-  * copy-on-write: read → transform → atomic swap (write to a fresh
-  * directory, then promote). That is exactly the mechanism table formats
-  * (Delta/Iceberg CoW) use underneath; here it is explicit and
-  * self-contained. All transforms are distributed DataFrame plans — the
-  * rewrite scales with cluster size; only the directory promotion is a
-  * driver-side filesystem rename.
+  * copy-on-write: read → transform → swap (write to a fresh directory,
+  * then promote). That is the mechanism table formats (Delta/Iceberg CoW)
+  * use underneath; here it is explicit and self-contained. All transforms
+  * are distributed DataFrame plans — the rewrite scales with cluster size;
+  * only the directory promotion is a driver-side step. NOTE the promotion
+  * is two renames, not one atomic operation: the old data survives at
+  * `target__old` until the staged directory is promoted, so a crash
+  * between the renames is recoverable (restore `__old`), but readers can
+  * observe a missing directory in that window. A production deployment
+  * gets true atomicity from a metastore/table-format pointer swap.
   */
 object TableModify {
 
@@ -32,10 +36,13 @@ object TableModify {
   def insertInto(rows: DataFrame, targetDir: String): Unit =
     rows.write.mode(SaveMode.Append).parquet(targetDir)
 
-  /** DELETE FROM target WHERE cond — copy-on-write anti-filter. */
+  /** DELETE FROM target WHERE cond — copy-on-write anti-filter.
+    * SQL DELETE removes only rows where the predicate is TRUE; rows where
+    * it evaluates to NULL are retained, hence NOT coalesce(cond, false)
+    * rather than a bare !cond (which would drop NULL-predicate rows). */
   def delete(spark: SparkSession, targetDir: String, cond: Column): Unit = {
     val staged = targetDir + "__staged"
-    spark.read.parquet(targetDir).where(!cond)
+    spark.read.parquet(targetDir).where(!coalesce(cond, lit(false)))
       .write.mode(SaveMode.Overwrite).parquet(staged)
     swapIn(spark, staged, targetDir)
   }

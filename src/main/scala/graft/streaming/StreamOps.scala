@@ -90,15 +90,15 @@ object StreamOps {
     // Oracle: classic gaps-and-islands. Spark batch: session_window.
     QDef.sql("stream_session_batch",
       """WITH marked AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              > INTERVAL '30 minutes'
+        |              >= INTERVAL '30 minutes'
         |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |), sess AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING) AS sess_id
         |  FROM marked
         |)

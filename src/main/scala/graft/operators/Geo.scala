@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial function surface — the reference's geo pack
+  * (reference: core/src/main/java/org/apache/calcite/runtime/GeoFunctions.java —
+  * ST_Point/ST_MakeLine/ST_AsText/ST_GeomFromText, ST_X/ST_Y, ST_Distance,
+  * ST_DWithin, ST_Contains/ST_Within, ST_Envelope/ST_EnvelopesIntersect,
+  * ST_GeometryType; registered through SqlGeoFunctions).
+  *
+  * Spark-first design: a geometry is a plain struct column
+  * `(kind string, xs array<double>, ys array<double>)` — POINT is a
+  * 1-element ring, LINESTRING/POLYGON carry their vertex arrays. Every
+  * accessor/predicate below composes Spark built-ins (codegen'd), except
+  * polygon containment, which is the native [[graft.functions.RayCastContains]]
+  * expression. No geometry library, no UDF — the whole surface stays inside
+  * WholeStageCodegen and scales like any other projection. ST_Buffer /
+  * ST_Transform (true geometry construction / CRS math) are out of scope —
+  * they need a geodesy library by nature, not an engine capability.
+  */
+object Geo {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.t(s, dir, n)
+
+  // ---- constructors ------------------------------------------------------
+  def stPoint(x: Column, y: Column): Column =
+    struct(lit("POINT").as("kind"), array(x.cast("double")).as("xs"),
+      array(y.cast("double")).as("ys"))
+
+  def stMakeLine(points: Column*): Column =
+    struct(lit("LINESTRING").as("kind"),
+      concat(points.map(_.getField("xs")): _*).as("xs"),
+      concat(points.map(_.getField("ys")): _*).as("ys"))
+
+  def stPolygon(xs: Seq[Double], ys: Seq[Double]): Column =
+    struct(lit("POLYGON").as("kind"),
+      array(xs.map(lit(_)): _*).as("xs"), array(ys.map(lit(_)): _*).as("ys"))
+
+  /** WKT POINT parser (the ST_GeomFromText / ST_PointFromText subset). */
+  def stPointFromText(wkt: Column): Column = {
+    val x = regexp_extract(wkt, """POINT \(([-0-9.]+) ([-0-9.]+)\)""", 1).cast("double")
+    val y = regexp_extract(wkt, """POINT \(([-0-9.]+) ([-0-9.]+)\)""", 2).cast("double")
+    stPoint(x, y)
+  }
+
+  // ---- accessors ---------------------------------------------------------
+  def stX(g: Column): Column = g.getField("xs").getItem(0)
+  def stY(g: Column): Column = g.getField("ys").getItem(0)
+  def stGeometryType(g: Column): Column = g.getField("kind")
+  def stNumPoints(g: Column): Column = size(g.getField("xs"))
+
+  /** WKT writer (ST_AsText / ST_AsWKT): POINT (x y) / LINESTRING (x y, ...) /
+    * POLYGON ((x y, ...)). */
+  def stAsText(g: Column): Column = {
+    val coords = array_join(zip_with(g.getField("xs"), g.getField("ys"),
+      (x, y) => concat(x.cast("string"), lit(" "), y.cast("string"))), ", ")
+    when(g.getField("kind") === "POINT", concat(lit("POINT ("), coords, lit(")")))
+      .when(g.getField("kind") === "POLYGON", concat(lit("POLYGON (("), coords, lit("))")))
+      .otherwise(concat(lit("LINESTRING ("), coords, lit(")")))
+  }
+
+  // ---- measures / predicates --------------------------------------------
+  /** Euclidean point-point distance (planar, like the reference's default
+    * non-geodesic path). */
+  def stDistance(a: Column, b: Column): Column = {
+    val dx = stX(a) - stX(b); val dy = stY(a) - stY(b)
+    sqrt(dx * dx + dy * dy)
+  }
+
+  def stDWithin(a: Column, b: Column, d: Column): Column = stDistance(a, b) <= d
+
+  /** Axis-aligned bounding box as (xmin, ymin, xmax, ymax). */
+  def stEnvelope(g: Column): Column =
+    struct(array_min(g.getField("xs")).as("xmin"), array_min(g.getField("ys")).as("ymin"),
+      array_max(g.getField("xs")).as("xmax"), array_max(g.getField("ys")).as("ymax"))
+
+  def stEnvelopesIntersect(a: Column, b: Column): Column = {
+    val ea = stEnvelope(a); val eb = stEnvelope(b)
+    ea.getField("xmin") <= eb.getField("xmax") && eb.getField("xmin") <= ea.getField("xmax") &&
+      ea.getField("ymin") <= eb.getField("ymax") && eb.getField("ymin") <= ea.getField("ymax")
+  }
+
+  /** Polygon ∋ point via the native ray-casting expression. */
+  def stContains(poly: Column, point: Column): Column =
+    graft.functions.RayCastContains.st_contains_ring(
+      poly.getField("xs"), poly.getField("ys"), stX(point), stY(point))
+
+  def stWithin(point: Column, poly: Column): Column = stContains(poly, point)
+
+  // ---- registry queries --------------------------------------------------
+  val defs: Seq[QDef] = Seq(
+
+    // Scalar geo surface over synthetic customer points. The polygon is a
+    // DIAMOND, so the oracle can pin the general ray-casting implementation
+    // with an L1-ball inequality; y-offset 0.25 keeps every test point off
+    // the polygon edges (|dx|+|dy| is never exactly 8). All doubles are
+    // exact binary fractions, so WKT text and sqrt distances agree
+    // bit-for-bit across engines.
+    QDef.sql("geo_functions",
+      """SELECT c_custkey,
+        |  px, py,
+        |  concat('POINT (', CAST(px AS VARCHAR), ' ', CAST(py AS VARCHAR), ')') AS wkt,
+        |  sqrt((px - 12.5) * (px - 12.5) + (py - 10.25) * (py - 10.25)) AS dist_center,
+        |  sqrt((px - 12.5) * (px - 12.5) + (py - 10.25) * (py - 10.25)) <= 6.0 AS near_center,
+        |  abs(px - 12.0) + abs(py - 10.0) < 8.0 AS in_diamond,
+        |  'POINT' AS gtype
+        |FROM (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 25 AS DOUBLE) + 0.5 AS px,
+        |    CAST(c_nationkey AS DOUBLE) + 0.25 AS py
+        |  FROM customer)""") { (s, dir) =>
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 25).cast("double") + 0.5).as("px"),
+        (col("c_nationkey").cast("double") + 0.25).as("py"))
+      val p = stPoint(col("px"), col("py"))
+      val center = stPoint(lit(12.5), lit(10.25))
+      val diamond = stPolygon(Seq(4.0, 12.0, 20.0, 12.0), Seq(10.0, 2.0, 10.0, 18.0))
+      pts.select(col("c_custkey"), col("px"), col("py"),
+        stAsText(p).as("wkt"),
+        stDistance(p, center).as("dist_center"),
+        stDWithin(p, center, lit(6.0)).as("near_center"),
+        stContains(diamond, p).as("in_diamond"),
+        stGeometryType(p).as("gtype"))
+    },
+
+    // Spatial theta-join: customers within radius 4 of each nation's
+    // synthetic centroid — the ST_DWithin join shape (pair generation by
+    // distance predicate), counted per nation.
+    QDef.sql("geo_dwithin_join",
+      """SELECT n_nationkey, count(*) AS n_near
+        |FROM nation, customer
+        |WHERE sqrt((CAST(c_custkey % 25 AS DOUBLE) + 0.5 - (CAST(n_nationkey AS DOUBLE) + 0.5))
+        |         * (CAST(c_custkey % 25 AS DOUBLE) + 0.5 - (CAST(n_nationkey AS DOUBLE) + 0.5))
+        |         + (CAST(c_nationkey AS DOUBLE) + 0.25 - (CAST(n_nationkey AS DOUBLE) + 0.25))
+        |         * (CAST(c_nationkey AS DOUBLE) + 0.25 - (CAST(n_nationkey AS DOUBLE) + 0.25)))
+        |      <= 4.0
+        |GROUP BY n_nationkey ORDER BY n_nationkey""") { (s, dir) =>
+      val cpt = t(s, dir, "customer").select(
+        stPoint((col("c_custkey") % 25).cast("double") + 0.5,
+          col("c_nationkey").cast("double") + 0.25).as("cp"))
+      val npt = t(s, dir, "nation").select(col("n_nationkey"),
+        stPoint(col("n_nationkey").cast("double") + 0.5,
+          col("n_nationkey").cast("double") + 0.25).as("np"))
+      npt.join(cpt, stDWithin(col("np"), col("cp"), lit(4.0)))
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n_near"))
+        .orderBy(col("n_nationkey"))
+    }
+  )
+}

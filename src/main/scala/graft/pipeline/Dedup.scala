@@ -48,20 +48,39 @@ object Dedup {
         |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.6""") { (s, dir) =>
       // grams are 64-bit hashes: same set cardinalities and intersections
       // as the oracle's string sets (collision odds ~1e-15 per doc), at a
-      // fraction of the shuffle bytes and compare cost
+      // fraction of the shuffle bytes and compare cost. Sorted so the
+      // pairwise kernel is a codegen'd merge scan (IntersectSizeSorted),
+      // not a per-pair hash set + materialized intersection array.
+      val S = 8 // salt fan-out: `source` has ~unit cardinality vs cores
       val g = t(s, dir, "documents").where(length(col("text")) >= 3)
         .select(col("doc_id"), col("source"),
-          array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
-            i => xxhash64(col("text").substr(i, lit(3))))).as("gs"))
+          array_sort(array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
+            i => xxhash64(col("text").substr(i, lit(3)))))).as("gs"))
+        .withColumn("n", size(col("gs")))
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(eager = true)
-      val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"), col("gs").as("gs_a"))
-      val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"), col("gs").as("gs_b"))
-      a.join(b, col("src_a") === col("src_b") && col("id_a") < col("id_b"))
-        // materialize the intersection size once per pair, then derive jac
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("gs_a"), col("gs_b"))).as("ni"),
-          size(col("gs_a")).as("na"), size(col("gs_b")).as("nb"))
+      // Salted self-join: the blocking key (source) has far fewer distinct
+      // values than the cluster has cores, so a plain shuffle join would
+      // run on #sources tasks. Salting the left side and replicating the
+      // right S× splits every block into S independent work units — the
+      // standard skew treatment, and each pair still appears exactly once.
+      val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"),
+        col("gs").as("gs_a"), col("n").as("na"),
+        pmod(col("doc_id"), lit(S)).cast("int").as("salt_a"))
+      val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"),
+        col("gs").as("gs_b"), col("n").as("nb"))
+        .withColumn("salt_b", explode(sequence(lit(0), lit(S - 1))))
+      // Length-ratio prefilter: jac >= t forces |A∩B| >= t(|A|+|B|)/(1+t)
+      // and |A∩B| <= min, hence min/max >= t — a necessary condition that
+      // costs two int reads and skips the merge scan for most pairs.
+      val pairs = a.join(b,
+        col("src_a") === col("src_b") && col("salt_a") === col("salt_b") &&
+          col("id_a") < col("id_b") &&
+          least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 3)
+      val ni = graft.functions.IntersectSizeSorted
+        .intersect_size_sorted(col("gs_a"), col("gs_b"))
+      pairs
+        .select(col("id_a"), col("id_b"), ni.as("ni"), col("na"), col("nb"))
         .select(col("id_a"), col("id_b"),
           (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
         .where(col("jac") >= 0.6)
@@ -148,10 +167,6 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
           i => col("text").substr(i, lit(3)))).as("gsStr"))
-    // Gram sets as 64-bit hashes for the cheap verify join.
-    val g = base.select(col("doc_id"),
-      transform(col("gsStr"), sh => xxhash64(sh)).as("gs"))
-      .localCheckpoint(eager = true)
     // Carter-Wegman family: two independent base hashes per shingle, k-th
     // function = h1 + k*h2 (wrapping 64-bit). Generating many functions
     // from 2 string hashes keeps per-shingle hashing cost flat. Empirical
@@ -161,10 +176,17 @@ object Dedup {
     // Modular arithmetic over a Mersenne prime keeps k*h2 within long range
     // (ANSI mode rejects wrapping overflow) — classic (a + k·b) mod p family.
     val P = 2147483647L // 2^31 - 1
-    val h12 = base.select(col("doc_id"),
+    // ONE materialization carries gram hashes (sorted, for the merge-scan
+    // verify kernel) plus both hash-family bases: the interpreted substring
+    // shingling — the expensive projection — runs once, not once per
+    // consumer.
+    val mat = base.select(col("doc_id"),
+      array_sort(transform(col("gsStr"), sh => xxhash64(sh))).as("gs"),
       transform(col("gsStr"), sh => pmod(xxhash64(sh), lit(P))).as("h1"),
       transform(col("gsStr"), sh => pmod(xxhash64(sh, lit(7777)), lit(P - 1)) + 1).as("h2"))
       .localCheckpoint(eager = true)
+    val g = mat.select(col("doc_id"), col("gs"))
+    val h12 = mat.select(col("doc_id"), col("h1"), col("h2"))
     // Signature + band computation as a tight primitive-array loop per
     // partition (JIT-compiled) — 768 interpreted higher-order expressions
     // would spend ~10× the time in lambda dispatch. This is the hot kernel;
@@ -216,8 +238,13 @@ object Dedup {
     val withSets = cands
       .join(g.select(col("doc_id").as("id_a"), col("gs").as("gs_a")), "id_a")
       .join(g.select(col("doc_id").as("id_b"), col("gs").as("gs_b")), "id_b")
-    val inter = size(array_intersect(col("gs_a"), col("gs_b")))
-    val jac = inter.cast("double") / (size(col("gs_a")) + size(col("gs_b")) - inter)
-    withSets.select(col("id_a"), col("id_b"), jac.as("jac")).where(col("jac") >= threshold)
+    withSets
+      .select(col("id_a"), col("id_b"),
+        graft.functions.IntersectSizeSorted
+          .intersect_size_sorted(col("gs_a"), col("gs_b")).as("ni"),
+        size(col("gs_a")).as("na"), size(col("gs_b")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
+      .where(col("jac") >= threshold)
   }
 }

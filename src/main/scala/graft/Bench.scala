@@ -22,7 +22,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.allDefs.map { d =>
+    // Optional local-iteration filter; the driver leaves this unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val defs = only match {
+      case Some(names) => SparkEntry.allDefs.filter(d => names(d.name))
+      case None => SparkEntry.allDefs
+    }
+    val results = defs.map { d =>
       val t0 = System.nanoTime()
       try d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>

@@ -126,7 +126,9 @@ object Recursive {
         // so an unaliased self-join is ambiguous to the analyzer
         d.alias("r").join(edges.alias("e"), col("r.node") === col("e.src"))
           .select(col("r.start_k").as("start_k"), col("e.dst").as("node")),
-        maxIter = 50, unroll = 25)
+        // join-per-level step: keep the unrolled plan shallow (each branch
+        // chains j joins, so plan size grows O(unroll²))
+        maxIter = 50, unroll = 8)
     }
   )
 }

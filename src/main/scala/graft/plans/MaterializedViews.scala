@@ -2,32 +2,42 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Materialized-view rewrite — the exact-match subset of the reference's
-  * substitution machinery
+/** Materialized-view rewrite — the reference's substitution machinery
   * (reference: core/src/main/java/org/apache/calcite/plan/SubstitutionVisitor.java:120
   * and MaterializedViewSubstitutionVisitor.java:26 — unify a query subtree
   * with a materialization's definition and replace it with a scan of the
   * stored tile; registration via materialize/MaterializationService.java).
   *
-  * Scope: EXACT plan-shape match (canonicalized logical-plan equality).
-  * The reference additionally unifies through residual filters/projects —
-  * that generalization is future work; the exact match already converts a
-  * full fact-table scan+aggregate into a tile read, which at 100 TB is the
-  * difference between touching the corpus and touching kilobytes.
+  * Two unification levels:
+  *  1. EXACT match — canonicalized logical-plan equality; the subtree is
+  *     replaced by the tile scan.
+  *  2. AGGREGATE ROLLUP — query `Aggregate(Gq, Fq, X)` unifies with a
+  *     registered `Aggregate(Gm, Fm, X)` when Gq ⊆ Gm and every Fq is a
+  *     re-aggregable SUM/COUNT/MIN/MAX over the same argument as some Fm:
+  *     the query is answered by RE-aggregating the tile
+  *     (SUM→SUM, COUNT→SUM, MIN→MIN, MAX→MAX) — the reference's
+  *     AggregateOnCalcToAggregateUnifyRule family. Residual filters and
+  *     projections ABOVE the unified subtree need no special handling:
+  *     the substitution keeps the original output exprIds, so enclosing
+  *     operators keep working against the tile-backed columns.
   *
-  * Mechanics: the rewrite keeps the ORIGINAL output attribute ids by
-  * wrapping the tile scan in a Project of aliases with the replaced
-  * subtree's exprIds — references above the substitution stay valid.
+  * At 100 TB this rewrite is the difference between touching the corpus and
+  * touching kilobytes; rollup extends that to the whole dimensional lattice
+  * below a registered cube tile.
+  *
   * Installed through `spark.experimental.extraOptimizations` (Catalyst's
-  * public optimizer extension point).
+  * public optimizer extension point) — it therefore sees and must produce
+  * plans in the main optimizer's normal form.
   */
 object MaterializedViews {
 
-  private case class Entry(name: String, canonical: LogicalPlan, path: String)
+  private case class Entry(name: String, canonical: LogicalPlan,
+      optimized: LogicalPlan, path: String)
   private val registry = mutable.ArrayBuffer[Entry]()
 
   /** Define + materialize a view: stores the result as parquet and
@@ -37,13 +47,122 @@ object MaterializedViews {
     // register the OPTIMIZED canonical form: extraOptimizations runs after
     // the main optimizer batches, so incoming subtrees are already pruned/
     // collapsed — the match must be against the same normal form
-    registry += Entry(name, definition.queryExecution.optimizedPlan.canonicalized, path)
+    val opt = definition.queryExecution.optimizedPlan
+    registry += Entry(name, opt.canonicalized, opt, path)
   }
 
   def drop(name: String): Unit =
     registry.filterInPlace(_.name != name)
 
   def clear(): Unit = registry.clear()
+
+  /** Normalize an expression for cross-plan comparison: wrap it in a
+    * Project over its child and canonicalize — attribute references become
+    * child-output ordinals, so expressions over structurally-equal children
+    * compare equal regardless of exprIds. */
+  private def canonExpr(e: Expression, child: LogicalPlan): Expression =
+    Project(Seq(Alias(e, "c")()), child).canonicalized match {
+      case Project(Seq(a: Alias), _) => a.child
+      case Project(Seq(x), _) => x
+      case other => other.expressions.head
+    }
+
+  private def strip(ne: NamedExpression): Expression = ne match {
+    case Alias(c, _) => c
+    case e => e
+  }
+
+  /** Strip column-pruning Projects (attribute-only project lists): the
+    * optimizer prunes each side to ITS referenced columns, so a coarser
+    * query and the MV definition see differently-pruned copies of the same
+    * base relation. Unification compares — and normalizes expressions
+    * against — the un-pruned base. */
+  private def stripPrune(p: LogicalPlan): LogicalPlan = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) => stripPrune(c)
+    case other => other
+  }
+
+  /** Try to answer `q` by re-aggregating a registered aggregate tile. */
+  private def rollup(spark: SparkSession, q: Aggregate): Option[LogicalPlan] =
+    registry.iterator.flatMap { entry =>
+      entry.optimized match {
+        case Aggregate(_, am, childM, _)
+            if stripPrune(q.child).canonicalized == stripPrune(childM).canonicalized =>
+          val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+          val tile = scan.output // positionally matches the MV output `am`
+          val baseQ = stripPrune(q.child)
+          val baseM = stripPrune(childM)
+          def cq(e: Expression) = canonExpr(e, baseQ)
+          def cm(e: Expression) = canonExpr(e, baseM)
+          // MV output index by canonical grouping expression / agg call
+          val mGroup: Map[Expression, Int] = am.zipWithIndex.collect {
+            case (ne, i) if !strip(ne).exists(_.isInstanceOf[AggregateExpression]) =>
+              cm(strip(ne)) -> i
+          }.toMap
+          val mAggs: Seq[(Int, AggregateExpression)] = am.zipWithIndex.collect {
+            case (ne, i) => strip(ne) match {
+              case ae: AggregateExpression => Some(i -> ae)
+              case _ => None
+            }
+          }.flatten
+
+          def reAgg(f: AggregateFunction, t: Attribute): Option[AggregateFunction] =
+            f match {
+              case _: Sum => Some(Sum(t))
+              case _: Count => Some(Sum(t)) // partial counts re-add
+              case _: Min => Some(Min(t))
+              case _: Max => Some(Max(t))
+              case _ => None
+            }
+
+          // Re-aggregate one query aggregate call from a tile column that
+          // stores that aggregate BARE (else exactness would be lost —
+          // a tile holding e.g. cast(sum AS double) cannot reproduce the
+          // decimal-exact total).
+          def reAggCall(ae: AggregateExpression): Option[Expression] =
+            if (ae.isDistinct || ae.filter.nonEmpty) None
+            else mAggs.collectFirst {
+              case (i, mae)
+                  if !mae.isDistinct && mae.filter.isEmpty &&
+                    mae.aggregateFunction.getClass == ae.aggregateFunction.getClass &&
+                    ae.aggregateFunction.children.map(cq) ==
+                      mae.aggregateFunction.children.map(cm) =>
+                reAgg(ae.aggregateFunction, tile(i)).map { f =>
+                  val re: Expression = AggregateExpression(f, Complete, isDistinct = false)
+                  if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+                }
+            }.flatten
+
+          // A query output is either a (whole) grouping expression, or a
+          // scalar shell over aggregate calls (e.g. cast(sum(x) AS double)):
+          // replace each embedded call with its tile re-aggregation and
+          // keep the shell — it then runs once over the re-aggregated
+          // values, exactly as it ran once over the direct aggregates.
+          def mapOutput(ne: NamedExpression): Option[NamedExpression] = {
+            val e = strip(ne)
+            if (!e.exists(_.isInstanceOf[AggregateExpression]))
+              mGroup.get(cq(e)).map(i => Alias(tile(i), ne.name)(exprId = ne.exprId))
+            else {
+              var ok = true
+              val replaced = e.transformUp {
+                case ae: AggregateExpression =>
+                  reAggCall(ae) match {
+                    case Some(r) => r
+                    case None => ok = false; ae
+                  }
+              }
+              if (ok) Some(Alias(replaced, ne.name)(exprId = ne.exprId)) else None
+            }
+          }
+
+          val groups = q.groupingExpressions.map(g => mGroup.get(cq(g)))
+          val outs = q.aggregateExpressions.map(mapOutput)
+          if (groups.forall(_.isDefined) && outs.forall(_.isDefined))
+            Some(Aggregate(groups.map(i => tile(i.get)), outs.map(_.get), scan))
+          else None
+        case _ => None
+      }
+    }.nextOption()
 
   /** The rewrite rule; idempotent to install once per session. */
   final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -56,7 +175,11 @@ object MaterializedViews {
             Project(sub.output.zip(scan.output).map { case (o, n) =>
               Alias(n, o.name)(exprId = o.exprId)
             }, scan)
-          case None => sub
+          case None =>
+            sub match {
+              case agg: Aggregate => rollup(spark, agg).getOrElse(sub)
+              case _ => sub
+            }
         }
     }
   }

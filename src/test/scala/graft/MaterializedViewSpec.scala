@@ -38,6 +38,48 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedViews.drop("mv_agg")
   }
 
+  test("rollup: coarser grouping over the same child re-aggregates the tile") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    // the MV stores BARE aggregates (decimal sum, count) — exact under
+    // re-aggregation; the query's scalar shell (cast to double) stays on top
+    def mvDef() =
+      Tables.t(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 4))).as("sum_qty_raw"),
+          count(lit(1)).as("cnt"))
+    MaterializedViews.create(spark, "mv_agg", mvDef(), "/tmp/graft_mv/agg_tile_ru")
+    // group by a SUBSET of the MV's keys with re-aggregable calls
+    def coarser() =
+      Tables.t(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+    val want = coarser().collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val q = coarser()
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("agg_tile_ru"), s"tile not scanned:\n$physical")
+    assert(!physical.contains("lineitem.parquet"), s"fact table still scanned:\n$physical")
+    val got = q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want)
+    MaterializedViews.drop("mv_agg")
+  }
+
+  test("rollup rejects non-re-aggregable calls (COUNT DISTINCT)") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    MaterializedViews.create(spark, "mv_agg", aggQuery(), "/tmp/graft_mv/agg_tile_cd")
+    val q = Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linestatus")).as("nd"))
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("agg_tile_cd"), s"wrongly rewritten:\n$physical")
+    MaterializedViews.drop("mv_agg")
+  }
+
   test("non-matching queries are left untouched") {
     MaterializedViews.clear()
     MaterializedViews.install(spark)

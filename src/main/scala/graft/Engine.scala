@@ -24,6 +24,7 @@ object Engine {
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       shufflePartitions: Int = 32): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions())
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -285,6 +285,40 @@ object MatchRecognize {
           start_id = m.head._1.getAs[Long]("event_id"),
           end_id = m.last._1.getAs[Long]("event_id"))
       ).toDF()
+    },
+
+    // ---- SQL-syntax MATCH_RECOGNIZE (parser injection) --------------------
+    // The SAME operator, but entered through the injected SQL grammar
+    // (plans/GraftSqlParser + plans/MatchRecognizeSql — the analogue of the
+    // reference's Parser.jj MatchRecognizeOpt production). Runs of 2+
+    // clicks ending in an error; oracle is the gaps-and-islands rendering.
+    QDef.sql("match_recognize_sql",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), runs AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY rn) AS grp
+        |  FROM seq
+        |), islands AS (
+        |  SELECT user_id, event_type, min(rn) AS start_rn, max(rn) AS end_rn,
+        |         count(*) AS len
+        |  FROM runs GROUP BY user_id, event_type, grp
+        |)
+        |SELECT i.user_id, s1.event_id AS first_id, s2.event_id AS last_id,
+        |       i.len AS n_clicks
+        |FROM islands i
+        |JOIN seq s1 ON s1.user_id = i.user_id AND s1.rn = i.start_rn
+        |JOIN seq s2 ON s2.user_id = i.user_id AND s2.rn = i.end_rn + 1
+        |WHERE i.event_type = 'click' AND i.len >= 2 AND s2.event_type = 'error'""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT * FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  MEASURES FIRST(event_id) AS first_id, LAST(event_id) AS last_id,
+          |           COUNT(C.*) AS n_clicks
+          |  PATTERN (C{2,} E)
+          |  DEFINE C AS event_type = 'click', E AS event_type = 'error')""".stripMargin)
     }
   )
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.MatchRecognize.Pat
+import graft.plans.MatchRecognizeSql
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-syntax MATCH_RECOGNIZE front end: pattern grammar, DEFINE
+  * predicates, fallthrough to the delegate parser, and end-to-end
+  * equivalence with the programmatic operator. */
+object MatchRecognizeSqlSpec {
+  final case class Out(user_id: Long, first_id: Long, last_id: Long, n_clicks: Long)
+}
+
+class MatchRecognizeSqlSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import MatchRecognizeSqlSpec.Out
+
+  test("pattern grammar: quantifiers, groups, alternation") {
+    import Pat._
+    assert(MatchRecognizeSql.parsePattern("A B") == Cat(Seq(Sym("A"), Sym("B"))))
+    assert(MatchRecognizeSql.parsePattern("A{3,} B") ==
+      Cat(Seq(Rep(Sym("A"), 3, -1), Sym("B"))))
+    assert(MatchRecognizeSql.parsePattern("A{2,5}") == Rep(Sym("A"), 2, 5))
+    assert(MatchRecognizeSql.parsePattern("A | B C") ==
+      Alt(Seq(Sym("A"), Cat(Seq(Sym("B"), Sym("C"))))))
+    assert(MatchRecognizeSql.parsePattern("(A B)+ C?") ==
+      Cat(Seq(Rep(Cat(Seq(Sym("A"), Sym("B"))), 1, -1), Rep(Sym("C"), 0, 1))))
+  }
+
+  test("DEFINE predicates: literals, PREV, conjunction, three-valued null") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.StringType)))
+    def row(v: java.lang.Double, t: String): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](v, t), schema)
+    val p1 = MatchRecognizeSql.parsePredicate("t = 'click'")
+    assert(p1(row(1.0, "click"), None))
+    assert(!p1(row(1.0, "error"), None))
+    val p2 = MatchRecognizeSql.parsePredicate("v < PREV(v)")
+    assert(p2(row(1.0, "x"), Some(row(2.0, "x"))))
+    assert(!p2(row(3.0, "x"), Some(row(2.0, "x"))))
+    assert(!p2(row(1.0, "x"), None)) // PREV on first row -> unknown -> false
+    val p3 = MatchRecognizeSql.parsePredicate("v >= 2 AND t <> 'error'")
+    assert(p3(row(2.0, "click"), None))
+    assert(!p3(row(2.0, "error"), None))
+    assert(!p3(row(1.0, "click"), None))
+    assert(!p3(row(null, "click"), None)) // null comparison -> false
+  }
+
+  test("non-MATCH_RECOGNIZE statements fall through to Spark's parser") {
+    Tables.registerAll(spark, sfDir)
+    assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) == 25)
+  }
+
+  test("SQL syntax result equals the programmatic operator") {
+    Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES FIRST(event_id) AS first_id, LAST(event_id) AS last_id,
+        |           COUNT(C.*) AS n_clicks
+        |  PATTERN (C{2,} E)
+        |  DEFINE C AS event_type = 'click', E AS event_type = 'error')""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    import graft.operators.MatchRecognize
+    import MatchRecognize.Pat._
+    implicit val enc: org.apache.spark.sql.Encoder[Out] =
+      org.apache.spark.sql.Encoders.product[Out]
+    val ev = Tables.t(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+    val viaApi = MatchRecognize.matchRecognize[Out](
+      ev,
+      partitionKey = _.getAs[Long]("user_id"),
+      orderKey = r => {
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        ((t.getTime / 1000L) * 1000000L + t.getNanos / 1000L, r.getAs[Long]("event_id"))
+      },
+      pattern = Cat(Seq(atLeast(Sym("C"), 2), Sym("E"))),
+      defines = Map(
+        "C" -> ((r, _) => r.getAs[String]("event_type") == "click"),
+        "E" -> ((r, _) => r.getAs[String]("event_type") == "error")),
+      measure = (key, m) => Out(key, m.head._1.getAs[Long]("event_id"),
+        m.last._1.getAs[Long]("event_id"), m.count(_._2 == "C").toLong)
+    ).collect().map(o => (o.user_id, o.first_id, o.last_id, o.n_clicks)).toSet
+
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty)
+  }
+}

@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Functions.defs ++
       operators.Recursive.defs ++ operators.AsOf.defs ++
       operators.MatchRecognize.defs ++ operators.Extras.defs ++
+      operators.JsonModes.defs ++
       operators.Tpch.defs ++ operators.Geo.defs ++ operators.SchemaOnRead.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++

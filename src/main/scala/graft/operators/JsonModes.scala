@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL:2016 JSON path modes and behaviors — JSON_VALUE / JSON_QUERY /
+  * JSON_EXISTS with LAX vs STRICT path semantics and NULL / ERROR /
+  * DEFAULT(...) ON EMPTY / ON ERROR behaviors
+  * (reference: core/src/main/java/org/apache/calcite/runtime/JsonFunctions.java —
+  * PathMode LAX/STRICT, jsonValueExpression emptyBehavior/errorBehavior;
+  * SqlJsonValueFunction, SqlJsonQueryFunction, SqlJsonExistsFunction in
+  * sql/fun/).
+  *
+  * Spark-first: everything composes `get_json_object` (codegen'd) plus
+  * conditional logic — no UDFs. The mode/behavior matrix:
+  *   - malformed JSON           → ON ERROR behavior (both modes)
+  *   - path yields nothing, LAX → ON EMPTY behavior
+  *   - path yields nothing, STRICT → ON ERROR behavior (structural error)
+  * ERROR behavior raises at runtime via `raise_error` — like the
+  * reference's JsonFunctions throwing CalciteException.
+  */
+object JsonModes {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.t(s, dir, n)
+
+  sealed trait Behavior
+  object Behavior {
+    case object Null extends Behavior
+    case object Error extends Behavior
+    final case class Default(value: Column) extends Behavior
+  }
+  import Behavior._
+
+  /** Is the string well-formed JSON? (Spark: a full parse of `$`.) */
+  def jsonIsValid(json: Column): Column = get_json_object(json, "$").isNotNull
+
+  private def behave(b: Behavior, what: String): Column = b match {
+    case Null => lit(null).cast("string")
+    case Default(v) => v
+    case Error => raise_error(lit(s"JSON_VALUE $what"))
+  }
+
+  /** JSON_VALUE(json, path [mode] [behaviors]) → string scalar. */
+  def jsonValue(json: Column, path: String, strict: Boolean = false,
+      onEmpty: Behavior = Null, onError: Behavior = Null): Column = {
+    val v = get_json_object(json, path)
+    when(!jsonIsValid(json), behave(onError, "malformed JSON (ON ERROR)"))
+      .when(v.isNull,
+        if (strict) behave(onError, s"strict $path found nothing (ON ERROR)")
+        else behave(onEmpty, s"lax $path found nothing (ON EMPTY)"))
+      .otherwise(v)
+  }
+
+  /** JSON_EXISTS(json, path) — `errorResult` is the ON ERROR outcome for
+    * malformed JSON (SQL:2016 default FALSE). */
+  def jsonExists(json: Column, path: String,
+      errorResult: Column = lit(false)): Column =
+    when(!jsonIsValid(json), errorResult)
+      .otherwise(get_json_object(json, path).isNotNull)
+
+  /** JSON_QUERY(json, path) → JSON text of an object/array; scalars yield
+    * the ON EMPTY outcome under the default WITHOUT WRAPPER, or are wrapped
+    * when `arrayWrapper` (WITH UNCONDITIONAL ARRAY WRAPPER). */
+  def jsonQuery(json: Column, path: String, arrayWrapper: Boolean = false,
+      onEmpty: Behavior = Null, onError: Behavior = Null): Column = {
+    val v = get_json_object(json, path)
+    val isStruct = substring(v, 1, 1).isin("{", "[")
+    when(!jsonIsValid(json), behave(onError, "malformed JSON (ON ERROR)"))
+      .when(v.isNull, behave(onEmpty, "path found nothing (ON EMPTY)"))
+      .otherwise(
+        if (arrayWrapper) when(isStruct, v).otherwise(concat(lit("["), v, lit("]")))
+        else when(isStruct, v).otherwise(behave(onEmpty, "scalar WITHOUT WRAPPER")))
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // LAX vs STRICT over a partially-corrupted JSON column: rows with
+    // event_id % 5 = 0 get malformed JSON ('{' prefixed), exercising every
+    // cell of the mode × behavior matrix the oracle can express (the ERROR
+    // behavior — a runtime raise — is spec-verified instead).
+    QDef.sql("fn_json_modes",
+      """SELECT event_id,
+        |  json_extract_string(okj, '$.k') AS jv_lax,
+        |  CASE WHEN okj IS NULL THEN 'ERR'
+        |       ELSE COALESCE(json_extract_string(okj, '$.k'), '-') END AS jv_default_err,
+        |  CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 'ERR'
+        |       ELSE json_extract_string(props, '$.missing') END AS jv_strict_missing,
+        |  COALESCE(json_extract_string(props, '$.missing'), 'none') AS jv_lax_missing,
+        |  okj IS NOT NULL AND json_extract_string(okj, '$.k') IS NOT NULL AS je_lax,
+        |  CAST(json_extract('{"a":{"b":[10,20]}}', '$.a') AS VARCHAR) AS jq_obj,
+        |  concat('[', json_extract_string(props, '$.k'), ']') AS jq_wrap
+        |FROM (
+        |  SELECT event_id, props,
+        |    CASE WHEN json_valid(broken) THEN broken END AS okj
+        |  FROM (
+        |    SELECT event_id, props,
+        |      CASE WHEN event_id % 5 = 0 THEN concat('{', props) ELSE props END AS broken
+        |    FROM events WHERE event_id % 3 = 0))""") { (s, dir) =>
+      val base = t(s, dir, "events").where(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("props"),
+          when(col("event_id") % 5 === 0, concat(lit("{"), col("props")))
+            .otherwise(col("props")).as("broken"))
+      base.select(
+        col("event_id"),
+        jsonValue(col("broken"), "$.k").as("jv_lax"),
+        jsonValue(col("broken"), "$.k",
+          onEmpty = Default(lit("-")), onError = Default(lit("ERR"))).as("jv_default_err"),
+        jsonValue(col("props"), "$.missing", strict = true,
+          onError = Default(lit("ERR"))).as("jv_strict_missing"),
+        jsonValue(col("props"), "$.missing",
+          onEmpty = Default(lit("none"))).as("jv_lax_missing"),
+        jsonExists(col("broken"), "$.k").as("je_lax"),
+        jsonQuery(lit("""{"a":{"b":[10,20]}}"""), "$.a").as("jq_obj"),
+        jsonQuery(col("props"), "$.k", arrayWrapper = true).as("jq_wrap"))
+    }
+  )
+}

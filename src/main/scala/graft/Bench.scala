@@ -29,6 +29,12 @@ object Bench {
       case Some(names) => SparkEntry.allDefs.filter(d => names(d.name))
       case None => SparkEntry.allDefs
     }
+    // Warm up the JVM/codegen/parquet-reader paths once so the first timed
+    // query doesn't absorb session initialization (standard JMH-style
+    // discipline; the reference's JMH harness does the same).
+    try SparkEntry.allDefs.headOption.foreach(
+      _.fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+    catch { case _: Throwable => () }
     val results = defs.map { d =>
       val t0 = System.nanoTime()
       try d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("intersect_size_sorted"),
       new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size_sorted"),
       (exprs: Seq[Expression]) => IntersectSizeSorted(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("weighted_avg"),
+      new ExpressionInfo(classOf[WeightedAvg].getName, "weighted_avg"),
+      (exprs: Seq[Expression]) => WeightedAvg(exprs.head, exprs(1))))
     // SQL-syntax MATCH_RECOGNIZE front end (restricted grammar) — every
     // other statement passes through to Spark's parser untouched.
     e.injectParser((session, delegate) =>

@@ -151,6 +151,25 @@ object Extras {
         isnan(col("p_retailprice")).as("is_nan"))
     },
 
+    // ---- Native UDAF: weighted average (DeclarativeAggregate) -------------
+    // functions.WeightedAvg — the codegen-quality UDAF path (reference:
+    // schema/impl/AggregateFunctionImpl.java init/add/merge/result). The
+    // decimal accumulators make it bit-equal to the oracle's SUM/SUM form,
+    // and Spark plans it with a map-side partial like any built-in.
+    QDef.sql("fn_udaf_wavg",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS wavg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.WeightedAvg
+            .weighted_avg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- MULTISET operators ------------------------------------------------
     // reference: SqlMultisetSetOperator (MULTISET UNION/INTERSECT/EXCEPT),
     // MEMBER OF, IS A SET (SqlStdOperatorTable :2033-2206). Multisets map

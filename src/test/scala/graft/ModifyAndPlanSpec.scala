@@ -95,6 +95,25 @@ class ModifyAndPlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
   }
 
+  test("plan: the weighted_avg UDAF aggregates partially like a built-in") {
+    val plan = SparkEntry.queries("fn_udaf_wavg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_weighted_avg"),
+      s"no map-side partial for the UDAF:\n$plan")
+  }
+
+  test("weighted_avg is callable from SQL via the session extension") {
+    Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT weighted_avg(l_extendedprice, l_quantity) AS w
+        |FROM lineitem""".stripMargin).head().getDouble(0)
+    val direct = spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |     / CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |FROM lineitem""".stripMargin).head().getDouble(0)
+    assert(viaSql == direct)
+  }
+
   test("similarToRegex translation matches reference Like.java semantics") {
     import graft.operators.Extras.similarToRegex
     assert("PROMO BRASS".matches(similarToRegex("%BRASS")))

@@ -135,6 +135,84 @@ object Similarity {
         .select(col("qid"), col("vid"), (dot / (col("nq") * col("nv"))).as("cosim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vid"))
       scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+    },
+
+    // ---- IVF-style ANN: coarse quantizer + probe-limited search -----------
+    // The inverted-file scale path: every corpus vector is assigned to its
+    // nearest of K centroid cells (one broadcast join — the corpus is
+    // scanned once, never self-joined); a query probes only its nprobe
+    // nearest cells. Centroids here are K fixed corpus vectors, so the
+    // whole pipeline is exact arithmetic and fully oracle-verifiable — a
+    // production IVF would train them with Lloyd iterations (repeated
+    // groupBy-average over the same assignment join, identical plan shape).
+    QDef.sql("sim_ann_ivf_topk",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM v WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT vid, cid, v, nrm FROM (
+        |    SELECT c.vec_id AS vid, ce.cid, c.v, c.nrm,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_reduce(list_transform(list_zip(c.v, ce.cv), p -> p[1]*p[2]), (x, y) -> x + y)
+        |          / (c.nrm * ce.cnrm) DESC, ce.cid) AS rk
+        |    FROM v c, cents ce
+        |  ) WHERE rk = 1
+        |), probes AS (
+        |  SELECT qid, cid, qv, qnrm FROM (
+        |    SELECT q.vec_id AS qid, ce.cid, q.v AS qv, q.nrm AS qnrm,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(list_zip(q.v, ce.cv), p -> p[1]*p[2]), (x, y) -> x + y)
+        |          / (q.nrm * ce.cnrm) DESC, ce.cid) AS rk
+        |    FROM v q, cents ce WHERE q.vec_id >= 16 AND q.vec_id < 26
+        |  ) WHERE rk <= 2
+        |), scored AS (
+        |  SELECT p.qid, a.vid,
+        |    list_reduce(list_transform(list_zip(p.qv, a.v), p2 -> p2[1]*p2[2]), (x, y) -> x + y)
+        |      / (p.qnrm * a.nrm) AS cosim
+        |  FROM probes p JOIN assigned a ON a.cid = p.cid
+        |  WHERE a.vid <> p.qid
+        |)
+        |SELECT qid, vid, cosim, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS rk
+        |  FROM scored
+        |) WHERE rk <= 10""") { (s, dir) =>
+      import graft.functions.DotProduct.dot_product
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val corpus = e.repartition(s.sparkContext.defaultParallelism)
+      // cell assignment: one broadcast join corpus × centroids, keep rk=1
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy((dot_product(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc,
+          col("cid"))
+      val assigned = corpus.join(broadcast(cents))
+        .withColumn("rk", row_number().over(wAssign))
+        .where(col("rk") === 1)
+        .select(col("vec_id").as("vid"), col("cid"), col("v"), col("nrm"))
+      // query probes: nprobe=2 nearest cells per query
+      val q = e.where(col("vec_id") >= 16 && col("vec_id") < 26)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val wProbe = Window.partitionBy(col("qid"))
+        .orderBy((dot_product(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).desc,
+          col("cid"))
+      val probes = q.join(broadcast(cents))
+        .withColumn("rk", row_number().over(wProbe))
+        .where(col("rk") <= 2)
+        .select(col("qid"), col("cid"), col("qv"), col("qnrm"))
+      // probe-limited search + final exact re-rank
+      val scored = broadcast(probes)
+        .join(assigned, Seq("cid"))
+        .where(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"),
+          (dot_product(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosim"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vid"))
+      scored.withColumn("rk", row_number().over(wTop)).where(col("rk") <= 10)
     }
   )
 }

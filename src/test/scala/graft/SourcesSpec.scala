@@ -44,6 +44,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
+  test("orc round-trip preserves schema and values exactly") {
+    val dir = fresh("orc")
+    val src = Tables.t(spark, sfDir, "supplier")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir) // ORC carries the schema — no inference
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    val a = src.orderBy("s_suppkey").collect().toSeq
+    val b = back.orderBy("s_suppkey").collect().toSeq
+    assert(a == b)
+  }
+
   test("DDL: CREATE / query / DROP temp view through the SQL entry") {
     Tables.registerAll(spark, sfDir)
     spark.sql("CREATE OR REPLACE TEMP VIEW big_orders AS " +

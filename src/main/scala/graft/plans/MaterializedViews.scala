@@ -2,9 +2,9 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Expression, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Materialized-view rewrite — the reference's substitution machinery
@@ -16,7 +16,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Two unification levels:
   *  1. EXACT match — canonicalized logical-plan equality; the subtree is
   *     replaced by the tile scan.
-  *  2. AGGREGATE ROLLUP — query `Aggregate(Gq, Fq, X)` unifies with a
+  *  2. FILTER RESIDUAL — query `Filter(q, X)` unifies with a registered
+  *     `Filter(m, X)` when m's conjuncts are a subset of q's: the query is
+  *     answered by applying only the RESIDUAL conjuncts (q \ m) to the
+  *     tile — the reference's FilterToFilterUnifyRule with a compensating
+  *     predicate.
+  *  3. AGGREGATE ROLLUP — query `Aggregate(Gq, Fq, X)` unifies with a
   *     registered `Aggregate(Gm, Fm, X)` when Gq ⊆ Gm and every Fq is a
   *     re-aggregable SUM/COUNT/MIN/MAX over the same argument as some Fm:
   *     the query is answered by RE-aggregating the tile
@@ -164,6 +169,41 @@ object MaterializedViews {
       }
     }.nextOption()
 
+  /** Answer `Filter(q, X)` from a `Filter(m, X)` tile when m's conjuncts
+    * subsume q's, compensating with the residual predicate. Requires the
+    * filter children to be positionally identical (the usual shape: column
+    * pruning sits ABOVE pushed-down filters in the optimized plan). */
+  private object Conjuncts extends PredicateHelper {
+    def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
+  }
+  private def filterResidual(spark: SparkSession, f: Filter): Option[LogicalPlan] =
+    registry.iterator.flatMap { entry =>
+      entry.optimized match {
+        case Filter(mPred, childM)
+            if f.child.canonicalized == childM.canonicalized =>
+          val qConj = Conjuncts.split(f.condition)
+          val mConj = Conjuncts.split(mPred)
+          val mSet = mConj.map(canonExpr(_, childM)).toSet
+          val qCanon = qConj.map(c => canonExpr(c, f.child))
+          if (!mSet.subsetOf(qCanon.toSet)) None
+          else {
+            val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+            val attrMap: Map[Attribute, Attribute] =
+              f.child.output.zip(scan.output).toMap
+            val residual = qConj.zip(qCanon).collect {
+              case (c, canon) if !mSet.contains(canon) =>
+                c.transform { case a: Attribute => attrMap(a) }
+            }
+            val filtered: LogicalPlan =
+              if (residual.isEmpty) scan else Filter(residual.reduce(And), scan)
+            Some(Project(f.output.zip(scan.output).map { case (o, n) =>
+              Alias(n, o.name)(exprId = o.exprId)
+            }, filtered))
+          }
+        case _ => None
+      }
+    }.nextOption()
+
   /** The rewrite rule; idempotent to install once per session. */
   final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -178,6 +218,7 @@ object MaterializedViews {
           case None =>
             sub match {
               case agg: Aggregate => rollup(spark, agg).getOrElse(sub)
+              case flt: Filter => filterResidual(spark, flt).getOrElse(flt)
               case _ => sub
             }
         }

@@ -68,6 +68,28 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedViews.drop("mv_agg")
   }
 
+  test("filter residual: stronger predicate is answered from the tile") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    def mvDef() = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") > 10.0)
+    MaterializedViews.create(spark, "mv_filt", mvDef(), "/tmp/graft_mv/filt_tile")
+    def q() = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") > 10.0 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val want = q().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val rewritten = q()
+    val physical = rewritten.queryExecution.executedPlan.toString
+    assert(physical.contains("filt_tile"), s"tile not scanned:\n$physical")
+    assert(!physical.contains("lineitem.parquet"), s"fact table still scanned:\n$physical")
+    val got = rewritten.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == want)
+    // a query whose predicate does NOT subsume the MV's is untouched
+    val other = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") > 5.0)
+    assert(!other.queryExecution.executedPlan.toString.contains("filt_tile"),
+      "weaker predicate wrongly answered from the tile")
+    MaterializedViews.drop("mv_filt")
+  }
+
   test("rollup rejects non-re-aggregable calls (COUNT DISTINCT)") {
     MaterializedViews.clear()
     MaterializedViews.install(spark)

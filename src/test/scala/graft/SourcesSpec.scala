@@ -56,6 +56,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("bucketed tables: equi-join on the bucket key plans with no shuffle") {
+    import graft.sources.Bucketing
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    // AQE can veto bucketed-scan reuse on tiny inputs; the plan property
+    // under test is shuffle-freeness, so pin the planner's hand here
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.t(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val ord = Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey")
+      Bucketing.writeBucketed(ord, "ord_bucketed", "l_orderkey")
+      val joined = Bucketing.coLocatedJoin(spark, "li_bucketed", "ord_bucketed", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == li.count()) // every lineitem has its order
+      // aggregation on the bucket key is also shuffle-free
+      val agg = spark.table("li_bucketed").groupBy("l_orderkey").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed aggregation still shuffles")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("DDL: CREATE / query / DROP temp view through the SQL entry") {
     Tables.registerAll(spark, sfDir)
     spark.sql("CREATE OR REPLACE TEMP VIEW big_orders AS " +

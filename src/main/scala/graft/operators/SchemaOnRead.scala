@@ -42,6 +42,29 @@ object SchemaOnRead {
       ev.where(col("event_id") % 11 === 0)
         .select(col("event_id"), from_json(col("props"), schema).as("p"))
         .select(col("event_id"), col("p.k").as("k"), (col("p.k") * 2).as("k2"))
+    },
+
+    // Open-typed columns via Spark's native VARIANT — the binary-encoded
+    // semi-structured type (parse once, typed access per query). This is
+    // the closest modern Spark analogue of the fork's dynamic star: the
+    // same cell can be read at different types per query site, missing
+    // fields yield NULL (lax) or a raised error (strict, via variant_get
+    // on a wrong type — spec-verified), and the per-row discovered schema
+    // is first-class (schema_of_variant).
+    QDef.sql("schema_on_read_variant",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_int,
+        |  'OBJECT<k: BIGINT>' AS vschema
+        |FROM events WHERE event_id % 11 = 0""") { (s, dir) =>
+      Tables.t(s, dir, "events").where(col("event_id") % 11 === 0)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k_int"),
+          variant_get(col("v"), "$.k", "string").as("k_str"),
+          try_variant_get(col("v"), "$.missing", "bigint").as("missing_int"),
+          schema_of_variant(col("v")).as("vschema"))
     }
   )
 }

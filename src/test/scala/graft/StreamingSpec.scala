@@ -73,6 +73,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    // clicks ⋈ purchases per user within [click.ts, click.ts + 30 min] —
+    // the reference's stream-to-stream join (stream.md) with the event-time
+    // range bound Structured Streaming requires for state cleanup
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+    val cond = col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES")
+    val streamed = clicks(StreamOps.readEventsStream(spark, sfDir))
+      .withWatermark("c_ts", "1 hour")
+      .join(purchases(StreamOps.readEventsStream(spark, sfDir))
+        .withWatermark("p_ts", "1 hour"), cond)
+      .select(col("c_id"), col("p_id"))
+    val got = runToCompletion(streamed, "t_ssjoin", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.t(spark, sfDir, "events")
+    val want = clicks(ev).join(purchases(ev), cond)
+      .select(col("c_id"), col("p_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming MATCH_RECOGNIZE equals batch matches across micro-batches") {
     import graft.operators.MatchRecognize
     import MatchRecognize.{ClickRun, Pat}

@@ -57,6 +57,44 @@ object Similarity {
       when(dot.cast("double") >= 0.0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Lloyd/k-means training for IVF centroids. Seeded with the first k
+    * corpus vectors; each iteration assigns every vector to its nearest
+    * centroid by cosine (one broadcast join over a single corpus scan) and
+    * recomputes centroids as per-cell per-dimension means. The means go
+    * through DECIMAL sums, so training is deterministic under any
+    * partitioning — two runs give byte-identical centroids.
+    *
+    * Scale: per iteration, one corpus scan + one shuffle of (cell, dim,
+    * value) triples for the mean — no corpus self-join at any point.
+    */
+  def ivfTrain(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    val e = corpus.select(col("vec_id"), col("v"))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    var cents = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy((dot_product(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc,
+          col("cid"))
+      val assigned = e.join(broadcast(cents))
+        .withColumn("rk", row_number().over(wAssign)).where(col("rk") === 1)
+        .select(col("cid"), col("v"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double")
+          / count(lit(1))).as("mx"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx")).as("cv"))
+        .withColumn("cnrm", sqrt(graft.functions.DotProduct.dot_product(col("cv"), col("cv"))))
+        .localCheckpoint(eager = true)
+    }
+    cents
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- Brute-force cosine top-k -----------------------------------------

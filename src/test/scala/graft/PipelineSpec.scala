@@ -67,6 +67,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[scala.collection.Seq[Double]]("features").length == 8)
   }
 
+  test("k-means IVF training is deterministic and tightens cells") {
+    import graft.pipeline.Similarity
+    import graft.functions.DotProduct.dot_product
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    def cells(cents: org.apache.spark.sql.DataFrame): Double = {
+      // mean best-centroid cosine over the corpus: higher = tighter cells
+      val withN = e.withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      withN.join(broadcast(cents))
+        .select(col("vec_id"),
+          (dot_product(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos"))
+        .groupBy(col("vec_id")).agg(max(col("cos")).as("best"))
+        .agg(avg(col("best"))).head().getDouble(0)
+    }
+    val seed = Similarity.ivfTrain(e, k = 8, iters = 0)
+    val trained = Similarity.ivfTrain(e, k = 8, iters = 2)
+    assert(cells(trained) >= cells(seed), "Lloyd iterations should not loosen cells")
+    // determinism: byte-identical centroids across runs (decimal means)
+    val again = Similarity.ivfTrain(e, k = 8, iters = 2)
+    val a = trained.orderBy("cid").collect().map(_.toString).toSeq
+    val b = again.orderBy("cid").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("cosine helper is symmetric and self-similarity is 1") {
     val s = spark
     import s.implicits._

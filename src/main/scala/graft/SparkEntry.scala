@@ -17,6 +17,7 @@ object SparkEntry {
       operators.MatchRecognize.defs ++ operators.Extras.defs ++
       operators.JsonModes.defs ++
       operators.Tpch.defs ++ operators.Geo.defs ++ operators.SchemaOnRead.defs ++
+      plans.Profiler.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++
       streaming.StreamOps.defs

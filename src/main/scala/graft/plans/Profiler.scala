@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
+
+/** Data profiler — one-pass per-column statistics
+  * (reference: core/src/main/java/org/apache/calcite/profile/Profiler.java,
+  * ProfilerImpl.java — column cardinalities, min/max, null counts feeding
+  * lattice/materialization suggestions).
+  *
+  * Spark-first: ONE aggregation job computes every column's stats
+  * simultaneously (count/nulls/NDV/min/max per column as parallel
+  * aggregate expressions — a single scan however wide the table), then the
+  * per-column rows are unpivoted with `stack`. At 100 TB profiling cost is
+  * one full scan, the same as the reference's streaming profiler pass.
+  * Exact NDV by default (what the oracle can check); HLL approximation is
+  * a one-line swap (`approx_count_distinct`) when a 2% error is worth the
+  * memory at extreme cardinalities.
+  */
+object Profiler {
+
+  /** Profile the given columns: (column, n, nulls, ndv, min_s, max_s). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(v).as(s"${c}__ndv"),
+        min(v).cast("string").as(s"${c}__min"),
+        max(v).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column, n, nulls, ndv, min_s, max_s)")
+  }
+
+  val defs: Seq[graft.QDef] = Seq(
+    graft.QDef.sql("profile_columns",
+      """SELECT 'l_returnflag' AS column, COUNT(*) AS n,
+        |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |  COUNT(DISTINCT l_returnflag) AS ndv,
+        |  CAST(MIN(l_returnflag) AS VARCHAR) AS min_s, CAST(MAX(l_returnflag) AS VARCHAR) AS max_s
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*),
+        |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT l_quantity),
+        |  CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_orderkey', COUNT(*),
+        |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+        |  COUNT(DISTINCT l_orderkey),
+        |  CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
+        |FROM lineitem""") { (s, dir) =>
+      profile(graft.Tables.t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_quantity", "l_orderkey"))
+    }
+  )
+}

@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Recursive.defs ++ operators.AsOf.defs ++
       operators.MatchRecognize.defs ++ operators.Extras.defs ++
       operators.JsonModes.defs ++
-      operators.Tpch.defs ++ operators.Geo.defs ++ operators.SchemaOnRead.defs ++
+      operators.Tpch.defs ++ operators.Tpcds.defs ++
+      operators.Geo.defs ++ operators.SchemaOnRead.defs ++
       plans.Profiler.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.QDef
+
+/** TPC-DS-shaped query set — the reference's second benchmark corpus
+  * (reference: plus/src/test/java/org/apache/calcite/adapter/tpcds/TpcdsTest.java,
+  * correctness-run subset). The TPC-DS schema itself is out of fixture
+  * scope, so these carry the queries' distinctive STRUCTURES onto the
+  * fixture star schema: category-average deviation via windowed
+  * re-aggregation (q53/q63), multi-period INTERSECT of customer sets
+  * (q38/q87), multi-channel UNION ALL re-aggregation (q33/q56), and an
+  * order-count band with join-back (q34/q73). Dialect-shared SQL; each
+  * doubles as its own DuckDB oracle.
+  */
+object Tpcds {
+  val defs: Seq[QDef] = Seq(
+
+    // q53/q63 shape — brand-year sales that deviate >10% above the brand's
+    // average year (aggregate → window re-aggregate → deviation filter).
+    // The window average goes through a decimal sum: window sums over
+    // doubles are accumulation-order-dependent, decimals are not.
+    QDef.common("tpcds_s_catavg",
+      """WITH s AS (
+        |  SELECT p_brand, CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sales
+        |  FROM lineitem, orders, part
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        |  GROUP BY p_brand, CAST(year(o_orderdate) AS INT)
+        |)
+        |SELECT p_brand, yr, sales FROM (
+        |  SELECT p_brand, yr, sales,
+        |    CAST(SUM(CAST(sales AS DECIMAL(18,4))) OVER (PARTITION BY p_brand) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY p_brand) AS avg_sales
+        |  FROM s
+        |)
+        |WHERE sales > 1.1 * avg_sales
+        |ORDER BY p_brand, yr"""),
+
+    // q38/q87 shape — customers active in BOTH periods (INTERSECT of
+    // distinct key sets, then a scalar count).
+    QDef.common("tpcds_s_intersect",
+      """SELECT count(*) AS n FROM (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |) both_years"""),
+
+    // q33/q56 shape — per-"channel" (market segment) restricted aggregates
+    // UNION ALL'd, then re-aggregated by brand.
+    QDef.common("tpcds_s_channels",
+      """WITH ch AS (
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS v
+        |  FROM lineitem, orders, customer, part
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_partkey = p_partkey AND c_mktsegment = 'AUTOMOBILE'
+        |  GROUP BY p_brand
+        |  UNION ALL
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS v
+        |  FROM lineitem, orders, customer, part
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_partkey = p_partkey AND c_mktsegment = 'BUILDING'
+        |  GROUP BY p_brand
+        |  UNION ALL
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS v
+        |  FROM lineitem, orders, customer, part
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_partkey = p_partkey AND c_mktsegment = 'MACHINERY'
+        |  GROUP BY p_brand
+        |)
+        |SELECT p_brand, CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM ch GROUP BY p_brand
+        |ORDER BY total DESC, p_brand LIMIT 25"""),
+
+    // q34/q73 shape — order-count band per customer (GROUP BY + HAVING
+    // BETWEEN), joined back to the customer dimension.
+    QDef.common("tpcds_s_orderband",
+      """SELECT c_custkey, c_name, cnt FROM (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders
+        |  WHERE o_orderstatus = 'O'
+        |  GROUP BY o_custkey HAVING count(*) BETWEEN 3 AND 7
+        |) bands JOIN customer ON c_custkey = o_custkey
+        |ORDER BY cnt DESC, c_custkey""")
+  )
+}

@@ -62,6 +62,23 @@ object TableModify {
     swapIn(spark, staged, targetDir)
   }
 
+  /** Compact a table directory to ~targetFileMB-sized files — the
+    * maintenance pass every CoW table needs: repeated INSERT/UPDATE cycles
+    * accumulate small files until scan task scheduling dominates runtime.
+    * Sizing by actual on-disk bytes (not row counts) keeps the output
+    * balanced regardless of row width. */
+  def compact(spark: SparkSession, targetDir: String, targetFileMB: Int = 128): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(targetDir)).getLength
+    val nFiles = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val staged = targetDir + "__staged"
+    spark.read.parquet(targetDir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    swapIn(spark, staged, targetDir)
+  }
+
   /** MERGE INTO target USING source ON key:
     * matched → update assignments; not matched → insert source row.
     * One full-outer join over the key — the scalable CoW merge plan. */

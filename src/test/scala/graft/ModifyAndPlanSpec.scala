@@ -51,6 +51,25 @@ class ModifyAndPlanSpec extends AnyFunSuite {
     assert(m.size == 6 && m(0) == "ZERO" && m(7) == "SEVEN" && m(1) != "ZERO")
   }
 
+  test("TableModify compact coalesces small files, values unchanged") {
+    val dir = "/tmp/graft_modify/compact"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // simulate small-file accumulation: many appends
+    val src = Tables.t(spark, sfDir, "customer")
+    for (_ <- 0 until 5) src.repartition(4).write.mode("append").parquet(dir)
+    def parquetFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(parquetFiles() >= 20)
+    val before = spark.read.parquet(dir).groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    TableModify.compact(spark, dir, targetFileMB = 128)
+    assert(parquetFiles() == 1, s"expected 1 compacted file, got ${parquetFiles()}")
+    val after = spark.read.parquet(dir).groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before == after)
+  }
+
   test("Rel builder mirrors RelBuilder programs") {
     val df = Rel.builder(spark, sfDir)
       .scan("customer")

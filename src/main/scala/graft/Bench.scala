@@ -29,12 +29,19 @@ object Bench {
       case Some(names) => SparkEntry.allDefs.filter(d => names(d.name))
       case None => SparkEntry.allDefs
     }
-    // Warm up the JVM/codegen/parquet-reader paths once so the first timed
-    // query doesn't absorb session initialization (standard JMH-style
-    // discipline; the reference's JMH harness does the same).
-    try SparkEntry.allDefs.headOption.foreach(
-      _.fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-    catch { case _: Throwable => () }
+    // Warm up the JVM/codegen/parquet-reader/shuffle paths once so the
+    // first timed queries don't absorb session initialization (standard
+    // JMH-style discipline; the reference's JMH harness does the same).
+    try {
+      SparkEntry.allDefs.headOption.foreach(
+        _.fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      spark.range(0, 1000000)
+        .selectExpr("id % 7 AS k", "CAST(id AS DOUBLE) AS x")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.expr("sum(CAST(x AS DECIMAL(18,4)))"),
+          org.apache.spark.sql.functions.expr("count(1)"))
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
     val results = defs.map { d =>
       val t0 = System.nanoTime()
       try d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -47,7 +47,11 @@ object Recursive {
     // width and restore the session's setting afterwards. (At true scale a
     // recursive step with large deltas would keep the session default.)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // AQE's per-stage re-planning is pure overhead on the loop's tiny
+    // shuffles; the deltas are single-partition by construction.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       var acc = seed.distinct().localCheckpoint(eager = true)
       var delta = acc
@@ -77,7 +81,10 @@ object Recursive {
         }
       }
       acc.distinct()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   val defs: Seq[QDef] = Seq(

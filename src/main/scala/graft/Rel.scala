@@ -82,9 +82,38 @@ final class Rel private (
   def minus(all: Boolean): Rel =
     pop2((l, r) => if (all) l.exceptAll(r) else l.except(r))
 
+  /** Correlate / lateral: cross-apply a generator to each row
+    * (reference: rel/core/Correlate.java:63; RelBuilder correlate). */
+  def correlate(generator: Column, aliases: String*): Rel =
+    pop1(_.select(col("*") +: Seq(generator.as(aliases)): _*))
+
+  /** Pivot: per-value conditional aggregation
+    * (reference: the Pivot relational shape; RelBuilder pivot). */
+  def pivot(groupBy: Column, pivotCol: String, values: Seq[Any], agg: Column): Rel =
+    pop1(_.groupBy(groupBy).pivot(pivotCol, values).agg(agg))
+
+  /** As-of join: the correlated-Snapshot form over the top two relations
+    * (probe below build on the stack; reference: Snapshot.java:47). */
+  def asofJoin(probeKey: Column, buildKey: Column, probeTime: Column,
+      buildTime: Column, buildCols: Seq[String], tieBreak: Column): Rel =
+    pop2((probe, build) => operators.AsOf.asofJoin(
+      probe, build, probeKey, buildKey, probeTime, buildTime, buildCols, tieBreak))
+
+  /** MATCH_RECOGNIZE from clause bodies (reference: RelBuilder match:2474);
+    * same grammar as the injected SQL syntax. */
+  def matchRecognize(partitionCol: String, orderCol: String, orderTie: Option[String],
+      measures: String, pattern: String, defines: String): Rel =
+    pop1(df => plans.MatchRecognizeSql.dataframe(
+      df, partitionCol, orderCol, orderTie, measures, pattern, defines))
+
   // -- iteration (reference: repeatUnion:1867 + transientScan:1822) ---------
   def repeatUnion(step: DataFrame => DataFrame, maxIter: Int = 100): Rel =
     pop1(seed => operators.Recursive.repeatUnion(seed, step, maxIter))
+
+  /** TableFunctionScan leaf: push a generated relation
+    * (reference: rel/core/TableFunctionScan.java; RelBuilder functionScan). */
+  def functionScan(start: Long, end: Long): Rel =
+    push(spark.range(start, end).toDF("id"))
 }
 
 object Rel {

@@ -89,6 +89,41 @@ class ModifyAndPlanSpec extends AnyFunSuite {
     assert(setop.count() > 0)
   }
 
+  test("Rel builder: correlate, pivot, functionScan, match, asofJoin") {
+    val lateral = Rel.builder(spark, sfDir)
+      .scan("part")
+      .correlate(posexplode(split(col("p_type"), " ")), "pos", "word")
+      .build()
+    assert(lateral.columns.contains("word") && lateral.count() > 0)
+
+    val piv = Rel.builder(spark, sfDir)
+      .scan("customer")
+      .pivot(col("c_nationkey"), "c_mktsegment", Seq("AUTOMOBILE", "BUILDING"),
+        count(lit(1)))
+      .build()
+    assert(piv.columns.toSet == Set("c_nationkey", "AUTOMOBILE", "BUILDING"))
+
+    val fs = Rel.builder(spark, sfDir).functionScan(0, 10).build()
+    assert(fs.count() == 10)
+
+    val mr = Rel.builder(spark, sfDir)
+      .scan("events")
+      .matchRecognize("user_id", "ts", Some("event_id"),
+        "COUNT(C.*) AS n_clicks, LAST(event_id) AS last_id",
+        "C{2,} E",
+        "C AS event_type = 'click', E AS event_type = 'error'")
+      .build()
+    assert(mr.columns.toSeq == Seq("user_id", "n_clicks", "last_id") && mr.count() > 0)
+
+    val asof = Rel.builder(spark, sfDir)
+      .scan("events").filter(col("event_type") === "purchase")
+      .scan("events").filter(col("event_type") === "click")
+      .asofJoin(col("user_id"), col("user_id"), col("ts"), col("ts"),
+        Seq("event_id"), col("event_id"))
+      .build()
+    assert(asof.columns.contains("asof_event_id") && asof.count() > 0)
+  }
+
   test("plan: filters and projections reach the parquet scan") {
     val df = Tables.t(spark, sfDir, "lineitem")
       .where(col("l_quantity") > 45)

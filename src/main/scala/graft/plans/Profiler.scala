@@ -39,6 +39,28 @@ object Profiler {
       s"stack(${cols.size}, $stackArgs) AS (column, n, nulls, ndv, min_s, max_s)")
   }
 
+  /** Lattice-style tile advisor (reference: materialize/Lattice.java +
+    * profile/ProfilerImpl — profile-driven aggregate-tile suggestion):
+    * measures the TRUE grouped cardinality of every dimension subset up to
+    * size `maxDims` in ONE aggregation pass (COUNT(DISTINCT struct) per
+    * subset — not the NDV-product estimate, which overshoots under
+    * correlation), and returns the subsets whose tile would hold at most
+    * `rowBudget` rows — exactly the tiles worth registering with
+    * [[MaterializedViews]] for rollup serving. */
+  def suggestTiles(df: DataFrame, dims: Seq[String], rowBudget: Long,
+      maxDims: Int = 2): Seq[(Seq[String], Long)] = {
+    val subsets: Seq[Seq[String]] =
+      (1 to maxDims).flatMap(k => dims.combinations(k).toSeq)
+    val aggs = subsets.zipWithIndex.map { case (ss, i) =>
+      countDistinct(struct(ss.map(col): _*)).as(s"s$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    subsets.zipWithIndex
+      .map { case (ss, i) => (ss, row.getLong(i)) }
+      .filter(_._2 <= rowBudget)
+      .sortBy { case (ss, n) => (-ss.size, n) } // widest affordable first
+  }
+
   val defs: Seq[graft.QDef] = Seq(
     graft.QDef.sql("profile_columns",
       """SELECT 'l_returnflag' AS column, COUNT(*) AS n,

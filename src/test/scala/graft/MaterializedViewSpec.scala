@@ -115,6 +115,30 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedViews.drop("mv_agg")
   }
 
+  test("profiler tile advisor feeds the MV registry (Lattice analogue)") {
+    import graft.plans.Profiler
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val tiles = Profiler.suggestTiles(li,
+      Seq("l_returnflag", "l_linestatus", "l_orderkey"), rowBudget = 1000)
+    val dims = tiles.map(_._1.toSet)
+    // the (flag, status) pair is affordable; anything with orderkey is not
+    assert(dims.contains(Set("l_returnflag", "l_linestatus")), tiles.toString)
+    assert(!dims.exists(_.contains("l_orderkey")), tiles.toString)
+    // widest affordable tile first, and its true cardinality is reported
+    val (best, n) = tiles.head
+    assert(best.toSet == Set("l_returnflag", "l_linestatus") && n <= 6)
+    // the suggested tile is exactly what the rollup rewrite serves from
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    val mv = li.groupBy(best.map(col): _*)
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("sq"),
+        count(lit(1)).as("cnt"))
+    MaterializedViews.create(spark, "mv_tile", mv, "/tmp/graft_mv/suggested_tile")
+    val q = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("suggested_tile"))
+    MaterializedViews.drop("mv_tile")
+  }
+
   test("dropping the view restores direct evaluation") {
     MaterializedViews.clear()
     MaterializedViews.install(spark)

@@ -349,6 +349,28 @@ object Relational {
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
     },
 
+    // ---- Salted two-phase aggregation (hot-key scale path) ----------------
+    // When one group key owns a disproportionate share of rows, a plain
+    // groupBy funnels it through one reducer. Salting splits each key into
+    // `salts` sub-groups for the partial phase, then a cheap final phase
+    // over #keys × salts rows removes the salt — algebraic aggregates
+    // (SUM/COUNT here) recombine exactly. Results are identical to the
+    // direct groupBy, which is what the oracle pins.
+    QDef.sql("agg_salted_hotkey",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+      val salts = 16
+      t(s, dir, "lineitem")
+        .withColumn("__salt", pmod(col("l_orderkey"), lit(salts)))
+        .groupBy(col("l_returnflag"), col("__salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).as("psum"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psum")).cast("double").as("sum_qty"))
+    },
+
     // ---- Scalar subquery --------------------------------------------------
     // reference: rex/RexSubQuery + SubQueryRemoveRule (tools/Programs.subQuery:247).
     QDef.sql("subq_scalar",

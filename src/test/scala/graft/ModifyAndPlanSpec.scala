@@ -168,6 +168,16 @@ class ModifyAndPlanSpec extends AnyFunSuite {
     assert(viaSql == direct)
   }
 
+  test("approx_count_distinct lands within HLL++ tolerance of exact") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.agg(approx_count_distinct(col("l_orderkey"), 0.02))
+      .head().getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err < 0.06, s"approx=$approx exact=$exact err=$err") // 3× rsd
+
+  }
+
   test("similarToRegex translation matches reference Like.java semantics") {
     import graft.operators.Extras.similarToRegex
     assert("PROMO BRASS".matches(similarToRegex("%BRASS")))

@@ -70,6 +70,23 @@ object Geo {
 
   def stDWithin(a: Column, b: Column, d: Column): Column = stDistance(a, b) <= d
 
+  /** Geodesic (sphere) distance in km between two lon/lat points —
+    * haversine over the mean Earth radius. The reference treats geographic
+    * distance as a separate code path from planar (GeoFunctions.java
+    * ST_Distance notes); transcendental results are rounded at comparison
+    * sites per the oracle discipline (JVM Math vs libm differ in the last
+    * ulp). */
+  def stDistanceSphere(a: Column, b: Column): Column = {
+    val R = 6371.0
+    val toRad = math.Pi / 180.0
+    val lat1 = stY(a) * toRad; val lat2 = stY(b) * toRad
+    val dLat = (stY(b) - stY(a)) * toRad
+    val dLon = (stX(b) - stX(a)) * toRad
+    val h = sin(dLat / 2) * sin(dLat / 2) +
+      cos(lat1) * cos(lat2) * sin(dLon / 2) * sin(dLon / 2)
+    lit(2 * R) * asin(sqrt(h))
+  }
+
   /** Axis-aligned bounding box as (xmin, ymin, xmax, ymax). */
   def stEnvelope(g: Column): Column =
     struct(array_min(g.getField("xs")).as("xmin"), array_min(g.getField("ys")).as("ymin"),
@@ -122,6 +139,32 @@ object Geo {
         stDWithin(p, center, lit(6.0)).as("near_center"),
         stContains(diamond, p).as("in_diamond"),
         stGeometryType(p).as("gtype"))
+    },
+
+    // Geodesic distances: nation "capitals" as lon/lat points, pairwise
+    // haversine km to a fixed reference point. Rounded to 6 decimals —
+    // sin/cos/asin differ between JVM Math and libm in the last ulp.
+    QDef.sql("geo_haversine",
+      """SELECT n_nationkey,
+        |  round(2 * 6371.0 * asin(sqrt(
+        |    sin((lat - 48.5) * pi() / 180.0 / 2) * sin((lat - 48.5) * pi() / 180.0 / 2)
+        |    + cos(48.5 * pi() / 180.0) * cos(lat * pi() / 180.0)
+        |      * sin((lon - 2.25) * pi() / 180.0 / 2) * sin((lon - 2.25) * pi() / 180.0 / 2)
+        |  )), 6) AS dist_km
+        |FROM (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 13 % 360 - 180 AS DOUBLE) + 0.25 AS lon,
+        |    CAST(n_nationkey * 7 % 140 - 70 AS DOUBLE) + 0.5 AS lat
+        |  FROM nation)
+        |ORDER BY n_nationkey""") { (s, dir) =>
+      val pts = t(s, dir, "nation").select(col("n_nationkey"),
+        ((col("n_nationkey") * 13 % 360 - 180).cast("double") + 0.25).as("lon"),
+        ((col("n_nationkey") * 7 % 140 - 70).cast("double") + 0.5).as("lat"))
+      val p = stPoint(col("lon"), col("lat"))
+      val ref = stPoint(lit(2.25), lit(48.5))
+      pts.select(col("n_nationkey"),
+          round(stDistanceSphere(p, ref), 6).as("dist_km"))
+        .orderBy(col("n_nationkey"))
     },
 
     // Spatial theta-join: customers within radius 4 of each nation's

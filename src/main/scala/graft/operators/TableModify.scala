@@ -62,6 +62,44 @@ object TableModify {
     swapIn(spark, staged, targetDir)
   }
 
+  /** SCD Type-2 MERGE — the history-preserving upsert behind
+    * FOR SYSTEM_TIME AS OF serving (pairs with the Snapshot operator;
+    * reference: schema/TemporalTable.java + TableModify MERGE semantics).
+    * The target carries (key, compareCols..., valid_from, valid_to) with
+    * `valid_to IS NULL` marking the current version. For each source row:
+    * a changed current version is CLOSED (valid_to := source ts) and a new
+    * open version inserted; an unchanged match is left alone; a new key is
+    * inserted open. One left join per side over the key — no per-row
+    * driver work, CoW-rewritten like update/delete. */
+  def scd2Merge(spark: SparkSession, targetDir: String, source: DataFrame,
+      key: String, compareCols: Seq[String], tsCol: String): Unit = {
+    val target = spark.read.parquet(targetDir)
+    val changed = compareCols
+      .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)
+    val src = source.alias("s")
+    // close changed current versions
+    val closed = target.alias("t")
+      .join(src, col(s"t.$key") === col(s"s.$key") &&
+        col("t.valid_to").isNull && changed, "left")
+      .select(target.columns.map {
+        case "valid_to" =>
+          when(col(s"s.$key").isNotNull, col(s"s.$tsCol"))
+            .otherwise(col("t.valid_to")).as("valid_to")
+        case c => col(s"t.$c").as(c)
+      }: _*)
+    // open new versions for changed or brand-new keys
+    val current = target.where(col("valid_to").isNull).alias("t")
+    val opened = src
+      .join(current, col(s"t.$key") === col(s"s.$key"), "left")
+      .where(col(s"t.$key").isNull || changed)
+      .select((key +: compareCols).map(c => col(s"s.$c").as(c)) ++
+        Seq(col(s"s.$tsCol").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to")): _*)
+    val staged = targetDir + "__staged"
+    closed.unionByName(opened).write.mode(SaveMode.Overwrite).parquet(staged)
+    swapIn(spark, staged, targetDir)
+  }
+
   /** Compact a table directory to ~targetFileMB-sized files — the
     * maintenance pass every CoW table needs: repeated INSERT/UPDATE cycles
     * accumulate small files until scan task scheduling dominates runtime.

@@ -51,6 +51,38 @@ class ModifyAndPlanSpec extends AnyFunSuite {
     assert(m.size == 6 && m(0) == "ZERO" && m(7) == "SEVEN" && m(1) != "ZERO")
   }
 
+  test("TableModify scd2Merge keeps history and serves snapshots") {
+    import spark.implicits._
+    val dir = "/tmp/graft_modify/scd2"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // initial load: two open versions at t0
+    Seq((1L, "bronze", ts("2024-01-01 00:00:00")),
+        (2L, "silver", ts("2024-01-01 00:00:00")))
+      .toDF("id", "tier", "valid_from")
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .write.parquet(dir)
+    // day 2: id=1 changes tier, id=2 unchanged, id=3 is new
+    val day2 = Seq((1L, "gold", ts("2024-01-02 00:00:00")),
+        (2L, "silver", ts("2024-01-02 00:00:00")),
+        (3L, "bronze", ts("2024-01-02 00:00:00")))
+      .toDF("id", "tier", "ts")
+    TableModify.scd2Merge(spark, dir, day2, "id", Seq("tier"), "ts")
+    val all = spark.read.parquet(dir)
+    assert(all.count() == 4) // closed v1 of id=1, open gold, silver untouched, new id=3
+    // current state
+    val current = all.where(col("valid_to").isNull)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(current == Map(1L -> "gold", 2L -> "silver", 3L -> "bronze"))
+    // snapshot AS OF day 1: id=1 was bronze, id=3 absent
+    val asOf = ts("2024-01-01 12:00:00")
+    val snap = all.where(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap == Map(1L -> "bronze", 2L -> "silver"))
+  }
+
   test("TableModify compact coalesces small files, values unchanged") {
     val dir = "/tmp/graft_modify/compact"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

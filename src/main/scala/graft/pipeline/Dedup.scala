@@ -46,44 +46,33 @@ object Dedup {
         |FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
         |    / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.6""") { (s, dir) =>
-      // grams are 64-bit hashes: same set cardinalities and intersections
-      // as the oracle's string sets (collision odds ~1e-15 per doc), at a
-      // fraction of the shuffle bytes and compare cost. Sorted so the
-      // pairwise kernel is a codegen'd merge scan (IntersectSizeSorted),
-      // not a per-pair hash set + materialized intersection array.
-      val S = 8 // salt fan-out: `source` has ~unit cardinality vs cores
-      val g = t(s, dir, "documents").where(length(col("text")) >= 3)
-        .select(col("doc_id"), col("source"),
-          array_sort(array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
-            i => xxhash64(col("text").substr(i, lit(3)))))).as("gs"))
-        .withColumn("n", size(col("gs")))
-        .repartition(s.sparkContext.defaultParallelism)
-        .localCheckpoint(eager = true)
-      // Salted self-join: the blocking key (source) has far fewer distinct
-      // values than the cluster has cores, so a plain shuffle join would
-      // run on #sources tasks. Salting the left side and replicating the
-      // right S× splits every block into S independent work units — the
-      // standard skew treatment, and each pair still appears exactly once.
-      val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"),
-        col("gs").as("gs_a"), col("n").as("na"),
-        pmod(col("doc_id"), lit(S)).cast("int").as("salt_a"))
-      val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"),
-        col("gs").as("gs_b"), col("n").as("nb"))
-        .withColumn("salt_b", explode(sequence(lit(0), lit(S - 1))))
-      // Length-ratio prefilter: jac >= t forces |A∩B| >= t(|A|+|B|)/(1+t)
-      // and |A∩B| <= min, hence min/max >= t — a necessary condition that
-      // costs two int reads and skips the merge scan for most pairs.
-      val pairs = a.join(b,
-        col("src_a") === col("src_b") && col("salt_a") === col("salt_b") &&
-          col("id_a") < col("id_b") &&
-          least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 3)
-      val ni = graft.functions.IntersectSizeSorted
-        .intersect_size_sorted(col("gs_a"), col("gs_b"))
-      pairs
-        .select(col("id_a"), col("id_b"), ni.as("ni"), col("na"), col("nb"))
-        .select(col("id_a"), col("id_b"),
-          (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
-        .where(col("jac") >= 0.6)
+      ngramJaccardPairs(s, dir)
+    },
+
+    // ---- Duplicate clusters (connected components over near-dup pairs) ----
+    // Oracle: recursive-CTE transitive closure + min reachable id — the
+    // same component labeling the iterative propagation converges to.
+    QDef.sql("dedup_clusters",
+      """WITH RECURSIVE grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(text)-1), i -> substr(text, i, 3))) AS gs
+        |  FROM documents WHERE len(text) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.6
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src AS id, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""") { (s, dir) =>
+      clusters(ngramJaccardPairs(s, dir).select("id_a", "id_b"))
     },
 
     // ---- MinHash + LSH near-dup (the scale path) --------------------------
@@ -145,6 +134,90 @@ object Dedup {
         .where(col("cosim") >= 0.3)
     }
   )
+
+  /** Source-blocked n-gram-Jaccard near-dup pairs (id_a, id_b, jac).
+    *
+    * Scale design: grams are SORTED 64-bit hashes (same cardinalities and
+    * intersections as the string sets, collision odds ~1e-15 per doc), so
+    * the pairwise kernel is the codegen'd merge scan IntersectSizeSorted —
+    * no per-pair hash set or materialized intersection. The self-join is
+    * SALTED: the blocking key (source) has far fewer distinct values than
+    * the cluster has cores, so the left side is salted and the right
+    * replicated S×, splitting every block into S independent work units
+    * with each pair appearing exactly once. A length-ratio prefilter
+    * (jac >= t forces min/max gram counts >= t) sits IN the join condition
+    * and skips the merge scan for most candidate pairs. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val S = 8 // salt fan-out
+    val g = t(s, dir, "documents").where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
+          i => xxhash64(col("text").substr(i, lit(3)))))).as("gs"))
+      .withColumn("n", size(col("gs")))
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = true)
+    val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"),
+      col("gs").as("gs_a"), col("n").as("na"),
+      pmod(col("doc_id"), lit(S)).cast("int").as("salt_a"))
+    val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"),
+      col("gs").as("gs_b"), col("n").as("nb"))
+      .withColumn("salt_b", explode(sequence(lit(0), lit(S - 1))))
+    val pairs = a.join(b,
+      col("src_a") === col("src_b") && col("salt_a") === col("salt_b") &&
+        col("id_a") < col("id_b") &&
+        least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 3)
+    val ni = graft.functions.IntersectSizeSorted
+      .intersect_size_sorted(col("gs_a"), col("gs_b"))
+    pairs
+      .select(col("id_a"), col("id_b"), ni.as("ni"), col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
+      .where(col("jac") >= 0.6)
+  }
+
+  /** Consolidate verified near-dup pairs into duplicate CLUSTERS —
+    * connected components via iterative min-label propagation (each round:
+    * every node takes the min label among itself and its neighbors; the
+    * fixpoint labels each component by its smallest doc_id). This is the
+    * step after pair generation in a real corpus-dedup pipeline: clusters,
+    * not pairs, decide which single representative survives.
+    *
+    * Scale: per round one join labels⋈edges + one min-aggregate — both
+    * shuffle on node id; rounds = graph diameter (near-dup components are
+    * shallow). No driver-side graph state; the label frame is checkpointed
+    * per round like [[graft.operators.Recursive.repeatUnion]].
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(eager = true)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+        .localCheckpoint(eager = true)
+      var changed = 1L
+      while (changed > 0) {
+        val prop = labels.alias("l")
+          .join(edges.alias("e"), col("l.id") === col("e.src"))
+          .select(col("e.dst").as("id"), col("l.lbl").as("lbl"))
+          .unionByName(labels)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(eager = true)
+        changed = prop.alias("n").join(labels.alias("o"), "id")
+          .where(col("n.lbl") =!= col("o.lbl")).count()
+        labels = prop
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 
   /** MinHash+LSH candidate generation + exact verification. Returns verified
     * near-dup pairs (id_a < id_b, jac >= threshold).

@@ -73,6 +73,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("parquet sink with checkpoint is exactly-once across restarts") {
+    val outDir = "/tmp/graft_stream_sink/out"
+    val ckDir = "/tmp/graft_stream_sink/ck"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_stream_sink"), true)
+    def runOnce(): Unit = {
+      val q = StreamOps.readEventsStream(spark, sfDir)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val batchCount = Tables.t(spark, sfDir, "events").count()
+    assert(spark.read.parquet(outDir).count() == batchCount)
+    // restart against the same checkpoint: no new input -> no duplicates
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == batchCount,
+      "restart duplicated rows despite the checkpoint")
+    assert(spark.read.parquet(outDir).select("event_id").distinct().count() == batchCount)
+  }
+
   test("stream-stream interval join equals the batch range join") {
     // clicks ⋈ purchases per user within [click.ts, click.ts + 30 min] —
     // the reference's stream-to-stream join (stream.md) with the event-time

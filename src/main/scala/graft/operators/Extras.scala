@@ -151,6 +151,40 @@ object Extras {
         isnan(col("p_retailprice")).as("is_nan"))
     },
 
+    // ---- IS [NOT] DISTINCT FROM (null-safe comparison) --------------------
+    // reference: SqlStdOperatorTable IS DISTINCT FROM / IS NOT DISTINCT
+    // FROM; Spark's <=> is IS NOT DISTINCT FROM, also usable as a
+    // null-safe join key.
+    QDef.sql("fn_distinct_from",
+      """SELECT e1.event_id,
+        |  json_extract_string(e1.props, '$.missing') IS DISTINCT FROM 'x' AS d_lit,
+        |  json_extract_string(e1.props, '$.missing')
+        |    IS NOT DISTINCT FROM json_extract_string(e1.props, '$.alsomissing') AS nd_nulls,
+        |  e1.event_type IS NOT DISTINCT FROM e1.event_type AS nd_self
+        |FROM events e1 WHERE e1.event_id % 17 = 0""") { (s, dir) =>
+      t(s, dir, "events").where(col("event_id") % 17 === 0).select(
+        col("event_id"),
+        (!(get_json_object(col("props"), "$.missing") <=> lit("x"))).as("d_lit"),
+        (get_json_object(col("props"), "$.missing")
+          <=> get_json_object(col("props"), "$.alsomissing")).as("nd_nulls"),
+        (col("event_type") <=> col("event_type")).as("nd_self"))
+    },
+
+    // ---- RANGE frame with interval bounds ---------------------------------
+    // reference: RexWindowBound with interval offsets (OVER ... RANGE
+    // BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) — the sliding
+    // event-time analytic; dialect-shared SQL text runs on both engines.
+    QDef.common("window_range_interval",
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |                 RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |    AS n_last_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |       OVER (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS sum_last_hour
+        |FROM events WHERE user_id < 50"""),
+
     // ---- Native UDAF: weighted average (DeclarativeAggregate) -------------
     // functions.WeightedAvg — the codegen-quality UDAF path (reference:
     // schema/impl/AggregateFunctionImpl.java init/add/merge/result). The

@@ -185,7 +185,12 @@ object MaterializedViews {
           val mConj = Conjuncts.split(mPred)
           val mSet = mConj.map(canonExpr(_, childM)).toSet
           val qCanon = qConj.map(c => canonExpr(c, f.child))
-          if (!mSet.subsetOf(qCanon.toSet)) None
+          // a residual carrying a subquery cannot be re-based onto the tile
+          // (its outer references live in a nested plan the attribute
+          // substitution does not reach) — leave such filters alone
+          val hasSubquery = qConj.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+          if (hasSubquery || !mSet.subsetOf(qCanon.toSet)) None
           else {
             val scan = spark.read.parquet(entry.path).queryExecution.analyzed
             val attrMap: Map[Attribute, Attribute] =

@@ -40,5 +40,7 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "intersect_size_sorted",
       exprs => IntersectSizeSorted(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "weighted_avg", exprs => WeightedAvg(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -58,9 +58,11 @@ object JsonModes {
     when(!jsonIsValid(json), errorResult)
       .otherwise(get_json_object(json, path).isNotNull)
 
-  /** JSON_QUERY(json, path) → JSON text of an object/array; scalars yield
-    * the ON EMPTY outcome under the default WITHOUT WRAPPER, or are wrapped
-    * when `arrayWrapper` (WITH UNCONDITIONAL ARRAY WRAPPER). */
+  /** JSON_QUERY(json, path) → JSON text of an object/array; under the
+    * default WITHOUT WRAPPER a scalar result is a STRUCTURAL ERROR (ON
+    * ERROR behavior, per SQL:2016 and the reference's JsonFunctions);
+    * `arrayWrapper` (WITH UNCONDITIONAL ARRAY WRAPPER) wraps scalars
+    * instead. */
   def jsonQuery(json: Column, path: String, arrayWrapper: Boolean = false,
       onEmpty: Behavior = Null, onError: Behavior = Null): Column = {
     val v = get_json_object(json, path)
@@ -69,7 +71,8 @@ object JsonModes {
       .when(v.isNull, behave(onEmpty, "path found nothing (ON EMPTY)"))
       .otherwise(
         if (arrayWrapper) when(isStruct, v).otherwise(concat(lit("["), v, lit("]")))
-        else when(isStruct, v).otherwise(behave(onEmpty, "scalar WITHOUT WRAPPER")))
+        else when(isStruct, v)
+          .otherwise(behave(onError, "scalar WITHOUT WRAPPER (ON ERROR)")))
   }
 
   val defs: Seq[QDef] = Seq(

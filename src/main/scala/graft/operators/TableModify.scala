@@ -76,7 +76,16 @@ object TableModify {
     val target = spark.read.parquet(targetDir)
     val changed = compareCols
       .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)
-    val src = source.alias("s")
+    // one row per key: a batch carrying several updates for the same key
+    // would fan out both joins (duplicated closed rows, several open
+    // versions) — keep only the latest change per key, which is also the
+    // end state SCD2 records for the batch
+    val wLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(tsCol).desc)
+    val src = source
+      .withColumn("__rn", row_number().over(wLatest))
+      .where(col("__rn") === 1).drop("__rn")
+      .alias("s")
     // close changed current versions
     val closed = target.alias("t")
       .join(src, col(s"t.$key") === col(s"s.$key") &&

@@ -156,13 +156,13 @@ object Tpch {
     // inequality bit-identical across engines)
     QDef.common("tpch_q11",
       """SELECT l_partkey,
-        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS value
+        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS value
         |FROM lineitem, supplier, nation
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |  AND n_name = 'NATION_3'
         |GROUP BY l_partkey
-        |HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,8))) AS DOUBLE) > (
-        |  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,8))) AS DOUBLE) * 0.002
+        |HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE) > (
+        |  SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE) * 0.002
         |  FROM lineitem, supplier, nation
         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |    AND n_name = 'NATION_3')

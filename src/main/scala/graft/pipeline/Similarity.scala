@@ -81,14 +81,20 @@ object Similarity {
       val assigned = e.join(broadcast(cents))
         .withColumn("rk", row_number().over(wAssign)).where(col("rk") === 1)
         .select(col("cid"), col("v"))
-      cents = assigned
+      val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double")
           / count(lit(1))).as("mx"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-          s => s.getField("mx")).as("cv"))
+          s => s.getField("mx")).as("new_cv"))
+      // a cell that attracted no vectors this round KEEPS its previous
+      // centroid (standard Lloyd empty-cell handling) — otherwise k would
+      // silently shrink and probe recall degrade
+      cents = cents.select(col("cid"), col("cv").as("prev_cv"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new_cv"), col("prev_cv")).as("cv"))
         .withColumn("cnrm", sqrt(graft.functions.DotProduct.dot_product(col("cv"), col("cv"))))
         .localCheckpoint(eager = true)
     }

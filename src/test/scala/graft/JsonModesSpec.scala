@@ -39,11 +39,15 @@ class JsonModesSpec extends AnyFunSuite {
 
   test("JSON_QUERY wrapper semantics") {
     assert(one(JsonModes.jsonQuery(lit("""{"a":{"b":1}}"""), "$.a")) == """{"b":1}""")
-    // scalar WITHOUT WRAPPER -> empty (null)
+    // scalar WITHOUT WRAPPER is a structural ERROR (SQL:2016): it takes
+    // the ON ERROR behavior, not ON EMPTY
     import spark.implicits._
     val r = Seq(1).toDF("x")
       .select(JsonModes.jsonQuery(lit("""{"a":1}"""), "$.a").as("r")).head()
-    assert(r.isNullAt(0))
+    assert(r.isNullAt(0)) // default ON ERROR = NULL
+    assert(one(JsonModes.jsonQuery(lit("""{"a":1}"""), "$.a",
+      onEmpty = Behavior.Default(lit("EMPTY")),
+      onError = Behavior.Default(lit("ERR")))) == "ERR")
     assert(one(JsonModes.jsonQuery(lit("""{"a":1}"""), "$.a",
       arrayWrapper = true)) == "[1]")
   }

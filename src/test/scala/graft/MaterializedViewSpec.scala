@@ -49,7 +49,6 @@ class MaterializedViewSpec extends AnyFunSuite {
         .agg(
           sum(col("l_quantity").cast(DecimalType(18, 4))).as("sum_qty_raw"),
           count(lit(1)).as("cnt"))
-    MaterializedViews.create(spark, "mv_agg", mvDef(), "/tmp/graft_mv/agg_tile_ru")
     // group by a SUBSET of the MV's keys with re-aggregable calls
     def coarser() =
       Tables.t(spark, sfDir, "lineitem")
@@ -57,8 +56,11 @@ class MaterializedViewSpec extends AnyFunSuite {
         .agg(
           sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
+    // expected values BEFORE the MV exists — computed from the fact table,
+    // so the equality actually pins the re-aggregation
     val want = coarser().collect().map(r =>
       (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    MaterializedViews.create(spark, "mv_agg", mvDef(), "/tmp/graft_mv/agg_tile_ru")
     val q = coarser()
     val physical = q.queryExecution.executedPlan.toString
     assert(physical.contains("agg_tile_ru"), s"tile not scanned:\n$physical")
@@ -72,11 +74,12 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedViews.clear()
     MaterializedViews.install(spark)
     def mvDef() = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") > 10.0)
-    MaterializedViews.create(spark, "mv_filt", mvDef(), "/tmp/graft_mv/filt_tile")
     def q() = Tables.t(spark, sfDir, "lineitem")
       .where(col("l_quantity") > 10.0 && col("l_returnflag") === "R")
       .select("l_orderkey", "l_quantity", "l_returnflag")
+    // expected values BEFORE the MV exists (direct fact-table evaluation)
     val want = q().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    MaterializedViews.create(spark, "mv_filt", mvDef(), "/tmp/graft_mv/filt_tile")
     val rewritten = q()
     val physical = rewritten.queryExecution.executedPlan.toString
     assert(physical.contains("filt_tile"), s"tile not scanned:\n$physical")

@@ -52,6 +52,9 @@ object Dedup {
     // ---- Duplicate clusters (connected components over near-dup pairs) ----
     // Oracle: recursive-CTE transitive closure + min reachable id — the
     // same component labeling the iterative propagation converges to.
+    // (Oracle cost note: the closure CTE is fine at the gate's sf0.01
+    // (~6s in DuckDB) but grows steeply with pair count — don't run the
+    // oracle side at sf >= 0.1.)
     QDef.sql("dedup_clusters",
       """WITH RECURSIVE grams AS (
         |  SELECT doc_id, source,
@@ -134,6 +137,17 @@ object Dedup {
         .where(col("cosim") >= 0.3)
     }
   )
+
+  /** The final pipeline step: drop every clustered document except its
+    * cluster representative (the smallest doc_id — i.e. `cluster_id`
+    * itself). Non-clustered documents pass through untouched. One
+    * broadcast-or-shuffle anti-join; at corpus scale this is the pass that
+    * actually shrinks the training set. */
+  def dropDuplicatesByCluster(docs: DataFrame, clusterLabels: DataFrame): DataFrame = {
+    val losers = clusterLabels.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 
   /** Source-blocked n-gram-Jaccard near-dup pairs (id_a, id_b, jac).
     *

@@ -67,6 +67,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[scala.collection.Seq[Double]]("features").length == 8)
   }
 
+  test("cluster consolidation keeps exactly one representative per cluster") {
+    import graft.pipeline.Dedup
+    val docs = Tables.t(spark, sfDir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir).select("id_a", "id_b")
+    val labels = Dedup.clusters(pairs)
+    val survivors = Dedup.dropDuplicatesByCluster(docs, labels)
+    // every cluster contributes exactly its representative
+    val reps = labels.select(col("cluster_id")).distinct().count()
+    val clustered = labels.count()
+    assert(survivors.count() == docs.count() - (clustered - reps))
+    // representatives survive; non-representatives don't
+    val survivorIds = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    val labelRows = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labelRows.forall { case (id, cl) => survivorIds.contains(id) == (id == cl) })
+  }
+
   test("k-means IVF training is deterministic and tightens cells") {
     import graft.pipeline.Similarity
     import graft.functions.DotProduct.dot_product

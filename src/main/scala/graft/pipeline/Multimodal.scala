@@ -71,6 +71,30 @@ object Multimodal {
         (octet_length(col("text").cast("binary")) * 31 + col("n_chars")).as("checksum"))
     },
 
+    // ---- Frame sampling: stride slicing of a media payload ----------------
+    // The video-frame-sample shape: one row per fixed-stride frame with
+    // offset + head bytes. The payload stands in for a container stream;
+    // a real codec swaps the head-extraction for a decode, the
+    // generate-offsets → slice plumbing is the part that matters at scale
+    // (explode is linear, no payload duplication per frame).
+    QDef.sql("multimodal_frame_sample",
+      """SELECT doc_id, f AS frame_idx,
+        |  f * 128 + 1 AS off,
+        |  substr(text, f * 128 + 1, 16) AS frame_head,
+        |  len(substr(text, f * 128 + 1, 16)) AS head_len
+        |FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(0, CAST((len(text) - 1) // 128 AS INT))) AS f) g
+        |WHERE len(text) >= 1""") { (s, dir) =>
+      t(s, dir, "documents").where(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            floor((length(col("text")) - 1) / 128).cast("int"))).as("f"))
+        .select(col("doc_id"), col("f").as("frame_idx"),
+          (col("f") * 128 + 1).as("off"),
+          substring(col("text"), col("f") * 128 + 1, lit(16)).as("frame_head"),
+          length(substring(col("text"), col("f") * 128 + 1, lit(16))).as("head_len"))
+    },
+
     // ---- Decode + feature extraction (stubbed codec, real plumbing) -------
     QDef.rowsOnly("multimodal_decode_features") { (s, dir) =>
       val withPayload = t(s, dir, "documents")

@@ -69,8 +69,10 @@ object Recursive {
         // The delta is checkpointed eagerly, so the emptiness probe and the
         // next round read materialized partitions instead of replaying the
         // whole lineage chain each round.
+        // except's output is already distinct (set semantics) — no separate
+        // distinct() pass needed on the union
         delta = parts.result().reduce(_ union _)
-          .distinct().except(acc).localCheckpoint(eager = true)
+          .except(acc).localCheckpoint(eager = true)
         done = delta.isEmpty
         if (!done) {
           acc = acc.union(delta)

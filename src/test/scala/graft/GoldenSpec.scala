@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests ported from the reference's own quidem suite — the POST
+  * schema (reference: core/src/test/java/org/apache/calcite/test/
+  * CalciteAssert.java:812-855 — EMP 9 rows / DEPT 4 rows / EMPS 5 rows)
+  * and committed expected outputs from
+  * core/src/test/resources/sql/agg.iq (line references per test). This is
+  * the "matches the reference's results on its own test queries" check,
+  * row-for-row.
+  *
+  * Adaptations (SQL dialect only, semantics pinned by the goldens):
+  * Calcite's composite COUNT(a, b) (count rows where NO arg is null) is
+  * expressed with an explicit CASE; Calcite's integer-typed STDDEV over
+  * INT input truncates — expressed as CAST(stddev AS INT).
+  */
+class GoldenSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private lazy val emp: DataFrame = Seq(
+    ("Jane", Some(10), "F"), ("Bob", Some(10), "M"), ("Eric", Some(20), "M"),
+    ("Susan", Some(30), "F"), ("Alice", Some(30), "F"), ("Adam", Some(50), "M"),
+    ("Eve", Some(50), "F"), ("Grace", Some(60), "F"), ("Wilma", None, "F"))
+    .toDF("ename", "deptno", "gender")
+
+  private lazy val emps: DataFrame = Seq(
+    (100L, "Fred", 10, None: Option[String], None: Option[String]),
+    (110L, "Eric", 20, Some("M"), Some("San Francisco")),
+    (110L, "John", 40, Some("M"), Some("Vancouver")),
+    (120L, "Wilma", 20, Some("F"), None),
+    (130L, "Alice", 40, Some("F"), Some("Vancouver")))
+    .toDF("empno", "name", "deptno", "gender", "city")
+
+  test("agg.iq:22-63 — COUNT over non-null / nullable / composite args") {
+    assert(emp.agg(count(col("ename"))).head().getLong(0) == 9)
+    assert(emp.agg(count(col("deptno"))).head().getLong(0) == 8)
+    // composite count(deptno, ename, 1, deptno): rows where no arg is null
+    val composite = emp.agg(count(
+      when(col("deptno").isNotNull && col("ename").isNotNull, 1))).head().getLong(0)
+    assert(composite == 8)
+  }
+
+  test("agg.iq:66-79 — DISTINCT deptno, COUNT(*) GROUP BY deptno") {
+    val got = emp.groupBy(col("deptno")).agg(count(lit(1)).as("c")).distinct()
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSet
+    assert(got == Set(
+      (Some(10), 2L), (Some(20), 1L), (Some(30), 2L),
+      (Some(50), 2L), (Some(60), 1L), (None, 1L)))
+  }
+
+  // The reference's STDDEV over INT input is INTEGER-TYPED and integer-
+  // divides at each step of the AggregateReduceFunctionsRule decomposition
+  // ((Σx² − Σx·Σx div n) div n, then CAST(sqrt AS INT)) — e.g. the M group's
+  // pop variance is 867 div 3 = 289 → exactly 17, where double arithmetic
+  // gives 16.99…; these helpers replicate that to match the goldens exactly.
+  private def stddevIntPop(x: org.apache.spark.sql.Column) = {
+    val n = count(x); val s = sum(x); val s2 = sum(x * x)
+    floor(sqrt(floor((s2 - floor(s * s / n)) / n))).cast("int")
+  }
+  private def stddevIntSamp(x: org.apache.spark.sql.Column) = {
+    val n = count(x); val s = sum(x); val s2 = sum(x * x)
+    floor(sqrt(floor((s2 - floor(s * s / n)) / (n - 1)))).cast("int")
+  }
+
+  test("agg.iq:152-183 — STDDEV_SAMP / STDDEV_POP (integer-typed in the reference)") {
+    assert(emp.agg(stddevIntSamp(col("deptno"))).head().getInt(0) == 19)
+    assert(emp.agg(stddevIntPop(col("deptno"))).head().getInt(0) == 17)
+  }
+
+  test("agg.iq:185-199 — stddev family grouped by gender") {
+    val got = emp.groupBy(col("gender")).agg(
+      stddevIntPop(col("deptno")).as("p"),
+      stddevIntSamp(col("deptno")).as("s"),
+      count(col("deptno")).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == Set(("F", 17, 19, 5L), ("M", 17, 20, 3L)))
+  }
+
+  test("agg.iq:217-230 — SELECT DISTINCT includes fully and partially null rows") {
+    val got = emps.select(col("city"), col("gender")).distinct()
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+    assert(got == Set(
+      (None, None), (Some("Vancouver"), Some("M")), (None, Some("F")),
+      (Some("San Francisco"), Some("M")), (Some("Vancouver"), Some("F"))))
+    assert(got.size == 5)
+  }
+
+  test("agg.iq:232-251 — composite COUNT and COUNT DISTINCT exclude partially-null rows") {
+    val bothNonNull = when(col("city").isNotNull && col("gender").isNotNull,
+      struct(col("city"), col("gender")))
+    assert(emps.agg(count(bothNonNull)).head().getLong(0) == 3)
+    assert(emps.agg(countDistinct(bothNonNull)).head().getLong(0) == 3)
+  }
+
+  test("agg.iq:253-284 — DISTINCT and COUNT over expression args with nulls") {
+    val m = pmod(col("deptno"), lit(20))
+    val got = emps.select(m.as("m"), col("gender")).distinct()
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(got == Set((10, None), (0, Some("M")), (0, Some("F"))))
+    val nonNullPair = when(m.isNotNull && col("gender").isNotNull,
+      struct(m, col("gender")))
+    assert(emps.agg(countDistinct(nonNullPair)).head().getLong(0) == 2)
+    assert(emps.agg(count(nonNullPair)).head().getLong(0) == 4)
+  }
+
+  test("agg.iq:287-302 — nulls in GROUP BY key") {
+    val got = Seq(Some(0), Some(1), Some(2), None).toDF("x")
+      .groupBy((col("x") === 1).as("x1")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSet
+    assert(got == Set((Some(false), 2L), (Some(true), 1L), (None, 1L)))
+  }
+
+  test("agg.iq:359-373 — ROLLUP on one column (deptno + 1 projected)") {
+    val got = emp.rollup(col("deptno"))
+      .agg(count(lit(1)).as("c"))
+      .select((col("deptno") + 1).as("d1"), col("c"))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toList.sorted(
+        Ordering.by((t: (Option[Any], Long)) => (t._1.map(_.toString).getOrElse(""), t._2)))
+    // 7 rows: 5 groups, the NULL-deptno group, and the grand total
+    assert(got.map(t => (t._1.map(_.asInstanceOf[Int]), t._2)).toSet == Set(
+      (Some(11), 2L), (Some(21), 1L), (Some(31), 2L), (Some(51), 2L),
+      (Some(61), 1L), (None, 1L), (None, 9L)))
+    assert(got.size == 7)
+  }
+
+  test("winagg.iq:203-248 — RANK / DENSE_RANK with a NULL key (reference: NULLS LAST)") {
+    // Calcite's window ORDER BY defaults to NULLS LAST for ASC; Spark's
+    // default is nulls-first, so the port pins asc_nulls_last explicitly.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("deptno").asc_nulls_last)
+    val got = emp.select(col("ename"), rank().over(w).as("r"),
+      dense_rank().over(w).as("dr"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got == Map(
+      "Jane" -> (1, 1), "Bob" -> (1, 1), "Eric" -> (3, 2),
+      "Susan" -> (4, 3), "Alice" -> (4, 3), "Adam" -> (6, 4),
+      "Eve" -> (6, 4), "Grace" -> (8, 5), "Wilma" -> (9, 6)))
+  }
+
+  test("agg.iq:404-418 — ROLLUP on a column with nulls") {
+    val got = emp.rollup(col("gender")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(got == Set((Some("F"), 6L), (Some("M"), 3L), (None, 9L)))
+  }
+}

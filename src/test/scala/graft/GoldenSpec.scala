@@ -141,6 +141,44 @@ class GoldenSpec extends AnyFunSuite {
       "Eve" -> (6, 4), "Grace" -> (8, 5), "Wilma" -> (9, 6)))
   }
 
+  test("conditions.iq:21-83 — three-valued logic truth table under NOT/AND/OR") {
+    // the reference's 3×3 (1/0/NULL) truth-table goldens, run VERBATIM as
+    // dialect-shared SQL
+    val cte =
+      """with tmp(a, b) as (
+        |  values (1, 1), (1, 0), (1, cast(null as int))
+        |       , (0, 1), (0, 0), (0, cast(null as int))
+        |       , (cast(null as int), 1), (cast(null as int), 0),
+        |         (cast(null as int), cast(null as int)))
+        |select * from tmp where %s""".stripMargin
+    def rows(cond: String): Set[(Option[Int], Option[Int])] =
+      spark.sql(cte.format(cond)).collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]),
+          Option(r.get(1)).map(_.asInstanceOf[Int]))).toSet
+    assert(rows("a = 1 or b = 1") == Set(
+      (Some(0), Some(1)), (Some(1), Some(0)), (Some(1), Some(1)),
+      (Some(1), None), (None, Some(1))))
+    assert(rows("not (a = 1 or b = 1)") == Set((Some(0), Some(0))))
+    assert(rows("a = 1 AND b = 1") == Set((Some(1), Some(1))))
+    assert(rows("not (a = 1 AND b = 1)") == Set(
+      (Some(0), Some(0)), (Some(0), Some(1)), (Some(0), None),
+      (Some(1), Some(0)), (None, Some(0))))
+  }
+
+  test("sort.iq:38-50 — NULL sorts as LARGEST in the reference's ORDER BY") {
+    // reference golden: `order by 2 DESC` lists the NULL-valued row FIRST
+    // (sort.iq store query) — Calcite treats NULL as the largest value
+    // (NULLS LAST under ASC, NULLS FIRST under DESC). Spark's defaults are
+    // the opposite, so ports of reference ORDER BY use the explicit
+    // null-ordering variants.
+    val asc = emp.orderBy(col("deptno").asc_nulls_last)
+      .select("ename").collect().map(_.getString(0))
+    assert(asc.last == "Wilma")
+    val desc = emp.orderBy(col("deptno").desc_nulls_first)
+      .select("ename").collect().map(_.getString(0))
+    assert(desc.head == "Wilma")
+  }
+
   test("agg.iq:404-418 — ROLLUP on a column with nulls") {
     val got = emp.rollup(col("gender")).agg(count(lit(1)).as("c"))
       .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet

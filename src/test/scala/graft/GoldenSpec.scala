@@ -179,6 +179,52 @@ class GoldenSpec extends AnyFunSuite {
     assert(desc.head == "Wilma")
   }
 
+  // scott EMP (reference: some.iq `!use scott`) — the columns the
+  // quantified-comparison goldens touch
+  private lazy val scott: DataFrame = Seq(
+    (7369, "SMITH", 800.0, None: Option[Double]),
+    (7499, "ALLEN", 1600.0, Some(300.0)), (7521, "WARD", 1250.0, Some(500.0)),
+    (7566, "JONES", 2975.0, None), (7654, "MARTIN", 1250.0, Some(1400.0)),
+    (7698, "BLAKE", 2850.0, None), (7782, "CLARK", 2450.0, None),
+    (7788, "SCOTT", 3000.0, None), (7839, "KING", 5000.0, None),
+    (7844, "TURNER", 1500.0, Some(0.0)), (7876, "ADAMS", 1100.0, None),
+    (7900, "JAMES", 950.0, None), (7902, "FORD", 3000.0, None),
+    (7934, "MILLER", 1300.0, None))
+    .toDF("empno", "ename", "sal", "comm")
+
+  test("some.iq:101-135,183,583 — `> ALL` null semantics (SubQueryRemoveRule)") {
+    scott.createOrReplaceTempView("scott_emp")
+    // x > ALL(S): FALSE when some s >= x; TRUE when S empty or all-non-null
+    // max < x; UNKNOWN when nulls block the proof — the reference's
+    // SubQueryRemoveRule expansion, as dialect-shared SQL
+    val allExpr =
+      """CASE WHEN (SELECT COUNT(*) FROM scott_emp) = 0 THEN TRUE
+        |     WHEN sal <= (SELECT MAX(comm) FROM scott_emp) THEN FALSE
+        |     WHEN (SELECT COUNT(comm) FROM scott_emp)
+        |        < (SELECT COUNT(*) FROM scott_emp) THEN NULL
+        |     ELSE TRUE END""".stripMargin
+    // WHERE sal > ALL (select comm ...): null comm blocks every proof -> 0 rows
+    assert(spark.sql(s"SELECT * FROM scott_emp WHERE $allExpr").count() == 0)
+    // scalar form: FALSE iff some comm >= sal (i.e. sal <= 1400), else UNKNOWN
+    val xs = spark.sql(s"SELECT ename, $allExpr AS x FROM scott_emp")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(xs("SMITH") == Some(false) && xs("WARD") == Some(false) &&
+      xs("MARTIN") == Some(false) && xs("MILLER") == Some(false))
+    assert(xs("ALLEN").isEmpty && xs("KING").isEmpty && xs("FORD").isEmpty)
+    // empty subquery: trivially TRUE for every row, null comm included
+    val emptyAll = spark.sql(
+      """SELECT * FROM scott_emp WHERE
+        |  CASE WHEN (SELECT COUNT(*) FROM scott_emp WHERE 1 = 0) = 0 THEN TRUE
+        |       WHEN comm >= (SELECT MIN(comm) FROM scott_emp WHERE 1 = 0) THEN FALSE
+        |       ELSE NULL END""".stripMargin)
+    assert(emptyAll.count() == 14)
+    // nulls excluded in the subquery: plain MAX rewrite, 8 rows
+    assert(spark.sql(
+      """SELECT * FROM scott_emp
+        |WHERE sal > (SELECT MAX(comm) FROM scott_emp WHERE comm IS NOT NULL)"""
+        .stripMargin).count() == 8)
+  }
+
   test("agg.iq:404-418 — ROLLUP on a column with nulls") {
     val got = emp.rollup(col("gender")).agg(count(lit(1)).as("c"))
       .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet

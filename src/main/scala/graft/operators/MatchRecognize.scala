@@ -108,19 +108,34 @@ object MatchRecognize {
     Attempt(best, hitEnd)
   }
 
-  /** One-row-per-match scan with AFTER MATCH SKIP PAST LAST ROW.
+  /** AFTER MATCH SKIP policy (reference: SqlMatchRecognize.AfterOption /
+    * rel/core/Match after clause): where the next attempt anchors after a
+    * completed match. */
+  sealed trait Skip
+  object Skip {
+    /** Default: resume after the match's last row (non-overlapping). */
+    case object PastLastRow extends Skip
+    /** Resume at the row after the match's FIRST row (overlap allowed). */
+    case object ToNextRow extends Skip
+  }
+
+  /** Pattern-matching scan with the given AFTER MATCH SKIP policy.
     * Bounded-input (batch) semantics: end-of-input means no extension. */
   def findMatches(
       rows: IndexedSeq[Row],
       pattern: Pat,
-      defines: Map[String, Define]): Seq[IndexedSeq[(Row, String)]] = {
+      defines: Map[String, Define],
+      skip: Skip = Skip.PastLastRow): Seq[IndexedSeq[(Row, String)]] = {
     val out = Seq.newBuilder[IndexedSeq[(Row, String)]]
     var i = 0
     while (i < rows.length) {
       matchAt(pattern, rows, i, defines).best match {
         case Some((end, syms)) =>
           out += (i until end).map(j => (rows(j), syms(j)))
-          i = end
+          i = skip match {
+            case Skip.PastLastRow => end
+            case Skip.ToNextRow => i + 1
+          }
         case None => i += 1
       }
     }
@@ -169,6 +184,31 @@ object MatchRecognize {
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
         val rows = it.toIndexedSeq.sortBy(orderKey)
         findMatches(rows, pattern, defines).iterator.map(m => measure(key, m))
+      }
+  }
+
+  /** ALL ROWS PER MATCH: one OUTPUT row per MATCHED INPUT row, carrying
+    * the per-row CLASSIFIER() and MATCH_NUMBER() (reference:
+    * SqlMatchRecognize RowsPerMatchOption.ALL_ROWS, the match.iq
+    * per-row goldens). `emit(partitionKey, matchNumber, rowIndexInMatch,
+    * row, classifier)`. */
+  def matchRecognizeAllRows[Out: org.apache.spark.sql.Encoder](
+      df: DataFrame,
+      partitionKey: Row => Long,
+      orderKey: Row => (Long, Long),
+      pattern: Pat,
+      defines: Map[String, Define],
+      skip: Skip = Skip.PastLastRow,
+      emit: (Long, Int, Int, Row, String) => Out): org.apache.spark.sql.Dataset[Out] = {
+    import df.sparkSession.implicits._
+    df.groupByKey(partitionKey)
+      .flatMapGroups { (key: Long, it: Iterator[Row]) =>
+        val rows = it.toIndexedSeq.sortBy(orderKey)
+        findMatches(rows, pattern, defines, skip).iterator.zipWithIndex.flatMap {
+          case (m, mi) => m.iterator.zipWithIndex.map {
+            case ((row, sym), ri) => emit(key, mi + 1, ri, row, sym)
+          }
+        }
       }
   }
 

@@ -12,8 +12,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * tie-handling. Mirrors the reference's operator tests
   * (reference: core/src/test/java/org/apache/calcite/test/enumerable/
   * EnumerableRepeatUnionTest.java, EnumerableMatchTest). */
+object CustomOpsSpec {
+  final case class M(user_id: Long, match_no: Int, idx: Int,
+      event_id: Long, classifier: String)
+}
+
 class CustomOpsSpec extends AnyFunSuite {
   import SparkTestSession._
+  import CustomOpsSpec.M
 
   private val schema = StructType(Seq(
     StructField("v", StringType), StructField("x", DoubleType)))
@@ -37,6 +43,55 @@ class CustomOpsSpec extends AnyFunSuite {
       Pat.Cat(Seq(Pat.Sym("A"), Pat.Sym("B"))),
       Map(sym("A", "a"), sym("B", "b")))
     assert(m.size == 2)
+  }
+
+  test("matcher: SKIP TO NEXT ROW yields overlapping matches") {
+    // a a b: PAST LAST ROW finds one A+B match; TO NEXT ROW also finds the
+    // suffix match anchored at the second 'a'
+    val rs = rows("a" -> 1, "a" -> 2, "b" -> 3)
+    val pat = Pat.Cat(Seq(Pat.plus(Pat.Sym("A")), Pat.Sym("B")))
+    val defs = Map(sym("A", "a"), sym("B", "b"))
+    assert(MatchRecognize.findMatches(rs, pat, defs).size == 1)
+    val overlapping = MatchRecognize.findMatches(rs, pat, defs,
+      MatchRecognize.Skip.ToNextRow)
+    assert(overlapping.size == 2)
+    assert(overlapping.map(_.length) == Seq(3, 2))
+  }
+
+  test("ALL ROWS PER MATCH emits one row per matched input row with classifier") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.t(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+    implicit val enc: org.apache.spark.sql.Encoder[M] =
+      org.apache.spark.sql.Encoders.product[M]
+    import MatchRecognize.Pat._
+    val pattern = Cat(Seq(atLeast(Sym("C"), 3), Sym("P")))
+    val defines: Map[String, MatchRecognize.Define] = Map(
+      "C" -> ((r, _) => r.getAs[String]("event_type") == "click"),
+      "P" -> ((r, _) => r.getAs[String]("event_type") == "purchase"))
+    def micros(r: org.apache.spark.sql.Row) = {
+      val t = r.getAs[java.sql.Timestamp]("ts")
+      ((t.getTime / 1000L) * 1000000L + t.getNanos / 1000L, r.getAs[Long]("event_id"))
+    }
+    val allRows = MatchRecognize.matchRecognizeAllRows[M](
+      ev, _.getAs[Long]("user_id"), micros, pattern, defines,
+      emit = (key, mNo, idx, row, cls) =>
+        M(key, mNo, idx, row.getAs[Long]("event_id"), cls)).collect()
+    // consistency with ONE ROW PER MATCH: per-match row count equals the
+    // one-row query's n_clicks + 1, classifiers follow the pattern
+    val oneRow = SparkEntry.queries("match_recognize_runs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val byMatch = allRows.groupBy(m => (m.user_id, m.match_no))
+    assert(byMatch.nonEmpty)
+    byMatch.foreach { case ((uid, _), ms) =>
+      val sorted = ms.sortBy(_.idx)
+      assert(sorted.init.forall(_.classifier == "C"))
+      assert(sorted.last.classifier == "P")
+      assert(sorted.length >= 4)
+    }
+    // total matched rows = Σ (n_clicks + 1) over the one-row results
+    val expectedRows = oneRow.values.flatten.map(_._2 + 1).sum
+    assert(allRows.length.toLong == expectedRows)
   }
 
   test("matcher: bounded repetition {2,3} is greedy but capped") {

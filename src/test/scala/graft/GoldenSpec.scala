@@ -165,6 +165,14 @@ class GoldenSpec extends AnyFunSuite {
       (Some(1), Some(0)), (None, Some(0))))
   }
 
+  test("struct.iq:17-28 — DISTINCT over ROW-typed values") {
+    val got = spark.sql(
+      """select distinct * from (values
+        |  (1, struct(1, 1)), (1, struct(1, 1)), (2, struct(2, 2))) as v(id, s)"""
+        .stripMargin).collect().map(r => (r.getInt(0), r.getStruct(1).toString)).toSet
+    assert(got.size == 2)
+  }
+
   test("sort.iq:38-50 — NULL sorts as LARGEST in the reference's ORDER BY") {
     // reference golden: `order by 2 DESC` lists the NULL-valued row FIRST
     // (sort.iq store query) — Calcite treats NULL as the largest value

@@ -165,6 +165,37 @@ class GoldenSpec extends AnyFunSuite {
       (Some(1), Some(0)), (None, Some(0))))
   }
 
+  private lazy val dept: DataFrame = Seq(
+    (10, "Sales"), (20, "Marketing"), (30, "Engineering"), (40, "Empty"))
+    .toDF("dno", "dname")
+
+  test("outer.iq:21-113 — join null semantics: WHERE vs pushed predicates") {
+    // inner join drops the NULL-deptno row and unmatched depts: 5 rows
+    val inner = emp.join(dept, col("deptno") === col("dno"))
+    assert(inner.count() == 5)
+    // left join + WHERE on the LEFT side keeps unmatched left rows: 6 F rows
+    val leftW = emp.join(dept, col("deptno") === col("dno"), "left")
+      .where(col("gender") === "F")
+    val gotLeft = leftW.collect()
+      .map(r => (r.getString(0), Option(r.get(4)))).toSet
+    assert(gotLeft == Set(
+      ("Jane", Some("Sales")), ("Susan", Some("Engineering")),
+      ("Alice", Some("Engineering")), ("Eve", None), ("Grace", None),
+      ("Wilma", None)))
+    // right join + WHERE on the LEFT side eliminates null-extended rows: 3
+    val rightW = emp.join(dept, col("deptno") === col("dno"), "right")
+      .where(col("gender") === "F")
+    assert(rightW.count() == 3)
+    // pre-filtered right join keeps unmatched depts null-extended: 5 rows
+    val rightPre = emp.where(col("gender") === "F")
+      .join(dept, col("deptno") === col("dno"), "right")
+    val gotRight = rightPre.collect()
+      .map(r => (Option(r.get(0)), r.getString(4))).toSet
+    assert(gotRight == Set(
+      (Some("Jane"), "Sales"), (Some("Susan"), "Engineering"),
+      (Some("Alice"), "Engineering"), (None, "Marketing"), (None, "Empty")))
+  }
+
   test("struct.iq:17-28 — DISTINCT over ROW-typed values") {
     val got = spark.sql(
       """select distinct * from (values

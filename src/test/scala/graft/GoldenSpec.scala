@@ -196,6 +196,43 @@ class GoldenSpec extends AnyFunSuite {
       (Some("Alice"), "Engineering"), (None, "Marketing"), (None, "Empty")))
   }
 
+  test("sub-query.iq:20-180 — NOT IN null traps (CALCITE-373 / Dayal VLDB-87)") {
+    emp.createOrReplaceTempView("g_emp")
+    dept.createOrReplaceTempView("g_dept")
+    // IN-list containing NULL: NOT IN returns no rows
+    assert(spark.sql(
+      """with t1(x) as (select * from (values (1),(2),(cast(null as int)))),
+        |     t2(x) as (select * from (values (1),(cast(null as int))))
+        |select * from t1 where t1.x not in (select t2.x from t2)""".stripMargin)
+      .count() == 0)
+    // RHS mixes NULL and non-NULL keys: the FILTER form is null-aware
+    // (0 rows, matching the golden) — this is the form that decides query
+    // results
+    assert(spark.sql(
+      "select * from g_dept where dno not in (select deptno from g_emp)").count() == 0)
+    // KNOWN DEVIATION: the PROJECTED (select-list) IN-subquery is
+    // two-valued in Spark (ExistenceJoin rewrite) — dept 40 yields FALSE
+    // where the reference golden yields NULL (UNKNOWN). Pinned here so a
+    // future Spark change is caught; the filter forms above/below carry
+    // the standard semantics.
+    val mixed = spark.sql(
+      "select dno, dno not in (select deptno from g_emp) as x from g_dept")
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(mixed == Map(10 -> Some(false), 20 -> Some(false),
+      30 -> Some(false), 40 -> Some(false))) // reference: 40 -> null
+    // RHS all-NULL, filter form: x NOT IN {NULL} is UNKNOWN for every row
+    assert(spark.sql(
+      """select * from g_dept where dno not in
+        |  (select deptno from g_emp where deptno is null)""".stripMargin)
+      .count() == 0)
+    // NULLs excluded: ordinary anti-join semantics, dept 40 survives
+    val nn = spark.sql(
+      """select * from g_dept where dno not in
+        |  (select deptno from g_emp where deptno is not null)""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    assert(nn == Seq(40))
+  }
+
   test("struct.iq:17-28 — DISTINCT over ROW-typed values") {
     val got = spark.sql(
       """select distinct * from (values

@@ -233,6 +233,35 @@ class GoldenSpec extends AnyFunSuite {
     assert(nn == Seq(40))
   }
 
+  test("scalar.iq:4-60 — correlated scalar subqueries incl. the COUNT-over-empty distinction") {
+    scott.createOrReplaceTempView("s_emp")
+    scottDept.createOrReplaceTempView("s_dept")
+    def m(q: String): Map[Int, Option[Any]] = spark.sql(q).collect()
+      .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    // correlated MIN: empty group -> NULL
+    assert(m("""select d.deptno, (select min(empno) from s_emp e
+               |  where e.deptno = d.deptno) as x from s_dept d""".stripMargin) ==
+      Map(10 -> Some(7782), 20 -> Some(7369), 30 -> Some(7499), 40 -> None))
+    // correlated COUNT(*): empty group -> 0 (the COUNT-bug case decorrelation
+    // must get right)
+    assert(m("""select d.deptno, (select count(*) from s_emp e
+               |  where e.deptno = d.deptno) as x from s_dept d""".stripMargin) ==
+      Map(10 -> Some(3L), 20 -> Some(5L), 30 -> Some(6L), 40 -> Some(0L)))
+    // ... but COUNT(*) under GROUP BY returns NO row for the empty group -> NULL
+    assert(m("""select d.deptno, (select count(*) from s_emp e
+               |  where e.deptno = d.deptno group by e.deptno) as x from s_dept d"""
+        .stripMargin) ==
+      Map(10 -> Some(3L), 20 -> Some(5L), 30 -> Some(6L), 40 -> None))
+    // correlated SUM under GROUP BY: empty -> NULL; sums per the golden
+    assert(m("""select d.deptno, (select sum(empno) from s_emp e
+               |  where e.deptno = d.deptno group by e.deptno) as x from s_dept d"""
+        .stripMargin) ==
+      Map(10 -> Some(23555L), 20 -> Some(38501L), 30 -> Some(46116L), 40 -> None))
+    // uncorrelated empty: COUNT is 0 everywhere
+    assert(m("select deptno, (select count(*) from s_emp where 1 = 0) as x from s_dept")
+      .values.forall(_.contains(0L)))
+  }
+
   test("struct.iq:17-28 — DISTINCT over ROW-typed values") {
     val got = spark.sql(
       """select distinct * from (values
@@ -258,15 +287,19 @@ class GoldenSpec extends AnyFunSuite {
   // scott EMP (reference: some.iq `!use scott`) — the columns the
   // quantified-comparison goldens touch
   private lazy val scott: DataFrame = Seq(
-    (7369, "SMITH", 800.0, None: Option[Double]),
-    (7499, "ALLEN", 1600.0, Some(300.0)), (7521, "WARD", 1250.0, Some(500.0)),
-    (7566, "JONES", 2975.0, None), (7654, "MARTIN", 1250.0, Some(1400.0)),
-    (7698, "BLAKE", 2850.0, None), (7782, "CLARK", 2450.0, None),
-    (7788, "SCOTT", 3000.0, None), (7839, "KING", 5000.0, None),
-    (7844, "TURNER", 1500.0, Some(0.0)), (7876, "ADAMS", 1100.0, None),
-    (7900, "JAMES", 950.0, None), (7902, "FORD", 3000.0, None),
-    (7934, "MILLER", 1300.0, None))
-    .toDF("empno", "ename", "sal", "comm")
+    (7369, "SMITH", 800.0, None: Option[Double], 20),
+    (7499, "ALLEN", 1600.0, Some(300.0), 30), (7521, "WARD", 1250.0, Some(500.0), 30),
+    (7566, "JONES", 2975.0, None, 20), (7654, "MARTIN", 1250.0, Some(1400.0), 30),
+    (7698, "BLAKE", 2850.0, None, 30), (7782, "CLARK", 2450.0, None, 10),
+    (7788, "SCOTT", 3000.0, None, 20), (7839, "KING", 5000.0, None, 10),
+    (7844, "TURNER", 1500.0, Some(0.0), 30), (7876, "ADAMS", 1100.0, None, 20),
+    (7900, "JAMES", 950.0, None, 30), (7902, "FORD", 3000.0, None, 20),
+    (7934, "MILLER", 1300.0, None, 10))
+    .toDF("empno", "ename", "sal", "comm", "deptno")
+
+  private lazy val scottDept: DataFrame = Seq(
+    (10, "ACCOUNTING"), (20, "RESEARCH"), (30, "SALES"), (40, "OPERATIONS"))
+    .toDF("deptno", "dname")
 
   test("some.iq:101-135,183,583 — `> ALL` null semantics (SubQueryRemoveRule)") {
     scott.createOrReplaceTempView("scott_emp")

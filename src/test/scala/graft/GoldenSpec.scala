@@ -262,6 +262,17 @@ class GoldenSpec extends AnyFunSuite {
       .values.forall(_.contains(0L)))
   }
 
+  test("join.iq:4-60 — disjunctive (OR) join conditions with a NULL key") {
+    val cond = col("deptno") === col("dno") || col("ename") === col("dname")
+    assert(emp.join(dept, cond).count() == 5)
+    // left join: every emp row survives, non-matching (incl. Wilma's NULL
+    // deptno) null-extended
+    val left = emp.join(dept, cond, "left")
+    assert(left.count() == 9)
+    assert(left.where(col("dname").isNull).collect().map(_.getString(0)).toSet ==
+      Set("Adam", "Eve", "Grace", "Wilma"))
+  }
+
   test("struct.iq:17-28 — DISTINCT over ROW-typed values") {
     val got = spark.sql(
       """select distinct * from (values

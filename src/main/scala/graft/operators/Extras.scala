@@ -151,6 +151,35 @@ object Extras {
         isnan(col("p_retailprice")).as("is_nan"))
     },
 
+    // ---- GROUPING() indicator over ROLLUP ---------------------------------
+    // reference: SqlStdOperatorTable GROUPING / GROUPING_ID — distinguishes
+    // a real NULL group key from a super-aggregate row.
+    QDef.sql("agg_grouping_fn",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+    },
+
+    // ---- NTILE (equal-height bucketing) -----------------------------------
+    // reference: SqlStdOperatorTable NTILE window function.
+    QDef.sql("window_ntile",
+      """SELECT event_id, user_id,
+        |  ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+        |FROM events WHERE user_id < 40""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").where(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"), ntile(4).over(w).as("quartile"))
+    },
+
     // ---- IS [NOT] DISTINCT FROM (null-safe comparison) --------------------
     // reference: SqlStdOperatorTable IS DISTINCT FROM / IS NOT DISTINCT
     // FROM; Spark's <=> is IS NOT DISTINCT FROM, also usable as a

@@ -172,10 +172,10 @@ object Tpch {
     // mode proxied by returnflag, "late" = shipped 30+ days after order)
     QDef.common("tpch_q12",
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
-        |           THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders, lineitem
         |WHERE o_orderkey = l_orderkey
         |  AND l_shipdate > o_orderdate + INTERVAL '30' DAY

@@ -41,8 +41,14 @@ object MatchRecognizeSql {
   def tryParse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case Shell(table, partCol, ordCol, ordTie, measures, pattern, defines) =>
-        Some(build(spark, table, partCol, ordCol, Option(ordTie),
+        // A statement can match the shell regex yet carry measures/defines
+        // this restricted form does not support (or name an unknown table —
+        // build() resolves it eagerly). Fall through to the delegate parser
+        // so the user gets its canonical ParseException/AnalysisException
+        // instead of an IllegalArgumentException from here.
+        try Some(build(spark, table, partCol, ordCol, Option(ordTie),
           measures, pattern, defines))
+        catch { case scala.util.control.NonFatal(_) => None }
       case _ => None
     }
 
@@ -196,6 +202,17 @@ object MatchRecognizeSql {
     }
 
   // ---- assembly ---------------------------------------------------------
+  /** Normalize an ordering/partition value to a monotone Long key.
+    * floorDiv: /-division truncates toward zero, so a pre-epoch
+    * timestamp like -0.5s would order AFTER -1s; getNanos is always
+    * non-negative, so floor-seconds * 1e6 + micros is monotone. */
+  private[graft] def asLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case t: java.sql.Timestamp =>
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L)
+    case other => throw new IllegalArgumentException(s"non-integral key: $other")
+  }
+
   private def build(spark: SparkSession, table: String, partCol: String,
       ordCol: String, ordTie: Option[String], measuresText: String,
       patternText: String, definesText: String): LogicalPlan =
@@ -219,11 +236,6 @@ object MatchRecognizeSql {
         sym -> parsePredicate(body)
       }.toMap
 
-    def asLong(v: Any): Long = v match {
-      case n: Number => n.longValue()
-      case t: java.sql.Timestamp => (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
-      case other => throw new IllegalArgumentException(s"non-integral key: $other")
-    }
     val orderFn: Row => (Long, Long) = ordTie match {
       case Some(tie) => r => (asLong(r.getAs[Any](ordCol)), asLong(r.getAs[Any](tie)))
       case None => r => (asLong(r.getAs[Any](ordCol)), 0L)

@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Expression, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, Expression, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -133,7 +133,15 @@ object MaterializedViews {
                     ae.aggregateFunction.children.map(cq) ==
                       mae.aggregateFunction.children.map(cm) =>
                 reAgg(ae.aggregateFunction, tile(i)).map { f =>
-                  val re: Expression = AggregateExpression(f, Complete, isDistinct = false)
+                  val sum: Expression = AggregateExpression(f, Complete, isDistinct = false)
+                  // COUNT is non-null (0 over an empty input) but its tile
+                  // re-aggregation Sum(partial counts) is NULL over an empty
+                  // tile (global aggregate, no groups) — restore COUNT's
+                  // semantics and non-nullability.
+                  val re: Expression = ae.aggregateFunction match {
+                    case _: Count => Coalesce(Seq(sum, Literal(0L)))
+                    case _ => sum
+                  }
                   if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
                 }
             }.flatten

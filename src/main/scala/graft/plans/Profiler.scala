@@ -64,19 +64,19 @@ object Profiler {
   val defs: Seq[graft.QDef] = Seq(
     graft.QDef.sql("profile_columns",
       """SELECT 'l_returnflag' AS column, COUNT(*) AS n,
-        |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
         |  COUNT(DISTINCT l_returnflag) AS ndv,
         |  CAST(MIN(l_returnflag) AS VARCHAR) AS min_s, CAST(MAX(l_returnflag) AS VARCHAR) AS max_s
         |FROM lineitem
         |UNION ALL
         |SELECT 'l_quantity', COUNT(*),
-        |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  COUNT(DISTINCT l_quantity),
         |  CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
         |FROM lineitem
         |UNION ALL
         |SELECT 'l_orderkey', COUNT(*),
-        |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  COUNT(DISTINCT l_orderkey),
         |  CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
         |FROM lineitem""") { (s, dir) =>

@@ -54,6 +54,33 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) == 25)
   }
 
+  test("shell-matching statement with unsupported DEFINE falls through") {
+    Tables.registerAll(spark, sfDir)
+    // matches the MATCH_RECOGNIZE shell regex but the DEFINE term is not
+    // in our restricted grammar — must reach the delegate parser and raise
+    // its canonical ParseException, not an IllegalArgumentException
+    val bad =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES FIRST(event_id) AS a
+        |  PATTERN (X+)
+        |  DEFINE X AS some_udf(event_type) BETWEEN 1 AND 2)""".stripMargin
+    val e = intercept[Exception](spark.sql(bad))
+    assert(e.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException]
+      || e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"expected the delegate parser's error, got ${e.getClass}: ${e.getMessage}")
+  }
+
+  test("pre-epoch timestamps order correctly as match keys") {
+    import java.sql.Timestamp
+    def key(t: Timestamp): Long = MatchRecognizeSql.asLong(t)
+    val tNeg1 = new Timestamp(-1000L)  // 1969-12-31T23:59:59Z
+    val tNegHalf = new Timestamp(-500L) // 23:59:59.5 — AFTER -1s
+    val tZero = new Timestamp(0L)
+    assert(key(tNeg1) < key(tNegHalf), s"${key(tNeg1)} !< ${key(tNegHalf)}")
+    assert(key(tNegHalf) < key(tZero))
+  }
+
   test("SQL syntax result equals the programmatic operator") {
     Tables.registerAll(spark, sfDir)
     val viaSql = spark.sql(

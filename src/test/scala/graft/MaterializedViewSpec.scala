@@ -93,6 +93,29 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedViews.drop("mv_filt")
   }
 
+  test("rollup of COUNT over an empty tile yields 0, not null (global agg)") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    // a filter no row satisfies → the stored tile is EMPTY
+    def base() = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") < 0.0)
+    def mvDef() = base().groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+    // global (no GROUP BY) COUNT over the same child: SQL answer is one
+    // row with 0 — Sum over the empty tile alone would return null
+    def q() = base().agg(count(lit(1)).as("n"))
+    val want = q().collect().map(_.getLong(0)).toSeq
+    assert(want == Seq(0L))
+    MaterializedViews.create(spark, "mv_empty", mvDef(), "/tmp/graft_mv/empty_tile")
+    val rewritten = q()
+    val physical = rewritten.queryExecution.executedPlan.toString
+    assert(physical.contains("empty_tile"), s"tile not scanned:\n$physical")
+    val rows = rewritten.collect()
+    assert(rows.length == 1 && !rows(0).isNullAt(0) && rows(0).getLong(0) == 0L,
+      s"expected 0, got ${rows.toSeq}")
+    assert(!rewritten.schema("n").nullable, "COUNT rewrite became nullable")
+    MaterializedViews.drop("mv_empty")
+  }
+
   test("rollup rejects non-re-aggregable calls (COUNT DISTINCT)") {
     MaterializedViews.clear()
     MaterializedViews.install(spark)

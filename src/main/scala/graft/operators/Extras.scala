@@ -103,8 +103,48 @@ object Extras {
         col("p_type").rlike(similarToRegex("_{5,20}")).as("m_len"))
     },
 
-    // ---- SOUNDEX + DIFFERENCE (no DuckDB soundex → rows-only) -------------
-    QDef.rowsOnly("soundex_difference") { (s, dir) =>
+    // ---- SOUNDEX + DIFFERENCE ---------------------------------------------
+    // DuckDB ships no soundex, so the oracle RE-IMPLEMENTS the algorithm
+    // as a list_reduce state machine over the (distinct) inputs: map each
+    // letter to its code ('7' = H/W skip, '0' = vowel reset), fold with a
+    // "digits:lastCode" state, keep the first letter + 3 digits. Valid for
+    // the fixture's uppercase-alpha inputs (c_mktsegment). DIFFERENCE is
+    // the common-prefix length of the two codes (reference:
+    // SqlFunctions.difference).
+    QDef.sql("soundex_difference",
+      """WITH inputs AS (
+        |  SELECT DISTINCT c_mktsegment AS s FROM customer UNION SELECT 'BUILDING'
+        |), mapped AS (
+        |  SELECT s, list_transform(
+        |      list_transform(generate_series(1, len(s)), i -> substr(s, i, 1)),
+        |      c -> CASE WHEN c IN ('B','F','P','V') THEN '1'
+        |                WHEN c IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+        |                WHEN c IN ('D','T') THEN '3'
+        |                WHEN c = 'L' THEN '4'
+        |                WHEN c IN ('M','N') THEN '5'
+        |                WHEN c = 'R' THEN '6'
+        |                WHEN c IN ('H','W') THEN '7'
+        |                ELSE '0' END) AS codes
+        |  FROM inputs
+        |), coded AS (
+        |  SELECT s, substr(s, 1, 1) || substr(string_split(
+        |      list_reduce(list_prepend(':' || codes[1], codes[2:]),
+        |        (acc, c) -> CASE WHEN c = '7' THEN acc
+        |                         WHEN c = '0' THEN string_split(acc, ':')[1] || ':0'
+        |                         WHEN c = string_split(acc, ':')[2] THEN acc
+        |                         ELSE string_split(acc, ':')[1] || c || ':' || c END),
+        |      ':')[1] || '000', 1, 3) AS code
+        |  FROM mapped
+        |)
+        |SELECT c.c_custkey, cm.code AS sdx,
+        |  CAST(CASE WHEN substr(cm.code,1,1) <> substr(cb.code,1,1) THEN 0
+        |            WHEN substr(cm.code,2,1) <> substr(cb.code,2,1) THEN 1
+        |            WHEN substr(cm.code,3,1) <> substr(cb.code,3,1) THEN 2
+        |            WHEN substr(cm.code,4,1) <> substr(cb.code,4,1) THEN 3
+        |            ELSE 4 END AS INT) AS diff_building
+        |FROM customer c
+        |JOIN coded cm ON cm.s = c.c_mktsegment
+        |CROSS JOIN (SELECT code FROM coded WHERE s = 'BUILDING') cb""") { (s, dir) =>
       t(s, dir, "customer").select(
         col("c_custkey"),
         soundex(col("c_mktsegment")).as("sdx"),

@@ -301,9 +301,33 @@ object MatchRecognize {
     // ---- Pattern with PREV(): falling-then-rising value (V-shape) ---------
     // DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value) —
     // exercises the PREV navigation the reference implements in
-    // EnumerableMatch.java's history buffer. Rows-only (the gaps-and-islands
-    // SQL for V-shapes is not portably expressible without deep nesting).
-    QDef.rowsOnly("match_recognize_vshape") { (s, dir) =>
+    // EnumerableMatch.java's history buffer. Oracle: greedy (DOWN+ UP+)
+    // with SKIP PAST LAST ROW consumes whole maximal runs, so a match is
+    // exactly a maximal falling run immediately followed by a rising run —
+    // gaps-and-islands over the lag-classified direction, D-islands joined
+    // to the U-island starting at the next row.
+    QDef.sql("match_recognize_vshape",
+      """WITH seq AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER w AS rn,
+        |    CASE WHEN value < lag(value) OVER w THEN 'D'
+        |         WHEN value > lag(value) OVER w THEN 'U'
+        |         ELSE 'F' END AS dir
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), runs AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+        |  FROM seq
+        |), islands AS (
+        |  SELECT user_id, dir, min(rn) AS srn, max(rn) AS ern,
+        |    count(*) AS n, arg_min(event_id, rn) AS sid, arg_max(event_id, rn) AS eid
+        |  FROM runs GROUP BY user_id, dir, grp
+        |)
+        |SELECT d.user_id, CAST(d.n + u.n AS BIGINT) AS len,
+        |  d.sid AS start_id, u.eid AS end_id
+        |FROM islands d JOIN islands u
+        |  ON u.user_id = d.user_id AND d.dir = 'D' AND u.dir = 'U'
+        | AND u.srn = d.ern + 1""") { (s, dir) =>
       import Pat._
       val ev = Tables.t(s, dir, "events")
         .select("user_id", "event_id", "value", "ts")

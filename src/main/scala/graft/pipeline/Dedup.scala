@@ -89,10 +89,33 @@ object Dedup {
 
     // ---- SimHash signatures ------------------------------------------------
     // 16-bit simhash over token hashes: bit b = sign of Σ_tokens (±1).
-    QDef.rowsOnly("dedup_simhash") { (s, dir) =>
+    // The token hash is a polynomial fold mod 1000003 — engine-independent
+    // (DuckDB recomputes it exactly), which is what makes the signature
+    // oracle-verifiable. A production corpus swaps in xxhash64 (codegen'd,
+    // 64-bit) — only this one projection changes, the signature/banding
+    // plumbing is hash-agnostic (cf. minhashPairs, which uses xxhash64).
+    QDef.sql("dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000003) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+        |         THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitv
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
+        |  GROUP BY doc_id, b
+        |)
+        |SELECT doc_id, CAST(SUM(bitv) AS BIGINT) AS simhash16
+        |FROM bits GROUP BY doc_id""") { (s, dir) =>
+      val polyHash = aggregate(split(col("w"), ""), lit(0L),
+        (h, c) => (h * lit(31L) + ascii(c).cast("long")) % lit(1000003L))
       val words = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), xxhash64(col("w")).as("h"))
+        .where(col("w") =!= "")
+        .select(col("doc_id"), polyHash.as("h"))
       val bitCols = (0 until 16).map { b =>
         sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
       }

@@ -96,7 +96,25 @@ object Multimodal {
     },
 
     // ---- Decode + feature extraction (stubbed codec, real plumbing) -------
-    QDef.rowsOnly("multimodal_decode_features") { (s, dir) =>
+    // The stub is a deterministic byte-histogram (bucket = byte >>> 5), so
+    // the oracle can recompute it byte-exactly: hex() the payload, keep
+    // the FIRST nibble of each byte via a backreference replace, and count
+    // nibbles per bucket (bucket 0 = 0x00-0x1F → nibble 0/1; bucket 7 =
+    // 0xE0-0xFF → nibble E/F). Counts convert exactly to double.
+    QDef.sql("multimodal_decode_features",
+      """WITH b AS (
+        |  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |    regexp_replace(hex(CAST(text AS BLOB)), '(.).', '\1', 'g') AS nib
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_bytes,
+        |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+        |    CAST(len(nib) - len(regexp_replace(nib, '[01]', '', 'g')) AS DOUBLE) / n_bytes
+        |  END AS f0,
+        |  CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+        |    CAST(len(nib) - len(regexp_replace(nib, '[EF]', '', 'g')) AS DOUBLE) / n_bytes
+        |  END AS f7
+        |FROM b""") { (s, dir) =>
       val withPayload = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       extractFeatures(withPayload)

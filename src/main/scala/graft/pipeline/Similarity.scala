@@ -159,10 +159,40 @@ object Similarity {
 
     // ---- LSH-restricted ANN top-k (scale path) ----------------------------
     // Same scoring as brute force but candidates limited to the query's
-    // bucket — the shape that survives a 100 TB corpus. Recall < 1 by
-    // design → rows-only; the spec checks bucket-restricted results are a
-    // subset of the brute-force ranking.
-    QDef.rowsOnly("sim_ann_lsh_topk") { (s, dir) =>
+    // bucket — the shape that survives a 100 TB corpus. Recall < 1 vs the
+    // full ranking by design, but the bucket-restricted result itself is
+    // exact arithmetic end-to-end (engine-independent integer hyperplanes +
+    // IEEE-stable fold), so the oracle recomputes the identical pipeline.
+    QDef.sql("sim_ann_lsh_topk",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        |), bits AS (
+        |  SELECT vec_id, b,
+        |    CASE WHEN CAST(SUM(CAST(x * ((i*31 + b*17) % 7 - 3) AS DECIMAL(28,12))) AS DOUBLE) >= 0
+        |         THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitv
+        |  FROM ex, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) h
+        |  GROUP BY vec_id, b
+        |), buckets AS (
+        |  SELECT vec_id, CAST(SUM(bitv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
+        |), scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(q.v, x -> x*x), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(c.v, x -> x*x), (x, y) -> x + y))) AS cosim
+        |  FROM v q
+        |  JOIN buckets qb ON qb.vec_id = q.vec_id
+        |  JOIN buckets cb ON cb.bucket = qb.bucket
+        |  JOIN v c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10
+        |)
+        |SELECT qid, vid, cosim, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosim DESC, vid) AS rk
+        |  FROM scored
+        |) WHERE rk <= 10""") { (s, dir) =>
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))

@@ -48,10 +48,20 @@ object Recursive {
     // recursive step with large deltas would keep the session default.)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFac = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     // AQE's per-stage re-planning is pure overhead on the loop's tiny
     // shuffles; the deltas are single-partition by construction.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // The unrolled round plan is a few hundred operators over a handful of
+    // rows; Janino-compiling a fresh WholeStageCodegen body per round costs
+    // ~1s each — 3-4× the whole loop. Interpreted eval is microseconds on
+    // these deltas, so run the loop uncompiled. (A recursive step with
+    // LARGE deltas trades the other way; callers can re-enable via the
+    // session before calling.)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       var acc = seed.distinct().localCheckpoint(eager = true)
       var delta = acc
@@ -86,6 +96,8 @@ object Recursive {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFac)
     }
   }
 

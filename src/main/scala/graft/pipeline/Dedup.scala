@@ -228,8 +228,13 @@ object Dedup {
     val spark = pairs.sparkSession
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Per-round Janino compilation of the join+agg stages costs more than
+    // interpreting them over the (small) label table — same trade as the
+    // recursion loop in operators.Recursive.
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -239,10 +244,24 @@ object Dedup {
         .localCheckpoint(eager = true)
       var changed = 1L
       while (changed > 0) {
+        // Candidate labels per node, min-folded in ONE aggregation:
+        //  - its own label,
+        //  - its neighbors' labels (edge propagation),
+        //  - its label's label (pointer jump / path halving — labels are
+        //    node ids, so following lbl one more hop is a join back onto
+        //    the checkpointed label table).
+        // The jump turns convergence from O(diameter) into O(log diameter)
+        // rounds on chain-shaped duplicate clusters while keeping the loop
+        // at one shuffle + one checkpoint per round.
+        val jump = labels
+          .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+            col("lbl") === col("jid"))
+          .select(col("id"), col("jlbl").as("lbl"))
         val prop = labels.alias("l")
           .join(edges.alias("e"), col("l.id") === col("e.src"))
           .select(col("e.dst").as("id"), col("l.lbl").as("lbl"))
           .unionByName(labels)
+          .unionByName(jump)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .localCheckpoint(eager = true)
         changed = prop.alias("n").join(labels.alias("o"), "id")
@@ -253,6 +272,7 @@ object Dedup {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
     }
   }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, Expression, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -184,6 +184,53 @@ object MaterializedViews {
   private object Conjuncts extends PredicateHelper {
     def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
   }
+
+  /** Normalize a comparison conjunct to (expr, op, literal) with the
+    * non-literal side on the left. */
+  private def asRange(e: Expression): Option[(Expression, String, Literal)] = e match {
+    case GreaterThan(x, l: Literal) => Some((x, ">", l))
+    case GreaterThanOrEqual(x, l: Literal) => Some((x, ">=", l))
+    case LessThan(x, l: Literal) => Some((x, "<", l))
+    case LessThanOrEqual(x, l: Literal) => Some((x, "<=", l))
+    case EqualTo(x, l: Literal) => Some((x, "=", l))
+    case GreaterThan(l: Literal, x) => Some((x, "<", l))
+    case GreaterThanOrEqual(l: Literal, x) => Some((x, "<=", l))
+    case LessThan(l: Literal, x) => Some((x, ">", l))
+    case LessThanOrEqual(l: Literal, x) => Some((x, ">=", l))
+    case EqualTo(l: Literal, x) => Some((x, "=", l))
+    case _ => None
+  }
+
+  /** Range implication (the reference's SubstitutionVisitor
+    * splitFilter/implies over RexCall ranges): does query conjunct `q`
+    * imply MV conjunct `m`? Both must be literal comparisons over the SAME
+    * canonical expression; then e.g. x > 15 implies x > 10. */
+  private def implies(q: Expression, m: Expression): Boolean =
+    (asRange(q), asRange(m)) match {
+      case (Some((xq, oq, lq)), Some((xm, om, lm)))
+          if xq == xm && lq.dataType == lm.dataType &&
+            lq.value != null && lm.value != null =>
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(lq.dataType)
+        val c = ord.compare(lq.value, lm.value) // sign of (queryLit - mvLit)
+        (om, oq) match {
+          case (">", ">") => c >= 0
+          case (">", ">=") => c > 0
+          case (">", "=") => c > 0
+          case (">=", ">") => c >= 0
+          case (">=", ">=") => c >= 0
+          case (">=", "=") => c >= 0
+          case ("<", "<") => c <= 0
+          case ("<", "<=") => c < 0
+          case ("<", "=") => c < 0
+          case ("<=", "<") => c <= 0
+          case ("<=", "<=") => c <= 0
+          case ("<=", "=") => c <= 0
+          case ("=", "=") => c == 0
+          case _ => false
+        }
+      case _ => false
+    }
   private def filterResidual(spark: SparkSession, f: Filter): Option[LogicalPlan] =
     registry.iterator.flatMap { entry =>
       entry.optimized match {
@@ -198,7 +245,13 @@ object MaterializedViews {
           // substitution does not reach) — leave such filters alone
           val hasSubquery = qConj.exists(_.exists(
             _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-          if (hasSubquery || !mSet.subsetOf(qCanon.toSet)) None
+          // every MV conjunct must be exactly present in the query, or be
+          // IMPLIED by some query conjunct (range subsumption: the query's
+          // x > 15 is answerable from a tile filtered to x > 10). Implied-
+          // but-not-equal conjuncts stay in the residual via qConj \ mSet.
+          val covered = mSet.forall(mc =>
+            qCanon.contains(mc) || qCanon.exists(qc => implies(qc, mc)))
+          if (hasSubquery || !covered) None
           else {
             val scan = spark.read.parquet(entry.path).queryExecution.analyzed
             val attrMap: Map[Attribute, Attribute] =

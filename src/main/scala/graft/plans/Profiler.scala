@@ -20,18 +20,29 @@ import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
   */
 object Profiler {
 
-  /** Profile the given columns: (column, n, nulls, ndv, min_s, max_s). */
+  /** Profile the given columns: (column, n, nulls, ndv, min_s, max_s).
+    *
+    * Two single-purpose jobs, not one: mixing COUNT(DISTINCT ...) with
+    * min/max aggregates makes Catalyst Expand every row once per distinct
+    * group (cols+1 copies) AND forces the combined aggregate out of
+    * HashAggregate (var-length string min/max buffers) — a sort aggregate
+    * over (cols+1)× the input. Two tight codegen'd passes — one plain, one
+    * distinct-only — are ~2× faster locally; at cluster scale the second
+    * scan rereads only the profiled columns (columnar), trading sequential
+    * I/O for not pushing an Expand through the shuffle. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = cols.flatMap { c =>
+    val basicAggs: Seq[Column] = cols.flatMap { c =>
       val v = col(c)
       Seq(
         count(lit(1)).as(s"${c}__n"),
         sum(when(v.isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(v).as(s"${c}__ndv"),
         min(v).cast("string").as(s"${c}__min"),
         max(v).cast("string").as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val ndvAggs: Seq[Column] = cols.map(c => countDistinct(col(c)).as(s"${c}__ndv"))
+    // both sides are single rows — the join is a broadcast of one row
+    val wide = df.agg(basicAggs.head, basicAggs.tail: _*)
+      .crossJoin(df.agg(ndvAggs.head, ndvAggs.tail: _*))
     val stackArgs = cols.map(c =>
       s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, `${c}__min`, `${c}__max`")
       .mkString(", ")

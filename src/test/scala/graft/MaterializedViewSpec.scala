@@ -93,6 +93,34 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedViews.drop("mv_filt")
   }
 
+  test("filter subsumption: x > 20 is answered from the x > 10 tile") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    def mvDef() = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") > 10.0)
+    // the predicate is not syntactically equal to the MV's but IMPLIES it
+    def q() = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") > 20.0)
+      .select("l_orderkey", "l_quantity")
+    val want = q().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    MaterializedViews.create(spark, "mv_rng", mvDef(), "/tmp/graft_mv/rng_tile")
+    val rewritten = q()
+    val physical = rewritten.queryExecution.executedPlan.toString
+    assert(physical.contains("rng_tile"), s"tile not scanned:\n$physical")
+    assert(!physical.contains("lineitem.parquet"), s"fact table still scanned:\n$physical")
+    val got = rewritten.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == want)
+    // equality below the MV bound must NOT be served (20 = 20 edge is fine,
+    // 5 is not): x > 5 does not imply x > 10
+    val weaker = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") > 5.0)
+    assert(!weaker.queryExecution.executedPlan.toString.contains("rng_tile"),
+      "weaker range wrongly answered from the tile")
+    // boundary: x >= 10 does NOT imply x > 10
+    val boundary = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") >= 10.0)
+    assert(!boundary.queryExecution.executedPlan.toString.contains("rng_tile"),
+      "x >= 10 wrongly served from the x > 10 tile")
+    MaterializedViews.drop("mv_rng")
+  }
+
   test("rollup of COUNT over an empty tile yields 0, not null (global agg)") {
     MaterializedViews.clear()
     MaterializedViews.install(spark)

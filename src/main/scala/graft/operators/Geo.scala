@@ -57,6 +57,8 @@ object Geo {
       (x, y) => concat(x.cast("string"), lit(" "), y.cast("string"))), ", ")
     when(g.getField("kind") === "POINT", concat(lit("POINT ("), coords, lit(")")))
       .when(g.getField("kind") === "POLYGON", concat(lit("POLYGON (("), coords, lit("))")))
+      .when(g.getField("kind") === "MULTIPOINT", concat(lit("MULTIPOINT ("), coords, lit(")")))
+      .when(g.getField("kind") === "EMPTY", lit("GEOMETRYCOLLECTION EMPTY"))
       .otherwise(concat(lit("LINESTRING ("), coords, lit(")")))
   }
 
@@ -104,6 +106,59 @@ object Geo {
       poly.getField("xs"), poly.getField("ys"), stX(point), stY(point))
 
   def stWithin(point: Column, poly: Column): Column = stContains(poly, point)
+
+  // ---- relation predicates (GeoFunctions.java ST_Equals/Disjoint/
+  // Intersects/OrderingEquals, ST_GeometryTypeCode, ST_Boundary) ----------
+  /** Vertex-sequence equality. In this struct model a geometry IS its
+    * vertex arrays, so ST_Equals and ST_OrderingEquals coincide (the
+    * reference distinguishes topological equality, which needs a geometry
+    * kernel by nature). */
+  def stEquals(a: Column, b: Column): Column =
+    a.getField("kind") === b.getField("kind") &&
+      a.getField("xs") === b.getField("xs") && a.getField("ys") === b.getField("ys")
+
+  def stOrderingEquals(a: Column, b: Column): Column = stEquals(a, b)
+
+  /** Intersection test by kind: point/point exact, point-in-polygon via
+    * the ray-cast kernel, otherwise envelope overlap (exact for the
+    * axis-aligned shapes this model constructs; the conservative
+    * first-stage filter of any spatial join at scale). */
+  def stIntersects(a: Column, b: Column): Column = {
+    val pp = stX(a) === stX(b) && stY(a) === stY(b)
+    when(a.getField("kind") === "POINT" && b.getField("kind") === "POINT", pp)
+      .when(a.getField("kind") === "POLYGON" && b.getField("kind") === "POINT",
+        stContains(a, b))
+      .when(a.getField("kind") === "POINT" && b.getField("kind") === "POLYGON",
+        stContains(b, a))
+      .otherwise(stEnvelopesIntersect(a, b))
+  }
+
+  def stDisjoint(a: Column, b: Column): Column = !stIntersects(a, b)
+
+  /** OGC SFS type code (reference: GeoFunctions.Type enum). */
+  def stGeometryTypeCode(g: Column): Column =
+    when(g.getField("kind") === "POINT", 1)
+      .when(g.getField("kind") === "LINESTRING", 2)
+      .when(g.getField("kind") === "POLYGON", 3)
+      .otherwise(0)
+
+  /** Boundary: a polygon's boundary is its closed ring as a LINESTRING
+    * (first vertex appended); a linestring's boundary is its endpoints
+    * (MULTIPOINT); a point has an empty boundary. */
+  def stBoundary(g: Column): Column =
+    when(g.getField("kind") === "POLYGON",
+      struct(lit("LINESTRING").as("kind"),
+        concat(g.getField("xs"), slice(g.getField("xs"), 1, 1)).as("xs"),
+        concat(g.getField("ys"), slice(g.getField("ys"), 1, 1)).as("ys")))
+      .when(g.getField("kind") === "LINESTRING",
+        struct(lit("MULTIPOINT").as("kind"),
+          array(element_at(g.getField("xs"), 1),
+            element_at(g.getField("xs"), -1)).as("xs"),
+          array(element_at(g.getField("ys"), 1),
+            element_at(g.getField("ys"), -1)).as("ys")))
+      .otherwise(struct(lit("EMPTY").as("kind"),
+        array().cast("array<double>").as("xs"),
+        array().cast("array<double>").as("ys")))
 
   // ---- registry queries --------------------------------------------------
   val defs: Seq[QDef] = Seq(
@@ -165,6 +220,43 @@ object Geo {
       pts.select(col("n_nationkey"),
           round(stDistanceSphere(p, ref), 6).as("dist_km"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // Relation predicates: equality, intersects/disjoint by kind, OGC
+    // type codes, and boundaries (polygon ring closure / line endpoints).
+    // The per-row line from each customer point to a fixed reference pins
+    // ST_Boundary + the MULTIPOINT WKT writer; every coordinate is an
+    // exact binary fraction so the text compares bit-for-bit.
+    QDef.sql("geo_relations",
+      """SELECT c_custkey,
+        |  (px = 2.5 AND py = 3.25) AS eq_ref,
+        |  abs(px - 12.0) + abs(py - 10.0) < 8.0 AS int_diamond,
+        |  NOT (abs(px - 12.0) + abs(py - 10.0) < 8.0) AS disj_diamond,
+        |  1 AS code_pt, 3 AS code_poly, 2 AS line_pts,
+        |  'MULTIPOINT (' || CAST(px AS VARCHAR) || ' ' || CAST(py AS VARCHAR)
+        |    || ', 2.5 3.25)' AS line_boundary,
+        |  'GEOMETRYCOLLECTION EMPTY' AS point_boundary
+        |FROM (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 25 AS DOUBLE) + 0.5 AS px,
+        |    CAST(c_nationkey AS DOUBLE) + 0.25 AS py
+        |  FROM customer)""") { (s, dir) =>
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 25).cast("double") + 0.5).as("px"),
+        (col("c_nationkey").cast("double") + 0.25).as("py"))
+      val p = stPoint(col("px"), col("py"))
+      val ref = stPoint(lit(2.5), lit(3.25))
+      val diamond = stPolygon(Seq(4.0, 12.0, 20.0, 12.0), Seq(10.0, 2.0, 10.0, 18.0))
+      val line = stMakeLine(p, ref)
+      pts.select(col("c_custkey"),
+        stEquals(p, ref).as("eq_ref"),
+        stIntersects(p, diamond).as("int_diamond"),
+        stDisjoint(p, diamond).as("disj_diamond"),
+        stGeometryTypeCode(p).as("code_pt"),
+        stGeometryTypeCode(diamond).as("code_poly"),
+        stNumPoints(line).as("line_pts"),
+        stAsText(stBoundary(line)).as("line_boundary"),
+        stAsText(stBoundary(p)).as("point_boundary"))
     },
 
     // Spatial theta-join: customers within radius 4 of each nation's

@@ -96,6 +96,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).select("event_id").distinct().count() == batchCount)
   }
 
+  test("stateful dedup state survives a checkpoint restart with new input") {
+    // True mid-stream recovery: process half the input, stop, deliver the
+    // other half, restart from the same checkpoint. The dedup state from
+    // run 1 must be restored in run 2 — if it were lost, every user_id
+    // seen in part 1 would be re-emitted by part 2 and the sink would
+    // roughly double.
+    val base = "/tmp/graft_stream_ck2"
+    val stage = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id")
+    ev.where(col("event_id") % 2 === 0).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(stage)
+        .dropDuplicates("user_id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val afterP1 = spark.read.parquet(outDir).count()
+    // deliver the second half into the same source directory, restart
+    ev.where(col("event_id") % 2 === 1).write.mode("append").parquet(stage)
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    val nDistinct = ev.select("user_id").distinct().count()
+    assert(afterP1 <= nDistinct)
+    assert(out.count() == nDistinct,
+      s"expected $nDistinct deduped rows after recovery, got ${out.count()}")
+    assert(out.select("user_id").distinct().count() == nDistinct,
+      "restart re-emitted user_ids whose state predates the checkpoint")
+  }
+
   test("stream-stream interval join equals the batch range join") {
     // clicks ⋈ purchases per user within [click.ts, click.ts + 30 min] —
     // the reference's stream-to-stream join (stream.md) with the event-time

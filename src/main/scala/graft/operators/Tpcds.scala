@@ -86,6 +86,63 @@ object Tpcds {
         |  WHERE o_orderstatus = 'O'
         |  GROUP BY o_custkey HAVING count(*) BETWEEN 3 AND 7
         |) bands JOIN customer ON c_custkey = o_custkey
-        |ORDER BY cnt DESC, c_custkey""")
+        |ORDER BY cnt DESC, c_custkey"""),
+
+    // q36 shape — profit hierarchy: ROLLUP over (region, nation) with the
+    // grouping level derived from GROUPING(), then RANK within each level
+    // (partitioned by the parent when ranking leaf rows). NULLS FIRST is
+    // pinned explicitly — the engines' default null order differs.
+    QDef.common("tpcds_s_lochierarchy",
+      """SELECT lvl, r_name, n_name, rev, rk FROM (
+        |  SELECT r_name, n_name, rev, lvl,
+        |    rank() OVER (
+        |      PARTITION BY lvl, CASE WHEN lvl = 0 THEN r_name ELSE NULL END
+        |      ORDER BY rev DESC, n_name NULLS FIRST) AS rk
+        |  FROM (
+        |    SELECT r_name, n_name,
+        |      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS rev,
+        |      CAST(GROUPING(r_name) + GROUPING(n_name) AS INT) AS lvl
+        |    FROM lineitem, supplier, nation, region
+        |    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |      AND n_regionkey = r_regionkey
+        |    GROUP BY ROLLUP(r_name, n_name)
+        |  ) base
+        |) ranked
+        |ORDER BY lvl, rk, r_name NULLS FIRST, n_name NULLS FIRST"""),
+
+    // q88 shape — one query, many disjoint-slice counts. TPC-DS writes 8
+    // scalar subqueries (8 scans); the engine answer is a SINGLE scan with
+    // FILTER'd aggregates — the map-side rewrite that matters at 100 TB.
+    QDef.common("tpcds_s_multicount",
+      """SELECT
+        |  count(*) FILTER (WHERE h >= 0  AND h < 3)  AS h0,
+        |  count(*) FILTER (WHERE h >= 3  AND h < 6)  AS h3,
+        |  count(*) FILTER (WHERE h >= 6  AND h < 9)  AS h6,
+        |  count(*) FILTER (WHERE h >= 9  AND h < 12) AS h9,
+        |  count(*) FILTER (WHERE h >= 12 AND h < 15) AS h12,
+        |  count(*) FILTER (WHERE h >= 15 AND h < 18) AS h15,
+        |  count(*) FILTER (WHERE h >= 18 AND h < 21) AS h18,
+        |  count(*) FILTER (WHERE h >= 21)            AS h21
+        |FROM (SELECT CAST(hour(ts) AS INT) AS h FROM events) t"""),
+
+    // q75 shape — year-over-year sales change per brand via LAG over the
+    // per-(brand, year) aggregate. The ratio divides two identical doubles
+    // on both engines, so it is bit-exact without rounding.
+    QDef.common("tpcds_s_salesgrowth",
+      """WITH s AS (
+        |  SELECT p_brand, CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sales
+        |  FROM lineitem, orders, part
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        |  GROUP BY p_brand, CAST(year(o_orderdate) AS INT)
+        |)
+        |SELECT p_brand, yr, sales, prev_sales,
+        |  CASE WHEN prev_sales > 0 THEN sales / prev_sales END AS ratio
+        |FROM (
+        |  SELECT p_brand, yr, sales,
+        |    lag(sales) OVER (PARTITION BY p_brand ORDER BY yr) AS prev_sales
+        |  FROM s
+        |) g
+        |ORDER BY p_brand, yr""")
   )
 }

@@ -428,6 +428,22 @@ object Relational {
     // reference: rel/core/Sample.java:36.
     QDef.rowsOnly("sample_fraction") { (s, dir) =>
       t(s, dir, "lineitem").sample(withReplacement = false, fraction = 0.1, seed = 42L)
+    },
+
+    // ---- Deterministic hash sample — the reproducible counterpart.
+    // Bernoulli TABLESAMPLE draws from an engine-private PRNG; a pipeline
+    // that must re-produce the SAME sample across engines, runs, and
+    // repartitionings (eval splits, A/B slices at 100 TB) keys the draw on
+    // a multiplicative hash of a stable id instead. Exact BIGINT
+    // arithmetic in both engines -> oracle-verifiable, ~10% selectivity.
+    QDef.sql("sample_hash",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 100 < 10""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where((col("l_orderkey") * lit(2654435761L)
+          + col("l_linenumber") * lit(40503L)) % 100 < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }
   )
 }

@@ -56,6 +56,10 @@ object MatchRecognize {
     * (reference: SqlStdOperatorTable PREV :1734-1759). */
   type Define = (Row, Option[Row]) => Boolean
 
+  /** DEFINE default for symbols the clause leaves undefined (SQL:2016:
+    * such variables match every row). */
+  val alwaysTrue: Define = (_, _) => true
+
   /** Result of one anchored match attempt: the longest complete match (if
     * any) plus whether some exploration path ran off the end of the buffer
     * — i.e. the attempt could extend or complete given MORE rows. The
@@ -80,7 +84,11 @@ object MatchRecognize {
         if (pos >= rows.length) { hitEnd = true; false }
         else {
           val prev = if (pos == 0) None else Some(rows(pos - 1))
-          defines(name)(rows(pos), prev) && { syms(pos) = name; k(pos + 1) }
+          // a pattern variable with no DEFINE matches any row (SQL:2016
+          // §R020; the reference's undefined symbols — e.g. the leading S
+          // in match.iq's PATTERN (S UP) — behave the same way)
+          defines.getOrElse(name, MatchRecognize.alwaysTrue)(rows(pos), prev) &&
+            { syms(pos) = name; k(pos + 1) }
         }
       case Pat.Cat(ps) =>
         def cat(i: Int, q: Int): Boolean =

@@ -17,7 +17,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * expressed with an explicit CASE; Calcite's integer-typed STDDEV over
   * INT input truncates — expressed as CAST(stddev AS INT).
   */
+object GoldenSpec {
+  case class MR(mno: Int, c: Option[Int], empid: Long, cl: String)
+  case class M(c: Option[Int], lastSEmpid: Long)
+}
+
 class GoldenSpec extends AnyFunSuite {
+  import GoldenSpec.{M, MR}
   import SparkTestSession._
   import spark.implicits._
 
@@ -349,5 +355,73 @@ class GoldenSpec extends AnyFunSuite {
     val got = emp.rollup(col("gender")).agg(count(lit(1)).as("c"))
       .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
     assert(got == Set((Some("F"), 6L), (Some("M"), 3L), (None, 9L)))
+  }
+
+  // ---- match.iq — MATCH_RECOGNIZE over the HR schema --------------------
+  // Data: JdbcTest.HrSchema emps (empid, deptno, name, salary, commission).
+  // The goldens (match.iq:104-160) encode the reference's ACTUAL behavior:
+  // its EnumerableMatch matches over INPUT order (the clause's ORDER BY
+  // "empid" DESC is not applied), emits every matched row (per-row
+  // measures + CLASSIFIER), and resolves LAST(S.col) with final semantics.
+  // We pin the same row sequence with an explicit position key.
+  private lazy val hrEmps: DataFrame = Seq(
+    (0L, 100L, 10, "Bill", 10000.0, Some(1000)),
+    (1L, 200L, 20, "Eric", 8000.0, Some(500)),
+    (2L, 150L, 10, "Sebastian", 7000.0, None),
+    (3L, 110L, 10, "Theodore", 11500.0, Some(250)))
+    .toDF("pos", "empid", "deptno", "name", "salary", "commission")
+
+  test("match.iq:104-128 — (s up) with PREV, per-row measures + CLASSIFIER") {
+    import graft.operators.MatchRecognize
+    import MatchRecognize.Pat._
+    implicit val enc: org.apache.spark.sql.Encoder[MR] =
+      org.apache.spark.sql.Encoders.product[MR]
+    val out = MatchRecognize.matchRecognizeAllRows[MR](
+      hrEmps,
+      partitionKey = _ => 0L,
+      orderKey = r => (r.getAs[Long]("pos"), 0L),
+      pattern = Cat(Seq(Sym("S"), Sym("UP"))),
+      defines = Map(
+        // UP AS up.commission < PREV(up.commission); null → unknown → false
+        "UP" -> ((r, prev) => prev.exists { p =>
+          !r.isNullAt(r.fieldIndex("commission")) &&
+            !p.isNullAt(p.fieldIndex("commission")) &&
+            r.getAs[Int]("commission") < p.getAs[Int]("commission")
+        })),
+      emit = (_, mno, _, row, cl) => MR(mno,
+        if (row.isNullAt(row.fieldIndex("commission"))) None
+        else Some(row.getAs[Int]("commission")),
+        row.getAs[Long]("empid"), cl)
+    ).collect().toSeq.sortBy(r => (r.mno, r.empid))
+    // golden: exactly one match — rows (1000, 100, S), (500, 200, UP)
+    assert(out == Seq(
+      MR(1, Some(1000), 100L, "S"),
+      MR(1, Some(500), 200L, "UP")), out.toString)
+  }
+
+  test("match.iq:146-160 — LAST(S.empid) has final semantics over the match") {
+    import graft.operators.MatchRecognize
+    import MatchRecognize.Pat._
+    implicit val enc: org.apache.spark.sql.Encoder[M] =
+      org.apache.spark.sql.Encoders.product[M]
+    val out = MatchRecognize.matchRecognize[M](
+      hrEmps,
+      partitionKey = _ => 0L,
+      orderKey = r => (r.getAs[Long]("pos"), 0L),
+      pattern = Cat(Seq(Sym("S"), Sym("UP"))),
+      defines = Map(
+        "UP" -> ((r, prev) => prev.exists { p =>
+          !r.isNullAt(r.fieldIndex("commission")) &&
+            !p.isNullAt(p.fieldIndex("commission")) &&
+            r.getAs[Int]("commission") < p.getAs[Int]("commission")
+        })),
+      measure = (_, m) => M(
+        // running measure "commission" at match end = last row's value
+        Option(m.last._1.getAs[Int]("commission")),
+        // LAST(S."empid"): last row classified S
+        m.filter(_._2 == "S").last._1.getAs[Long]("empid"))
+    ).collect().toSeq
+    // golden: C=500 (final row), LAST(S.empid)=100 — one match
+    assert(out == Seq(M(Some(500), 100L)), out.toString)
   }
 }

@@ -37,11 +37,13 @@ object Geo {
     struct(lit("POLYGON").as("kind"),
       array(xs.map(lit(_)): _*).as("xs"), array(ys.map(lit(_)): _*).as("ys"))
 
-  /** WKT POINT parser (the ST_GeomFromText / ST_PointFromText subset). */
+  /** WKT POINT parser (the ST_GeomFromText / ST_PointFromText subset).
+    * Accepts both `POINT (x y)` and the space-free `POINT(x y)` the
+    * reference's spatial.iq goldens use. */
   def stPointFromText(wkt: Column): Column = {
-    val x = regexp_extract(wkt, """POINT \(([-0-9.]+) ([-0-9.]+)\)""", 1).cast("double")
-    val y = regexp_extract(wkt, """POINT \(([-0-9.]+) ([-0-9.]+)\)""", 2).cast("double")
-    stPoint(x, y)
+    val re = """POINT ?\(([-0-9.]+) ([-0-9.]+)\)"""
+    stPoint(regexp_extract(wkt, re, 1).cast("double"),
+      regexp_extract(wkt, re, 2).cast("double"))
   }
 
   // ---- accessors ---------------------------------------------------------
@@ -100,10 +102,15 @@ object Geo {
       ea.getField("ymin") <= eb.getField("ymax") && eb.getField("ymin") <= ea.getField("ymax")
   }
 
-  /** Polygon ∋ point via the native ray-casting expression. */
-  def stContains(poly: Column, point: Column): Column =
-    graft.functions.RayCastContains.st_contains_ring(
-      poly.getField("xs"), poly.getField("ys"), stX(point), stY(point))
+  /** Containment by container kind: a POINT contains only a coincident
+    * POINT (spatial.iq:632-641); a POLYGON contains a point via the native
+    * ray-casting expression. */
+  def stContains(container: Column, point: Column): Column =
+    when(container.getField("kind") === "POINT",
+      point.getField("kind") === "POINT" &&
+        stX(container) === stX(point) && stY(container) === stY(point))
+      .otherwise(graft.functions.RayCastContains.st_contains_ring(
+        container.getField("xs"), container.getField("ys"), stX(point), stY(point)))
 
   def stWithin(point: Column, poly: Column): Column = stContains(poly, point)
 

@@ -357,6 +357,65 @@ class GoldenSpec extends AnyFunSuite {
     assert(got == Set((Some("F"), 6L), (Some("M"), 3L), (None, 9L)))
   }
 
+  test("lateral.iq:41-137 — LATERAL subqueries over the scott schema") {
+    scott.createOrReplaceTempView("scott_emp")
+    scottDept.createOrReplaceTempView("scott_dept")
+    // lateral.iq:41-52 — LATERAL (subquery) as the first FROM item
+    assert(spark.sql(
+      "SELECT * FROM LATERAL (SELECT * FROM scott_emp) WHERE deptno = 10")
+      .count() == 3)
+    // lateral.iq:85-97 — LATERAL joined to a parenthesized TABLE
+    val joined = spark.sql(
+      """SELECT * FROM LATERAL (SELECT * FROM scott_emp) AS e
+        |JOIN (TABLE scott_dept) USING (deptno) WHERE e.deptno = 10""".stripMargin)
+    assert(joined.count() == 3)
+    assert(joined.select("dname").distinct().head().getString(0) == "ACCOUNTING")
+    // lateral.iq:99-122 — CORRELATED lateral: dept, LATERAL (emp where
+    // emp.deptno = dept.deptno); golden = 14 rows (no dept-40 row)
+    val corr = spark.sql(
+      """SELECT d.deptno, d.dname, e.empno, e.ename
+        |FROM scott_dept d,
+        |  LATERAL (SELECT * FROM scott_emp WHERE scott_emp.deptno = d.deptno) AS e"""
+        .stripMargin)
+    assert(corr.count() == 14)
+    val byDept = corr.groupBy("deptno").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDept == Map(10 -> 3L, 20 -> 5L, 30 -> 6L))
+    // lateral.iq:124-134 — [CALCITE-2391] aggregate over LATERAL
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM scott_dept d,
+        |  LATERAL (SELECT * FROM scott_emp WHERE scott_emp.deptno = d.deptno) AS e"""
+        .stripMargin).head().getLong(0) == 14)
+  }
+
+  test("spatial.iq — geo function goldens (point/predicate subset)") {
+    import graft.operators.Geo._
+    val one = spark.range(1).toDF()
+    def b(c: org.apache.spark.sql.Column): Boolean = one.select(c).head().getBoolean(0)
+    def d(c: org.apache.spark.sql.Column): Double = one.select(c).head().getDouble(0)
+    // spatial.iq:392-397 — ST_Distance(POINT(10 10), POINT(40 50)) = 50.0
+    assert(d(stDistance(stPoint(lit(10.0), lit(10.0)),
+      stPoint(lit(40.0), lit(50.0)))) == 50.0)
+    // spatial.iq:632-641 — point contains point: coincident only
+    assert(!b(stContains(stPoint(lit(0.0), lit(0.0)), stPoint(lit(1.0), lit(2.0)))))
+    assert(b(stContains(stPoint(lit(0.0), lit(0.0)), stPoint(lit(0.0), lit(0.0)))))
+    // spatial.iq:723-729 — ST_Equals over different linestrings = false
+    val l1 = stMakeLine(stPoint(lit(1.0), lit(3.0)), stPoint(lit(5.0), lit(3.0)))
+    val l2 = stMakeLine(stPoint(lit(1.0), lit(1.0)), stPoint(lit(5.0), lit(2.0)),
+      stPoint(lit(2.0), lit(5.0)))
+    assert(!b(stEquals(l1, l2)))
+    // spatial.iq:715-720, 733-738 — envelopes of those lines intersect,
+    // so ST_EnvelopesIntersect and (envelope-dispatched) ST_Intersects hold
+    assert(b(stEnvelopesIntersect(l1, l2)))
+    assert(b(stIntersects(l1, l2)))
+    // spatial.iq:36-39, 197-200 — WKT POINT round-trip (both spacings)
+    assert(d(stX(stPointFromText(lit("POINT(-71.064544 42.28787)")))) == -71.064544)
+    assert(d(stY(stPointFromText(lit("POINT (-71.064544 42.28787)")))) == 42.28787)
+    val wkt = one.select(stAsText(stPointFromText(
+      lit("POINT(-71.064544 42.28787)")))).head().getString(0)
+    assert(wkt == "POINT (-71.064544 42.28787)", wkt)
+  }
+
   // ---- match.iq — MATCH_RECOGNIZE over the HR schema --------------------
   // Data: JdbcTest.HrSchema emps (empid, deptno, name, salary, commission).
   // The goldens (match.iq:104-160) encode the reference's ACTUAL behavior:

@@ -127,9 +127,10 @@ object Geo {
   def stOrderingEquals(a: Column, b: Column): Column = stEquals(a, b)
 
   /** Intersection test by kind: point/point exact, point-in-polygon via
-    * the ray-cast kernel, otherwise envelope overlap (exact for the
-    * axis-aligned shapes this model constructs; the conservative
-    * first-stage filter of any spatial join at scale). */
+    * the ray-cast kernel, LINESTRING × LINESTRING via the native
+    * segment-intersection kernel (exact), otherwise envelope overlap
+    * (exact for the axis-aligned shapes this model constructs; the
+    * conservative first-stage filter of any spatial join at scale). */
   def stIntersects(a: Column, b: Column): Column = {
     val pp = stX(a) === stX(b) && stY(a) === stY(b)
     when(a.getField("kind") === "POINT" && b.getField("kind") === "POINT", pp)
@@ -137,10 +138,27 @@ object Geo {
         stContains(a, b))
       .when(a.getField("kind") === "POINT" && b.getField("kind") === "POLYGON",
         stContains(b, a))
+      .when(a.getField("kind") === "LINESTRING" && b.getField("kind") === "LINESTRING",
+        graft.functions.SegmentsIntersect.segments_intersect(
+          a.getField("xs"), a.getField("ys"), b.getField("xs"), b.getField("ys")))
       .otherwise(stEnvelopesIntersect(a, b))
   }
 
   def stDisjoint(a: Column, b: Column): Column = !stIntersects(a, b)
+
+  /** Transversal line crossing (spatial.iq:661-666): a strict-orientation
+    * segment intersection — equal to DE-9IM CROSSES for 1D×1D geometries
+    * without collinear overlap. */
+  def stCrosses(a: Column, b: Column): Column =
+    graft.functions.SegmentsIntersect.segments_cross_proper(
+      a.getField("xs"), a.getField("ys"), b.getField("xs"), b.getField("ys"))
+
+  /** Boundary-only contact for lines: they intersect but never cross
+    * transversally (endpoint/collinear contact only). Collinear INTERIOR
+    * overlap — DE-9IM OVERLAPS, not TOUCHES — is reported as touches by
+    * this 1D model; full DE-9IM needs a geometry kernel by nature. */
+  def stTouches(a: Column, b: Column): Column =
+    stIntersects(a, b) && !stCrosses(a, b)
 
   /** OGC SFS type code (reference: GeoFunctions.Type enum). */
   def stGeometryTypeCode(g: Column): Column =

@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * stays inside WholeStageCodegen. */
 class ExpressionSpec extends AnyFunSuite {
   import SparkTestSession._
+  import spark.implicits._
 
   test("dot_product equals the interpreted fold bit-for-bit on real vectors") {
     val e = Tables.t(spark, sfDir, "embeddings")
@@ -53,5 +54,35 @@ class ExpressionSpec extends AnyFunSuite {
     val dpLine = plan.linesIterator.find(_.contains("dot_product")).getOrElse("")
     assert(dpLine.trim.startsWith("*"), s"dot_product not codegen'd:\n$plan")
     assert(e.collect().nonEmpty)
+  }
+
+  test("segments_intersect: proper/any cases, codegen == interpreted") {
+    import graft.functions.SegmentsIntersect._
+    val cases = Seq(
+      // (l1, l2, any, proper)
+      ((Seq(1.0, 5.0), Seq(3.0, 3.0)),
+        (Seq(1.0, 5.0, 2.0), Seq(1.0, 2.0, 5.0)), true, true),   // transversal
+      ((Seq(1.0, 5.0), Seq(3.0, 3.0)),
+        (Seq(3.0, 3.0), Seq(1.0, 3.0)), true, false),            // endpoint touch
+      ((Seq(0.0, 1.0), Seq(0.0, 0.0)),
+        (Seq(2.0, 3.0), Seq(0.0, 0.0)), false, false),           // collinear apart
+      ((Seq(0.0, 2.0), Seq(0.0, 0.0)),
+        (Seq(1.0, 3.0), Seq(0.0, 0.0)), true, false))            // collinear overlap
+    for (((xs1, ys1), (xs2, ys2), wantAny, wantProper) <- cases) {
+      val df = Seq((xs1, ys1, xs2, ys2)).toDF("x1", "y1", "x2", "y2")
+      val got = df.select(
+        segments_intersect(col("x1"), col("y1"), col("x2"), col("y2")).as("a"),
+        segments_cross_proper(col("x1"), col("y1"), col("x2"), col("y2")).as("p"))
+        .head()
+      assert(got.getBoolean(0) == wantAny, s"any($xs1/$ys1 vs $xs2/$ys2)")
+      assert(got.getBoolean(1) == wantProper, s"proper($xs1/$ys1 vs $xs2/$ys2)")
+      // interpreted path agrees with codegen
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val got2 = df.select(
+        segments_intersect(col("x1"), col("y1"), col("x2"), col("y2")),
+        segments_cross_proper(col("x1"), col("y1"), col("x2"), col("y2"))).head()
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(got2.getBoolean(0) == wantAny && got2.getBoolean(1) == wantProper)
+    }
   }
 }

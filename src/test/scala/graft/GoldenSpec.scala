@@ -408,6 +408,14 @@ class GoldenSpec extends AnyFunSuite {
     // so ST_EnvelopesIntersect and (envelope-dispatched) ST_Intersects hold
     assert(b(stEnvelopesIntersect(l1, l2)))
     assert(b(stIntersects(l1, l2)))
+    // spatial.iq:661-666 — ST_Crosses of the same linestrings = true
+    // (the second line crosses y=3 transversally at x=4)
+    assert(b(stCrosses(l1, l2)))
+    // spatial.iq:755-760 — ST_Touches = false (they cross, not touch)
+    assert(!b(stTouches(l1, l2)))
+    // and a touch case: a line ending ON l1's interior touches it
+    val l3 = stMakeLine(stPoint(lit(3.0), lit(1.0)), stPoint(lit(3.0), lit(3.0)))
+    assert(b(stTouches(l1, l3)) && !b(stCrosses(l1, l3)))
     // spatial.iq:36-39, 197-200 — WKT POINT round-trip (both spacings)
     assert(d(stX(stPointFromText(lit("POINT(-71.064544 42.28787)")))) == -71.064544)
     assert(d(stY(stPointFromText(lit("POINT (-71.064544 42.28787)")))) == 42.28787)

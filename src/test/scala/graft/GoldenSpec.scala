@@ -388,6 +388,67 @@ class GoldenSpec extends AnyFunSuite {
         .stripMargin).head().getLong(0) == 14)
   }
 
+  // POST DEPT (reference: CalciteAssert.java:830-836)
+  private lazy val postDept: DataFrame = Seq(
+    (10, "Sales"), (20, "Marketing"), (30, "Engineering"), (40, "Empty"))
+    .toDF("deptno", "dname")
+
+  test("sub-query.iq:207-253 — IN/EXISTS mixes and composite keys (POST schema)") {
+    emp.createOrReplaceTempView("post_emp")
+    postDept.createOrReplaceTempView("post_dept")
+    // :207-219 — multiple IN connected by OR
+    assert(spark.sql(
+      """SELECT * FROM post_dept
+        |WHERE deptno IN (SELECT deptno FROM post_emp WHERE gender = 'F')
+        |   OR deptno IN (SELECT deptno FROM post_emp WHERE gender = 'M')"""
+        .stripMargin).collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30))
+    // :222-234 — IN OR EXISTS (empty exists side contributes nothing);
+    // only depts present in DEPT survive → 10, 30
+    assert(spark.sql(
+      """SELECT * FROM post_dept
+        |WHERE deptno IN (SELECT deptno FROM post_emp WHERE gender = 'F')
+        |   OR EXISTS (SELECT 99 FROM post_emp WHERE gender = 'X')"""
+        .stripMargin).collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 30))
+    // :241-250 — composite IN key with a literal component
+    val comp = spark.sql(
+      """SELECT * FROM post_emp
+        |WHERE (gender, deptno) IN (SELECT gender, 10 FROM post_emp WHERE gender = 'F')"""
+        .stripMargin).collect()
+    assert(comp.length == 1 && comp(0).getString(0) == "Jane")
+  }
+
+  test("sub-query.iq:255-341 — IN-lists over columns, HAVING subqueries (scott)") {
+    scott.createOrReplaceTempView("scott_emp")
+    // :255-264 — [CALCITE-1155] value IN (column list); our scott mirror
+    // carries no mgr column, so the shape is pinned on (empno, deptno):
+    // only CLARK's own empno matches
+    assert(spark.sql(
+      "SELECT empno FROM scott_emp WHERE 7782 IN (empno, deptno)")
+      .collect().map(_.getInt(0)).toSeq == Seq(7782))
+    // :267-279 — [CALCITE-694] IN-list inside CASE inside HAVING
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM scott_emp GROUP BY deptno
+        |HAVING sum(CASE WHEN empno IN (7369, 7839, 7902) THEN sal ELSE 0 END)
+        |       BETWEEN 5000.0 AND 10000.0""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq == Seq(3))
+    // :283-296 — [CALCITE-716] scalar subquery in HAVING
+    assert(spark.sql(
+      """SELECT deptno FROM scott_emp GROUP BY deptno
+        |HAVING max(empno) > (SELECT min(empno) FROM scott_emp)""".stripMargin)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30))
+    // :300-313 — [CALCITE-716] scalar subquery + aggregate in SELECT
+    val bbbb = spark.sql(
+      """SELECT deptno,
+        |  max(empno) > (SELECT min(empno) FROM scott_emp) AS bbbb
+        |FROM scott_emp GROUP BY deptno""".stripMargin).collect()
+    assert(bbbb.length == 3 && bbbb.forall(_.getBoolean(1)))
+    // :316-327 — [DRILL-4407] GROUP BY a (null) scalar subquery: one group
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM scott_emp
+        |GROUP BY (SELECT deptno FROM scott_emp WHERE empno = 10)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq == Seq(14))
+  }
+
   test("spatial.iq — geo function goldens (point/predicate subset)") {
     import graft.operators.Geo._
     val one = spark.range(1).toDF()

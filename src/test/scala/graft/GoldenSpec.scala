@@ -499,6 +499,41 @@ class GoldenSpec extends AnyFunSuite {
     (3L, 110L, 10, "Theodore", 11500.0, Some(250)))
     .toDF("pos", "empid", "deptno", "name", "salary", "commission")
 
+  test("misc.iq:277-318 — mixed equi and non-equi join (CALCITE-377)") {
+    // HR depts (JdbcTest.HrSchema): 10 Sales, 30 Marketing, 40 HR
+    val hrDepts = Seq((10, "Sales"), (30, "Marketing"), (40, "HR"))
+      .toDF("deptno", "dname")
+    val got = hrEmps.join(hrDepts,
+      hrEmps("deptno") === hrDepts("deptno") && col("name") =!= col("dname"))
+      .select(col("empid"), col("dname"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (100L, "Sales", "Bill"), (110L, "Sales", "Theodore"),
+      (150L, "Sales", "Sebastian")))
+  }
+
+  test("misc.iq:824-940 — DISTINCT and GROUP BY combinations (DERBY-3616)") {
+    // select distinct gender from emp group by gender, deptno → 2 rows
+    assert(emp.groupBy(col("gender"), col("deptno")).agg(lit(1))
+      .select("gender").distinct().count() == 2)
+    // distinct (gender, deptno) grouped by (gender, deptno[, ename]) → 8
+    assert(emp.groupBy(col("gender"), col("deptno"), col("ename")).agg(lit(1))
+      .select("gender", "deptno").distinct().count() == 8)
+    assert(emp.groupBy(col("gender"), col("deptno")).agg(lit(1))
+      .select("gender", "deptno").distinct().count() == 8)
+    // distinct gender, sum(deptno) group by gender, deptno → 7 rows
+    // (the F/60 sum appears from BOTH dept 30×2 and dept 60 and collapses)
+    val s1 = emp.groupBy(col("gender"), col("deptno"))
+      .agg(sum(col("deptno")).as("s")).select("gender", "s").distinct()
+    assert(s1.count() == 7)
+    // without DISTINCT the duplicate F/60 stays → 8 rows
+    val s2 = emp.groupBy(col("gender"), col("deptno"))
+      .agg(sum(col("deptno")).as("s")).select("gender", "s")
+    assert(s2.count() == 8)
+    val f = s2.where(col("gender") === "F" && col("s") === 60)
+    assert(f.count() == 2)
+  }
+
   test("match.iq:104-128 — (s up) with PREV, per-row measures + CLASSIFIER") {
     import graft.operators.MatchRecognize
     import MatchRecognize.Pat._

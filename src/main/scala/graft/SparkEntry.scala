@@ -18,6 +18,7 @@ object SparkEntry {
       operators.JsonModes.defs ++
       operators.Tpch.defs ++ operators.Tpcds.defs ++
       operators.Geo.defs ++ operators.SchemaOnRead.defs ++
+      operators.Periods.defs ++
       plans.Profiler.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++

@@ -151,6 +151,31 @@ object Extras {
         differenceCol(col("c_mktsegment"), lit("BUILDING")).as("diff_building"))
     },
 
+    // ---- JSON aggregation: JSON_ARRAYAGG / JSON_OBJECTAGG -----------------
+    // reference: RexImpTable.java:544-553 JSON_OBJECTAGG/JSON_ARRAYAGG.
+    // Aggregation order is pinned (sorted by key) so the emitted text is
+    // deterministic under any parallelism; the oracle renders the same
+    // text with ORDER BY'd string_agg.
+    QDef.sql("fn_agg_json",
+      """SELECT o_orderpriority,
+        |  '[' || string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        |      || ']' AS j_arr,
+        |  '{' || string_agg('"' || CAST(o_orderkey AS VARCHAR) || '":'
+        |                        || CAST(o_custkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        |      || '}' AS j_obj
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |GROUP BY o_orderpriority""") { (s, dir) =>
+      t(s, dir, "orders").where(col("o_orderkey") % 97 === 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          to_json(array_sort(collect_list(col("o_orderkey")))).as("j_arr"),
+          to_json(map_from_entries(transform(
+            array_sort(collect_list(struct(col("o_orderkey").as("k"),
+              col("o_custkey").as("v")))),
+            e => struct(e.getField("k").cast("string").as("k"),
+              e.getField("v").as("v"))))).as("j_obj"))
+    },
+
     // ---- JSON construction: JSON_OBJECT / JSON_ARRAY ----------------------
     // reference: SqlStdOperatorTable JSON_OBJECT/JSON_ARRAY :1298-1337,
     // runtime/JsonFunctions.java. Both engines emit compact key-ordered

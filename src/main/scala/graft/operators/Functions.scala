@@ -352,7 +352,13 @@ object Functions {
         |  round((CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
         |        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
         |          * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
-        |       / COUNT(*), 6) AS covar_pop_qp
+        |       / COUNT(*), 6) AS covar_pop_qp,
+        |  COUNT(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |             THEN 1 END) AS regr_cnt,
+        |  round(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+        |        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |          * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+        |    AS regr_sxx_qty
         |FROM lineitem
         |GROUP BY l_returnflag""")
   ,

@@ -151,6 +151,50 @@ object Extras {
         differenceCol(col("c_mktsegment"), lit("BUILDING")).as("diff_building"))
     },
 
+    // ---- Datetime dialect extras (SqlLibraryOperators) --------------------
+    // MONTHNAME/DAYNAME, TIMESTAMP_ADD/TIMESTAMP_DIFF, timezone conversion
+    // (reference: SqlLibraryOperators MONTHNAME/DAYNAME; SqlStdOperatorTable
+    // TIMESTAMP_ADD:1859/TIMESTAMP_DIFF:1862, CONVERT_TIMEZONE).
+    // DuckDB's timezone(tz, naive_ts) LOCALIZES (tz → UTC), which is
+    // Spark's to_utc_timestamp — both on IANA tzdata.
+    QDef.sql("fn_datetime_extras",
+      """SELECT o_orderkey,
+        |  monthname(o_orderdate) AS mname,
+        |  dayname(o_orderdate) AS dname,
+        |  o_orderdate + INTERVAL 2 MONTH AS plus2m,
+        |  date_diff('day', TIMESTAMP '1996-01-01 00:00:00', o_orderdate) AS dd,
+        |  CAST(hour(timezone('America/New_York', o_orderdate)) AS INT) AS utc_hour_ny
+        |FROM orders WHERE o_orderkey % 13 = 0""") { (s, dir) =>
+      t(s, dir, "orders").where(col("o_orderkey") % 13 === 0).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "MMMM").as("mname"),
+        date_format(col("o_orderdate"), "EEEE").as("dname"),
+        expr("timestampadd(MONTH, 2, o_orderdate)").as("plus2m"),
+        expr("timestampdiff(DAY, TIMESTAMP'1996-01-01 00:00:00', o_orderdate)").as("dd"),
+        hour(to_utc_timestamp(col("o_orderdate"), "America/New_York")).as("utc_hour_ny"))
+    },
+
+    // ---- JSON introspection (SqlLibraryOperators JSON_TYPE/LENGTH/KEYS) ---
+    // JSON_KEYS via the native key extractor; JSON_LENGTH on a constructed
+    // array; JSON_TYPE as the top-level classifier (valid for the
+    // validated-JSON fixture; DuckDB runs its real json_type).
+    QDef.sql("fn_json_info",
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS ks,
+        |  CAST(json_array_length('[' || event_id || ',' || user_id || ']') AS INT)
+        |    AS arr_len,
+        |  json_type(props) AS jtype
+        |FROM events WHERE event_id % 11 = 0""") { (s, dir) =>
+      t(s, dir, "events").where(col("event_id") % 11 === 0).select(
+        col("event_id"),
+        array_join(json_object_keys(col("props")), ",").as("ks"),
+        json_array_length(concat(lit("["), col("event_id"), lit(","),
+          col("user_id"), lit("]"))).as("arr_len"),
+        when(ltrim(col("props")).startsWith("{"), "OBJECT")
+          .when(ltrim(col("props")).startsWith("["), "ARRAY")
+          .otherwise("SCALAR").as("jtype"))
+    },
+
     // ---- JSON aggregation: JSON_ARRAYAGG / JSON_OBJECTAGG -----------------
     // reference: RexImpTable.java:544-553 JSON_OBJECTAGG/JSON_ARRAYAGG.
     // Aggregation order is pinned (sorted by key) so the emitted text is

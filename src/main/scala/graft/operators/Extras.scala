@@ -347,6 +347,10 @@ object Extras {
     // MEMBER OF, IS A SET (SqlStdOperatorTable :2033-2206). Multisets map
     // to arrays; results are sort-normalized since multiset identity is
     // order-free.
+    // Bag (ALL) variants follow the operator.iq:69-166 goldens: EXCEPT ALL
+    // removes the first k occurrences, INTERSECT ALL keeps min-multiplicity
+    // occurrences in left order, UNION ALL concatenates. DuckDB expresses
+    // the per-occurrence counting with indexed lambdas (l[1:i] prefix).
     QDef.sql("fn_multiset",
       """WITH m AS (
         |  SELECT n_regionkey,
@@ -358,10 +362,21 @@ object Extras {
         |  array_to_string(list_sort(list_distinct(list_concat(ks, ms))), ',') AS m_union,
         |  array_to_string(list_sort(list_intersect(ks, ms)), ',') AS m_intersect,
         |  array_to_string(list_sort(list_filter(ks, x -> NOT list_contains(ms, x))), ',') AS m_except,
+        |  array_to_string(list_concat(ks, ms), ',') AS m_union_all,
+        |  array_to_string(list_filter(ks, (x, i) ->
+        |    len(list_filter(ks[1:i], y -> y = x)) > len(list_filter(ms, y -> y = x))), ',')
+        |    AS m_except_all,
+        |  array_to_string(list_filter(ks, (x, i) ->
+        |    len(list_filter(ks[1:i], y -> y = x)) <= len(list_filter(ms, y -> y = x))), ',')
+        |    AS m_intersect_all,
+        |  len(list_filter(list_distinct(ms), x ->
+        |    len(list_filter(ms, y -> y = x)) > len(list_filter(ks, y -> y = x)))) = 0
+        |    AS ms_submultiset,
         |  list_contains(ks, 7) AS member_of_7,
         |  len(list_distinct(ms)) = len(ms) AS is_a_set,
         |  len(ks) AS card
         |FROM m""") { (s, dir) =>
+      import graft.functions.Multisets._
       // Array outputs serialized to text for the driver's hash comparator.
       def js(c: org.apache.spark.sql.Column) = array_join(c.cast("array<string>"), ",")
       Tables.t(s, dir, "nation")
@@ -374,8 +389,12 @@ object Extras {
           js(sort_array(array_union(col("ks"), col("ms")))).as("m_union"),
           js(sort_array(array_intersect(col("ks"), col("ms")))).as("m_intersect"),
           js(sort_array(array_except(col("ks"), col("ms")))).as("m_except"),
-          array_contains(col("ks"), 7).as("member_of_7"),
-          (size(array_distinct(col("ms"))) === size(col("ms"))).as("is_a_set"),
+          js(multisetUnionAll(col("ks"), col("ms"))).as("m_union_all"),
+          js(multisetExceptAll(col("ks"), col("ms"))).as("m_except_all"),
+          js(multisetIntersectAll(col("ks"), col("ms"))).as("m_intersect_all"),
+          submultisetOf(col("ms"), col("ks")).as("ms_submultiset"),
+          memberOf(lit(7), col("ks")).as("member_of_7"),
+          isASet(col("ms")).as("is_a_set"),
           size(col("ks")).as("card"))
     }
   )

@@ -587,4 +587,41 @@ class GoldenSpec extends AnyFunSuite {
     // golden: C=500 (final row), LAST(S.empid)=100 — one match
     assert(out == Seq(M(Some(500), 100L)), out.toString)
   }
+
+  test("operator.iq:21-67 — NOT precedence binds above comparisons") {
+    // [CALCITE-1095]: NOT sal > 1300 parses as NOT (sal > 1300)
+    assert(scott.where(!(col("sal") > 1300)).count() == 6)
+    assert(scott.where(!(col("ename") === "SMITH")).count() == 13)
+    assert(scott.where(!(!(col("ename") === "SMITH"))).count() == 1)
+    val got = scott.where(!(col("sal") > 1300) && !(col("sal") < 1200))
+      .collect().map(_.getAs[String]("ename")).toSet
+    assert(got == Set("WARD", "MARTIN", "MILLER"))
+  }
+
+  test("operator.iq:69-166 — MULTISET EXCEPT/UNION/INTERSECT, ALL + DISTINCT") {
+    import graft.functions.Multisets._
+    val df = Seq(1).toDF("one").select(
+      array(lit("a"), lit("c"), lit("a")).as("aca"),
+      array(lit("a")).as("a1"),
+      array(lit("a"), lit("c"), lit("b")).as("acb"),
+      array(lit("a"), lit("c"), lit("a"), lit("a")).as("acaa"),
+      array(lit("a"), lit("a")).as("aa"))
+    def arr(c: org.apache.spark.sql.Column): List[String] =
+      df.select(c).head().getSeq[String](0).toList
+    // bare operators default to ALL (bag semantics)
+    assert(arr(multisetExceptAll(col("aca"), col("a1"))) == List("c", "a"))
+    assert(arr(multisetExceptDistinct(col("aca"), col("a1"))) == List("c"))
+    assert(arr(multisetUnionAll(col("acb"), col("a1"))) == List("a", "c", "b", "a"))
+    assert(arr(multisetUnionDistinct(col("acb"), col("a1"))) == List("a", "b", "c"))
+    assert(arr(multisetIntersectAll(col("acaa"), col("aa"))) == List("a", "a"))
+    assert(arr(multisetIntersectDistinct(col("acaa"), col("aa"))) == List("a"))
+    // predicates (SqlStdOperatorTable MEMBER_OF / SUBMULTISET_OF / IS_A_SET)
+    def b(c: org.apache.spark.sql.Column): Boolean = df.select(c).head().getBoolean(0)
+    assert(b(memberOf(lit("c"), col("aca"))))
+    assert(!b(memberOf(lit("z"), col("aca"))))
+    assert(b(submultisetOf(col("aa"), col("acaa"))))
+    assert(!b(submultisetOf(col("acaa"), col("aa"))))
+    assert(b(isASet(col("acb"))))
+    assert(!b(isASet(col("aca"))))
+  }
 }

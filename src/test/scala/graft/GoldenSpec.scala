@@ -588,6 +588,183 @@ class GoldenSpec extends AnyFunSuite {
     assert(out == Seq(M(Some(500), 100L)), out.toString)
   }
 
+  test("winagg.iq:21-43 — multiple window functions sharing windows") {
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(col("gender")).orderBy(col("ename"))
+    val wd = Window.partitionBy(col("deptno")).orderBy(col("ename"))
+    val got = emp.select(
+      count(lit(1)).over(wg).as("count1"), count(lit(1)).over(wd).as("count2"),
+      sum(col("deptno")).over(wg).as("sum1"), sum(col("deptno")).over(wd).as("sum2"))
+      .orderBy(asc_nulls_last("sum1"), asc_nulls_last("sum2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString.toLong), Option(r.get(3)).map(_.toString.toLong))).toSeq
+    assert(got == Seq(
+      (1L, 1L, Some(30L), Some(30L)), (1L, 1L, Some(50L), Some(50L)),
+      (2L, 1L, Some(60L), Some(10L)), (3L, 1L, Some(80L), Some(20L)),
+      (2L, 2L, Some(80L), Some(100L)), (3L, 1L, Some(140L), Some(60L)),
+      (4L, 2L, Some(150L), Some(20L)), (5L, 2L, Some(180L), Some(60L)),
+      (6L, 1L, Some(180L), None)), got.toString)
+  }
+
+  test("winagg.iq:45-89 — multi-column and degenerate PARTITION BY") {
+    import org.apache.spark.sql.expressions.Window
+    val got = emp.select(col("gender"), col("deptno"),
+      count(lit(1)).over(Window.partitionBy(col("gender"), col("deptno"))).as("count1"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map(
+      (("F", Some(10), 1L), 1), (("F", Some(30), 2L), 2), (("F", Some(50), 1L), 1),
+      (("F", Some(60), 1L), 1), (("F", None, 1L), 1),
+      (("M", Some(10), 1L), 1), (("M", Some(20), 1L), 1), (("M", Some(50), 1L), 1)))
+    // partition by gender,gender (degenerate duplicate column)
+    val dup = emp.select(col("gender"),
+      count(lit(1)).over(Window.partitionBy(col("gender"), col("gender"))).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dup == Set(("F", 6L), ("M", 3L)))
+  }
+
+  test("winagg.iq:299-358 — no-ORDER-BY windows, WINDOW clause, composite COUNT") {
+    import org.apache.spark.sql.expressions.Window
+    val byDept = emp.select(col("ename"),
+      count(lit(1)).over(Window.partitionBy(col("deptno"))).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byDept == Map("Adam" -> 2L, "Alice" -> 2L, "Bob" -> 2L, "Eric" -> 1L,
+      "Eve" -> 2L, "Grace" -> 1L, "Jane" -> 2L, "Susan" -> 2L, "Wilma" -> 1L))
+    // WINDOW clause: w1 global, w2 by deptno (min(gender) over each)
+    val w1 = Window.partitionBy(); val w2 = Window.partitionBy(col("deptno"))
+    val wcl = emp.select(col("ename"), min(col("gender")).over(w1).as("a"),
+      min(col("gender")).over(w2).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // only dept 20 (Eric alone) has min gender M
+    assert(wcl.forall(_._2 == "F"))
+    assert(wcl.filter(_._3 == "M").map(_._1) == Set("Eric"))
+    // composite COUNT(gender, deptno) over (): 8 rows with neither null
+    val comp = emp.select(count(
+      when(col("gender").isNotNull && col("deptno").isNotNull, 1)).over(w1).as("a"))
+      .collect().map(_.getLong(0))
+    assert(comp.length == 9 && comp.forall(_ == 8L))
+  }
+
+  test("winagg.iq:360-406 — window functions over GROUP BY aggregates") {
+    import org.apache.spark.sql.expressions.Window
+    val got = emp.groupBy(col("deptno"), col("ename")).agg(min(col("deptno")).as("x"))
+      .select(col("x"),
+        rank().over(Window.orderBy(asc_nulls_last("ename"))).as("y"),
+        max(col("ename")).over(Window.partitionBy(col("deptno"))).as("z"))
+      .collect().map(r => (Option(r.get(0)).map(_.toString.toInt), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      (None, 9, "Wilma"), (Some(50), 1, "Eve"), (Some(50), 5, "Eve"),
+      (Some(20), 4, "Eric"), (Some(10), 3, "Jane"), (Some(10), 7, "Jane"),
+      (Some(60), 6, "Grace"), (Some(30), 2, "Susan"), (Some(30), 8, "Susan")))
+    // rank/sum over aggregates in partition/order clauses
+    val wg = Window.partitionBy(col("gender")).orderBy(asc_nulls_last("x"))
+    val agg = emp.groupBy(col("deptno"), col("gender"))
+      .agg(min(col("ename")).as("x"), sum(col("deptno")).as("y"))
+      .select(col("gender"), col("x"), col("y"),
+        rank().over(wg).as("r"), sum(col("y")).over(wg).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)).map(_.toString.toLong), r.getInt(3),
+        Option(r.get(4)).map(_.toString.toLong))).toSet
+    assert(agg == Set(
+      ("F", "Alice", Some(60L), 1, Some(60L)), ("F", "Eve", Some(50L), 2, Some(110L)),
+      ("F", "Grace", Some(60L), 3, Some(170L)), ("F", "Jane", Some(10L), 4, Some(180L)),
+      ("F", "Wilma", None, 5, Some(180L)),
+      ("M", "Adam", Some(50L), 1, Some(50L)), ("M", "Bob", Some(10L), 2, Some(60L)),
+      ("M", "Eric", Some(20L), 3, Some(80L))), agg.toString)
+  }
+
+  test("winagg.iq:407-500 — windows under filter and JOIN (CALCITE-311/2081/2271)") {
+    import org.apache.spark.sql.expressions.Window
+    // CALCITE-311: filtering the results of windowed aggregation
+    val c311 = hrEmps.select(col("empid"), count(lit(1)).over(Window.partitionBy()).as("c"))
+      .where(col("empid") === 100).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(c311 == Seq((100L, 4L)))
+    // CALCITE-2081: first_value/last_value windows on both sides of a join.
+    // Reference NULLS LAST in window ORDER BY; default running frame makes
+    // last_value = current row's value. (Golden's LIMIT 5 dropped: the full
+    // join result is asserted, which subsumes it.)
+    val w = Window.partitionBy(col("deptno")).orderBy(asc_nulls_last("commission"))
+    val a = hrEmps.select(col("empid").as("a_empid"), col("deptno").as("a_deptno"),
+      first(col("empid")).over(w).as("ar"))
+    val b = hrEmps.select(col("empid").as("b_empid"), col("deptno").as("b_deptno"),
+      last(col("empid")).over(w).as("br"))
+    val byDept = a.join(b, col("a_deptno") === col("b_deptno"))
+      .select(col("a_deptno"), col("ar"), col("br"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(byDept.length == 10)
+    assert(byDept.filter(_._1 == 10).forall(_._2 == 110L))
+    assert(byDept.filter(_._1 == 10).map(_._3).sorted ==
+      Seq(100L, 100L, 100L, 110L, 110L, 110L, 150L, 150L, 150L))
+    val byEmp = a.join(b, col("a_empid") === col("b_empid"))
+      .select(col("a_empid"), col("ar"), col("br"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byEmp == Set((100L, 110L, 100L), (110L, 110L, 110L),
+      (150L, 110L, 150L), (200L, 200L, 200L)))
+    // CALCITE-2271: dense_rank windows on both sides, map-unnest input
+    val t1 = Seq((1, 1), (2, 2)).toDF("key", "v")
+      .select(dense_rank().over(Window.orderBy(col("key"))).as("l"), col("key"))
+    val t2 = Seq((2, 2)).toDF("key", "v")
+      .select(dense_rank().over(Window.orderBy(col("key"))).as("l"), col("key"))
+    val c2271 = t1.join(t2, t1("l") === t2("l") && t1("key") + 1 === t2("key"))
+      .select(t1("l"), t1("key"), t2("key"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(c2271 == Seq((1, 1, 2)))
+  }
+
+  test("winagg.iq:502-526 — NTH_VALUE over the whole unordered partition") {
+    import org.apache.spark.sql.expressions.Window
+    // over() reads the partition in input order; pin it with a position col
+    val withPos = emp.withColumn("pos", monotonically_increasing_id())
+    val w = Window.orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val got = withPos.select(col("ename"),
+      nth_value(col("deptno"), 1).over(w).as("n1"),
+      nth_value(col("deptno"), 2).over(w).as("n2"),
+      nth_value(col("deptno"), 5).over(w).as("n5"),
+      nth_value(col("deptno"), 8).over(w).as("n8"),
+      nth_value(col("deptno"), 10).over(w).as("n10"))
+      .collect().map(r => (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), Option(r.get(5))))
+    assert(got.length == 9)
+    assert(got.forall(_ == ((Some(10), Some(10), Some(30), Some(60), None))), got.toSeq.toString)
+  }
+
+  test("winagg.iq:527-560 — windowed REGR_COUNT / COVAR_POP integer decomposition") {
+    import org.apache.spark.sql.expressions.Window
+    // POST EMPS ages: Fred 25 (null gender), Eric 80/M, John null/M,
+    // Wilma 5/F, Alice null/F
+    val ea = Seq(
+      (Some(25), 10, None: Option[String]), (Some(80), 20, Some("M")),
+      (None: Option[Int], 40, Some("M")), (Some(5), 20, Some("F")),
+      (None: Option[Int], 40, Some("F")))
+      .toDF("age", "deptno", "gender")
+    // the reference decomposes COVAR_POP over INT args with integer division
+    // at every step (winagg.iq:528-530 spells out the formula)
+    def covarPopInt(w: org.apache.spark.sql.expressions.WindowSpec) = {
+      val bothX = sum(when(col("age").isNotNull, col("deptno"))).over(w)
+      val bothY = sum(when(col("deptno").isNotNull, col("age"))).over(w)
+      val rc = count(when(col("age").isNotNull && col("deptno").isNotNull, 1)).over(w)
+      floor((sum(col("age") * col("deptno")).over(w) - floor(bothX * bothY / rc)) / rc)
+        .cast("long")
+    }
+    val wAll = Window.partitionBy()
+    val all = ea.select(
+      sum(col("age") * col("deptno")).over(wAll).as("sxy"),
+      count(when(col("age").isNotNull && col("deptno").isNotNull, 1)).over(wAll).as("rc"),
+      covarPopInt(wAll).as("cp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(all.length == 5 && all.forall(_ == ((1950L, 3L, 39L))), all.toSeq.toString)
+    val wG = Window.partitionBy(col("gender"))
+    val byG = ea.select(col("gender"),
+      sum(col("age") * col("deptno")).over(wG).as("sxy"),
+      count(when(col("age").isNotNull && col("deptno").isNotNull, 1)).over(wG).as("rc"),
+      covarPopInt(wG).as("cp"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(byG == Set(
+      (Some("F"), 100L, 1L, 0L), (Some("M"), 1600L, 1L, 0L), (None, 250L, 1L, 0L)),
+      byG.toString)
+  }
+
   test("operator.iq:21-67 — NOT precedence binds above comparisons") {
     // [CALCITE-1095]: NOT sal > 1300 parses as NOT (sal > 1300)
     assert(scott.where(!(col("sal") > 1300)).count() == 6)

@@ -765,6 +765,122 @@ class GoldenSpec extends AnyFunSuite {
       byG.toString)
   }
 
+  test("sort.iq:58-111 — CALCITE-970/969 null collation: nulls high both directions") {
+    // foodmart store subset: (store_id, grocery_sqft, florist). The goldens
+    // order by (florist, grocery_sqft) identically to grocery_sqft alone, so
+    // florist is a constant prefix key across these three stores.
+    val store = Seq((0, None: Option[Int], true), (1, Some(17475), true),
+      (2, Some(22271), true)).toDF("store_id", "grocery_sqft", "florist")
+    def ids(df: DataFrame): Seq[Int] = df.collect().map(_.getInt(0)).toSeq
+    // nulls first under DESC
+    assert(ids(store.orderBy(desc_nulls_first("grocery_sqft"))) == Seq(0, 2, 1))
+    assert(ids(store.orderBy(col("florist"), desc_nulls_first("grocery_sqft")))
+      == Seq(0, 2, 1))
+    // nulls last under ASC
+    assert(ids(store.orderBy(asc_nulls_last("grocery_sqft"))) == Seq(1, 2, 0))
+    assert(ids(store.orderBy(col("florist"), asc_nulls_last("grocery_sqft")))
+      == Seq(1, 2, 0))
+  }
+
+  test("sort.iq:124-205 — duplicate sort keys, WITH+ORDER BY, OFFSET 0, DISTINCT agg") {
+    // CALCITE-2102: duplicate ORDER BY keys are ignored
+    val dd = scottDept.orderBy(desc("deptno"), col("dname"), col("deptno"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(dd == Seq(40, 30, 20, 10))
+    // CALCITE-603: WITH ... ORDER BY over a self-joined CTE
+    val e = hrEmps.where(col("empid") < 120).select(col("empid"))
+    val selfJoin = e.as("e1").crossJoin(e.as("e2").withColumnRenamed("empid", "empid0"))
+      .orderBy(col("empid") + col("empid0"), col("empid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(selfJoin == Seq((100L, 100L), (100L, 110L), (110L, 100L), (110L, 110L)))
+    // WITH ... LIMIT: fewer rows than the limit
+    val lim = hrEmps.where(col("empid") < 200).select(col("empid"))
+      .where(col("empid") > 100).limit(5).collect().map(_.getLong(0)).toSet
+    assert(lim == Set(110L, 150L))
+    // CALCITE-1015: OFFSET 0 is a no-op
+    assert(hrEmps.offset(0).count() == 4)
+    // CALCITE-634: ORDER BY aggregate in SELECT DISTINCT
+    val d634 = hrEmps.groupBy(col("deptno")).agg(count(lit(1)).as("c")).distinct()
+      .orderBy(desc("c")).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(d634 == Seq((10, 3L), (20, 1L)))
+    val d634b = hrEmps.groupBy(col("empid")).agg(count(col("empid")).as("c"))
+      .select(col("c")).distinct().orderBy(col("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(d634b == Seq(1L))
+  }
+
+  test("join.iq:64-84 — LEFT join with disjunctive (OR) condition") {
+    val dept = Seq((10, "Sales"), (20, "Marketing"), (30, "Engineering"), (40, "Empty"))
+      .toDF("deptno0", "dname")
+    val got = emp.join(dept,
+      emp("deptno") === dept("deptno0") || emp("ename") === dept("dname"), "left")
+      .collect().map(r => (r.getString(0), Option(r.get(3)).map(_.toString.toInt),
+        Option(r.getString(4)))).toSet
+    assert(got == Set(
+      ("Adam", None, None), ("Alice", Some(30), Some("Engineering")),
+      ("Bob", Some(10), Some("Sales")), ("Eric", Some(20), Some("Marketing")),
+      ("Eve", None, None), ("Grace", None, None), ("Jane", Some(10), Some("Sales")),
+      ("Susan", Some(30), Some("Engineering")), ("Wilma", None, None)))
+  }
+
+  test("join.iq:112-153 — aggregate pushed through join; CUBE over a join") {
+    val j = scott.join(scottDept, "deptno")
+    val dd = j.select(col("deptno")).distinct().collect().map(_.getInt(0)).toSet
+    assert(dd == Set(10, 20, 30))
+    // CALCITE-676: CUBE over the joined deptnos
+    val cube = scott.as("e").join(scottDept.as("d"),
+      col("e.deptno") === col("d.deptno"))
+      .select(col("e.deptno").as("ed"), col("d.deptno").as("dd"))
+      .cube(col("ed"), col("dd")).agg(lit(1))
+      .select(col("ed"), col("dd"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(cube == Set(
+      (Some(10), Some(10)), (Some(10), None), (Some(20), Some(20)), (Some(20), None),
+      (Some(30), Some(30)), (Some(30), None), (None, Some(10)), (None, Some(20)),
+      (None, Some(30)), (None, None)))
+  }
+
+  test("join.iq:158-230 — cross-input join conditions (CALCITE-688/457)") {
+    // emp1.deptno + emp2.deptno = emp3.deptno + 10
+    val e1 = scott.select(col("deptno").as("d1"))
+    val e2 = scott.select(col("deptno").as("d2"))
+    val e3 = scott.select(col("deptno").as("d3"), col("ename"))
+    val got = e1.join(e2, col("d1") === col("d2"))
+      .join(e3, col("d1") + col("d2") === col("d3") + 10)
+      .select(col("d1"), col("ename")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((10, "CLARK"), (10, "KING"), (10, "MILLER"),
+      (20, "ALLEN"), (20, "BLAKE"), (20, "JAMES"), (20, "MARTIN"),
+      (20, "TURNER"), (20, "WARD")))
+    // CALCITE-457: expression condition in a comma join
+    val c457 = scottDept.as("d").crossJoin(scott.as("e"))
+      .where(col("e.deptno") + 10 === col("d.deptno") * 2)
+      .select(col("e.deptno"), col("d.deptno"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    assert(c457 == Seq.fill(3)((10, 10)) ++ Seq.fill(6)((30, 20)))
+  }
+
+  test("join.iq:238-283 — USING over VALUES aliases; left join + sort + limit") {
+    // CALCITE-801
+    val e = Seq((100, "Bill", 1), (200, "Eric", 1), (150, "Sebastian", 3))
+      .toDF("empid", "name", "deptno")
+    val d = Seq((1, "LeaderShip"), (2, "TestGroup"), (3, "Development"))
+      .toDF("deptno", "dname")
+    val got = e.join(d, "deptno")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set((1, 100, "Bill", "LeaderShip"), (1, 200, "Eric", "LeaderShip"),
+      (3, 150, "Sebastian", "Development")))
+    // CALCITE-1018: left join USING + ORDER BY + LIMIT (first 10 by empno)
+    val lj = scott.join(scottDept, Seq("deptno"), "left")
+      .orderBy(col("empno")).limit(10)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(5))).toSeq
+    assert(lj == Seq(
+      (7369, "SMITH", "RESEARCH"), (7499, "ALLEN", "SALES"), (7521, "WARD", "SALES"),
+      (7566, "JONES", "RESEARCH"), (7654, "MARTIN", "SALES"), (7698, "BLAKE", "SALES"),
+      (7782, "CLARK", "ACCOUNTING"), (7788, "SCOTT", "RESEARCH"),
+      (7839, "KING", "ACCOUNTING"), (7844, "TURNER", "SALES")), lj.toString)
+  }
+
   test("operator.iq:21-67 — NOT precedence binds above comparisons") {
     // [CALCITE-1095]: NOT sal > 1300 parses as NOT (sal > 1300)
     assert(scott.where(!(col("sal") > 1300)).count() == 6)

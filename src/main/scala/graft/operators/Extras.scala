@@ -156,14 +156,19 @@ object Extras {
     // (reference: SqlLibraryOperators MONTHNAME/DAYNAME; SqlStdOperatorTable
     // TIMESTAMP_ADD:1859/TIMESTAMP_DIFF:1862, CONVERT_TIMEZONE).
     // DuckDB's timezone(tz, naive_ts) LOCALIZES (tz → UTC), which is
-    // Spark's to_utc_timestamp — both on IANA tzdata.
+    // Spark's to_utc_timestamp — both on IANA tzdata. The outer
+    // timezone('UTC', ...) converts the resulting TIMESTAMPTZ back to a
+    // NAIVE UTC timestamp before hour(), pinning the result regardless of
+    // the oracle session's TimeZone setting (ADVICE r3: bare
+    // hour(TIMESTAMPTZ) renders in the session zone).
     QDef.sql("fn_datetime_extras",
       """SELECT o_orderkey,
         |  monthname(o_orderdate) AS mname,
         |  dayname(o_orderdate) AS dname,
         |  o_orderdate + INTERVAL 2 MONTH AS plus2m,
         |  date_diff('day', TIMESTAMP '1996-01-01 00:00:00', o_orderdate) AS dd,
-        |  CAST(hour(timezone('America/New_York', o_orderdate)) AS INT) AS utc_hour_ny
+        |  CAST(hour(timezone('UTC', timezone('America/New_York', o_orderdate))) AS INT)
+        |    AS utc_hour_ny
         |FROM orders WHERE o_orderkey % 13 = 0""") { (s, dir) =>
       t(s, dir, "orders").where(col("o_orderkey") % 13 === 0).select(
         col("o_orderkey"),

@@ -410,9 +410,11 @@ object Functions {
 
     // ---- Approximate distinct (HLL) — sketch values differ per engine,
     // but the ACCURACY CONTRACT is cross-engine: each engine's estimate
-    // must land within 5% of the exact NDV (HLL++ standard error ~2%).
-    // The oracle therefore compares (group, exact ndv, within-5% flag) —
-    // hash-exact while still executing the sketch on both engines.
+    // must land within 15% of the exact NDV. Spark's default rsd is 0.05,
+    // so 15% = 3 sigma (ADVICE r3: a 5% bound was ~1 sigma — brittle
+    // against fixture regeneration). The oracle therefore compares
+    // (group, exact ndv, within-tolerance flag) — hash-exact while still
+    // executing the sketch on both engines.
     // reference: SqlStdOperatorTable APPROX_COUNT_DISTINCT :927; Spark's
     // HLL++ is the scale path the reference never had.
     QDef.sql("fn_agg_approx",
@@ -420,21 +422,21 @@ object Functions {
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  COUNT(DISTINCT l_suppkey) AS exact_supps,
         |  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
-        |      - COUNT(DISTINCT l_partkey)) <= 0.05 * COUNT(DISTINCT l_partkey)
-        |    AS parts_within_5pct,
+        |      - COUNT(DISTINCT l_partkey)) <= 0.15 * COUNT(DISTINCT l_partkey)
+        |    AS parts_within_tol,
         |  abs(CAST(approx_count_distinct(l_suppkey) AS DOUBLE)
-        |      - COUNT(DISTINCT l_suppkey)) <= 0.05 * COUNT(DISTINCT l_suppkey)
-        |    AS supps_within_5pct
+        |      - COUNT(DISTINCT l_suppkey)) <= 0.15 * COUNT(DISTINCT l_suppkey)
+        |    AS supps_within_tol
         |FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_suppkey")).as("exact_supps"),
         (abs(approx_count_distinct(col("l_partkey")).cast("double")
           - countDistinct(col("l_partkey")))
-          <= lit(0.05) * countDistinct(col("l_partkey"))).as("parts_within_5pct"),
+          <= lit(0.15) * countDistinct(col("l_partkey"))).as("parts_within_tol"),
         (abs(approx_count_distinct(col("l_suppkey")).cast("double")
           - countDistinct(col("l_suppkey")))
-          <= lit(0.05) * countDistinct(col("l_suppkey"))).as("supps_within_5pct"))
+          <= lit(0.15) * countDistinct(col("l_suppkey"))).as("supps_within_tol"))
     }
   )
 }

@@ -126,21 +126,66 @@ object Geo {
 
   def stOrderingEquals(a: Column, b: Column): Column = stEquals(a, b)
 
-  /** Intersection test by kind: point/point exact, point-in-polygon via
-    * the ray-cast kernel, LINESTRING × LINESTRING via the native
-    * segment-intersection kernel (exact), otherwise envelope overlap
-    * (exact for the axis-aligned shapes this model constructs; the
-    * conservative first-stage filter of any spatial join at scale). */
+  /** A geometry's ring closed for edge iteration: the first vertex
+    * appended, so segment k..k+1 enumeration covers the closing edge. For
+    * a POINT the same concat yields the degenerate 2-vertex segment
+    * `[x,x]` the segment kernel treats as a point (collinear/on-segment
+    * branch). */
+  private def closedXs(g: Column): Column =
+    concat(g.getField("xs"), slice(g.getField("xs"), 1, 1))
+  private def closedYs(g: Column): Column =
+    concat(g.getField("ys"), slice(g.getField("ys"), 1, 1))
+
+  /** Point lies on any edge of the polyline/ring (exact orientation test;
+    * the point travels as a degenerate segment). */
+  private def pointOnEdges(xs: Column, ys: Column, p: Column): Column =
+    graft.functions.SegmentsIntersect.segments_intersect(
+      xs, ys, closedXs(p), closedYs(p))
+
+  /** Line meets polygon: an edge of the line intersects the closed
+    * boundary ring, or the line lies entirely inside (tested by its first
+    * vertex — if no edge crosses the ring, all vertices are on one side). */
+  private def lineMeetsPolygon(line: Column, poly: Column): Column =
+    graft.functions.SegmentsIntersect.segments_intersect(
+      line.getField("xs"), line.getField("ys"), closedXs(poly), closedYs(poly)) ||
+      graft.functions.RayCastContains.st_contains_ring(
+        poly.getField("xs"), poly.getField("ys"), stX(line), stY(line))
+
+  /** Intersection test, exact per kind pair via the native kernels
+    * (ADVICE r3): point/point coordinate equality; point×line the
+    * degenerate-segment on-edge test; point×polygon ray-cast interior OR
+    * boundary contact; line×line the segment-intersection kernel;
+    * line×polygon edge×ring OR containment; polygon×polygon ring×ring OR
+    * either-contains-the-other (first-vertex test — exact for simple
+    * polygons, which is all this struct model constructs). Only synthetic
+    * kinds with no interior semantics (MULTIPOINT boundaries, EMPTY) fall
+    * back to envelope overlap — the conservative first-stage filter of any
+    * spatial join at scale. */
   def stIntersects(a: Column, b: Column): Column = {
-    val pp = stX(a) === stX(b) && stY(a) === stY(b)
-    when(a.getField("kind") === "POINT" && b.getField("kind") === "POINT", pp)
-      .when(a.getField("kind") === "POLYGON" && b.getField("kind") === "POINT",
-        stContains(a, b))
-      .when(a.getField("kind") === "POINT" && b.getField("kind") === "POLYGON",
-        stContains(b, a))
-      .when(a.getField("kind") === "LINESTRING" && b.getField("kind") === "LINESTRING",
+    val ka = a.getField("kind"); val kb = b.getField("kind")
+    def ptPoly(pt: Column, poly: Column): Column =
+      stContains(poly, pt) ||
+        pointOnEdges(closedXs(poly), closedYs(poly), pt)
+    when(ka === "POINT" && kb === "POINT",
+        stX(a) === stX(b) && stY(a) === stY(b))
+      .when(ka === "POLYGON" && kb === "POINT", ptPoly(b, a))
+      .when(ka === "POINT" && kb === "POLYGON", ptPoly(a, b))
+      .when(ka === "POINT" && kb === "LINESTRING",
+        pointOnEdges(b.getField("xs"), b.getField("ys"), a))
+      .when(ka === "LINESTRING" && kb === "POINT",
+        pointOnEdges(a.getField("xs"), a.getField("ys"), b))
+      .when(ka === "LINESTRING" && kb === "LINESTRING",
         graft.functions.SegmentsIntersect.segments_intersect(
           a.getField("xs"), a.getField("ys"), b.getField("xs"), b.getField("ys")))
+      .when(ka === "LINESTRING" && kb === "POLYGON", lineMeetsPolygon(a, b))
+      .when(ka === "POLYGON" && kb === "LINESTRING", lineMeetsPolygon(b, a))
+      .when(ka === "POLYGON" && kb === "POLYGON",
+        graft.functions.SegmentsIntersect.segments_intersect(
+          closedXs(a), closedYs(a), closedXs(b), closedYs(b)) ||
+          graft.functions.RayCastContains.st_contains_ring(
+            a.getField("xs"), a.getField("ys"), stX(b), stY(b)) ||
+          graft.functions.RayCastContains.st_contains_ring(
+            b.getField("xs"), b.getField("ys"), stX(a), stY(a)))
       .otherwise(stEnvelopesIntersect(a, b))
   }
 

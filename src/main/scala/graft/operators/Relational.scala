@@ -434,14 +434,17 @@ object Relational {
     // Bernoulli TABLESAMPLE draws from an engine-private PRNG; a pipeline
     // that must re-produce the SAME sample across engines, runs, and
     // repartitionings (eval splits, A/B slices at 100 TB) keys the draw on
-    // a multiplicative hash of a stable id instead. Exact BIGINT
+    // a multiplicative hash of a stable id instead. The key is reduced mod
+    // a prime FIRST so the product stays < 2^63 for any BIGINT key —
+    // Spark wraps silently on overflow where DuckDB raises, so an
+    // unreduced key diverges at orderkey ≳ 3.5e9 (ADVICE r3). Exact BIGINT
     // arithmetic in both engines -> oracle-verifiable, ~10% selectivity.
     QDef.sql("sample_hash",
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem
-        |WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 100 < 10""") { (s, dir) =>
+        |WHERE ((l_orderkey % 1000003) * 2654435761 + l_linenumber * 40503) % 100 < 10""") { (s, dir) =>
       t(s, dir, "lineitem")
-        .where((col("l_orderkey") * lit(2654435761L)
+        .where(((col("l_orderkey") % lit(1000003L)) * lit(2654435761L)
           + col("l_linenumber") * lit(40503L)) % 100 < 10)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }

@@ -45,10 +45,16 @@ object MatchRecognizeSql {
         // this restricted form does not support (or name an unknown table —
         // build() resolves it eagerly). Fall through to the delegate parser
         // so the user gets its canonical ParseException/AnalysisException
-        // instead of an IllegalArgumentException from here.
+        // instead of an IllegalArgumentException from here. Only the two
+        // EXPECTED rejection types fall through (ADVICE r3: a blanket
+        // NonFatal catch would mask a genuine bug in the supported path
+        // as a generic delegate ParseException).
         try Some(build(spark, table, partCol, ordCol, Option(ordTie),
           measures, pattern, defines))
-        catch { case scala.util.control.NonFatal(_) => None }
+        catch {
+          case _: IllegalArgumentException => None
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
       case _ => None
     }
 

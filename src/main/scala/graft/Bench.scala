@@ -9,8 +9,48 @@ import org.apache.spark.sql.SparkSession
   * scan → ... → row output, nothing skipped), not `count()` — count lets
   * Catalyst prune the whole projection and under-measures scan-heavy
   * queries.
+  *
+  * Output discipline: the consumer keeps only the TAIL of this process's
+  * stdout (~2000 chars), so the stdout JSON line carries the total plus a
+  * curated HEADLINE subset of per-query timings and must stay well under
+  * that window (BenchFormatSpec asserts the worst-case length). The full
+  * per-query map is written to BENCH_FULL.json alongside the repo instead.
   */
 object Bench {
+
+  /** Headline queries whose per-query seconds go on the stdout JSON line:
+    * the full TPC-H corpus plus one representative per major subsystem. */
+  val headline: Seq[String] =
+    Seq("agg_tpch_q1") ++ (2 to 22).map(i => s"tpch_q$i") ++ Seq(
+      "tpcds_s_salesgrowth", "tpcds_s_lochierarchy",
+      "join_inner_multiway", "window_rank_frames", "subq_exists_correlated",
+      "agg_cube", "setop_except_all", "recursive_closure",
+      "match_recognize_vshape", "asof_join_events", "geo_relations",
+      "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+      "sim_topk_bruteforce", "sim_ann_lsh_topk", "sim_ann_ivf_topk",
+      "text_tokens", "text_langid", "multimodal_decode_features",
+      "stream_tumble_batch", "stream_session_batch", "fn_json_modes",
+      "scan_filter_project")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
+  /** The one-line stdout payload. Kept small enough that a 2000-char tail
+    * capture always contains the complete line. */
+  def renderLine(total: Double, results: Seq[(String, Double)], sfDir: String): String = {
+    val want = headline.toSet
+    val qs = results.filter(r => want(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  def renderFull(total: Double, results: Seq[(String, Double)], sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,13 +73,26 @@ object Bench {
     // first timed queries don't absorb session initialization (standard
     // JMH-style discipline; the reference's JMH harness does the same).
     try {
-      SparkEntry.allDefs.headOption.foreach(
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{broadcast, col, expr, row_number}
+      // real registry queries first: parquet reader, decimal HashAggregate,
+      // AQE exchange and their codegen paths all JIT here, not in the first
+      // measured queries (without this, ~3-5s of first-compilation cost
+      // lands on whichever queries happen to run early)
+      SparkEntry.allDefs.take(3).foreach(
         _.fn(spark, sfDir).write.mode("overwrite").format("noop").save())
       spark.range(0, 1000000)
         .selectExpr("id % 7 AS k", "CAST(id AS DOUBLE) AS x")
         .groupBy("k")
-        .agg(org.apache.spark.sql.functions.expr("sum(CAST(x AS DECIMAL(18,4)))"),
-          org.apache.spark.sql.functions.expr("count(1)"))
+        .agg(expr("sum(CAST(x AS DECIMAL(18,4)))"), expr("count(1)"))
+        .write.mode("overwrite").format("noop").save()
+      val fact = spark.range(0, 200000).selectExpr("id % 100 AS k", "id AS v")
+      val dim = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+      fact.join(broadcast(dim), "k").groupBy("k").count()
+        .write.mode("overwrite").format("noop").save()
+      fact.withColumn("rn",
+          row_number().over(Window.partitionBy("k").orderBy("v")))
+        .where(col("rn") <= 3)
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
     val results = defs.map { d =>
@@ -50,10 +103,15 @@ object Bench {
       }
       d.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full map → file (survives any stdout truncation); headline → stdout.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (renderFull(total, results, sfDir) + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+    println(renderLine(total, results, sfDir))
     spark.stop()
   }
 }

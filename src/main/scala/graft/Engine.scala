@@ -44,10 +44,17 @@ object Engine {
     * Volcano/Hep and Janino linq4j codegen respectively (SURVEY.md §3).
     */
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    if (streaming.StreamSql.isStreamQuery(query))
+      return streaming.StreamSql.sql(spark, sfDir, query)
     Tables.registerAll(spark, sfDir)
     functions.GraftExtensions.register(spark)
     spark.sql(query)
   }
+
+  /** Streaming SQL entry point: `SELECT STREAM ...` (the reference's
+    * STREAM keyword, rel/stream/Delta.java) → unbounded DataFrame. */
+  def sqlStream(spark: SparkSession, sfDir: String, query: String): DataFrame =
+    streaming.StreamSql.sql(spark, sfDir, query)
 }
 
 /** Catalog of the driver-generated parquet fixture tables (TESTDATA.md). */

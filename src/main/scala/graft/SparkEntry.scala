@@ -19,7 +19,7 @@ object SparkEntry {
       operators.Tpch.defs ++ operators.Tpcds.defs ++
       operators.Geo.defs ++ operators.SchemaOnRead.defs ++
       operators.Periods.defs ++
-      plans.Profiler.defs ++
+      plans.Profiler.defs ++ plans.RelToSqlDemo.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++
       streaming.StreamOps.defs

@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("weighted_avg"),
       new ExpressionInfo(classOf[WeightedAvg].getName, "weighted_avg"),
       (exprs: Seq[Expression]) => WeightedAvg(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_bits"),
+      new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
+      (exprs: Seq[Expression]) => HyperplaneBits(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
     // SQL-syntax MATCH_RECOGNIZE front end (restricted grammar) — every
     // other statement passes through to Spark's parser untouched.
     e.injectParser((session, delegate) =>

@@ -242,8 +242,17 @@ object Dedup {
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
         .localCheckpoint(eager = true)
-      var changed = 1L
-      while (changed > 0) {
+      // Convergence check: every candidate set includes the node's own
+      // label, so labels decrease monotonically under the min-fold and
+      // Σ lbl strictly decreases iff any node changed. Comparing the sum
+      // over the already-checkpointed frame costs one small scan per
+      // round — no labels⋈labels join. (Decimal sum: immune to overflow
+      // at any node-id scale.)
+      def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      var prevSum = labelSum(labels)
+      var changed = true
+      while (changed) {
         // Candidate labels per node, min-folded in ONE aggregation:
         //  - its own label,
         //  - its neighbors' labels (edge propagation),
@@ -264,8 +273,9 @@ object Dedup {
           .unionByName(jump)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .localCheckpoint(eager = true)
-        changed = prop.alias("n").join(labels.alias("o"), "id")
-          .where(col("n.lbl") =!= col("o.lbl")).count()
+        val newSum = labelSum(prop)
+        changed = newSum.compareTo(prevSum) != 0
+        prevSum = newSum
         labels = prop
       }
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

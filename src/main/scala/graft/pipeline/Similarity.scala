@@ -48,13 +48,23 @@ object Similarity {
 
   /** 8-bit random-hyperplane LSH bucket. Hyperplane weights are integer
     * pseudo-noise ((i*31 + b*17) % 7 - 3, 1-based dim index) so the bucket
-    * is computable exactly in any engine — sign of a decimal-exact dot. */
+    * is computable exactly in any engine — sign of the left-to-right IEEE
+    * fold of v[i]*w(b,i), which DuckDB's list_reduce reproduces bit for
+    * bit. Evaluated by the codegen'd [[graft.functions.HyperplaneBits]]
+    * kernel (one pass over the vector for all bits); the interpreted
+    * equivalent is `sign(dSum(zip_with(v, seq, x*w)))` per bit —
+    * ExpressionSpec asserts their equality. */
   def hyperplaneBucket(v: Column, bits: Int = 8): Column =
+    graft.functions.HyperplaneBits.hyperplane_bits(v, bits)
+
+  /** The interpreted construction hyperplaneBucket compiles: one
+    * higher-order fold per bit. Kept as the spec reference. */
+  def hyperplaneBucketInterpreted(v: Column, bits: Int = 8): Column =
     (0 until bits).map { b =>
-      val dot = decSum(
+      val dot = dSum(
         zip_with(v, sequence(lit(1), size(v)),
           (x, i) => x * ((i * 31 + b * 17) % 7 - 3).cast("double")))
-      when(dot.cast("double") >= 0.0, lit(1L << b)).otherwise(lit(0L))
+      when(dot >= 0.0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Lloyd/k-means training for IVF centroids. Seeded with the first k
@@ -140,15 +150,15 @@ object Similarity {
 
     // ---- Hyperplane-LSH bucketing (exact, engine-independent) -------------
     QDef.sql("sim_lsh_buckets",
-      """WITH ex AS (
-        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
         |), bits AS (
         |  SELECT vec_id, b,
-        |    CASE WHEN CAST(SUM(CAST(x * ((i*31 + b*17) % 7 - 3) AS DECIMAL(28,12))) AS DOUBLE) >= 0
+        |    CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+        |        i -> v[i] * ((i*31 + b*17) % 7 - 3)), (x, y) -> x + y) >= 0
         |         THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitv
-        |  FROM ex, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) h
-        |  GROUP BY vec_id, b
+        |  FROM v, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) h
         |)
         |SELECT vec_id, CAST(SUM(bitv) AS BIGINT) AS bucket
         |FROM bits GROUP BY vec_id""") { (s, dir) =>
@@ -167,15 +177,12 @@ object Similarity {
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
-        |), ex AS (
-        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
         |), bits AS (
         |  SELECT vec_id, b,
-        |    CASE WHEN CAST(SUM(CAST(x * ((i*31 + b*17) % 7 - 3) AS DECIMAL(28,12))) AS DOUBLE) >= 0
+        |    CASE WHEN list_reduce(list_transform(generate_series(1, len(v)),
+        |        i -> v[i] * ((i*31 + b*17) % 7 - 3)), (x, y) -> x + y) >= 0
         |         THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitv
-        |  FROM ex, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) h
-        |  GROUP BY vec_id, b
+        |  FROM v, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) h
         |), buckets AS (
         |  SELECT vec_id, CAST(SUM(bitv) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
         |), scored AS (

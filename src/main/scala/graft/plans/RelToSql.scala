@@ -1,0 +1,379 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Relational-plan → SQL-text converter with a pluggable dialect — the
+  * Spark-side analogue of the reference's JDBC pushback machinery
+  * (reference: core/src/main/java/org/apache/calcite/rel/rel2sql/RelToSqlConverter.java:103,
+  * SqlImplementor.java:102, per-database dialects under sql/dialect/, wired
+  * into the JDBC adapter by adapter/jdbc/JdbcRules.java — an entire RelNode
+  * tree is re-rendered as SQL text and shipped to the foreign database).
+  *
+  * Our engine's "foreign database" integration point is the same: convert
+  * an analyzed Catalyst LogicalPlan back to portable SQL. The converter is
+  * deliberately partial — exactly like the reference, where a JdbcRule that
+  * cannot express a node leaves it on the local engine, an unsupported
+  * node/expression here throws and the caller keeps the plan in Spark.
+  *
+  * Scale note: pushing a whole plan to the system that stores the data is
+  * the ultimate shuffle eliminator — the query ships, not the 100 TB. The
+  * correctness gate exercises this for real: `rel2sql_roundtrip` executes
+  * the generated ANSI text on BOTH engines (Spark re-parses it; the DuckDB
+  * oracle runs the identical string) and the results must hash-match.
+  */
+object RelToSql {
+
+  /** Rendering knobs that differ across target databases — the tiny core
+    * of the reference's ~20 dialect classes under `sql/dialect/`. */
+  trait Dialect {
+    def name: String
+    /** Identifier quoting. */
+    def quote(id: String): String
+    /** SQL type name for CAST targets. */
+    def typeName(dt: DataType): String = dt match {
+      case BooleanType => "BOOLEAN"
+      case ByteType => "TINYINT"
+      case ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "REAL"
+      case DoubleType => "DOUBLE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case StringType => "VARCHAR"
+      case DateType => "DATE"
+      case TimestampNTZType => "TIMESTAMP"
+      case other => throw unsupported(s"cast target ${other.simpleString}")
+    }
+    /** LIMIT/OFFSET clause (dialects disagree here more than anywhere). */
+    def limitClause(limit: Option[Long], offset: Option[Long]): String =
+      (limit, offset) match {
+        case (Some(l), Some(o)) => s" LIMIT $l OFFSET $o"
+        case (Some(l), None) => s" LIMIT $l"
+        case (None, Some(o)) => s" OFFSET $o"
+        case _ => ""
+      }
+    /** String concatenation of two rendered operands. */
+    def concat(a: String, b: String): String = s"($a || $b)"
+  }
+
+  /** ANSI/portable rendering — also valid DuckDB and PostgreSQL. */
+  object Ansi extends Dialect {
+    val name = "ansi"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+  }
+
+  /** Spark SQL rendering — backtick identifiers (Spark treats double
+    * quotes as string literals unless ANSI double-quoted identifiers are
+    * enabled) and Spark's own type keywords. This is the dialect that makes
+    * the converter round-trippable through `spark.sql` itself (reference:
+    * the Spark adapter sql/dialect/SparkSqlDialect.java plays this role). */
+  object Spark extends Dialect {
+    val name = "spark"
+    def quote(id: String): String = "`" + id.replace("`", "``") + "`"
+    override def typeName(dt: DataType): String = dt match {
+      case StringType => "STRING"
+      case TimestampNTZType => "TIMESTAMP_NTZ"
+      case other => super.typeName(other)
+    }
+  }
+
+  /** MySQL-flavored rendering (reference: sql/dialect/MysqlSqlDialect.java —
+    * backtick quoting, CONCAT function, no "double-quote = identifier"). */
+  object MySql extends Dialect {
+    val name = "mysql"
+    def quote(id: String): String = "`" + id.replace("`", "``") + "`"
+    override def concat(a: String, b: String): String = s"CONCAT($a, $b)"
+    override def typeName(dt: DataType): String = dt match {
+      case StringType => "CHAR"
+      case LongType => "SIGNED"
+      case IntegerType => "SIGNED"
+      case other => super.typeName(other)
+    }
+  }
+
+  private def unsupported(what: String) =
+    new UnsupportedOperationException(s"rel2sql: unsupported $what")
+
+  /** Convert a DataFrame's analyzed plan to SQL text in the dialect. */
+  def convert(df: DataFrame, dialect: Dialect = Ansi): String =
+    new Conversion(dialect).top(df.queryExecution.analyzed)
+
+  /** One conversion = one global attribute-name scope: every ExprId gets a
+    * unique SQL alias (first claimant keeps the bare name; later same-named
+    * attributes get a `_<exprId>` suffix), so join sides never collide and
+    * no reference needs qualification. */
+  private final class Conversion(d: Dialect) {
+    private val names = mutable.Map.empty[ExprId, String]
+    private val taken = mutable.Set.empty[String]
+    private var subquery = 0
+
+    private def alias(): String = { subquery += 1; s"t$subquery" }
+
+    private def nameOf(a: Attribute): String =
+      names.getOrElseUpdate(a.exprId, {
+        // collision suffixes count up per base name (_2, _3, ...) so the
+        // rendered text is deterministic across sessions — ExprId values
+        // are session-global counters and must never leak into output
+        val base =
+          if (!taken.contains(a.name)) a.name
+          else Iterator.from(2).map(k => s"${a.name}_$k")
+            .find(n => !taken.contains(n)).get
+        taken += base
+        base
+      })
+
+    /** Top level: render the plan, then restore the user-visible output
+      * column names (the internal scope may have suffixed duplicates). */
+    def top(plan: LogicalPlan): String = {
+      val body = query(plan)
+      val out = plan.output
+      val needsRename = out.exists(a => nameOf(a) != a.name)
+      if (!needsRename) body
+      else {
+        val cols = out.map(a => s"${d.quote(nameOf(a))} AS ${d.quote(a.name)}")
+          .mkString(", ")
+        s"SELECT $cols FROM ($body) ${alias()}"
+      }
+    }
+
+    private def from(child: LogicalPlan): String = s"(${query(child)}) ${alias()}"
+
+    private def selectAll(child: LogicalPlan, suffix: String): String =
+      s"SELECT * FROM ${from(child)}$suffix"
+
+    /** Render a plan as a complete SELECT query. */
+    def query(plan: LogicalPlan): String = plan match {
+      case SubqueryAlias(_, child) => query(child)
+
+      case lr: LogicalRelation =>
+        val table = lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val path = fs.location.rootPaths.headOption
+              .getOrElse(throw unsupported("pathless relation")).getName
+            path.stripSuffix(".parquet").stripSuffix(".orc").stripSuffix(".csv")
+          case other => throw unsupported(s"relation ${other.getClass.getSimpleName}")
+        }
+        val cols = lr.output
+          .map(a => s"${d.quote(a.name)} AS ${d.quote(nameOf(a))}").mkString(", ")
+        s"SELECT $cols FROM ${d.quote(table)}"
+
+      case Project(list, child) =>
+        val cols = list.map(ne => namedExpr(ne)).mkString(", ")
+        s"SELECT $cols FROM ${from(child)}"
+
+      case Filter(cond, child) =>
+        s"SELECT * FROM ${from(child)} WHERE ${expr(cond)}"
+
+      case Aggregate(grouping, aggs, child, _) =>
+        val cols = aggs.map(ne => namedExpr(ne)).mkString(", ")
+        val g = if (grouping.isEmpty) ""
+                else " GROUP BY " + grouping.map(expr).mkString(", ")
+        s"SELECT $cols FROM ${from(child)}$g"
+
+      case Sort(order, true, child, _) =>
+        val o = order.map(sortOrder).mkString(", ")
+        selectAll(child, s" ORDER BY $o")
+
+      case GlobalLimit(IntegerLiteral(n), LocalLimit(IntegerLiteral(_), child)) =>
+        child match {
+          // ORDER BY + LIMIT must stay in ONE query block (a subquery
+          // would let the outer block drop the inner ordering)
+          case Sort(order, true, grand, _) =>
+            val o = order.map(sortOrder).mkString(", ")
+            selectAll(grand, s" ORDER BY $o${d.limitClause(Some(n.toLong), None)}")
+          case Offset(IntegerLiteral(off), Sort(order, true, grand, _)) =>
+            val o = order.map(sortOrder).mkString(", ")
+            selectAll(grand,
+              s" ORDER BY $o${d.limitClause(Some(n.toLong), Some(off.toLong))}")
+          case _ => selectAll(child, d.limitClause(Some(n.toLong), None))
+        }
+
+      case Offset(IntegerLiteral(n), child) =>
+        child match {
+          case Sort(order, true, grand, _) =>
+            val o = order.map(sortOrder).mkString(", ")
+            selectAll(grand, s" ORDER BY $o${d.limitClause(None, Some(n.toLong))}")
+          case _ => selectAll(child, d.limitClause(None, Some(n.toLong)))
+        }
+
+      case Distinct(child) =>
+        s"SELECT DISTINCT * FROM ${from(child)}"
+
+      // df.distinct() analyzes to Deduplicate over the full output
+      case Deduplicate(keys, child) if keys.map(_.exprId).toSet ==
+          child.output.map(_.exprId).toSet =>
+        s"SELECT DISTINCT * FROM ${from(child)}"
+
+      case u: Union =>
+        setOp(u.children, u.output, "UNION ALL")
+
+      case Intersect(l, r, isAll) =>
+        setOp(Seq(l, r), plan.output, if (isAll) "INTERSECT ALL" else "INTERSECT")
+
+      case Except(l, r, isAll) =>
+        setOp(Seq(l, r), plan.output, if (isAll) "EXCEPT ALL" else "EXCEPT")
+
+      case Join(left, right, LeftSemi, cond, _) =>
+        existsJoin(left, right, cond, negated = false)
+      case Join(left, right, LeftAnti, cond, _) =>
+        existsJoin(left, right, cond, negated = true)
+
+      case Join(left, right, jt, cond, _) =>
+        val kw = jt match {
+          case Inner => if (cond.isEmpty) "CROSS JOIN" else "INNER JOIN"
+          case LeftOuter => "LEFT JOIN"
+          case RightOuter => "RIGHT JOIN"
+          case FullOuter => "FULL JOIN"
+          case Cross => "CROSS JOIN"
+          case other => throw unsupported(s"join type $other")
+        }
+        val cols = plan.output.map(a => d.quote(nameOf(a))).mkString(", ")
+        val on = cond.map(c => s" ON ${expr(c)}").getOrElse(
+          if (kw == "CROSS JOIN") "" else " ON TRUE")
+        s"SELECT $cols FROM ${from(left)} $kw ${from(right)}$on"
+
+      case other => throw unsupported(s"plan node ${other.nodeName}")
+    }
+
+    /** Semi/anti join → EXISTS / NOT EXISTS (the reference renders semi
+      * joins the same way for dialects without semi-join syntax). */
+    private def existsJoin(left: LogicalPlan, right: LogicalPlan,
+        cond: Option[Expression], negated: Boolean): String = {
+      val cols = left.output.map(a => d.quote(nameOf(a))).mkString(", ")
+      val where = cond.map(c => s" WHERE ${expr(c)}").getOrElse("")
+      val not = if (negated) "NOT " else ""
+      s"SELECT $cols FROM ${from(left)} WHERE ${not}EXISTS " +
+        s"(SELECT 1 FROM ${from(right)}$where)"
+    }
+
+    /** Set ops rename each side's outputs to the op's output names by
+      * position, so the combined block exposes one stable column set. */
+    private def setOp(children: Seq[LogicalPlan], out: Seq[Attribute],
+        op: String): String = {
+      val outNames = out.map(nameOf)
+      children.map { c =>
+        val cols = c.output.zip(outNames)
+          .map { case (a, n) => s"${d.quote(nameOf(a))} AS ${d.quote(n)}" }
+          .mkString(", ")
+        s"SELECT $cols FROM ${from(c)}"
+      }.mkString(s" $op ")
+    }
+
+    private def namedExpr(ne: NamedExpression): String = ne match {
+      case a: Attribute => d.quote(nameOf(a))
+      case Alias(child, _) =>
+        // claim the alias's global name through its own exprId
+        val n = nameOf(ne.toAttribute)
+        s"${expr(child)} AS ${d.quote(n)}"
+      case other => throw unsupported(s"named expression ${other.nodeName}")
+    }
+
+    private def sortOrder(o: SortOrder): String = {
+      val dir = o.direction match {
+        case Ascending => "ASC"; case Descending => "DESC"
+      }
+      val nulls = o.nullOrdering match {
+        case NullsFirst => " NULLS FIRST"; case NullsLast => " NULLS LAST"
+      }
+      s"${expr(o.child)} $dir$nulls"
+    }
+
+    private def literal(v: Any, dt: DataType): String = (v, dt) match {
+      case (null, _) => "NULL"
+      case (b: Boolean, BooleanType) => if (b) "TRUE" else "FALSE"
+      case (n, ByteType | ShortType | IntegerType | LongType) => n.toString
+      case (x: Double, DoubleType) =>
+        // E-notation keeps the literal DOUBLE-typed in every dialect
+        // (a bare decimal point parses as DECIMAL in DuckDB)
+        val s = x.toString
+        if (s.contains("E") || s.contains("e")) s else s + "E0"
+      case (x: Float, FloatType) => s"CAST(${x.toDouble} AS REAL)"
+      case (x: Decimal, t: DecimalType) =>
+        s"CAST(${x.toJavaBigDecimal.toPlainString} AS ${d.typeName(t)})"
+      case (s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        "'" + s.toString.replace("'", "''") + "'"
+      case (days: Integer, DateType) =>
+        s"DATE '${DateTimeUtils.daysToLocalDate(days)}'"
+      case (micros: java.lang.Long, TimestampNTZType) =>
+        s"TIMESTAMP '${DateTimeUtils.microsToLocalDateTime(micros)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))}'"
+      case (other, t) => throw unsupported(s"literal $other: ${t.simpleString}")
+    }
+
+    def expr(e: Expression): String = e match {
+      case a: Attribute => d.quote(nameOf(a))
+      case Literal(v, dt) => literal(v, dt)
+      case Cast(child, dt, _, _) => s"CAST(${expr(child)} AS ${d.typeName(dt)})"
+
+      case Add(l, r, _) => s"(${expr(l)} + ${expr(r)})"
+      case Subtract(l, r, _) => s"(${expr(l)} - ${expr(r)})"
+      case Multiply(l, r, _) => s"(${expr(l)} * ${expr(r)})"
+      case Divide(l, r, _) => s"(${expr(l)} / ${expr(r)})"
+      case Remainder(l, r, _) => s"(${expr(l)} % ${expr(r)})"
+      case UnaryMinus(c, _) => s"(- ${expr(c)})"
+
+      case EqualTo(l, r) => s"(${expr(l)} = ${expr(r)})"
+      case LessThan(l, r) => s"(${expr(l)} < ${expr(r)})"
+      case LessThanOrEqual(l, r) => s"(${expr(l)} <= ${expr(r)})"
+      case GreaterThan(l, r) => s"(${expr(l)} > ${expr(r)})"
+      case GreaterThanOrEqual(l, r) => s"(${expr(l)} >= ${expr(r)})"
+      case Not(EqualTo(l, r)) => s"(${expr(l)} <> ${expr(r)})"
+      case And(l, r) => s"(${expr(l)} AND ${expr(r)})"
+      case Or(l, r) => s"(${expr(l)} OR ${expr(r)})"
+      case Not(c) => s"(NOT ${expr(c)})"
+      case IsNull(c) => s"(${expr(c)} IS NULL)"
+      case IsNotNull(c) => s"(${expr(c)} IS NOT NULL)"
+      case In(v, list) =>
+        s"(${expr(v)} IN (${list.map(expr).mkString(", ")}))"
+      case l: Like => s"(${expr(l.left)} LIKE ${expr(l.right)})"
+
+      case CaseWhen(branches, elseValue) =>
+        val whens = branches
+          .map { case (c, v) => s"WHEN ${expr(c)} THEN ${expr(v)}" }
+          .mkString(" ")
+        val els = elseValue.map(v => s" ELSE ${expr(v)}").getOrElse("")
+        s"(CASE $whens$els END)"
+      case If(p, t, f) =>
+        s"(CASE WHEN ${expr(p)} THEN ${expr(t)} ELSE ${expr(f)} END)"
+      case Coalesce(children) =>
+        s"COALESCE(${children.map(expr).mkString(", ")})"
+
+      case Upper(c) => s"UPPER(${expr(c)})"
+      case Lower(c) => s"LOWER(${expr(c)})"
+      case Length(c) => s"LENGTH(${expr(c)})"
+      case Substring(s, p, l) =>
+        s"SUBSTRING(${expr(s)}, ${expr(p)}, ${expr(l)})"
+      case Concat(children) if children.size == 2 =>
+        d.concat(expr(children.head), expr(children(1)))
+      case Abs(c, _) => s"ABS(${expr(c)})"
+
+      case ae: AggregateExpression => aggExpr(ae)
+
+      case other => throw unsupported(s"expression ${other.nodeName}")
+    }
+
+    private def aggExpr(ae: AggregateExpression): String = {
+      val distinct = if (ae.isDistinct) "DISTINCT " else ""
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(1, _))) if !ae.isDistinct => "COUNT(*)"
+        case Count(children) =>
+          s"COUNT($distinct${children.map(expr).mkString(", ")})"
+        case Sum(c, _) => s"SUM($distinct${expr(c)})"
+        case Min(c) => s"MIN(${expr(c)})"
+        case Max(c) => s"MAX(${expr(c)})"
+        case Average(c, _) => s"AVG($distinct${expr(c)})"
+        case other => throw unsupported(s"aggregate ${other.prettyName}")
+      }
+    }
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench consumer keeps only the last ~2000 chars of stdout; the
+  * stdout JSON line must always fit inside that window completely (plus
+  * room for the build tool's trailing status lines). These are static
+  * worst-case guarantees, no SparkSession needed.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  test("every headline name exists in the registry, exactly once") {
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.distinct.size == names.size)
+    val missing = Bench.headline.filterNot(names.contains)
+    assert(missing.isEmpty, s"headline names not in registry: $missing")
+    assert(Bench.headline.distinct.size == Bench.headline.size)
+  }
+
+  test("stdout line stays under 1800 chars at worst-case timings") {
+    // Worst case: every registry query present, every headline timing at
+    // four integer digits (9999.999 s — far beyond any plausible run).
+    val results = SparkEntry.allDefs.map(d => d.name -> 9999.999)
+    val line = Bench.renderLine(9999.999, results, "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"stdout bench line too long: ${line.length}")
+    assert(line.startsWith("""{"metric":"total""""))
+    assert(line.endsWith("""}"""))
+  }
+}

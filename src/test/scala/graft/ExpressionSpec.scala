@@ -85,4 +85,50 @@ class ExpressionSpec extends AnyFunSuite {
       assert(got2.getBoolean(0) == wantAny && got2.getBoolean(1) == wantProper)
     }
   }
+
+  test("hyperplane_bits equals the interpreted per-bit fold on real vectors") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val both = e.select(
+      graft.functions.HyperplaneBits.hyperplane_bits(col("v")).as("cg"),
+      Similarity.hyperplaneBucketInterpreted(col("v")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)),
+      "codegen hyperplane bucket diverges from the interpreted per-bit fold")
+  }
+
+  test("hyperplane_bits: codegen == interpreted eval, null and empty inputs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Some(Seq(0.5, -1.25, 2.0, 0.0, 3.5)),
+      Some(Seq.empty[Double]),
+      Option.empty[Seq[Double]]).toDF("v")
+    def run(): Array[org.apache.spark.sql.Row] =
+      df.select(graft.functions.HyperplaneBits.hyperplane_bits(col("v"))).collect()
+    val cg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(cg.toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))) ==
+      interp.toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))))
+    // empty vector: every plane folds to 0.0, every bit set
+    assert(cg(1).getLong(0) == 0xFFL)
+    assert(cg(2).isNullAt(0))
+  }
+
+  test("hyperplane_bits projection runs inside WholeStageCodegen") {
+    // v is referenced twice, so CollapseProject keeps the interpreted
+    // transform() in its own projection below — the hyperplane_bits
+    // projection itself must land inside a WholeStageCodegen span
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .select(graft.functions.HyperplaneBits.hyperplane_bits(col("v")).as("hb"),
+        size(col("v")).as("n"))
+    val plan = e.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("hyperplane_bits")).getOrElse("")
+    assert(line.trim.startsWith("*"), s"hyperplane_bits not codegen'd:\n$plan")
+    assert(e.collect().nonEmpty)
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.plans.{RelToSql, RelToSqlDemo, RelToSqlPinned}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** rel2sql: plan → dialect SQL → re-execute → same result. Mirrors the
+  * reference's RelToSqlConverter tests (rel/rel2sql/RelToSqlConverterTest
+  * golden strings + re-parse round trips). */
+class RelToSqlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def roundTrip(df: DataFrame): Unit = {
+    Tables.registerAll(spark, sfDir)
+    val sql = RelToSql.convert(df, RelToSql.Spark)
+    val direct = df.collect().map(_.toString).sorted
+    val rerun = spark.sql(sql).collect().map(_.toString).sorted
+    assert(direct.nonEmpty, "round-trip fixture query returned no rows")
+    assert(direct.toSeq == rerun.toSeq, s"round trip diverged for:\n$sql")
+  }
+
+  test("pinned renderings match the live converter (oracle sync guard)") {
+    val plan = RelToSqlDemo.demoPlan(spark, sfDir)
+    assert(RelToSql.convert(plan, RelToSql.Ansi) == RelToSqlPinned.ansi)
+    assert(RelToSql.convert(plan, RelToSql.Spark) == RelToSqlPinned.spark)
+  }
+
+  test("demo plan round-trips through its Spark rendering") {
+    roundTrip(RelToSqlDemo.demoPlan(spark, sfDir))
+  }
+
+  test("scalar expressions round-trip: CASE, IN, LIKE, concat, substring") {
+    val c = Tables.t(spark, sfDir, "customer")
+    roundTrip(c.select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg"),
+      when(col("c_acctbal") > 0.0, lit("pos")).otherwise(lit("neg")).as("sign"),
+      concat(col("c_name"), lit("!")).as("bang"),
+      substring(col("c_name"), 1, 8).as("pfx"),
+      length(col("c_name")).as("len"))
+      .where(col("c_mktsegment").isin("MACHINERY", "HOUSEHOLD", "BUILDING") &&
+        col("c_name").like("%1%")))
+  }
+
+  test("semi and anti joins render as EXISTS / NOT EXISTS and round-trip") {
+    val c = Tables.t(spark, sfDir, "customer")
+    val o = Tables.t(spark, sfDir, "orders")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+    // restrict the right side so the anti join is non-empty at sf0.001
+    val oSmall = o.where(col("o_custkey") < 50)
+    val anti = c.join(oSmall, c("c_custkey") === oSmall("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+    val semiSql = RelToSql.convert(semi, RelToSql.Spark)
+    assert(semiSql.contains("WHERE EXISTS"))
+    assert(RelToSql.convert(anti, RelToSql.Spark).contains("WHERE NOT EXISTS"))
+    roundTrip(semi)
+    roundTrip(anti)
+  }
+
+  test("outer join, set ops, distinct, sort+limit round-trip") {
+    val n = Tables.t(spark, sfDir, "nation")
+    val r = Tables.t(spark, sfDir, "region")
+    roundTrip(n.join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .select(col("n_name"), col("r_name")))
+    val a = n.select(col("n_nationkey").as("k"))
+    val b = n.where(col("n_regionkey") === 0).select(col("n_nationkey").as("k"))
+    roundTrip(a.union(b))
+    roundTrip(a.intersect(b))
+    roundTrip(a.except(b))
+    roundTrip(a.union(b).distinct())
+    roundTrip(n.orderBy(col("n_name").desc).limit(5))
+    roundTrip(n.orderBy(col("n_name")).offset(3).limit(4))
+  }
+
+  test("self-join disambiguates the duplicated column names") {
+    val n1 = Tables.t(spark, sfDir, "nation")
+    val n2 = Tables.t(spark, sfDir, "nation")
+    val df = n1.join(n2, n1("n_regionkey") === n2("n_regionkey") &&
+        n1("n_nationkey") < n2("n_nationkey"))
+      .select(n1("n_name"), n2("n_name"))
+    val sql = RelToSql.convert(df, RelToSql.Spark)
+    // the second n_name must have been suffixed inside the query body
+    assert(sql.contains("n_name_2"))
+    roundTrip(df)
+  }
+
+  test("MySQL dialect: backticks and CONCAT()") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(concat(col("c_name"), lit("x")).as("n"))
+    val sql = RelToSql.convert(c, RelToSql.MySql)
+    assert(sql.contains("`c_name`"))
+    assert(sql.contains("CONCAT("))
+    assert(!sql.contains("||"))
+  }
+
+  test("unsupported nodes are rejected, not mistranslated") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val e = intercept[UnsupportedOperationException] {
+      RelToSql.convert(docs, RelToSql.Ansi)
+    }
+    assert(e.getMessage.contains("rel2sql"))
+  }
+}

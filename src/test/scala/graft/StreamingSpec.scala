@@ -219,4 +219,40 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == want)
   }
+
+  test("SELECT STREAM windowed agg equals the batch run of the same text") {
+    val body = """SELECT window.start AS w_start, event_type,
+                 |  count(*) AS n
+                 |FROM events GROUP BY window(ts, '1 hour'), event_type""".stripMargin
+    val streamed = Engine.sqlStream(spark, sfDir, "SELECT STREAM " + body.stripPrefix("SELECT "))
+    assert(streamed.isStreaming)
+    val got = runToCompletion(streamed, "t_sel_stream", OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = Engine.sql(spark, sfDir, body)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("SELECT STREAM joins a batch dimension (stream-table join)") {
+    val streamed = Engine.sql(spark, sfDir,
+      """SELECT STREAM e.event_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)
+    assert(streamed.isStreaming)
+    val got = runToCompletion(streamed, "t_sel_stream_join", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Engine.sql(spark, sfDir,
+      """SELECT e.event_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("SELECT STREAM over a non-streamable table is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Engine.sqlStream(spark, sfDir, "SELECT STREAM c_custkey FROM customer")
+    }
+    assert(e.getMessage.contains("streamable"))
+    // and the batch view is restored afterwards
+    assert(!Engine.sql(spark, sfDir, "SELECT * FROM events LIMIT 1").isStreaming)
+  }
 }

@@ -8,9 +8,12 @@ import graft.QDef
   * scope, so these carry the queries' distinctive STRUCTURES onto the
   * fixture star schema: category-average deviation via windowed
   * re-aggregation (q53/q63), multi-period INTERSECT of customer sets
-  * (q38/q87), multi-channel UNION ALL re-aggregation (q33/q56), and an
-  * order-count band with join-back (q34/q73). Dialect-shared SQL; each
-  * doubles as its own DuckDB oracle.
+  * (q38/q87), multi-channel UNION ALL re-aggregation (q33/q56), an
+  * order-count band with join-back (q34/q73), ROLLUP + GROUPING-level
+  * rank (q36), one-scan FILTERed slice counts (q88), LAG year-over-year
+  * growth (q75), YoY two-channel ratio self-join (q11/q74), per-group
+  * top-k over ROLLUP (q67), and FULL OUTER JOIN of cumulative series
+  * (q51). Dialect-shared SQL; each doubles as its own DuckDB oracle.
   */
 object Tpcds {
   val defs: Seq[QDef] = Seq(
@@ -143,6 +146,85 @@ object Tpcds {
         |    lag(sales) OVER (PARTITION BY p_brand ORDER BY yr) AS prev_sales
         |  FROM s
         |) g
-        |ORDER BY p_brand, yr""")
+        |ORDER BY p_brand, yr"""),
+
+    // q11/q74 shape — customers whose "priority channel" spend grew
+    // faster year-over-year than their "standard channel" spend: two
+    // per-(customer, year) channel aggregates, the years self-joined, the
+    // growth ratios compared. The ratio comparison is cross-multiplied
+    // (b.hi/a.hi > b.lo/a.lo ⇔ b.hi*a.lo > b.lo*a.hi for positive
+    // denominators) so no engine ever divides — products of identical
+    // doubles are bit-exact on both sides.
+    QDef.common("tpcds_s_yoyratio",
+      """WITH t AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN CAST(o_totalprice AS DECIMAL(28,4))
+        |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS hi,
+        |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN CAST(0 AS DECIMAL(28,4))
+        |      ELSE CAST(o_totalprice AS DECIMAL(28,4)) END) AS DOUBLE) AS lo
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
+        |)
+        |SELECT a.o_custkey AS c_key, a.hi AS hi96, b.hi AS hi97,
+        |  a.lo AS lo96, b.lo AS lo97
+        |FROM t a JOIN t b ON a.o_custkey = b.o_custkey
+        |WHERE a.yr = 1996 AND b.yr = 1997
+        |  AND a.hi > 0 AND a.lo > 0
+        |  AND b.hi * a.lo > b.lo * a.hi
+        |ORDER BY c_key"""),
+
+    // q67 shape — ROLLUP over (brand, year) then rank() partitioned by
+    // brand, keeping each brand's top-3 slices. Null ordering is pinned
+    // explicitly: DuckDB defaults NULLS LAST on ASC, Spark NULLS FIRST.
+    QDef.common("tpcds_s_rolluptopk",
+      """WITH s AS (
+        |  SELECT p_brand, CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem, orders, part
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        |  GROUP BY ROLLUP(p_brand, CAST(year(o_orderdate) AS INT))
+        |)
+        |SELECT p_brand, yr, qty, rk FROM (
+        |  SELECT p_brand, yr, qty,
+        |    rank() OVER (PARTITION BY p_brand
+        |                 ORDER BY qty DESC, yr ASC NULLS FIRST) AS rk
+        |  FROM s WHERE p_brand IS NOT NULL
+        |) ranked
+        |WHERE rk <= 3
+        |ORDER BY p_brand, rk, yr ASC NULLS FIRST"""),
+
+    // q51 shape — two channels' daily revenue series FULL OUTER JOINed on
+    // the day, then cumulative sums over the combined axis compared. The
+    // running sums accumulate decimals over a unique ROWS frame, so both
+    // engines produce identical prefixes.
+    QDef.common("tpcds_s_cumcompare",
+      """WITH d AS (
+        |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+        |  FROM orders, customer
+        |  WHERE o_custkey = c_custkey
+        |    AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  GROUP BY c_mktsegment, CAST(o_orderdate AS DATE)
+        |), j AS (
+        |  SELECT COALESCE(a.day, b.day) AS day, a.rev AS arev, b.rev AS brev
+        |  FROM (SELECT day, rev FROM d WHERE seg = 'BUILDING') a
+        |  FULL JOIN (SELECT day, rev FROM d WHERE seg = 'MACHINERY') b
+        |    ON a.day = b.day
+        |)
+        |SELECT day, cum_a, cum_b FROM (
+        |  SELECT day,
+        |    CAST(SUM(CAST(COALESCE(arev, 0.0) AS DECIMAL(28,4))) OVER w AS DOUBLE) AS cum_a,
+        |    CAST(SUM(CAST(COALESCE(brev, 0.0) AS DECIMAL(28,4))) OVER w AS DOUBLE) AS cum_b
+        |  FROM j
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |) c
+        |WHERE cum_a > cum_b
+        |ORDER BY day""")
   )
 }

@@ -47,4 +47,17 @@ class EngineSpec extends AnyFunSuite {
       assert(n >= 0)
     }
   }
+
+  test("context functions answer through the SQL entry (SURVEY §2.4)") {
+    // reference: sql/fun/SqlStdOperatorTable.java:1783-1831 — USER,
+    // CURRENT_USER, SESSION_USER, CURRENT_CATALOG/SCHEMA. Values are
+    // session-environment-dependent, so this is behavioral, not oracled.
+    val row = Engine.sql(spark, sfDir,
+      """SELECT current_user() AS u, session_user() AS su,
+        |current_catalog() AS cat, current_schema() AS sch,
+        |current_date() AS d""".stripMargin).head()
+    assert(row.getString(0) != null && row.getString(0) == row.getString(1))
+    assert(row.getString(2).nonEmpty && row.getString(3).nonEmpty)
+    assert(!row.isNullAt(4))
+  }
 }

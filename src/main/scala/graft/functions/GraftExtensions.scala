@@ -29,7 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_bits"),
       new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
       (exprs: Seq[Expression]) => HyperplaneBits(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int])))
+        exprs(1).eval(null) match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_bits(v, bits): bits must be an integer literal, got $other")
+        })))
     // SQL-syntax MATCH_RECOGNIZE front end (restricted grammar) — every
     // other statement passes through to Spark's parser untouched.
     e.injectParser((session, delegate) =>

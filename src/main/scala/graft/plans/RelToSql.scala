@@ -222,6 +222,13 @@ object RelToSql {
       case Except(l, r, isAll) =>
         setOp(Seq(l, r), plan.output, if (isAll) "EXCEPT ALL" else "EXCEPT")
 
+      // window functions: child's columns pass through, each window
+      // expression becomes an OVER clause in the same SELECT block
+      case w: Window =>
+        val childCols = w.child.output.map(a => d.quote(nameOf(a)))
+        val winCols = w.windowExpressions.map(ne => namedExpr(ne))
+        s"SELECT ${(childCols ++ winCols).mkString(", ")} FROM ${from(w.child)}"
+
       case Join(left, right, LeftSemi, cond, _) =>
         existsJoin(left, right, cond, negated = false)
       case Join(left, right, LeftAnti, cond, _) =>
@@ -359,7 +366,54 @@ object RelToSql {
 
       case ae: AggregateExpression => aggExpr(ae)
 
+      case WindowExpression(fn, spec) => windowExpr(fn, spec)
+
       case other => throw unsupported(s"expression ${other.nodeName}")
+    }
+
+    /** OVER-clause rendering. Ranking and offset functions must NOT carry
+      * an explicit frame (both engines reject or ignore it); aggregate
+      * window functions render their analyzed frame verbatim. */
+    private def windowExpr(fn: Expression, spec: WindowSpecDefinition): String = {
+      val (fnSql, withFrame) = fn match {
+        case ae: AggregateExpression => (aggExpr(ae), true)
+        case _: RowNumber => ("ROW_NUMBER()", false)
+        case _: Rank => ("RANK()", false)
+        case _: DenseRank => ("DENSE_RANK()", false)
+        case _: PercentRank => ("PERCENT_RANK()", false)
+        case _: CumeDist => ("CUME_DIST()", false)
+        case NTile(n) => (s"NTILE(${expr(n)})", false)
+        case Lead(in, off, dflt, false) =>
+          (s"LEAD(${expr(in)}, ${expr(off)}, ${expr(dflt)})", false)
+        case Lag(in, off, dflt, false) =>
+          (s"LAG(${expr(in)}, ${expr(off)}, ${expr(dflt)})", false)
+        case other => throw unsupported(s"window function ${other.nodeName}")
+      }
+      val part =
+        if (spec.partitionSpec.isEmpty) Nil
+        else Seq("PARTITION BY " + spec.partitionSpec.map(expr).mkString(", "))
+      val ord =
+        if (spec.orderSpec.isEmpty) Nil
+        else Seq("ORDER BY " + spec.orderSpec.map(sortOrder).mkString(", "))
+      val frame = spec.frameSpecification match {
+        case SpecifiedWindowFrame(ft, lower, upper) if withFrame =>
+          val kw = ft match { case RowFrame => "ROWS"; case RangeFrame => "RANGE" }
+          Seq(s"$kw BETWEEN ${frameBound(lower, isLower = true)} " +
+            s"AND ${frameBound(upper, isLower = false)}")
+        case _ => Nil
+      }
+      s"$fnSql OVER (${(part ++ ord ++ frame).mkString(" ")})"
+    }
+
+    private def frameBound(b: Expression, isLower: Boolean): String = b match {
+      case UnboundedPreceding => "UNBOUNDED PRECEDING"
+      case UnboundedFollowing => "UNBOUNDED FOLLOWING"
+      case CurrentRow => "CURRENT ROW"
+      case Literal(n: Integer, _) if n < 0 => s"${-n.intValue()} PRECEDING"
+      case Literal(n: Integer, _) if n > 0 => s"$n FOLLOWING"
+      case Literal(n: java.lang.Long, _) if n < 0 => s"${-n.longValue()} PRECEDING"
+      case Literal(n: java.lang.Long, _) if n > 0 => s"$n FOLLOWING"
+      case other => throw unsupported(s"frame bound $other")
     }
 
     private def aggExpr(ae: AggregateExpression): String = {

@@ -86,6 +86,24 @@ class RelToSqlSpec extends AnyFunSuite {
     roundTrip(df)
   }
 
+  test("window functions round-trip: rank, row_number, lag, framed sum") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.t(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    roundTrip(o.select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).as("rk"),
+      row_number().over(w).as("rn"),
+      lag(col("o_totalprice"), 1, 0.0).over(w).as("prev_price"),
+      sum(col("o_orderkey")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("cum_key")))
+    // sliding frame with numeric bounds
+    roundTrip(o.select(col("o_custkey"), col("o_orderkey"),
+      sum(col("o_orderkey")).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(-2, 1)).as("near_sum")))
+  }
+
   test("MySQL dialect: backticks and CONCAT()") {
     val c = Tables.t(spark, sfDir, "customer")
       .select(concat(col("c_name"), lit("x")).as("n"))
@@ -93,6 +111,41 @@ class RelToSqlSpec extends AnyFunSuite {
     assert(sql.contains("`c_name`"))
     assert(sql.contains("CONCAT("))
     assert(!sql.contains("||"))
+  }
+
+  test("fuzz: 40 seeded random expression trees round-trip exactly") {
+    // the reference fuzzes its simplifier with random Rex trees
+    // (RexProgramFuzzyTest); here random Column trees render to SQL and
+    // re-execute — any mis-parenthesization or operator mistranslation
+    // changes the result set
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(20260813L)
+    val n = Tables.t(spark, sfDir, "nation")
+    def num(depth: Int): Column = rnd.nextInt(if (depth <= 0) 3 else 6) match {
+      case 0 => col("n_nationkey")
+      case 1 => col("n_regionkey")
+      case 2 => lit((rnd.nextInt(21) - 10).toLong)
+      case 3 => num(depth - 1) + num(depth - 1)
+      case 4 => num(depth - 1) * lit((rnd.nextInt(5) + 1).toLong)
+      case 5 => when(bool(depth - 1), num(depth - 1)).otherwise(num(depth - 1))
+    }
+    def bool(depth: Int): Column = rnd.nextInt(if (depth <= 0) 3 else 6) match {
+      case 0 => col("n_nationkey") > lit(rnd.nextInt(25).toLong)
+      case 1 => col("n_regionkey") === lit(rnd.nextInt(5).toLong)
+      case 2 => col("n_name").like("%" + "AEIN".charAt(rnd.nextInt(4)) + "%")
+      case 3 => bool(depth - 1) && bool(depth - 1)
+      case 4 => bool(depth - 1) || bool(depth - 1)
+      case 5 => !bool(depth - 1)
+    }
+    Tables.registerAll(spark, sfDir)
+    for (i <- 1 to 40) {
+      val df = n.select(col("n_nationkey"), num(2).as("e1"), num(2).as("e2"))
+        .where(bool(2))
+      val sql = RelToSql.convert(df, RelToSql.Spark)
+      val direct = df.collect().map(_.toString).sorted.toSeq
+      val rerun = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+      assert(direct == rerun, s"fuzz case $i diverged for:\n$sql")
+    }
   }
 
   test("unsupported nodes are rejected, not mistranslated") {

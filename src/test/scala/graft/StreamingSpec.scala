@@ -247,6 +247,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("unbounded source: rate stream windows and aggregates (Kafka-table shape)") {
+    // the reference's KafkaStreamTable is an infinite ScannableTable over a
+    // consumer (kafka/.../KafkaStreamTable.java:52); the rate source is
+    // Spark's built-in equivalent of an unbounded row feed — this pins the
+    // plumbing (schema, event-time window, sink) without needing a broker
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+    assert(rate.isStreaming)
+    val agg = rate
+      .withWatermark("timestamp", "0 seconds")
+      .groupBy(window(col("timestamp"), "1 second"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_v"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("t_rate").start()
+    try {
+      q.processAllAvailable()
+      // wait until at least one non-empty micro-batch landed
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("t_rate").isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      val rows = spark.table("t_rate").collect()
+      assert(rows.nonEmpty, "rate stream produced no windows in 30s")
+      // counts are per-1s-window of a 500 rows/s feed: all positive
+      assert(rows.forall(_.getLong(1) > 0))
+    } finally q.stop()
+  }
+
   test("SELECT STREAM over a non-streamable table is rejected") {
     val e = intercept[IllegalArgumentException] {
       Engine.sqlStream(spark, sfDir, "SELECT STREAM c_custkey FROM customer")

@@ -153,6 +153,14 @@ object RelToSql {
     /** Render a plan as a complete SELECT query. */
     def query(plan: LogicalPlan): String = plan match {
       case SubqueryAlias(_, child) => query(child)
+      // temp-view references (spark.table / FROM <view>) resolve to a View
+      // wrapper whose output exprIds alias the child's — map them through
+      // so view-based plans convert like direct reads
+      case v: View =>
+        v.output.zip(v.child.output).foreach { case (outer, inner) =>
+          names.getOrElseUpdate(outer.exprId, nameOf(inner))
+        }
+        query(v.child)
 
       case lr: LogicalRelation =>
         val table = lr.relation match {
@@ -367,6 +375,19 @@ object RelToSql {
       case ae: AggregateExpression => aggExpr(ae)
 
       case WindowExpression(fn, spec) => windowExpr(fn, spec)
+
+      // subquery expressions (the reference's RexSubQuery rendering).
+      // Correlated references surface as OuterReference(attr); the global
+      // name scope makes the bare outer name valid inside the subquery.
+      case e: Exists => s"EXISTS (${query(e.plan)})"
+      case InSubquery(values, lq) =>
+        val v = values match {
+          case Seq(one) => expr(one)
+          case many => many.map(expr).mkString("(", ", ", ")")
+        }
+        s"($v IN (${query(lq.plan)}))"
+      case s: ScalarSubquery => s"(${query(s.plan)})"
+      case OuterReference(a: Attribute) => d.quote(nameOf(a))
 
       case other => throw unsupported(s"expression ${other.nodeName}")
     }

@@ -113,6 +113,37 @@ class RelToSqlSpec extends AnyFunSuite {
     assert(!sql.contains("||"))
   }
 
+  test("temp-view plans convert (View unwrapping)") {
+    Tables.registerAll(spark, sfDir)
+    roundTrip(spark.table("nation")
+      .where(col("n_regionkey") === 1).select(col("n_name")))
+    // view joined with a direct read
+    val r = Tables.t(spark, sfDir, "region")
+    roundTrip(spark.table("nation").join(r,
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name")))
+  }
+
+  test("SQL-origin plans with subqueries round-trip (EXISTS, IN, scalar)") {
+    // SQL text → Catalyst plan → regenerated SQL → same result: the full
+    // rel2sql cycle the reference drives through its JDBC adapter
+    def cycle(sqlText: String): Unit = {
+      val df = Engine.sql(spark, sfDir, sqlText)
+      val regen = RelToSql.convert(df, RelToSql.Spark)
+      val direct = df.collect().map(_.toString).sorted.toSeq
+      val rerun = spark.sql(regen).collect().map(_.toString).sorted.toSeq
+      assert(direct.nonEmpty && direct == rerun, s"cycle diverged for:\n$regen")
+    }
+    cycle("""SELECT c_custkey FROM customer WHERE EXISTS (
+            |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            |    AND o_totalprice > 100000.0)""".stripMargin)
+    cycle("""SELECT n_name FROM nation
+            |WHERE n_nationkey IN (SELECT c_nationkey FROM customer
+            |                      WHERE c_acctbal > 5000.0)""".stripMargin)
+    cycle("""SELECT c_custkey FROM customer
+            |WHERE c_acctbal > (SELECT 2.0 * avg(c_acctbal) FROM customer)""".stripMargin)
+  }
+
   test("fuzz: 40 seeded random expression trees round-trip exactly") {
     // the reference fuzzes its simplifier with random Rex trees
     // (RexProgramFuzzyTest); here random Column trees render to SQL and

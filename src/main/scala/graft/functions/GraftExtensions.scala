@@ -26,6 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WeightedAvg].getName, "weighted_avg"),
       (exprs: Seq[Expression]) => WeightedAvg(exprs.head, exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
+        exprs(1).eval(null) match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes(text, n): n must be an integer literal, got $other")
+        })))
+    e.injectFunction((
       FunctionIdentifier("hyperplane_bits"),
       new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
       (exprs: Seq[Expression]) => HyperplaneBits(exprs.head,

@@ -188,8 +188,10 @@ object Dedup {
     val S = 8 // salt fan-out
     val g = t(s, dir, "documents").where(length(col("text")) >= 3)
       .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
-          i => xxhash64(col("text").substr(i, lit(3)))))).as("gs"))
+        // codegen'd one-pass shingling; the hash is a bijection on
+        // trigrams, so |gs| and intersections equal the string-set values
+        // EXACTLY (collision-free), matching the string-based oracle
+        graft.functions.ShingleHashes.shingle_hashes(col("text")).as("gs"))
       .withColumn("n", size(col("gs")))
       .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(eager = true)
@@ -302,57 +304,57 @@ object Dedup {
   def minhashPairs(docs: DataFrame, threshold: Double,
       numHashes: Int = 768, bands: Int = 96): DataFrame = {
     val rowsPerBand = numHashes / bands // r=8: a 0.45 noise floor collides at 0.45^8 ~ 0.002
-    val base = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // ONE materialization carries the sorted gram hashes — shared by the
+    // signature kernel and the merge-scan verify step. The codegen'd
+    // one-pass shingling kernel replaces the interpreted
+    // substr-per-window projection (the former pipeline bottleneck).
+    val mat = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .where(length(col("text")) >= 3)
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("gsStr"))
-    // Carter-Wegman family: two independent base hashes per shingle, k-th
-    // function = h1 + k*h2 (wrapping 64-bit). Generating many functions
-    // from 2 string hashes keeps per-shingle hashing cost flat. Empirical
-    // caveat from this corpus: seeding xxhash64 with nearby seeds over a
-    // PRE-HASHED long correlates the family and collapses banding recall —
-    // base hashes must come from the raw shingle bytes.
-    // Modular arithmetic over a Mersenne prime keeps k*h2 within long range
-    // (ANSI mode rejects wrapping overflow) — classic (a + k·b) mod p family.
-    val P = 2147483647L // 2^31 - 1
-    // ONE materialization carries gram hashes (sorted, for the merge-scan
-    // verify kernel) plus both hash-family bases: the interpreted substring
-    // shingling — the expensive projection — runs once, not once per
-    // consumer.
-    val mat = base.select(col("doc_id"),
-      array_sort(transform(col("gsStr"), sh => xxhash64(sh))).as("gs"),
-      transform(col("gsStr"), sh => pmod(xxhash64(sh), lit(P))).as("h1"),
-      transform(col("gsStr"), sh => pmod(xxhash64(sh, lit(7777)), lit(P - 1)) + 1).as("h2"))
+        graft.functions.ShingleHashes.shingle_hashes(col("text")).as("gs"))
       .localCheckpoint(eager = true)
     val g = mat.select(col("doc_id"), col("gs"))
-    val h12 = mat.select(col("doc_id"), col("h1"), col("h2"))
-    // Signature + band computation as a tight primitive-array loop per
-    // partition (JIT-compiled) — 768 interpreted higher-order expressions
-    // would spend ~10× the time in lambda dispatch. This is the hot kernel;
-    // everything around it stays declarative.
+    // One-Permutation Hashing (Li/Owen/Zhang 2012) with rotation
+    // densification (Shrivastava/Li DOPH): ONE hash per shingle lands in
+    // bin h mod k keeping the bin-min; empty bins borrow the next filled
+    // bin clockwise. Cost per document is O(|shingles| + k) instead of the
+    // classic k-function family's O(|shingles| × k) — at corpus scale this
+    // is the difference between the signature pass being free and being
+    // the pipeline bottleneck (~500× less kernel work at k=768). Bin-min
+    // agreement between two documents still estimates Jaccard, so the
+    // banding math (r=8: noise floor 0.45^8 ≈ 0.002) is unchanged, and
+    // the exact-Jaccard verify step keeps precision at 1 regardless.
+    // The signature is a pure function of the shingle SET (min is
+    // commutative, densification deterministic), so any partitioning and
+    // any row order produce identical bands.
     val spark2 = docs.sparkSession
     import spark2.implicits._
     val nh = numHashes
     val nb = bands
     val rpb = rowsPerBand
-    val banded = h12.select(col("doc_id"), col("h1"), col("h2"))
-      .as[(Long, Seq[Long], Seq[Long])]
+    val banded = g
+      .as[(Long, Array[Long])]   // primitive-array encoder: no per-element boxing
       .mapPartitions { it =>
-        it.flatMap { case (id, h1, h2) =>
-          val a = h1.toArray; val b = h2.toArray
+        it.flatMap { case (id, a) =>
           val mins = Array.fill(nh)(Long.MaxValue)
           var j = 0
           while (j < a.length) {
-            val x = a(j); val y = b(j)
-            var k = 0
-            var v = x % P // (x + k*y) mod P computed incrementally
-            while (k < nh) {
-              if (v < mins(k)) mins(k) = v
-              v += y; if (v >= P) v -= P
-              k += 1
-            }
+            val h = a(j)
+            val b = java.lang.Math.floorMod(h, nh)
+            if (h < mins(b)) mins(b) = h
             j += 1
+          }
+          // rotation densification: empty bin i takes the value of the
+          // next filled bin clockwise, offset by the hop distance so runs
+          // of empties don't produce identical coordinates
+          var i = 0
+          while (i < nh) {
+            if (mins(i) == Long.MaxValue) {
+              var hop = 1
+              while (mins((i + hop) % nh) == Long.MaxValue) hop += 1
+              mins(i) = mins((i + hop) % nh) + hop
+            }
+            i += 1
           }
           (0 until nb).iterator.map { bi =>
             var h = 1125899906842597L

@@ -118,6 +118,40 @@ class ExpressionSpec extends AnyFunSuite {
     assert(cg(2).isNullAt(0))
   }
 
+  test("shingle_hashes: cardinality equals the exact trigram set, all docs") {
+    // the packed-fmix64 hash is a bijection on <=4-char windows, so the
+    // hash-set size must EQUAL the string-set size — zero collisions, not
+    // just "unlikely" ones
+    val rows = Tables.t(spark, sfDir, "documents")
+      .where(length(col("text")) >= 3)
+      .select(col("text"),
+        size(graft.functions.ShingleHashes.shingle_hashes(col("text"))).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = r.getString(0).sliding(3).toSet.size
+      assert(r.getInt(1) == want, s"shingle count mismatch: got ${r.getInt(1)}, want $want")
+    }
+  }
+
+  test("shingle_hashes: codegen == interpreted, sorted distinct, edge cases") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("abcabc", "ab", "aaa", "", "xyzw").toDF("t")
+    def run(): Seq[Seq[Long]] =
+      df.select(graft.functions.ShingleHashes.shingle_hashes(col("t")))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val cg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(cg == interp)
+    assert(cg(0).size == 3)            // abc, bca, cab, abc -> 3 distinct
+    assert(cg(1).isEmpty && cg(3).isEmpty) // shorter than the window
+    assert(cg(2).size == 1)            // aaa -> one distinct trigram
+    assert(cg(4) == cg(4).sorted && cg(4).distinct == cg(4))
+  }
+
   test("hyperplane_bits projection runs inside WholeStageCodegen") {
     // v is referenced twice, so CollapseProject keeps the interpreted
     // transform() in its own projection below — the hyperplane_bits

@@ -80,11 +80,11 @@ object MaterializedViews {
   /** Strip column-pruning Projects (attribute-only project lists): the
     * optimizer prunes each side to ITS referenced columns, so a coarser
     * query and the MV definition see differently-pruned copies of the same
-    * base relation. Unification compares — and normalizes expressions
-    * against — the un-pruned base. */
-  private def stripPrune(p: LogicalPlan): LogicalPlan = p match {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) => stripPrune(c)
-    case other => other
+    * base relation. Recursive — under a join each INPUT carries its own
+    * pruning Project (the AGGREGATE/JOIN unification case), so pruning is
+    * stripped everywhere before comparing against the un-pruned base. */
+  private def stripPrune(p: LogicalPlan): LogicalPlan = p transform {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) => c
   }
 
   /** Try to answer `q` by re-aggregating a registered aggregate tile. */

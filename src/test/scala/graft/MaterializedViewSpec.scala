@@ -70,6 +70,37 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedViews.drop("mv_agg")
   }
 
+  test("rollup over a JOIN tile: star-join aggregate MV answers coarser queries") {
+    // the reference's AGGREGATE/JOIN MV variants
+    // (rel/rules/AbstractMaterializedViewRule.java) unify an aggregate
+    // over a join subtree; here the tile is customer x orders and the
+    // query regroups the same join more coarsely — at warehouse scale
+    // this replaces the fact-dimension join with one tile scan
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    def joined() =
+      Tables.t(spark, sfDir, "orders").join(Tables.t(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+    def mvDef() = joined()
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_raw"),
+        count(lit(1)).as("cnt"))
+    def coarser() = joined()
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("rev"),
+        count(lit(1)).as("n"))
+    val want = coarser().collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    MaterializedViews.create(spark, "mv_join_agg", mvDef(), "/tmp/graft_mv/join_tile")
+    val q = coarser()
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("join_tile"), s"join tile not scanned:\n$physical")
+    assert(!physical.contains("orders.parquet"), s"fact join still executed:\n$physical")
+    val got = q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want)
+    MaterializedViews.drop("mv_join_agg")
+  }
+
   test("filter residual: stronger predicate is answered from the tile") {
     MaterializedViews.clear()
     MaterializedViews.install(spark)

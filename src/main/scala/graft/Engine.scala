@@ -85,6 +85,13 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
     names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+    // the RAW events file (nanos-as-long ts) under its own name: the
+    // `events` view above is a transformed projection of this relation,
+    // so SQL regenerated from a plan (plans.RelToSql) must reference the
+    // raw table its scan actually reads, not the view
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events_raw")
+  }
 }

@@ -51,6 +51,9 @@ object RelToSql {
       case StringType => "VARCHAR"
       case DateType => "DATE"
       case TimestampNTZType => "TIMESTAMP"
+      // with the engine pinned to UTC sessions, LTZ renders as plain
+      // TIMESTAMP — identical instants on both execution paths
+      case TimestampType => "TIMESTAMP"
       case other => throw unsupported(s"cast target ${other.simpleString}")
     }
     /** LIMIT/OFFSET clause (dialects disagree here more than anywhere). */
@@ -63,6 +66,12 @@ object RelToSql {
       }
     /** String concatenation of two rendered operands. */
     def concat(a: String, b: String): String = s"($a || $b)"
+    /** Arithmetic right shift. */
+    def shiftRight(a: String, b: String): String = s"($a >> $b)"
+    /** Integer division. */
+    def intDivide(a: String, b: String): String = s"($a // $b)"
+    /** Epoch-microseconds to timestamp. */
+    def microsToTimestamp(us: String): String = s"MAKE_TIMESTAMP($us)"
   }
 
   /** ANSI/portable rendering — also valid DuckDB and PostgreSQL. */
@@ -79,6 +88,9 @@ object RelToSql {
   object Spark extends Dialect {
     val name = "spark"
     def quote(id: String): String = "`" + id.replace("`", "``") + "`"
+    override def shiftRight(a: String, b: String): String = s"SHIFTRIGHT($a, $b)"
+    override def intDivide(a: String, b: String): String = s"($a DIV $b)"
+    override def microsToTimestamp(us: String): String = s"TIMESTAMP_MICROS($us)"
     override def typeName(dt: DataType): String = dt match {
       case StringType => "STRING"
       case TimestampNTZType => "TIMESTAMP_NTZ"
@@ -150,9 +162,31 @@ object RelToSql {
     private def selectAll(child: LogicalPlan, suffix: String): String =
       s"SELECT * FROM ${from(child)}$suffix"
 
+    private val cteDefs = mutable.Map.empty[Long, LogicalPlan]
+
     /** Render a plan as a complete SELECT query. */
     def query(plan: LogicalPlan): String = plan match {
       case SubqueryAlias(_, child) => query(child)
+
+      // hints change physical strategy, not semantics — SQL text cannot
+      // carry them portably, so they pass through (the reference drops
+      // planner hints in rel2sql the same way)
+      case ResolvedHint(child, _) => query(child)
+
+      // CTEs are INLINED: each reference re-renders the definition inside
+      // its own subquery with fresh outer aliases, so self-joins of one
+      // CTE expose disjoint column sets
+      case WithCTE(child, defs) =>
+        defs.foreach(d => cteDefs(d.id) = d.child)
+        query(child)
+      case r: CTERelationRef =>
+        val defChild = cteDefs.getOrElse(r.cteId,
+          throw unsupported(s"dangling CTE reference ${r.cteId}"))
+        val inner = query(defChild)
+        val cols = defChild.output.zip(r.output)
+          .map { case (in, out) => s"${d.quote(nameOf(in))} AS ${d.quote(nameOf(out))}" }
+          .mkString(", ")
+        s"SELECT $cols FROM ($inner) ${alias()}"
       // temp-view references (spark.table / FROM <view>) resolve to a View
       // wrapper whose output exprIds alias the child's — map them through
       // so view-based plans convert like direct reads
@@ -167,7 +201,12 @@ object RelToSql {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             val path = fs.location.rootPaths.headOption
               .getOrElse(throw unsupported("pathless relation")).getName
-            path.stripSuffix(".parquet").stripSuffix(".orc").stripSuffix(".csv")
+            val base = path.stripSuffix(".parquet").stripSuffix(".orc").stripSuffix(".csv")
+            // the catalog name `events` is a TRANSFORMED view over the raw
+            // file (Tables.t renames ts -> ts_ns and recomputes ts); a scan
+            // of the raw relation must reference the raw table name or the
+            // regenerated SQL would re-apply the view transform twice
+            if (base == "events") "events_raw" else base
           case other => throw unsupported(s"relation ${other.getClass.getSimpleName}")
         }
         val cols = lr.output
@@ -175,8 +214,34 @@ object RelToSql {
         s"SELECT $cols FROM ${d.quote(table)}"
 
       case Project(list, child) =>
-        val cols = list.map(ne => namedExpr(ne)).mkString(", ")
+        val seen = mutable.Set.empty[ExprId]
+        val deduped = list.filter(ne => seen.add(ne.toAttribute.exprId))
+        val cols = deduped.map(ne => namedExpr(ne)).mkString(", ")
         s"SELECT $cols FROM ${from(child)}"
+
+      // HAVING: a Filter over an Aggregate whose condition carries
+      // aggregate calls — either directly or through references to the
+      // aggregate's non-grouping outputs (Spark resolves HAVING by adding
+      // the needed aggregate to the child's output and referencing it) —
+      // must stay in the aggregate's own query block. References to
+      // aggregate outputs are substituted by their defining expressions
+      // so the HAVING text is self-contained.
+      case Filter(cond, agg: Aggregate) if {
+        val aggDefined = agg.aggregateExpressions.collect {
+          case al @ Alias(c, _) if c.exists(_.isInstanceOf[AggregateExpression]) =>
+            al.toAttribute.exprId
+        }.toSet
+        cond.exists(_.isInstanceOf[AggregateExpression]) ||
+          cond.references.exists(r => aggDefined.contains(r.exprId))
+      } =>
+        val defining: Map[ExprId, Expression] = agg.aggregateExpressions.collect {
+          case al @ Alias(c, _) if c.exists(_.isInstanceOf[AggregateExpression]) =>
+            al.toAttribute.exprId -> c
+        }.toMap
+        val inlined = cond.transformUp {
+          case a: AttributeReference if defining.contains(a.exprId) => defining(a.exprId)
+        }
+        s"${query(agg)} HAVING ${expr(inlined)}"
 
       case Filter(cond, child) =>
         s"SELECT * FROM ${from(child)} WHERE ${expr(cond)}"
@@ -322,6 +387,20 @@ object RelToSql {
         s"TIMESTAMP '${DateTimeUtils.microsToLocalDateTime(micros)
           .format(java.time.format.DateTimeFormatter
             .ofPattern("yyyy-MM-dd HH:mm:ss"))}'"
+      case (micros: java.lang.Long, TimestampType) =>
+        // UTC-session rendering of an LTZ instant
+        s"TIMESTAMP '${java.time.LocalDateTime.ofInstant(
+          DateTimeUtils.microsToInstant(micros), java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))}'"
+      case (months: Integer, _: YearMonthIntervalType) =>
+        if (months % 12 == 0) s"INTERVAL '${months / 12}' YEAR"
+        else s"INTERVAL '$months' MONTH"
+      case (micros: java.lang.Long, _: DayTimeIntervalType) =>
+        val usPerDay = 86400L * 1000000L
+        if (micros % usPerDay == 0) s"INTERVAL '${micros / usPerDay}' DAY"
+        else if (micros % 1000000L == 0) s"INTERVAL '${micros / 1000000L}' SECOND"
+        else throw unsupported(s"sub-second interval literal $micros")
       case (other, t) => throw unsupported(s"literal $other: ${t.simpleString}")
     }
 
@@ -336,6 +415,9 @@ object RelToSql {
       case Divide(l, r, _) => s"(${expr(l)} / ${expr(r)})"
       case Remainder(l, r, _) => s"(${expr(l)} % ${expr(r)})"
       case UnaryMinus(c, _) => s"(- ${expr(c)})"
+      case TimestampAddInterval(ts, iv, _) =>
+        s"(${expr(ts)} + ${expr(iv)})"
+      case DateAddYMInterval(d2, iv) => s"(${expr(d2)} + ${expr(iv)})"
 
       case EqualTo(l, r) => s"(${expr(l)} = ${expr(r)})"
       case LessThan(l, r) => s"(${expr(l)} < ${expr(r)})"
@@ -350,6 +432,15 @@ object RelToSql {
       case IsNotNull(c) => s"(${expr(c)} IS NOT NULL)"
       case In(v, list) =>
         s"(${expr(v)} IN (${list.map(expr).mkString(", ")}))"
+      case b: Between =>
+        s"(${expr(b.input)} BETWEEN ${expr(b.lower)} AND ${expr(b.upper)})"
+      // common-subexpression scaffolding (Spark 4 wraps e.g. BETWEEN's
+      // input in With/CommonExpressionRef) — inline the definitions
+      case w: With =>
+        val defs = w.defs.map(de => de.id -> de.child).toMap
+        expr(w.child.transformUp {
+          case r: CommonExpressionRef => defs(r.id)
+        })
       case l: Like => s"(${expr(l.left)} LIKE ${expr(l.right)})"
 
       case CaseWhen(branches, elseValue) =>
@@ -362,6 +453,22 @@ object RelToSql {
         s"(CASE WHEN ${expr(p)} THEN ${expr(t)} ELSE ${expr(f)} END)"
       case Coalesce(children) =>
         s"COALESCE(${children.map(expr).mkString(", ")})"
+
+      case Year(c) => s"YEAR(${expr(c)})"
+      case Quarter(c) => s"QUARTER(${expr(c)})"
+      case Month(c) => s"MONTH(${expr(c)})"
+      case DayOfMonth(c) => s"DAY(${expr(c)})"
+      case Hour(c, _) => s"HOUR(${expr(c)})"
+      case Minute(c, _) => s"MINUTE(${expr(c)})"
+      case Second(c, _) => s"SECOND(${expr(c)})"
+
+      case ShiftRight(l, r) => d.shiftRight(expr(l), expr(r))
+      case MicrosToTimestamp(c) => d.microsToTimestamp(expr(c))
+      case IntegralDivide(l, r, _) => d.intDivide(expr(l), expr(r))
+
+      case BitwiseAnd(l, r) => s"(${expr(l)} & ${expr(r)})"
+      case BitwiseOr(l, r) => s"(${expr(l)} | ${expr(r)})"
+      case BitwiseXor(l, r) => s"(${expr(l)} ^ ${expr(r)})"
 
       case Upper(c) => s"UPPER(${expr(c)})"
       case Lower(c) => s"LOWER(${expr(c)})"
@@ -439,8 +546,15 @@ object RelToSql {
 
     private def aggExpr(ae: AggregateExpression): String = {
       val distinct = if (ae.isDistinct) "DISTINCT " else ""
+      val filter = ae.filter.map(f => s" FILTER (WHERE ${expr(f)})").getOrElse("")
+      fnOnly(ae, distinct) + filter
+    }
+
+    private def fnOnly(ae: AggregateExpression, distinct: String): String = {
       ae.aggregateFunction match {
         case Count(Seq(Literal(1, _))) if !ae.isDistinct => "COUNT(*)"
+        case First(c, false) => s"FIRST_VALUE(${expr(c)})"
+        case Last(c, false) => s"LAST_VALUE(${expr(c)})"
         case Count(children) =>
           s"COUNT($distinct${children.map(expr).mkString(", ")})"
         case Sum(c, _) => s"SUM($distinct${expr(c)})"

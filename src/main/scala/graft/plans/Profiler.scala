@@ -72,7 +72,55 @@ object Profiler {
       .sortBy { case (ss, n) => (-ss.size, n) } // widest affordable first
   }
 
+  /** Functional-dependency check a → b: does every value of `a` map to at
+    * most one value of `b`? (reference: profile/Profiler.java
+    * FunctionalDependency; RelMdColumnUniqueness uses the same facts.)
+    * One grouped pass per pair — at extreme scale, run over a sample or
+    * swap in approx_count_distinct; the decision is the same either way
+    * unless the violation rate is vanishing. */
+  def functionalDeps(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+        .agg(max(col("nb")).as("maxnb"))
+        .select(lit(s"$a->$b").as("fd"), (col("maxnb") <= 1).as("holds"))
+    }.reduce(_ unionAll _)
+
+  /** Unique-key check: no nulls and NDV == row count (reference:
+    * Profiler.Unique / RelMdColumnUniqueness). */
+  def uniqueKeys(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n"), count(col(c)).as("nn"),
+          countDistinct(col(c)).as("ndv"))
+        .select(lit(s"unique:$c").as("fd"),
+          (col("n") === col("nn") && col("n") === col("ndv")).as("holds"))
+    }.reduce(_ unionAll _)
+
   val defs: Seq[graft.QDef] = Seq(
+    graft.QDef.sql("profile_fds",
+      """SELECT 'o_orderkey->o_custkey' AS fd, max(nb) <= 1 AS holds FROM (
+        |  SELECT count(DISTINCT o_custkey) AS nb FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'o_custkey->o_orderstatus', max(nb) <= 1 FROM (
+        |  SELECT count(DISTINCT o_orderstatus) AS nb FROM orders GROUP BY o_custkey)
+        |UNION ALL
+        |SELECT 'l_orderkey->l_partkey', max(nb) <= 1 FROM (
+        |  SELECT count(DISTINCT l_partkey) AS nb FROM lineitem GROUP BY l_orderkey)
+        |UNION ALL
+        |SELECT 'unique:o_orderkey',
+        |  count(*) = count(o_orderkey) AND count(*) = count(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_custkey',
+        |  count(*) = count(o_custkey) AND count(*) = count(DISTINCT o_custkey)
+        |FROM orders""") { (s, dir) =>
+      val orders = graft.Tables.t(s, dir, "orders")
+      val lineitem = graft.Tables.t(s, dir, "lineitem")
+      functionalDeps(orders, Seq(("o_orderkey", "o_custkey"),
+          ("o_custkey", "o_orderstatus")))
+        .unionAll(functionalDeps(lineitem, Seq(("l_orderkey", "l_partkey"))))
+        .unionAll(uniqueKeys(orders, Seq("o_orderkey", "o_custkey")))
+    },
+
     graft.QDef.sql("profile_columns",
       """SELECT 'l_returnflag' AS column, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,

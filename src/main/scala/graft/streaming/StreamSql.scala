@@ -27,6 +27,42 @@ object StreamSql {
   /** Tables with a streaming twin (the fixture's StreamableTable set). */
   val streamable: Set[String] = Set("events")
 
+  // The reference's grouped window functions (SqlStdOperatorTable:2268-2330
+  // TUMBLE/HOP/SESSION + their _START/_END auxiliaries) lowered onto
+  // Spark's window()/session_window() struct API. INTERVAL 'n' UNIT is
+  // rewritten to Spark's duration-string form.
+  private val IntervalLit = """(?i)INTERVAL\s+'(\d+)'\s+(\w+)""".r
+  private def dur(m: String, unit: String) = s"'$m ${unit.toLowerCase}'"
+
+  private val Tumble = """(?i)TUMBLE\s*\(\s*(\w+)\s*,\s*(INTERVAL[^)]+)\)""".r
+  private val Hop = """(?i)HOP\s*\(\s*(\w+)\s*,\s*(INTERVAL[^,)]+),\s*(INTERVAL[^)]+)\)""".r
+  private val SessionW = """(?i)SESSION\s*\(\s*(\w+)\s*,\s*(INTERVAL[^)]+)\)""".r
+  private val StartEnd =
+    """(?i)(TUMBLE|HOP|SESSION)_(START|END)\s*\([^)]*\)""".r
+
+  /** Rewrite reference grouped-window syntax into Spark's window functions.
+    * The auxiliary _START/_END functions become `.start`/`.end` access on
+    * the grouping struct (`window` / `session_window`), exactly the Spark
+    * replacement SURVEY §2.4 prescribes. */
+  def rewriteGroupedWindows(sql: String): String = {
+    def iv(text: String): String = IntervalLit.replaceAllIn(text,
+      m => dur(m.group(1), m.group(2)))
+    var out = sql
+    // auxiliaries first — their names contain the bare function names
+    out = StartEnd.replaceAllIn(out, m => {
+      val struct = if (m.group(1).equalsIgnoreCase("SESSION")) "session_window" else "window"
+      s"$struct.${m.group(2).toLowerCase}"
+    })
+    // HOP's reference argument order is (ts, slide, size); Spark's is
+    // (ts, size, slide)
+    out = Hop.replaceAllIn(out, m =>
+      s"window(${m.group(1)}, ${iv(m.group(3))}, ${iv(m.group(2))})")
+    out = Tumble.replaceAllIn(out, m => s"window(${m.group(1)}, ${iv(m.group(2))})")
+    out = SessionW.replaceAllIn(out, m =>
+      s"session_window(${m.group(1)}, ${iv(m.group(2))})")
+    out
+  }
+
   def isStreamQuery(text: String): Boolean = Shell.pattern.matcher(text).matches()
 
   /** Parse and analyze a `SELECT STREAM` query into an unbounded
@@ -40,7 +76,7 @@ object StreamSql {
         // ... then the streaming twins shadow the streamable tables
         StreamOps.readEventsStream(spark, sfDir).createOrReplaceTempView("events")
         val df =
-          try spark.sql("SELECT " + rest)
+          try spark.sql(rewriteGroupedWindows("SELECT " + rest))
           finally {
             // restore the batch view; the analyzed plan above already
             // resolved against the streaming twin

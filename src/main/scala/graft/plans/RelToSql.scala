@@ -246,6 +246,19 @@ object RelToSql {
       case Filter(cond, child) =>
         s"SELECT * FROM ${from(child)} WHERE ${expr(cond)}"
 
+      // GROUPING SETS / ROLLUP / CUBE: Spark analyzes these into
+      // Aggregate over Expand — reconstruct the GROUPING SETS text from
+      // the Expand's projections (the reference keeps groupSets on its
+      // Aggregate node and renders them directly; we invert Spark's
+      // expansion instead). Aggregate-side references to the replicated
+      // grouping attributes substitute back to their source expressions,
+      // and the shiftright(spark_grouping_id)&1 pattern substitutes back
+      // to GROUPING(expr).
+      case agg @ Aggregate(_, _, expand: Expand, _)
+          if expand.output.nonEmpty &&
+            expand.output.last.name == "spark_grouping_id" =>
+        groupingSets(agg, expand)
+
       case Aggregate(grouping, aggs, child, _) =>
         val cols = aggs.map(ne => namedExpr(ne)).mkString(", ")
         val g = if (grouping.isEmpty) ""
@@ -322,6 +335,48 @@ object RelToSql {
         s"SELECT $cols FROM ${from(left)} $kw ${from(right)}$on"
 
       case other => throw unsupported(s"plan node ${other.nodeName}")
+    }
+
+    private def groupingSets(agg: Aggregate, expand: Expand): String = {
+      val pl = expand.child match {
+        case Project(list, _) => list
+        case other => throw unsupported(s"Expand over ${other.nodeName}")
+      }
+      val k = pl.count(_.isInstanceOf[Alias]) // grouping sources are aliased
+      val nBase = pl.size - k
+      val srcExpr: Seq[Expression] =
+        pl.drop(nBase).map(_.asInstanceOf[Alias].child)
+      val gAttrIdx: Map[ExprId, Int] =
+        expand.output.slice(nBase, nBase + k).zipWithIndex
+          .map { case (a, i) => a.exprId -> i }.toMap
+      val gid = expand.output.last
+      val sets: Seq[Seq[Expression]] = expand.projections.map { proj =>
+        (0 until k).collect {
+          case i if !proj(nBase + i).semanticEquals(Literal(null, proj(nBase + i).dataType)) =>
+            srcExpr(i)
+        }
+      }
+      val substituted: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+        ne.transformDown {
+          case BitwiseAnd(ShiftRight(g: AttributeReference, Literal(j: Integer, _)), Literal(one, _))
+              if g.exprId == gid.exprId && one == 1 =>
+            Grouping(srcExpr(k - 1 - j.intValue()))
+          case a: AttributeReference if gAttrIdx.contains(a.exprId) =>
+            srcExpr(gAttrIdx(a.exprId))
+          case a: AttributeReference if a.exprId == gid.exprId =>
+            throw unsupported("raw spark_grouping_id reference")
+        } match {
+          case n: NamedExpression if n.exprId == ne.toAttribute.exprId => n
+          // a substituted grouping attribute must still expose the
+          // ORIGINAL output id/name — alias the source back onto it
+          case e => Alias(e, ne.name)(exprId = ne.toAttribute.exprId)
+        }
+      }
+      val fromSql = from(expand.child.asInstanceOf[Project].child)
+      val cols = substituted.map(ne => namedExpr(ne)).mkString(", ")
+      val setsSql = sets
+        .map(set => "(" + set.map(expr).mkString(", ") + ")").mkString(", ")
+      s"SELECT $cols FROM $fromSql GROUP BY GROUPING SETS ($setsSql)"
     }
 
     /** Semi/anti join → EXISTS / NOT EXISTS (the reference renders semi
@@ -479,6 +534,7 @@ object RelToSql {
         d.concat(expr(children.head), expr(children(1)))
       case Abs(c, _) => s"ABS(${expr(c)})"
 
+      case g: Grouping => s"GROUPING(${expr(g.child)})"
       case ae: AggregateExpression => aggExpr(ae)
 
       case WindowExpression(fn, spec) => windowExpr(fn, spec)

@@ -99,6 +99,31 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == (px > -3.0 && px < 5.0 && py > -2.0 && py < 6.0)
     }
 
+  // ---- ShingleHashes: exact n-gram set semantics --------------------------
+  // The packed-fmix64 hash is injective on <=4-char windows, so the hash
+  // set must EQUAL the n-gram string set in size for every input — a
+  // zero-collision guarantee, not a probabilistic one.
+  private val anyText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', 'ä', '中', '!'))).map(_.mkString)
+
+  property("shingle_hashes size == distinct n-gram count, n in 1..4") =
+    forAll(anyText, Gen.choose(1, 4)) { (s, n) =>
+      val got = graft.functions.ShingleHashes
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+        .numElements()
+      val want = if (s.length < n) 0 else s.sliding(n).toSet.size
+      got == want
+    }
+
+  property("shingle_hashes output is sorted and distinct") =
+    forAll(anyText) { s =>
+      val arr = graft.functions.ShingleHashes
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), 3)
+        .toLongArray().toSeq
+      arr == arr.sorted && arr.distinct == arr
+    }
+
   // ---- SIMILAR TO translation: anchoring and wildcard laws ---------------
   private val simText: Gen[String] =
     Gen.listOf(Gen.oneOf('a', 'b', '.', 'x')).map(_.mkString)

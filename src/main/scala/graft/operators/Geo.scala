@@ -205,6 +205,63 @@ object Geo {
   def stTouches(a: Column, b: Column): Column =
     stIntersects(a, b) && !stCrosses(a, b)
 
+  /** Point interior-or-boundary test against a polygon. */
+  private def ptCoveredBy(pt: Column, poly: Column): Column =
+    stContains(poly, pt) || pointOnEdges(closedXs(poly), closedYs(poly), pt)
+
+  /** ST_Covers (reference GeoFunctions.java ST_Covers): geometry `a`
+    * covers `b` when no point of `b` lies outside `a` — boundary contact
+    * allowed (unlike ST_Contains' interior requirement). POINT argument:
+    * interior-or-boundary; vertex geometries: every vertex of `b` is
+    * covered AND the boundaries never properly cross. Exact for the
+    * simple convex shapes this struct model constructs; general DE-9IM
+    * coverage needs a geometry kernel by nature. */
+  def stCovers(a: Column, b: Column): Column =
+    when(b.getField("kind") === "POINT", ptCoveredBy(b, a))
+      .otherwise(
+        forall(zip_with(b.getField("xs"), b.getField("ys"),
+          (x, y) => struct(x.as("x"), y.as("y"))), v =>
+          graft.functions.RayCastContains.st_contains_ring(
+            a.getField("xs"), a.getField("ys"), v.getField("x"), v.getField("y")) ||
+            graft.functions.SegmentsIntersect.segments_intersect(
+              closedXs(a), closedYs(a),
+              array(v.getField("x"), v.getField("x")),
+              array(v.getField("y"), v.getField("y")))) &&
+          !graft.functions.SegmentsIntersect.segments_cross_proper(
+            closedXs(a), closedYs(a), closedXs(b), closedYs(b)))
+
+  /** ST_ContainsProperly: interior containment with NO boundary contact
+    * (reference ST_ContainsProperly). */
+  def stContainsProperly(a: Column, pt: Column): Column =
+    graft.functions.RayCastContains.st_contains_ring(
+      a.getField("xs"), a.getField("ys"), stX(pt), stY(pt)) &&
+      !pointOnEdges(closedXs(a), closedYs(a), pt)
+
+  /** ST_Overlaps: same dimension, interiors intersect, neither covers the
+    * other (DE-9IM OVERLAPS for the model's simple shapes). */
+  def stOverlaps(a: Column, b: Column): Column =
+    a.getField("kind") === b.getField("kind") &&
+      stIntersects(a, b) && !stCovers(a, b) && !stCovers(b, a)
+
+  /** ST_MakePoint — alias constructor (reference :ST_MakePoint). */
+  def stMakePoint(x: Column, y: Column): Column = stPoint(x, y)
+
+  /** 2D model: ST_Z is NULL, ST_Is3D is false (reference returns null/z
+    * presence from the ESRI point; this model is planar by construction). */
+  def stZ(g: Column): Column = lit(null).cast("double")
+  def stIs3D(g: Column): Column = lit(false)
+
+  /** SRID plumbing. The reference's ST_SetSRID AND ST_Transform both call
+    * `geom.transform(srid)` — an SRID RELABEL with no coordinate math
+    * (reference: runtime/GeoFunctions.java:510-517) — so both are exact
+    * here: the geometry struct gains/changes its srid field, coordinates
+    * untouched. */
+  def stSetSrid(g: Column, srid: Column): Column =
+    struct(g.getField("kind").as("kind"), g.getField("xs").as("xs"),
+      g.getField("ys").as("ys"), srid.cast("int").as("srid"))
+  def stTransform(g: Column, srid: Column): Column = stSetSrid(g, srid)
+  def stSrid(g: Column): Column = g.getField("srid")
+
   /** OGC SFS type code (reference: GeoFunctions.Type enum). */
   def stGeometryTypeCode(g: Column): Column =
     when(g.getField("kind") === "POINT", 1)
@@ -327,6 +384,44 @@ object Geo {
         stNumPoints(line).as("line_pts"),
         stAsText(stBoundary(line)).as("line_boundary"),
         stAsText(stBoundary(p)).as("point_boundary"))
+    },
+
+    // ST_Covers / ST_ContainsProperly / ST_Overlaps + Z/SRID plumbing —
+    // the reference's remaining exactly-implementable relation surface.
+    // The fixture's half-integer coordinates sit strictly off the test
+    // square's integer borders, so inclusive-vs-strict boundary behavior
+    // is never ambiguous in the oracle arithmetic.
+    QDef.sql("geo_coverage",
+      """SELECT c_custkey,
+        |  px BETWEEN 8 AND 16 AND py BETWEEN 6 AND 14 AS covers_pt,
+        |  px > 8 AND px < 16 AND py > 6 AND py < 14 AS containsp_pt,
+        |  px - 3 >= 8 AND px + 3 <= 16 AND py - 3 >= 6 AND py + 3 <= 14 AS covers_sq,
+        |  (px + 3 >= 8 AND px - 3 <= 16 AND py + 3 >= 6 AND py - 3 <= 14)
+        |    AND NOT (px - 3 >= 8 AND px + 3 <= 16 AND py - 3 >= 6 AND py + 3 <= 14)
+        |    AND NOT (px - 3 <= 8 AND px + 3 >= 16 AND py - 3 <= 6 AND py + 3 >= 14)
+        |    AS overlaps_sq,
+        |  TRUE AS z_is_null, FALSE AS is3d, 3857 AS srid_out
+        |FROM (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 25 AS DOUBLE) + 0.5 AS px,
+        |    CAST(c_nationkey AS DOUBLE) + 0.25 AS py
+        |  FROM customer)""") { (s, dir) =>
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 25).cast("double") + 0.5).as("px"),
+        (col("c_nationkey").cast("double") + 0.25).as("py"))
+      val p = stPoint(col("px"), col("py"))
+      val sqA = stPolygon(Seq(8.0, 16.0, 16.0, 8.0), Seq(6.0, 6.0, 14.0, 14.0))
+      val psq = struct(lit("POLYGON").as("kind"),
+        array(col("px") - 3, col("px") + 3, col("px") + 3, col("px") - 3).as("xs"),
+        array(col("py") - 3, col("py") - 3, col("py") + 3, col("py") + 3).as("ys"))
+      pts.select(col("c_custkey"),
+        stCovers(sqA, p).as("covers_pt"),
+        stContainsProperly(sqA, p).as("containsp_pt"),
+        stCovers(sqA, psq).as("covers_sq"),
+        stOverlaps(sqA, psq).as("overlaps_sq"),
+        stZ(p).isNull.as("z_is_null"),
+        stIs3D(p).as("is3d"),
+        stSrid(stTransform(stSetSrid(p, lit(4326)), lit(3857))).as("srid_out"))
     },
 
     // Spatial theta-join: customers within radius 4 of each nation's

@@ -24,6 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * hashes equal those over the n-gram strings exactly, not just with
   * high probability.
   *
+  * Windows count UTF-16 code units (Java chars); for BMP text — all the
+  * fixtures — this equals codepoint windows, matching the oracle's
+  * character-based substr. Supplementary characters would split into
+  * surrogate pairs (a documented, deterministic deviation).
+  *
   * Same extension path as [[DotProduct]] (reference:
   * core/src/main/java/org/apache/calcite/schema/ImplementableFunction.java —
   * functions contributing their own compiled kernels, registered in

@@ -533,6 +533,7 @@ object RelToSql {
       case Concat(children) if children.size == 2 =>
         d.concat(expr(children.head), expr(children(1)))
       case Abs(c, _) => s"ABS(${expr(c)})"
+      case Round(c, n, _) => s"ROUND(${expr(c)}, ${expr(n)})"
 
       case g: Grouping => s"GROUPING(${expr(g.child)})"
       case ae: AggregateExpression => aggExpr(ae)
@@ -567,10 +568,12 @@ object RelToSql {
         case _: PercentRank => ("PERCENT_RANK()", false)
         case _: CumeDist => ("CUME_DIST()", false)
         case NTile(n) => (s"NTILE(${expr(n)})", false)
-        case Lead(in, off, dflt, false) =>
-          (s"LEAD(${expr(in)}, ${expr(off)}, ${expr(dflt)})", false)
-        case Lag(in, off, dflt, false) =>
-          (s"LAG(${expr(in)}, ${expr(off)}, ${expr(dflt)})", false)
+        case Lead(in, off, dflt, ignoreNulls) =>
+          (s"LEAD(${expr(in)}, ${expr(off)}, ${expr(dflt)})${ign(ignoreNulls)}", false)
+        case Lag(in, off, dflt, ignoreNulls) =>
+          (s"LAG(${expr(in)}, ${expr(off)}, ${expr(dflt)})${ign(ignoreNulls)}", false)
+        case NthValue(in, off, ignoreNulls) =>
+          (s"NTH_VALUE(${expr(in)}, ${expr(off)})${ign(ignoreNulls)}", true)
         case other => throw unsupported(s"window function ${other.nodeName}")
       }
       val part =
@@ -600,6 +603,9 @@ object RelToSql {
       case other => throw unsupported(s"frame bound $other")
     }
 
+    private def ign(ignoreNulls: Boolean): String =
+      if (ignoreNulls) " IGNORE NULLS" else ""
+
     private def aggExpr(ae: AggregateExpression): String = {
       val distinct = if (ae.isDistinct) "DISTINCT " else ""
       val filter = ae.filter.map(f => s" FILTER (WHERE ${expr(f)})").getOrElse("")
@@ -609,8 +615,8 @@ object RelToSql {
     private def fnOnly(ae: AggregateExpression, distinct: String): String = {
       ae.aggregateFunction match {
         case Count(Seq(Literal(1, _))) if !ae.isDistinct => "COUNT(*)"
-        case First(c, false) => s"FIRST_VALUE(${expr(c)})"
-        case Last(c, false) => s"LAST_VALUE(${expr(c)})"
+        case First(c, ignoreNulls) => s"FIRST_VALUE(${expr(c)})${ign(ignoreNulls)}"
+        case Last(c, ignoreNulls) => s"LAST_VALUE(${expr(c)})${ign(ignoreNulls)}"
         case Count(children) =>
           s"COUNT($distinct${children.map(expr).mkString(", ")})"
         case Sum(c, _) => s"SUM($distinct${expr(c)})"

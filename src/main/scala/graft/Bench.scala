@@ -10,11 +10,24 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the whole projection and under-measures scan-heavy
   * queries.
   *
+  * Timing discipline (JMH-style, mirroring the reference's JMH harness):
+  *   - warm-up runs real registry queries plus synthetic shuffle/window/
+  *     broadcast shapes so first-compilation cost never lands on a
+  *     measured query; every warm-up step logs its failure loudly instead
+  *     of silently aborting the rest of the warm-up,
+  *   - every query is timed SPARK_GRAFT_REPS times (default 3) and the
+  *     MEDIAN is reported, so a single GC pause or codegen-cache miss
+  *     cannot shift a query several-fold between runs,
+  *   - per-query timings stream to stderr as they complete, so a partial
+  *     run is still diagnosable.
+  *
   * Output discipline: the consumer keeps only the TAIL of this process's
   * stdout (~2000 chars), so the stdout JSON line carries the total plus a
   * curated HEADLINE subset of per-query timings and must stay well under
   * that window (BenchFormatSpec asserts the worst-case length). The full
   * per-query map is written to BENCH_FULL.json alongside the repo instead.
+  * `spark.stop()` runs BEFORE the stdout line so executor-shutdown noise
+  * cannot trail (and truncate away) the JSON payload.
   */
 object Bench {
 
@@ -51,9 +64,17 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
   }
 
+  /** Median of the recorded reps (odd rep counts take the middle element;
+    * even take the lower-middle — conservative, still hiccup-immune). */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions())
       .master(s"local[$cpus]")
@@ -69,23 +90,34 @@ object Bench {
       case Some(names) => SparkEntry.allDefs.filter(d => names(d.name))
       case None => SparkEntry.allDefs
     }
+
     // Warm up the JVM/codegen/parquet-reader/shuffle paths once so the
-    // first timed queries don't absorb session initialization (standard
-    // JMH-style discipline; the reference's JMH harness does the same).
-    try {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{broadcast, col, expr, row_number}
-      // real registry queries first: parquet reader, decimal HashAggregate,
-      // AQE exchange and their codegen paths all JIT here, not in the first
-      // measured queries (without this, ~3-5s of first-compilation cost
-      // lands on whichever queries happen to run early)
-      SparkEntry.allDefs.take(3).foreach(
-        _.fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+    // first timed queries don't absorb session initialization. Each step
+    // is individually guarded: one failing step must not silently cancel
+    // the rest of the warm-up (a silently-dead warm-up shows up as the
+    // first measured queries running many-fold slow).
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED ($label): ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    val tWarm0 = System.nanoTime()
+    // real registry queries first: parquet reader, decimal HashAggregate,
+    // AQE exchange and their codegen paths all JIT here, not in the first
+    // measured queries
+    SparkEntry.allDefs.take(3).foreach { d =>
+      warm(d.name)(d.fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+    }
+    warm("decimal-agg") {
+      import org.apache.spark.sql.functions.expr
       spark.range(0, 1000000)
         .selectExpr("id % 7 AS k", "CAST(id AS DOUBLE) AS x")
         .groupBy("k")
         .agg(expr("sum(CAST(x AS DECIMAL(18,4)))"), expr("count(1)"))
         .write.mode("overwrite").format("noop").save()
+    }
+    warm("broadcast-join+window") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{broadcast, col, row_number}
       val fact = spark.range(0, 200000).selectExpr("id % 100 AS k", "id AS v")
       val dim = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
       fact.join(broadcast(dim), "k").groupBy("k").count()
@@ -94,14 +126,22 @@ object Bench {
           row_number().over(Window.partitionBy("k").orderBy("v")))
         .where(col("rn") <= 3)
         .write.mode("overwrite").format("noop").save()
-    } catch { case _: Throwable => () }
+    }
+    System.err.println(f"[bench] warmup done in ${(System.nanoTime() - tWarm0) / 1e9}%.1fs; timing ${defs.size} queries x $reps reps (median)")
+
     val results = defs.map { d =>
-      val t0 = System.nanoTime()
-      try d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+      val times = (1 to reps).map { rep =>
+        val t0 = System.nanoTime()
+        try d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${d.name} rep $rep FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val med = median(times)
+      // stream per-query results to stderr so partial runs stay diagnosable
+      System.err.println(s"[bench] ${d.name}: median=${fmt(med)}s reps=[${times.map(fmt).mkString(",")}]")
+      d.name -> med
     }
     val total = results.map(_._2).sum
     // Full map → file (survives any stdout truncation); headline → stdout.
@@ -111,7 +151,9 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }
-    println(renderLine(total, results, sfDir))
+    // Stop BEFORE printing so shutdown log noise precedes the JSON line and
+    // the ~2000-char stdout tail the consumer keeps always ends with it.
     spark.stop()
+    println(renderLine(total, results, sfDir))
   }
 }

@@ -354,11 +354,27 @@ object Geo {
     // The per-row line from each customer point to a fixed reference pins
     // ST_Boundary + the MULTIPOINT WKT writer; every coordinate is an
     // exact binary fraction so the text compares bit-for-bit.
+    //
+    // int_concave/env_concave pin EXACT polygon×polygon intersection on a
+    // CONCAVE pair: a fixed L-shaped hexagon vs a per-customer 2×2 square.
+    // The L is the union of two axis-aligned rectangles, so the oracle is
+    // closed-form rectangle arithmetic; the engine runs the general
+    // segments-cross-OR-either-contains-a-vertex kernels. Customers whose
+    // square sits in the L's notch (x>14, y>10) have env_concave = TRUE but
+    // int_concave = FALSE — the case an envelope-overlap fallback gets
+    // wrong (GeoExactnessSpec asserts such rows exist). L edges lie on
+    // integers while square edges sit at .5/.25 offsets, so no boundary
+    // ever touches and strict-vs-inclusive contact is never ambiguous.
     QDef.sql("geo_relations",
       """SELECT c_custkey,
         |  (px = 2.5 AND py = 3.25) AS eq_ref,
         |  abs(px - 12.0) + abs(py - 10.0) < 8.0 AS int_diamond,
         |  NOT (abs(px - 12.0) + abs(py - 10.0) < 8.0) AS disj_diamond,
+        |  (px + 1 > 2 AND px - 1 < 22 AND py + 1 > 2 AND py - 1 < 10)
+        |    OR (px + 1 > 2 AND px - 1 < 14 AND py + 1 > 2 AND py - 1 < 22)
+        |    AS int_concave,
+        |  (px + 1 > 2 AND px - 1 < 22 AND py + 1 > 2 AND py - 1 < 22)
+        |    AS env_concave,
         |  1 AS code_pt, 3 AS code_poly, 2 AS line_pts,
         |  'MULTIPOINT (' || CAST(px AS VARCHAR) || ' ' || CAST(py AS VARCHAR)
         |    || ', 2.5 3.25)' AS line_boundary,
@@ -374,11 +390,20 @@ object Geo {
       val p = stPoint(col("px"), col("py"))
       val ref = stPoint(lit(2.5), lit(3.25))
       val diamond = stPolygon(Seq(4.0, 12.0, 20.0, 12.0), Seq(10.0, 2.0, 10.0, 18.0))
+      // L-shape = ([2,22]×[2,10]) ∪ ([2,14]×[2,22]); its envelope is
+      // [2,22]² but the notch (14,22]×(10,22] is OUTSIDE the polygon.
+      val lShape = stPolygon(Seq(2.0, 22.0, 22.0, 14.0, 14.0, 2.0),
+        Seq(2.0, 2.0, 10.0, 10.0, 22.0, 22.0))
+      val square = struct(lit("POLYGON").as("kind"),
+        array(col("px") - 1, col("px") + 1, col("px") + 1, col("px") - 1).as("xs"),
+        array(col("py") - 1, col("py") - 1, col("py") + 1, col("py") + 1).as("ys"))
       val line = stMakeLine(p, ref)
       pts.select(col("c_custkey"),
         stEquals(p, ref).as("eq_ref"),
         stIntersects(p, diamond).as("int_diamond"),
         stDisjoint(p, diamond).as("disj_diamond"),
+        stIntersects(lShape, square).as("int_concave"),
+        stEnvelopesIntersect(lShape, square).as("env_concave"),
         stGeometryTypeCode(p).as("code_pt"),
         stGeometryTypeCode(diamond).as("code_poly"),
         stNumPoints(line).as("line_pts"),

@@ -53,8 +53,14 @@ object Tpcds {
         |) both_years"""),
 
     // q33/q56 shape — per-"channel" (market segment) restricted aggregates
-    // UNION ALL'd, then re-aggregated by brand.
-    QDef.common("tpcds_s_channels",
+    // re-aggregated by brand. TPC-DS writes this as three UNION ALL branches
+    // differing only in the channel literal — three scans of the same star.
+    // The oracle keeps that literal form; the ENGINE plan is the one you'd
+    // want at 100 TB: ONE scan grouped by (brand, segment), then the same
+    // outer re-aggregation. The two are bit-identical because GROUP BY
+    // (p_brand, c_mktsegment) partitions exactly the rows each UNION branch
+    // saw, with the same DECIMAL(28,4)-sum → DOUBLE → DECIMAL(18,4)-sum hops.
+    QDef.sql("tpcds_s_channels",
       """WITH ch AS (
         |  SELECT p_brand,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS v
@@ -79,7 +85,21 @@ object Tpcds {
         |)
         |SELECT p_brand, CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM ch GROUP BY p_brand
-        |ORDER BY total DESC, p_brand LIMIT 25"""),
+        |ORDER BY total DESC, p_brand LIMIT 25""") { (s, dir) =>
+      graft.Engine.sql(s, dir,
+        """WITH ch AS (
+          |  SELECT p_brand, c_mktsegment,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS v
+          |  FROM lineitem, orders, customer, part
+          |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          |    AND l_partkey = p_partkey
+          |    AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+          |  GROUP BY p_brand, c_mktsegment
+          |)
+          |SELECT p_brand, CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM ch GROUP BY p_brand
+          |ORDER BY total DESC, p_brand LIMIT 25""".stripMargin)
+    },
 
     // q34/q73 shape — order-count band per customer (GROUP BY + HAVING
     // BETWEEN), joined back to the customer dimension.
@@ -201,6 +221,16 @@ object Tpcds {
     // the day, then cumulative sums over the combined axis compared. The
     // running sums accumulate decimals over a unique ROWS frame, so both
     // engines produce identical prefixes.
+    //
+    // SCALE INVARIANT — the unpartitioned window (`WINDOW w AS (ORDER BY
+    // day ...)`, which Spark executes on a single partition) is bounded BY
+    // CONSTRUCTION, not by data volume: its input is the post-aggregate
+    // day axis of a six-month window — at most ~182 rows regardless of how
+    // many orders feed the aggregate (100 TB of orders still collapses to
+    // ≤182 (seg, day) groups before the window runs). A global cumulative
+    // sum over an UNBOUNDED day axis would instead need the two-pass
+    // range-partitioned prefix-sum (partition-local sums → broadcast
+    // per-partition offsets), which this shape deliberately does not.
     QDef.common("tpcds_s_cumcompare",
       """WITH d AS (
         |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,

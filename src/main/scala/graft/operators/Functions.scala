@@ -237,6 +237,55 @@ object Functions {
         second(col("ts")).cast("long").as("sec"))
     },
 
+    // ---- TIME as a first-class column type --------------------------------
+    // SURVEY §1.2 decision point; reference sql/type/SqlTypeName.java:64
+    // (TIME). Spark 4.1 ships a native TimeType behind
+    // spark.sql.timeType.enabled — micros-of-day internally, i.e. the
+    // INT-millis-of-day representation SURVEY §1.2 proposed, but engine-
+    // native: literals, make_time, EXTRACT, comparison, +INTERVAL and
+    // BIGINT/STRING casts all work (TimeTypeSpec pins the parquet
+    // round-trip). Output columns are primitives so the oracle hash is
+    // engine-neutral; the TIME column itself lives in the mid-plan.
+    // Spark TIME+INTERVAL overflows past midnight (DATETIME_OVERFLOW)
+    // while DuckDB wraps, so the shift is guarded to t <= 22:29:59 —
+    // identical values on both engines.
+    QDef.sql("fn_time_type",
+      """WITH b AS (
+        |  SELECT event_id,
+        |    CAST(extract(hour FROM ts) AS INT) AS hr,
+        |    CAST(extract(minute FROM ts) AS INT) AS mi,
+        |    CAST(floor(extract(second FROM ts)) AS INT) AS se
+        |  FROM events WHERE event_id % 3 = 0
+        |), c AS (
+        |  SELECT *, hr * 3600 + mi * 60 + se AS secs FROM b
+        |)
+        |SELECT event_id,
+        |  lpad(CAST(hr AS VARCHAR), 2, '0') || ':' || lpad(CAST(mi AS VARCHAR), 2, '0')
+        |    || ':' || lpad(CAST(se AS VARCHAR), 2, '0') AS t_str,
+        |  CAST(secs AS BIGINT) AS secs_of_day,
+        |  CAST(hr AS BIGINT) AS hr, CAST(mi AS BIGINT) AS mi, CAST(se AS BIGINT) AS se,
+        |  hr < 12 AS before_noon,
+        |  CASE WHEN secs + 5400 < 86400 THEN
+        |    lpad(CAST((secs + 5400) // 3600 AS VARCHAR), 2, '0') || ':'
+        |    || lpad(CAST(((secs + 5400) % 3600) // 60 AS VARCHAR), 2, '0') || ':'
+        |    || lpad(CAST((secs + 5400) % 60 AS VARCHAR), 2, '0')
+        |  END AS shifted
+        |FROM c""") { (s, dir) =>
+      s.conf.set("spark.sql.timeType.enabled", "true")
+      t(s, dir, "events").where(col("event_id") % 3 === 0)
+        .selectExpr("event_id",
+          "make_time(hour(ts), minute(ts), second(ts)) AS t")
+        .selectExpr(
+          "event_id",
+          "CAST(t AS STRING) AS t_str",
+          "CAST(t AS BIGINT) AS secs_of_day",
+          "CAST(EXTRACT(HOUR FROM t) AS BIGINT) AS hr",
+          "CAST(EXTRACT(MINUTE FROM t) AS BIGINT) AS mi",
+          "CAST(second(t) AS BIGINT) AS se",
+          "t < TIME '12:00:00' AS before_noon",
+          "CASE WHEN t <= TIME '22:29:59' THEN CAST(t + INTERVAL 90 MINUTE AS STRING) END AS shifted")
+    },
+
     // ---- Conditional: CASE / NULLIF / COALESCE / GREATEST / LEAST ---------
     QDef.sql("fn_conditional",
       """SELECT c_custkey,

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * SQL node sql/SqlMatchRecognize.java:35).
   *
   * Spark-first shape: `ds.groupByKey(partition).flatMapGroups` — each
-  * partition key's rows are sorted in memory and scanned by a greedy
-  * backtracking matcher (equivalent to the reference's automaton for the
-  * greedy-quantifier patterns MATCH_RECOGNIZE defines; ONE ROW PER MATCH +
-  * AFTER MATCH SKIP PAST LAST ROW semantics, Match.java:57 defaults).
+  * partition key's rows are sorted in memory and scanned by a backtracking
+  * matcher with SQL:2016 PREFERENCE semantics: leftmost-preferred, i.e.
+  * alternation left-to-right and greedy quantifiers, first accepting path
+  * wins — the same preferment the reference's automaton implements
+  * (runtime/Matcher.java). ONE ROW PER MATCH + AFTER MATCH SKIP PAST LAST
+  * ROW semantics, Match.java:57 defaults.
   *
   * Scale notes: the shuffle is one hash exchange on the partition key —
   * identical to what any engine needs for this operator. Per-key groups are
@@ -60,16 +62,24 @@ object MatchRecognize {
     * such variables match every row). */
   val alwaysTrue: Define = (_, _) => true
 
-  /** Result of one anchored match attempt: the longest complete match (if
-    * any) plus whether some exploration path ran off the end of the buffer
-    * — i.e. the attempt could extend or complete given MORE rows. The
-    * streaming matcher uses `hitEnd` to hold back rows instead of
-    * declaring failure (the reference's Matcher keeps partial automaton
-    * states across input for the same reason). */
+  /** Result of one anchored match attempt: the PREFERRED complete match
+    * (if any) plus whether some explored path ran off the end of the
+    * buffer — i.e. the attempt could complete, or a MORE-preferred path
+    * could complete, given more rows. The streaming matcher uses `hitEnd`
+    * to hold back rows instead of declaring failure (the reference's
+    * Matcher keeps partial automaton states across input for the same
+    * reason). `best` may be an empty match (end == start) when the
+    * pattern is nullable and its preferred path consumes nothing. */
   private final case class Attempt(
       best: Option[(Int, Array[String])], hitEnd: Boolean)
 
-  /** Greedy backtracking match of `pattern` anchored at `start`. */
+  /** Backtracking match of `pattern` anchored at `start`, SQL:2016
+    * preference order (leftmost-preferred, NOT POSIX-longest): paths are
+    * explored alternatives-left-to-right and greedy-quantifiers-most-
+    * repetitions-first, and the FIRST accepting path is THE match —
+    * `PATTERN (A | A B)` matches `A` even where `A B` also accepts,
+    * mirroring the reference's automaton (runtime/Matcher.java) and
+    * java.util.regex preferment. */
   private def matchAt(
       pattern: Pat,
       rows: IndexedSeq[Row],
@@ -110,8 +120,8 @@ object MatchRecognize {
     }
 
     go(pattern, start) { end =>
-      if (end > start && best.forall(_._1 < end)) best = Some((end, syms.clone()))
-      false // keep backtracking: find the longest accepting end
+      best = Some((end, syms.clone()))
+      true // first accept in preference order IS the match — stop here
     }
     Attempt(best, hitEnd)
   }
@@ -138,13 +148,15 @@ object MatchRecognize {
     var i = 0
     while (i < rows.length) {
       matchAt(pattern, rows, i, defines).best match {
-        case Some((end, syms)) =>
+        case Some((end, syms)) if end > i =>
           out += (i until end).map(j => (rows(j), syms(j)))
           i = skip match {
             case Skip.PastLastRow => end
             case Skip.ToNextRow => i + 1
           }
-        case None => i += 1
+        // empty preferred match (nullable pattern): nothing to emit, the
+        // scan advances one row — java.util.regex's empty-match rule
+        case _ => i += 1
       }
     }
     out.result()
@@ -170,10 +182,10 @@ object MatchRecognize {
         retainFrom = i
         open = true
       } else attempt.best match {
-        case Some((end, syms)) =>
+        case Some((end, syms)) if end > i =>
           out += (i until end).map(j => (rows(j), syms(j)))
           i = end
-        case None => i += 1
+        case _ => i += 1 // no match, or empty preferred match
       }
     }
     (out.result(), retainFrom)

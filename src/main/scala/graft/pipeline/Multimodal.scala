@@ -24,7 +24,8 @@ object Multimodal {
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    // nullable: the product encoder treats the array reference as nullable
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = true)))
 
   /** STUB decode: deterministic fake feature extraction from raw bytes
     * (byte histogram moments over 8 buckets). A real deployment swaps the
@@ -39,18 +40,23 @@ object Multimodal {
     hist.map(h => if (payload.length == 0) 0.0 else h.toDouble / payload.length)
   }
 
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Double])
+
   /** Batch feature extraction over a binary column: one decode loop per
-    * partition iterator (mapPartitions ≈ mapInPandas batches). */
+    * partition iterator (mapPartitions ≈ mapInPandas batches). Dataset
+    * `mapPartitions` — NOT `.rdd` — so the decode stays a Catalyst
+    * MapPartitions node: columnar input reaches the deserializer, AQE
+    * still replans downstream, and the plan has no RDD scan barrier
+    * (MultimodalPlanSpec asserts this). */
   def extractFeatures(docsWithPayload: DataFrame): DataFrame = {
     val spark = docsWithPayload.sparkSession
-    val rdd = docsWithPayload.select(col("doc_id"), col("payload")).rdd
-      .mapPartitions { it =>
-        it.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("doc_id"), payload.length, decodeStub(payload))
-        }
-      }
-    spark.createDataFrame(rdd, featureSchema)
+    import spark.implicits._
+    docsWithPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaFeatures(id, payload.length, decodeStub(payload))
+      })
+      .toDF()
   }
 
   val defs: Seq[QDef] = Seq(

@@ -9,22 +9,25 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Delegating SQL parser — the `SparkSessionExtensions.injectParser` hook.
   * Recognizes the restricted MATCH_RECOGNIZE form (see
-  * [[MatchRecognizeSql]]) and lowers it onto the native operator; every
-  * other statement goes to Spark's own parser verbatim. This mirrors how
-  * the reference extends its grammar for row-pattern matching
+  * [[MatchRecognizeSql]]) and CREATE/DROP MATERIALIZED VIEW DDL (see
+  * [[MaterializedViewSql]]) and lowers them onto the native operators;
+  * every other statement goes to Spark's own parser verbatim. This mirrors
+  * how the reference extends its grammar
   * (reference: core/src/main/codegen/templates/Parser.jj MatchRecognizeOpt;
-  * sql/SqlMatchRecognize.java:35) — a parser-level capability, not a
-  * rewrite of the engine.
+  * sql/SqlMatchRecognize.java:35; server/.../SqlCreateMaterializedView.java)
+  * — a parser-level capability, not a rewrite of the engine.
   */
 class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    MatchRecognizeSql.tryParse(spark, sqlText)
+    MaterializedViewSql.tryParse(spark, delegate, sqlText)
+      .orElse(MatchRecognizeSql.tryParse(spark, sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    MatchRecognizeSql.tryParse(spark, sqlText)
+    MaterializedViewSql.tryParse(spark, delegate, sqlText)
+      .orElse(MatchRecognizeSql.tryParse(spark, sqlText))
       .getOrElse(delegate.parseQuery(sqlText))
 
   override def parseExpression(sqlText: String): Expression =

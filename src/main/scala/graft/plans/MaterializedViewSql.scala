@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** CREATE / DROP MATERIALIZED VIEW through the SQL front end — the
+  * reference's DDL surface (reference: server/src/main/java/org/apache/
+  * calcite/sql/ddl/SqlCreateMaterializedView.java, executed eagerly by
+  * ServerDdlExecutor). Grammar:
+  *
+  *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] <name> AS <query>
+  *   DROP MATERIALIZED VIEW [IF EXISTS] <name>
+  *
+  * Lowering: the definition query is parsed/analyzed by the full session
+  * pipeline (re-entrant `spark.sql`), materialized to parquet under the
+  * session warehouse dir, registered with [[MaterializedViews]] for
+  * substitution, and exposed as a temp view named <name> so SQL can also
+  * scan the tile directly. Like the reference's DdlExecutor, execution is
+  * eager at prepare time — DDL has no lazily-executable plan; the returned
+  * plan is a one-row result describing the action.
+  */
+object MaterializedViewSql {
+
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
+
+  private def tilePath(spark: SparkSession, name: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    s"${wh.stripSuffix("/")}/graft_mv/$name"
+  }
+
+  /** Recognize and eagerly execute MV DDL; None for any other statement. */
+  def tryParse(spark: SparkSession, delegate: ParserInterface,
+      sqlText: String): Option[LogicalPlan] = sqlText match {
+    case CreateRe(name, defText) =>
+      val df = spark.sql(defText)
+      MaterializedViews.create(spark, name, df, tilePath(spark, name))
+      MaterializedViews.install(spark)
+      spark.read.parquet(tilePath(spark, name)).createOrReplaceTempView(name)
+      Some(delegate.parsePlan(
+        s"SELECT 'created' AS status, '$name' AS materialized_view"))
+    case DropRe(ifExists, name) =>
+      MaterializedViews.drop(name)
+      try spark.catalog.dropTempView(name)
+      catch { case _: Throwable if ifExists != null => () }
+      Some(delegate.parsePlan(
+        s"SELECT 'dropped' AS status, '$name' AS materialized_view"))
+    case _ => None
+  }
+}

@@ -32,6 +32,15 @@ import org.apache.spark.sql.types._
   */
 object MatchRecognizeSql {
 
+  /** Canonical MATCH_RECOGNIZE clause text, pinned on the lowered plan's
+    * root so [[RelToSql]] can re-emit the statement (the reference keeps
+    * the clause declaratively on its Match RelNode and renders it in
+    * rel2sql; our lowered MapGroups holds closures, so the text IS the
+    * declarative form). Catalyst copies tags through plan transforms, so
+    * the tag survives analysis. */
+  val RenderTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[String] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[String]("graft.matchRecognize.sql")
+
   private val Shell =
     ("""(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(\s*""" +
       """PARTITION\s+BY\s+(\w+)\s+ORDER\s+BY\s+(\w+)\s*(?:,\s*(\w+))?\s+""" +
@@ -221,9 +230,17 @@ object MatchRecognizeSql {
 
   private def build(spark: SparkSession, table: String, partCol: String,
       ordCol: String, ordTie: Option[String], measuresText: String,
-      patternText: String, definesText: String): LogicalPlan =
-    dataframe(spark.table(table), partCol, ordCol, ordTie,
+      patternText: String, definesText: String): LogicalPlan = {
+    val plan = dataframe(spark.table(table), partCol, ordCol, ordTie,
       measuresText, patternText, definesText).queryExecution.logical
+    val canonical =
+      s"SELECT * FROM $table MATCH_RECOGNIZE (" +
+        s"PARTITION BY $partCol ORDER BY $ordCol" +
+        ordTie.map(t => s", $t").getOrElse("") +
+        s" MEASURES $measuresText PATTERN ($patternText) DEFINE $definesText)"
+    plan.setTagValue(RenderTag, canonical)
+    plan
+  }
 
   /** Assemble a MATCH_RECOGNIZE over an arbitrary DataFrame from the
     * textual clause bodies — shared by the SQL front end and the

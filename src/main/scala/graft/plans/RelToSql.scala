@@ -119,6 +119,11 @@ object RelToSql {
   def convert(df: DataFrame, dialect: Dialect = Ansi): String =
     new Conversion(dialect).top(df.queryExecution.analyzed)
 
+  /** Convert an arbitrary logical plan (e.g. an OPTIMIZED plan, whose
+    * Expand nodes may sit directly on a relation after alias collapse). */
+  def convertPlan(plan: LogicalPlan, dialect: Dialect = Ansi): String =
+    new Conversion(dialect).top(plan)
+
   /** One conversion = one global attribute-name scope: every ExprId gets a
     * unique SQL alias (first claimant keeps the bare name; later same-named
     * attributes get a `_<exprId>` suffix), so join sides never collide and
@@ -165,7 +170,21 @@ object RelToSql {
     private val cteDefs = mutable.Map.empty[Long, LogicalPlan]
 
     /** Render a plan as a complete SELECT query. */
-    def query(plan: LogicalPlan): String = plan match {
+    def query(plan: LogicalPlan): String = plan.getTagValue(MatchRecognizeSql.RenderTag) match {
+      // MATCH_RECOGNIZE: the lowered operator is opaque (closures inside
+      // MapGroups), so — like the reference, whose Match RelNode keeps its
+      // clause declaratively (rel/rel2sql/RelToSqlConverter.java:103 visit
+      // Match) — the parser pins the canonical clause text on the plan and
+      // rel2sql re-emits it. Only the Spark dialect can execute it (our own
+      // injected grammar); Ansi renderings reject it like any dialect
+      // without row-pattern support.
+      case Some(text) =>
+        if (d eq Spark) text
+        else throw unsupported("MATCH_RECOGNIZE outside the Spark dialect")
+      case None => queryNode(plan)
+    }
+
+    private def queryNode(plan: LogicalPlan): String = plan match {
       case SubqueryAlias(_, child) => query(child)
 
       // hints change physical strategy, not semantics — SQL text cannot
@@ -338,21 +357,42 @@ object RelToSql {
     }
 
     private def groupingSets(agg: Aggregate, expand: Expand): String = {
-      val pl = expand.child match {
-        case Project(list, _) => list
-        case other => throw unsupported(s"Expand over ${other.nodeName}")
-      }
-      val k = pl.count(_.isInstanceOf[Alias]) // grouping sources are aliased
-      val nBase = pl.size - k
-      val srcExpr: Seq[Expression] =
-        pl.drop(nBase).map(_.asInstanceOf[Alias].child)
-      val gAttrIdx: Map[ExprId, Int] =
-        expand.output.slice(nBase, nBase + k).zipWithIndex
-          .map { case (a, i) => a.exprId -> i }.toMap
+      // Two child shapes: the analyzer's Project (base cols ++ aliased
+      // grouping sources, ResolveGroupingAnalytics — grouping slots are
+      // the CONTIGUOUS aliased tail), or — after alias collapse / column
+      // pruning — Expand directly over a non-Project child, where the
+      // passthrough columns may be pruned away entirely. The shape-proof
+      // identification: a grouping SLOT is an Expand output position the
+      // Aggregate's grouping expressions reference (minus the gid, always
+      // last); its SOURCE expression is recovered from the first
+      // projection that keeps the slot non-null.
       val gid = expand.output.last
+      val (baseChild: LogicalPlan, slotPos: Seq[Int], srcExpr: Seq[Expression]) =
+        expand.child match {
+          case Project(list, pchild) if list.exists(_.isInstanceOf[Alias]) =>
+            val kk = list.count(_.isInstanceOf[Alias])
+            val nb = list.size - kk
+            (pchild, (nb until nb + kk): Seq[Int],
+              list.drop(nb).map(_.asInstanceOf[Alias].child))
+          case other =>
+            val groupIds = agg.groupingExpressions
+              .collect { case a: AttributeReference => a.exprId }.toSet - gid.exprId
+            val pos: Seq[Int] = expand.output.zipWithIndex.init.collect {
+              case (a, j) if groupIds.contains(a.exprId) => j
+            }
+            val src = pos.map { j =>
+              expand.projections.iterator.map(_(j))
+                .find(e => !e.semanticEquals(Literal(null, e.dataType)))
+                .getOrElse(throw unsupported("all-null grouping slot"))
+            }
+            (other, pos, src)
+        }
+      val k = slotPos.size
+      val gAttrIdx: Map[ExprId, Int] = slotPos.zipWithIndex
+        .map { case (j, i) => expand.output(j).exprId -> i }.toMap
       val sets: Seq[Seq[Expression]] = expand.projections.map { proj =>
         (0 until k).collect {
-          case i if !proj(nBase + i).semanticEquals(Literal(null, proj(nBase + i).dataType)) =>
+          case i if !proj(slotPos(i)).semanticEquals(Literal(null, proj(slotPos(i)).dataType)) =>
             srcExpr(i)
         }
       }
@@ -372,7 +412,7 @@ object RelToSql {
           case e => Alias(e, ne.name)(exprId = ne.toAttribute.exprId)
         }
       }
-      val fromSql = from(expand.child.asInstanceOf[Project].child)
+      val fromSql = from(baseChild)
       val cols = substituted.map(ne => namedExpr(ne)).mkString(", ")
       val setsSql = sets
         .map(set => "(" + set.map(expr).mkString(", ") + ")").mkString(", ")

@@ -104,6 +104,43 @@ class RelToSqlSpec extends AnyFunSuite {
           .rowsBetween(-2, 1)).as("near_sum")))
   }
 
+  test("Expand over a non-Project child renders (optimized rollup plan)") {
+    // the optimizer collapses the analyzer's grouping-source Project when
+    // the sources are plain columns — the Expand then sits directly on the
+    // relation, the shape the generic inline-source recovery handles
+    Tables.registerAll(spark, sfDir)
+    val df = spark.sql(
+      "SELECT r_name, count(1) AS n FROM region GROUP BY ROLLUP(r_name)")
+    val opt = df.queryExecution.optimizedPlan
+    val expandChildren = opt.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e.child.nodeName
+    }
+    assert(expandChildren.nonEmpty)
+    val sql = RelToSql.convertPlan(opt, RelToSql.Spark)
+    val direct = df.collect().map(_.toString).sorted.toSeq
+    val rerun = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    assert(direct == rerun, s"optimized-Expand cycle diverged:\n$sql\nchild=$expandChildren")
+  }
+
+  test("MATCH_RECOGNIZE renders its clause in the Spark dialect and rejects Ansi") {
+    Tables.registerAll(spark, sfDir)
+    val mrSql =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES COUNT(C.*) AS n_clicks
+        |  PATTERN (C{2,} E)
+        |  DEFINE C AS event_type = 'click', E AS event_type = 'error')""".stripMargin
+    val df = spark.sql(mrSql)
+    val regen = RelToSql.convert(df, RelToSql.Spark)
+    assert(regen.contains("MATCH_RECOGNIZE"), s"clause lost:\n$regen")
+    val a = df.collect().map(_.toString).sorted.toSeq
+    val b = spark.sql(regen).collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"MATCH_RECOGNIZE cycle diverged:\n$regen")
+    intercept[UnsupportedOperationException] {
+      RelToSql.convert(df, RelToSql.Ansi)
+    }
+  }
+
   test("MySQL dialect: backticks and CONCAT()") {
     val c = Tables.t(spark, sfDir, "customer")
       .select(concat(col("c_name"), lit("x")).as("n"))

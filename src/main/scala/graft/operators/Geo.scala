@@ -37,14 +37,54 @@ object Geo {
     struct(lit("POLYGON").as("kind"),
       array(xs.map(lit(_)): _*).as("xs"), array(ys.map(lit(_)): _*).as("ys"))
 
-  /** WKT POINT parser (the ST_GeomFromText / ST_PointFromText subset).
-    * Accepts both `POINT (x y)` and the space-free `POINT(x y)` the
-    * reference's spatial.iq goldens use. */
+  /** WKT POINT parser (reference ST_PointFromText). Accepts both
+    * `POINT (x y)` and the space-free `POINT(x y)` the reference's
+    * spatial.iq goldens use. Line/polygon/multipoint parsing below;
+    * [[stGeomFromText]] dispatches on the tag. */
   def stPointFromText(wkt: Column): Column = {
     val re = """POINT ?\(([-0-9.]+) ([-0-9.]+)\)"""
     stPoint(regexp_extract(wkt, re, 1).cast("double"),
       regexp_extract(wkt, re, 2).cast("double"))
   }
+
+  /** WKT body "x y, x y, ..." → coordinate arrays (axis 0 = x, 1 = y).
+    * Pure Spark built-ins (split/transform/cast), fully codegen'd. */
+  private def wktAxis(body: Column, axis: Int): Column =
+    transform(split(body, ","),
+      p => element_at(split(trim(p), " +"), axis + 1).cast("double"))
+
+  /** ST_LineFromText (reference GeoFunctions ST_LineFromText):
+    * `LINESTRING (x y, x y, ...)`. */
+  def stLineFromText(wkt: Column): Column = {
+    val body = regexp_extract(wkt, """LINESTRING ?\(([^)]*)\)""", 1)
+    struct(lit("LINESTRING").as("kind"),
+      wktAxis(body, 0).as("xs"), wktAxis(body, 1).as("ys"))
+  }
+
+  /** ST_PolyFromText (reference ST_PolyFromText): single-ring
+    * `POLYGON ((x y, ...))` — the struct model is single-ring by
+    * construction (holes need a geometry kernel by nature). */
+  def stPolyFromText(wkt: Column): Column = {
+    val body = regexp_extract(wkt, """POLYGON ?\(\(([^)]*)\)\)""", 1)
+    struct(lit("POLYGON").as("kind"),
+      wktAxis(body, 0).as("xs"), wktAxis(body, 1).as("ys"))
+  }
+
+  /** ST_MPointFromText (reference ST_MPointFromText):
+    * `MULTIPOINT (x y, x y, ...)`. */
+  def stMPointFromText(wkt: Column): Column = {
+    val body = regexp_extract(wkt, """MULTIPOINT ?\(([^)]*)\)""", 1)
+    struct(lit("MULTIPOINT").as("kind"),
+      wktAxis(body, 0).as("xs"), wktAxis(body, 1).as("ys"))
+  }
+
+  /** General ST_GeomFromText: dispatch on the WKT tag (reference
+    * GeoFunctions ST_GeomFromText accepts any kind). */
+  def stGeomFromText(wkt: Column): Column =
+    when(wkt.startsWith("POINT"), stPointFromText(wkt))
+      .when(wkt.startsWith("LINESTRING"), stLineFromText(wkt))
+      .when(wkt.startsWith("POLYGON"), stPolyFromText(wkt))
+      .when(wkt.startsWith("MULTIPOINT"), stMPointFromText(wkt))
 
   // ---- accessors ---------------------------------------------------------
   def stX(g: Column): Column = g.getField("xs").getItem(0)
@@ -447,6 +487,57 @@ object Geo {
         stZ(p).isNull.as("z_is_null"),
         stIs3D(p).as("is3d"),
         stSrid(stTransform(stSetSrid(p, lit(4326)), lit(3857))).as("srid_out"))
+    },
+
+    // WKT constructor family (reference ST_LineFromText / ST_PolyFromText /
+    // ST_MPointFromText / general ST_GeomFromText): WKT text is BUILT from
+    // fixture columns, PARSED by the constructors, and the parsed
+    // geometries are interrogated — coordinates echo the source columns,
+    // kinds dispatch correctly, the WKT writer round-trips the text, and a
+    // containment test runs on the parsed polygon. All coordinates are
+    // exact binary fractions; the probe point (2.75, 3.375) never lands on
+    // a parsed square's edge (px±1 are .5 offsets, py±1 are .25/.75
+    // offsets), so strict interior containment is unambiguous.
+    QDef.sql("geo_wkt",
+      """SELECT c_custkey,
+        |  'LINESTRING' AS lkind, 2 AS ln, px AS lx1, 3.25 AS ly2,
+        |  'POLYGON' AS pkind, 4 AS pn, TRUE AS poly_rt,
+        |  (px - 1 < 2.75 AND 2.75 < px + 1 AND py - 1 < 3.375 AND 3.375 < py + 1)
+        |    AS contains_probe,
+        |  'MULTIPOINT' AS mkind, 2 AS mn, 0.5 AS m_last_x
+        |FROM (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 25 AS DOUBLE) + 0.5 AS px,
+        |    CAST(c_nationkey AS DOUBLE) + 0.25 AS py
+        |  FROM customer)""") { (s, dir) =>
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 25).cast("double") + 0.5).as("px"),
+        (col("c_nationkey").cast("double") + 0.25).as("py"))
+      def str(c: Column): Column = c.cast("string")
+      val wktLine = concat(lit("LINESTRING ("), str(col("px")), lit(" "),
+        str(col("py")), lit(", 2.5 3.25)"))
+      val wktPoly = concat(lit("POLYGON (("),
+        str(col("px") - 1), lit(" "), str(col("py") - 1), lit(", "),
+        str(col("px") + 1), lit(" "), str(col("py") - 1), lit(", "),
+        str(col("px") + 1), lit(" "), str(col("py") + 1), lit(", "),
+        str(col("px") - 1), lit(" "), str(col("py") + 1), lit("))"))
+      val wktMp = concat(lit("MULTIPOINT ("), str(col("px")), lit(" "),
+        str(col("py")), lit(", 0.5 0.25)"))
+      val line = stGeomFromText(wktLine)
+      val poly = stGeomFromText(wktPoly)
+      val mp = stGeomFromText(wktMp)
+      pts.select(col("c_custkey"),
+        stGeometryType(line).as("lkind"),
+        stNumPoints(line).as("ln"),
+        stX(line).as("lx1"),
+        element_at(line.getField("ys"), -1).as("ly2"),
+        stGeometryType(poly).as("pkind"),
+        stNumPoints(poly).as("pn"),
+        (stAsText(poly) === wktPoly).as("poly_rt"),
+        stContains(poly, stPoint(lit(2.75), lit(3.375))).as("contains_probe"),
+        stGeometryType(mp).as("mkind"),
+        stNumPoints(mp).as("mn"),
+        element_at(mp.getField("xs"), -1).as("m_last_x"))
     },
 
     // Spatial theta-join: customers within radius 4 of each nation's

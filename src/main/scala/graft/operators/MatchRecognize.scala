@@ -106,14 +106,18 @@ object MatchRecognize {
         cat(0, pos)
       case Pat.Alt(ps) => ps.exists(alt => go(alt, pos)(k))
       case Pat.Rep(inner, min, max) =>
-        // greedy: consume as many as allowed, then fall back. The `r > q`
-        // guard stops zero-width iteration loops; a nullable inner can
-        // satisfy any min count with empty repetitions, so min is then
-        // considered met (matches regex/{m,n} quantifier semantics).
+        // greedy: consume as many as allowed, then fall back. Zero-width
+        // iteration handling follows regex preferment exactly: an
+        // iteration whose body matches EMPTY exits the loop THROUGH that
+        // path (`k(q)`, in the body's own preference position) — it does
+        // not fail the path and fall to less-preferred non-empty body
+        // alternatives first. An empty body match also proves min is
+        // satisfiable by empty repetitions (matching empty evaluates no
+        // predicates), mirroring regex {m,n} semantics.
         val minSatisfiableEmpty = Pat.nullable(inner)
         def rep(count: Int, q: Int): Boolean = {
           val more = (max < 0 || count < max) &&
-            go(inner, q)(r => r > q && rep(count + 1, r))
+            go(inner, q)(r => if (r > q) rep(count + 1, r) else k(q))
           more || ((count >= min || minSatisfiableEmpty) && k(q))
         }
         rep(0, pos)

@@ -1,0 +1,87 @@
+package graft
+import graft.operators.MatchRecognize
+import graft.operators.MatchRecognize.Pat
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import scala.util.Random
+
+object MatcherHammer {
+  val schema = StructType(Seq(StructField("v", StringType)))
+  def rowsOf(s: String): IndexedSeq[Row] =
+    s.map(c => new GenericRowWithSchema(Array(c.toString), schema): Row).toIndexedSeq
+  val defines: Map[String, MatchRecognize.Define] = Map(
+    "A" -> ((r, _) => r.getAs[String]("v") == "a"),
+    "B" -> ((r, _) => r.getAs[String]("v") == "b"),
+    "C" -> ((r, _) => r.getAs[String]("v") == "c"))
+  def toRegex(p: Pat): String = p match {
+    case Pat.Sym(n) => n.toLowerCase
+    case Pat.Cat(ps) => ps.map(q => s"(?:${toRegex(q)})").mkString
+    case Pat.Alt(ps) => ps.map(q => s"(?:${toRegex(q)})").mkString("(?:", "|", ")")
+    case Pat.Rep(q, min, -1) => s"(?:${toRegex(q)}){$min,}"
+    case Pat.Rep(q, min, max) => s"(?:${toRegex(q)}){$min,$max}"
+  }
+  def referenceSpans(s: String, p: Pat): Seq[(Int, Int)] = {
+    val re = toRegex(p).r.pattern
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      val m = re.matcher(s); m.region(i, s.length)
+      if (m.lookingAt() && m.end() > i) { out += ((i, m.end())); i = m.end() }
+      else i += 1
+    }
+    out.result()
+  }
+  def gotSpans(s: String, p: Pat): List[(Int,Int)] = {
+    val rows = rowsOf(s)
+    var spans = List.empty[(Int, Int)]
+    var consumed = 0
+    MatchRecognize.findMatches(rows, p, defines).foreach { m =>
+      val start = rows.indexWhere(_ eq m.head._1, consumed)
+      spans :+= ((start, start + m.size))
+      consumed = start + m.size
+    }
+    spans
+  }
+  def genPat(r: Random, depth: Int): Pat =
+    if (depth <= 0) Pat.Sym(Seq("A","B","C")(r.nextInt(3)))
+    else r.nextInt(9) match {
+      case 0|1|2 => Pat.Sym(Seq("A","B","C")(r.nextInt(3)))
+      case 3|4 => Pat.Cat(Seq(genPat(r, depth-1), genPat(r, depth-1)))
+      case 5|6 => Pat.Alt(Seq(genPat(r, depth-1), genPat(r, depth-1)))
+      case _ =>
+        val min = r.nextInt(3)
+        val max = Seq(-1, math.max(min,1), 3)(r.nextInt(3))
+        Pat.Rep(genPat(r, depth-1), min, if (max != -1 && max < min) min else max)
+    }
+  def main(args: Array[String]): Unit = {
+    val r = new Random(12345)
+    var bad = 0
+    for (iter <- 1 to 2000000) {
+      val p = genPat(r, 3)
+      val n = r.nextInt(13)
+      val s = (1 to n).map(_ => "abc"(r.nextInt(3))).mkString
+      // batch property
+      val want = referenceSpans(s, p).toList
+      val got = gotSpans(s, p)
+      if (got != want) {
+        bad += 1
+        if (bad <= 5) println(s"BATCH MISMATCH pat=$p regex=${toRegex(p)} s='$s' got=$got want=$want")
+      }
+      // streaming property
+      val cut = r.nextInt(s.length + 1)
+      val rows = rowsOf(s)
+      val batch = MatchRecognize.findMatches(rows, p, defines).map(_.map(_._2))
+      val (m1, retain1) = MatchRecognize.findMatchesStreaming(rows.take(cut), p, defines)
+      val carried = rows.take(cut).drop(retain1) ++ rows.drop(cut)
+      val m2 = MatchRecognize.findMatches(carried, p, defines)
+      if ((m1.map(_.map(_._2)) ++ m2.map(_.map(_._2))) != batch) {
+        bad += 1
+        if (bad <= 5) println(s"STREAM MISMATCH pat=$p s='$s' cut=$cut")
+      }
+      if (iter % 500000 == 0) println(s"$iter iters, $bad bad")
+      if (bad > 5) sys.exit(1)
+    }
+    println(s"done, $bad bad")
+  }
+}

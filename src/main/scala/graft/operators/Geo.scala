@@ -302,6 +302,34 @@ object Geo {
   def stTransform(g: Column, srid: Column): Column = stSetSrid(g, srid)
   def stSrid(g: Column): Column = g.getField("srid")
 
+  /** ST_Union for POINT/MULTIPOINT arguments — the exactly-implementable
+    * subset: the union of two point sets is their deduplicated MULTIPOINT
+    * (reference GeoFunctions ST_Union delegates to the ESRI union; for
+    * point inputs that IS set union). Polygon/line union needs a clipping
+    * kernel by nature and stays out of scope, like ST_Buffer's general
+    * case. */
+  def stUnionPoints(a: Column, b: Column): Column = {
+    val pairs = array_distinct(concat(
+      zip_with(a.getField("xs"), a.getField("ys"), (x, y) => struct(x.as("x"), y.as("y"))),
+      zip_with(b.getField("xs"), b.getField("ys"), (x, y) => struct(x.as("x"), y.as("y")))))
+    struct(lit("MULTIPOINT").as("kind"),
+      transform(pairs, p => p.getField("x")).as("xs"),
+      transform(pairs, p => p.getField("y")).as("ys"))
+  }
+
+  /** ST_Buffer of a POINT: a regular 32-gon of radius r — a DOCUMENTED
+    * deterministic approximation of the reference's ESRI circle buffer
+    * (reference GeoFunctions ST_Buffer; ESRI itself approximates the
+    * circle with a segment count). Composes with the exact predicates:
+    * the polygon is convex, contains the center, and lies within the
+    * r-envelope (GeoBufferUnionSpec). */
+  def stBufferPoint(p: Column, r: Column): Column = {
+    val ks = sequence(lit(0), lit(31))
+    struct(lit("POLYGON").as("kind"),
+      transform(ks, k => stX(p) + r * cos(k.cast("double") * (2 * math.Pi / 32))).as("xs"),
+      transform(ks, k => stY(p) + r * sin(k.cast("double") * (2 * math.Pi / 32))).as("ys"))
+  }
+
   /** OGC SFS type code (reference: GeoFunctions.Type enum). */
   def stGeometryTypeCode(g: Column): Column =
     when(g.getField("kind") === "POINT", 1)

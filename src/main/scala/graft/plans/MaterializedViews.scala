@@ -270,6 +270,40 @@ object MaterializedViews {
       }
     }.nextOption()
 
+  /** Unify a query UNION ALL with a registered UNION ALL tile — the
+    * reference's UnionToUnionUnifyRule family (SubstitutionVisitor.java:120):
+    * the MV's branches must match a sub-MULTISET of the query's branches
+    * (canonical equality, any order); matched branches collapse into one
+    * tile scan, unmatched branches stay as a compensating union. Exact
+    * same-order matches never reach here (whole-plan canonical equality
+    * fires first); this rule adds permutation + subset coverage. */
+  private def unionUnify(spark: SparkSession,
+      u: org.apache.spark.sql.catalyst.plans.logical.Union): Option[LogicalPlan] =
+    registry.iterator.flatMap { entry =>
+      entry.optimized match {
+        case mu: org.apache.spark.sql.catalyst.plans.logical.Union
+            if mu.children.size <= u.children.size =>
+          val remaining = mutable.ArrayBuffer(u.children: _*)
+          val allMatched = mu.children.forall { m =>
+            val i = remaining.indexWhere(_.canonicalized == m.canonicalized)
+            if (i >= 0) { remaining.remove(i); true } else false
+          }
+          if (!allMatched) None
+          else {
+            val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+            val replaced: LogicalPlan =
+              if (remaining.isEmpty) scan
+              else org.apache.spark.sql.catalyst.plans.logical.Union(
+                scan +: remaining.toSeq)
+            // rebind: the new plan's columns take over the union's exprIds
+            Some(Project(u.output.zip(replaced.output).map { case (o, n) =>
+              Alias(n, o.name)(exprId = o.exprId)
+            }, replaced))
+          }
+        case _ => None
+      }
+    }.nextOption()
+
   /** The rewrite rule; idempotent to install once per session. */
   final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -285,6 +319,8 @@ object MaterializedViews {
             sub match {
               case agg: Aggregate => rollup(spark, agg).getOrElse(sub)
               case flt: Filter => filterResidual(spark, flt).getOrElse(flt)
+              case un: org.apache.spark.sql.catalyst.plans.logical.Union =>
+                unionUnify(spark, un).getOrElse(un)
               case _ => sub
             }
         }

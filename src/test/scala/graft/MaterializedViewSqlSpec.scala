@@ -75,4 +75,37 @@ class MaterializedViewSqlSpec extends AnyFunSuite {
     assert(got == want)
     MaterializedViews.drop("mv_union_branch")
   }
+
+  test("union unify: permuted branches and subset-with-compensation") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    def slice(status: String) =
+      Tables.t(spark, sfDir, "orders").where(col("o_orderstatus") === status)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    // expected values BEFORE the MV exists, so the equality pins the rewrite
+    val wantPerm = slice("O").unionAll(slice("F"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val want = slice("P").unionAll(slice("O")).unionAll(slice("F"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+
+    // MV = F ∪ O; queries permute and extend the branch set
+    MaterializedViews.create(spark, "mv_union_fo",
+      slice("F").unionAll(slice("O")), "/tmp/graft_mv/union_fo")
+
+    // permuted: O ∪ F answered wholly from the tile
+    val perm = slice("O").unionAll(slice("F"))
+    val permPhys = perm.queryExecution.executedPlan.toString
+    assert(permPhys.contains("union_fo"), s"tile not scanned:\n$permPhys")
+    assert(!permPhys.contains("orders.parquet"), s"fact still scanned:\n$permPhys")
+    val gotPerm = perm.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(gotPerm == wantPerm)
+
+    // subset: P ∪ O ∪ F keeps P as the compensating branch
+    val sub = slice("P").unionAll(slice("O")).unionAll(slice("F"))
+    val subPhys = sub.queryExecution.executedPlan.toString
+    assert(subPhys.contains("union_fo"), s"tile not scanned:\n$subPhys")
+    val got = sub.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+    MaterializedViews.drop("mv_union_fo")
+  }
 }

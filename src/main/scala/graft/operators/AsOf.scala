@@ -107,6 +107,33 @@ object AsOf {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select("user_id", "event_id", "event_type", "value")
+    },
+
+    // ---- SQL:2011 FOR SYSTEM_TIME AS OF over a system-versioned view ------
+    // Events become per-user versions ((valid_from, valid_to] via LEAD),
+    // then the SQL:2011 clause — parsed by the injected SystemTimeSql
+    // front end, reference sql/SqlSnapshot.java — selects the versions
+    // valid at the cutoff. The lowering is a plain pushable filter: one
+    // pruned scan at any scale. Oracle: the same construction spelled
+    // longhand in DuckDB.
+    QDef.sql("temporal_system_time",
+      """WITH user_versions AS (
+        |  SELECT user_id, event_id, value, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, value FROM user_versions
+        |WHERE valid_from <= TIMESTAMP '2024-06-01 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-06-01 00:00:00')""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """CREATE OR REPLACE TEMP VIEW user_versions AS
+          |SELECT user_id, event_id, value, ts AS valid_from,
+          |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          |FROM events""".stripMargin)
+      s.sql(
+        """SELECT user_id, event_id, value FROM user_versions
+          |FOR SYSTEM_TIME AS OF TIMESTAMP '2024-06-01 00:00:00'""".stripMargin)
     }
   )
 }

@@ -424,6 +424,18 @@ object Relational {
               |WHERE o_totalprice >= (SELECT COALESCE(MAX(o_totalprice), -1e308) FROM orders WHERE o_custkey = 1)""".stripMargin)
     },
 
+    // ---- Quantified comparison (SOME/ANY) ---------------------------------
+    // The dual rewrite: x > SOME (sub) ⟺ x > (SELECT MIN(sub)) — NULL (→
+    // no row in WHERE) over an empty subquery on both engines, matching
+    // SOME's FALSE. reference: SqlQuantifyOperator SOME_GT.
+    QDef.sql("subq_quantified_some",
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > SOME (SELECT o_totalprice FROM orders WHERE o_custkey = 1)""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey FROM orders
+              |WHERE o_totalprice > (SELECT MIN(o_totalprice) FROM orders WHERE o_custkey = 1)""".stripMargin)
+    },
+
     // ---- Sample (TABLESAMPLE) — nondeterministic across engines → rows-only.
     // reference: rel/core/Sample.java:36.
     QDef.rowsOnly("sample_fraction") { (s, dir) =>

@@ -273,21 +273,27 @@ object MatchRecognizeSql {
         case LastCol(c, n) => StructField(n, schema(c).dataType, schema(c).nullable)
       })
 
-    val out = MatchRecognize.matchRecognize[Row](
-      df,
-      partitionKey = r => asLong(r.getAs[Any](partCol)),
-      orderKey = orderFn,
-      pattern = pattern,
-      defines = defines,
-      measure = (key, m) => {
-        val vals: Seq[Any] = measures.map {
-          case CountAll(_) => m.size.toLong
-          case CountSym(s, _) => m.count(_._2 == s).toLong
-          case FirstCol(c, _) => m.head._1.getAs[Any](c)
-          case LastCol(c, _) => m.last._1.getAs[Any](c)
-        }
-        Row.fromSeq(key +: vals)
-      })(Encoders.row(outSchema))
+    val keyFn: Row => Long = r => asLong(r.getAs[Any](partCol))
+    val measureFn: (Long, IndexedSeq[(Row, String)]) => Row = (key, m) => {
+      val vals: Seq[Any] = measures.map {
+        case CountAll(_) => m.size.toLong
+        case CountSym(s, _) => m.count(_._2 == s).toLong
+        case FirstCol(c, _) => m.head._1.getAs[Any](c)
+        case LastCol(c, _) => m.last._1.getAs[Any](c)
+      }
+      Row.fromSeq(key +: vals)
+    }
+    // a streaming source (e.g. `SELECT STREAM ... MATCH_RECOGNIZE`, where
+    // the STREAM front end resolved the table to its readStream twin)
+    // lowers onto the flatMapGroupsWithState matcher — the reference's
+    // Delta-over-Match plan; a batch source onto flatMapGroups
+    val out =
+      if (df.isStreaming)
+        MatchRecognize.matchRecognizeStream[Row](df, keyFn, orderFn,
+          pattern, defines, measureFn)(Encoders.row(outSchema))
+      else
+        MatchRecognize.matchRecognize[Row](df, keyFn, orderFn,
+          pattern, defines, measureFn)(Encoders.row(outSchema))
     out.toDF()
   }
 }

@@ -197,6 +197,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream=${got.size} batch=${want.size} diff=${(got diff want) ++ (want diff got)}")
   }
 
+  test("SELECT STREAM ... MATCH_RECOGNIZE lowers onto the streaming matcher and equals batch") {
+    val mrBody =
+      """* FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES COUNT(C.*) AS n_clicks
+        |  PATTERN (C{2,} E)
+        |  DEFINE C AS event_type = 'click', E AS event_type = 'error')""".stripMargin
+    val streamed = graft.streaming.StreamSql.sql(spark, sfDir, "SELECT STREAM " + mrBody)
+    assert(streamed.isStreaming, "SELECT STREAM MATCH_RECOGNIZE must stay a stream")
+    val got = runToCompletion(streamed, "t_mr_sql", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Tables.registerAll(spark, sfDir)
+    val want = spark.sql("SELECT " + mrBody)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, s"stream=${got.size} batch=${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState running per-user count equals batch count") {
     val s = spark
     import s.implicits._

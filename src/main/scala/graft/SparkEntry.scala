@@ -22,6 +22,7 @@ object SparkEntry {
       plans.Profiler.defs ++ plans.RelToSqlDemo.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++
+      pipeline.Packing.defs ++
       streaming.StreamOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

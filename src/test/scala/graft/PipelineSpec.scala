@@ -121,4 +121,36 @@ class PipelineSpec extends AnyFunSuite {
     val c = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("sequence packing: budget respected, bins contiguous, parallelism-invariant") {
+    import graft.pipeline.Packing
+    val docs = Tables.t(spark, sfDir, "documents")
+    val budget = 256L
+    val packed = Packing.packGreedy(docs, budget, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length == docs.count())
+    // every multi-doc bin stays within budget; only single oversized docs exceed
+    val byBin = packed.groupBy(_._3)
+    byBin.foreach { case (bin, rows) =>
+      val total = rows.map(_._2).sum
+      assert(total <= budget || rows.length == 1,
+        s"bin $bin over budget with ${rows.length} docs: $total")
+    }
+    // fill_after of a bin's last doc equals the bin total (greedy invariant)
+    byBin.foreach { case (_, rows) =>
+      val last = rows.maxBy(_._1)
+      assert(last._4 == rows.map(_._2).sum)
+    }
+    // bins are contiguous doc_id runs: sorting by doc_id never revisits a bin
+    val binSeq = packed.sortBy(_._1).map(_._3)
+    assert(binSeq.distinct.length == binSeq.foldLeft((0, Set.empty[Long], -1L)) {
+      case ((n, seen, prev), b) =>
+        if (b == prev) (n, seen, b)
+        else { assert(!seen(b), s"bin $b revisited"); (n + 1, seen + b, b) }
+    }._1)
+    // deterministic under different parallelism (fixed ranges, not partitions)
+    val repartitioned = Packing.packGreedy(docs.repartition(7), budget, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(repartitioned.sortBy(_._1).toSeq == packed.sortBy(_._1).toSeq)
+  }
 }

@@ -27,6 +27,16 @@ object StreamSql {
   /** Tables with a streaming twin (the fixture's StreamableTable set). */
   val streamable: Set[String] = Set("events")
 
+  /** Additional streamable tables — the analogue of registering a
+    * StreamableTable in the reference's model schema
+    * (StreamTest.OrdersStreamTableFactory): name → its readStream twin.
+    * Registered twins shadow any same-named batch view inside
+    * `SELECT STREAM` resolution. */
+  private val extraStreamables =
+    scala.collection.concurrent.TrieMap.empty[String, SparkSession => DataFrame]
+  def registerStreamable(name: String, make: SparkSession => DataFrame): Unit =
+    extraStreamables.put(name, make)
+
   // The reference's grouped window functions (SqlStdOperatorTable:2268-2330
   // TUMBLE/HOP/SESSION + their _START/_END auxiliaries) lowered onto
   // Spark's window()/session_window() struct API. INTERVAL 'n' UNIT is
@@ -39,6 +49,9 @@ object StreamSql {
   private val SessionW = """(?i)SESSION\s*\(\s*(\w+)\s*,\s*(INTERVAL[^)]+)\)""".r
   private val StartEnd =
     """(?i)(TUMBLE|HOP|SESSION)_(START|END)\s*\([^)]*\)""".r
+  // the reference's time-bucketing idiom `FLOOR(ts TO HOUR)`
+  // (StreamTest.java streaming GROUP BY goldens) → Spark date_trunc
+  private val FloorTo = """(?i)FLOOR\s*\(\s*([\w.]+)\s+TO\s+(\w+)\s*\)""".r
 
   /** Rewrite reference grouped-window syntax into Spark's window functions.
     * The auxiliary _START/_END functions become `.start`/`.end` access on
@@ -60,6 +73,8 @@ object StreamSql {
     out = Tumble.replaceAllIn(out, m => s"window(${m.group(1)}, ${iv(m.group(2))})")
     out = SessionW.replaceAllIn(out, m =>
       s"session_window(${m.group(1)}, ${iv(m.group(2))})")
+    out = FloorTo.replaceAllIn(out, m =>
+      s"date_trunc('${m.group(2).toUpperCase}', ${m.group(1)})")
     out
   }
 
@@ -75,6 +90,9 @@ object StreamSql {
         Tables.registerAll(spark, sfDir)
         // ... then the streaming twins shadow the streamable tables
         StreamOps.readEventsStream(spark, sfDir).createOrReplaceTempView("events")
+        extraStreamables.foreach { case (n, mk) =>
+          mk(spark).createOrReplaceTempView(n)
+        }
         val df =
           try spark.sql(rewriteGroupedWindows("SELECT " + rest))
           finally {
@@ -85,8 +103,8 @@ object StreamSql {
         if (!df.isStreaming)
           throw new IllegalArgumentException(
             "SELECT STREAM requires a streamable table in FROM " +
-              s"(streamable: ${streamable.mkString(", ")}) — the reference " +
-              "rejects this as 'Cannot convert table to stream'")
+              s"(streamable: ${(streamable ++ extraStreamables.keySet).mkString(", ")})" +
+              " — the reference rejects this as 'Cannot convert table to stream'")
         df
       case _ =>
         throw new IllegalArgumentException("not a SELECT STREAM query")

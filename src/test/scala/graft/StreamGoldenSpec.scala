@@ -1,0 +1,108 @@
+package graft
+
+import graft.streaming.StreamSql
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Goldens ported from the reference's own streaming suite
+  * (reference: core/src/test/java/org/apache/calcite/test/StreamTest.java —
+  * the 5-row ORDERS stream of OrdersStreamTableFactory.getRowList and the
+  * PRODUCTS relation, with the committed expected outputs). Queries run
+  * through OUR `SELECT STREAM` front end against a replayed stream; the
+  * reference's `FLOOR(rowtime TO HOUR)` idiom is rewritten to date_trunc
+  * by the front end. */
+class StreamGoldenSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val setup: Unit = {
+    // StreamTest.java:394-403 — the ORDERS stream rows
+    val dir = java.nio.file.Files.createTempDirectory("stream_orders").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (TIMESTAMP '2015-02-15 10:15:00', 1, 'paint', 10),
+        |  (TIMESTAMP '2015-02-15 10:24:15', 2, 'paper', 5),
+        |  (TIMESTAMP '2015-02-15 10:24:45', 3, 'brush', 12),
+        |  (TIMESTAMP '2015-02-15 10:58:00', 4, 'paint', 3),
+        |  (TIMESTAMP '2015-02-15 11:10:00', 5, 'paint', 3)
+        |AS t(rowtime, id, product, units)""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    StreamSql.registerStreamable("orders_s",
+      s => s.readStream.schema(schema).parquet(dir))
+    // StreamTest.java:502-506 — the PRODUCTS relation (id, supplier)
+    spark.sql(
+      """SELECT * FROM VALUES ('paint', 1), ('paper', 0), ('brush', 1)
+        |AS t(id, supplier)""".stripMargin)
+      .createOrReplaceTempView("products_s")
+  }
+
+  private def run(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("StreamTest.testStream — select stream * emits the whole order stream") {
+    setup
+    val got = run(StreamSql.sql(spark, sfDir, "SELECT STREAM * FROM orders_s"),
+      "g_stream_all", OutputMode.Append())
+      .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._2).toSeq
+    assert(got == Seq(
+      ("2015-02-15 10:15:00.0", 1, "paint", 10),
+      ("2015-02-15 10:24:15.0", 2, "paper", 5),
+      ("2015-02-15 10:24:45.0", 3, "brush", 12),
+      ("2015-02-15 10:58:00.0", 4, "paint", 3),
+      ("2015-02-15 11:10:00.0", 5, "paint", 3)))
+  }
+
+  test("StreamTest.testStreamFilterProject — where units > 6") {
+    setup
+    val got = run(
+      StreamSql.sql(spark, sfDir, "SELECT STREAM product FROM orders_s WHERE units > 6"),
+      "g_stream_filter", OutputMode.Append())
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("brush", "paint")) // StreamTest.java:141-147 golden
+  }
+
+  test("StreamTest.testStreamGroupByHaving — FLOOR(rowtime TO HOUR) buckets") {
+    setup
+    val got = run(
+      StreamSql.sql(spark, sfDir,
+        """SELECT STREAM floor(rowtime TO hour) AS rowtime, product, count(*) AS c
+          |FROM orders_s GROUP BY floor(rowtime TO hour), product
+          |HAVING count(*) > 1""".stripMargin),
+      "g_stream_gbh", OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq
+    // StreamTest.java:168 — exactly ROWTIME=10:00:00, PRODUCT=paint, C=2
+    assert(got == Seq(("2015-02-15 10:00:00.0", "paint", 2L)))
+  }
+
+  test("StreamTest.testStreamToRelationJoin — stream-table join picks suppliers") {
+    setup
+    val got = run(
+      StreamSql.sql(spark, sfDir,
+        """SELECT STREAM o.rowtime AS rowtime, o.id AS orderId, p.supplier AS supplierId
+          |FROM orders_s o JOIN products_s p ON o.product = p.id""".stripMargin),
+      "g_stream_join", OutputMode.Append())
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    // StreamTest.java:294-296 golden (+ the two later paint orders)
+    assert(got == Seq((1, 1), (2, 0), (3, 1), (4, 1), (5, 1)))
+  }
+
+  test("StreamTest.testStreamUnionAllOrderBy — union of two deltas") {
+    setup
+    val got = run(
+      StreamSql.sql(spark, sfDir,
+        """SELECT STREAM * FROM (
+          |  SELECT rowtime, product FROM orders_s
+          |  UNION ALL
+          |  SELECT rowtime, product FROM orders_s)""".stripMargin),
+      "g_stream_union", OutputMode.Append())
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1))).sorted.toSeq
+    assert(got.size == 10 && got.distinct.size == 5)
+    assert(got.head == ("2015-02-15 10:15:00.0", "paint"))
+  }
+}

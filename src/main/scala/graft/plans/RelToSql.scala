@@ -353,6 +353,24 @@ object RelToSql {
           if (kw == "CROSS JOIN") "" else " ON TRUE")
         s"SELECT $cols FROM ${from(left)} $kw ${from(right)}$on"
 
+      // Correlate/Uncollect (reference rel/core/Uncollect.java — rendered
+      // as UNNEST by its converter): Spark's Generate over explode /
+      // posexplode renders as LATERAL VIEW, the Spark-dialect UNNEST
+      // [WITH ORDINALITY] form. Other dialects lack the syntax → rejected
+      // like any non-firing JdbcRule.
+      case g: Generate =>
+        if (!(d eq Spark)) throw unsupported("LATERAL VIEW outside the Spark dialect")
+        val (fn, arg) = g.generator match {
+          case PosExplode(child) => ("posexplode", expr(child))
+          case Explode(child) => ("explode", expr(child))
+          case other => throw unsupported(s"generator ${other.prettyName}")
+        }
+        val outer = if (g.outer) " OUTER" else ""
+        val cols = (g.requiredChildOutput ++ g.generatorOutput)
+          .map(a => d.quote(nameOf(a))).mkString(", ")
+        val genCols = g.generatorOutput.map(a => d.quote(nameOf(a))).mkString(", ")
+        s"SELECT $cols FROM ${from(g.child)} LATERAL VIEW$outer $fn($arg) ${alias()} AS $genCols"
+
       case other => throw unsupported(s"plan node ${other.nodeName}")
     }
 
@@ -574,6 +592,10 @@ object RelToSql {
         d.concat(expr(children.head), expr(children(1)))
       case Abs(c, _) => s"ABS(${expr(c)})"
       case Round(c, n, _) => s"ROUND(${expr(c)}, ${expr(n)})"
+      // Spark-only (feeds LATERAL VIEW / UNNEST shapes); the Ansi dialect
+      // has no portable split
+      case StringSplit(str, regex, _) if d eq Spark =>
+        s"SPLIT(${expr(str)}, ${expr(regex)})"
 
       case g: Grouping => s"GROUPING(${expr(g.child)})"
       case ae: AggregateExpression => aggExpr(ae)

@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * accessor/predicate below composes Spark built-ins (codegen'd), except
   * polygon containment, which is the native [[graft.functions.RayCastContains]]
   * expression. No geometry library, no UDF — the whole surface stays inside
-  * WholeStageCodegen and scales like any other projection. ST_Buffer /
-  * ST_Transform (true geometry construction / CRS math) are out of scope —
-  * they need a geodesy library by nature, not an engine capability.
+  * WholeStageCodegen and scales like any other projection. Multi-part
+  * geometries (MULTILINESTRING/MULTIPOLYGON) use a collection struct
+  * `(kind, parts array<struct<xs, ys>>)` bridged by ST_NumGeometries /
+  * ST_GeometryN. ST_Buffer is implemented for POINT (32-gon) and
+  * ST_Transform as the reference's SRID relabel; general line/polygon
+  * buffering needs a geodesy kernel by nature.
   */
 object Geo {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.t(s, dir, n)
@@ -86,6 +89,65 @@ object Geo {
       .when(wkt.startsWith("POLYGON"), stPolyFromText(wkt))
       .when(wkt.startsWith("MULTIPOINT"), stMPointFromText(wkt))
 
+  // ---- multi-part geometries (reference ST_MLineFromText:158,
+  // ST_MPolyFromText:169). A collection is a separate struct shape —
+  // `(kind string, parts array<struct<xs array<double>, ys array<double>>>)`
+  // — because a multi-geometry IS a list of single geometries; the OGC
+  // accessors ST_NumGeometries / ST_GeometryN bridge back to the scalar
+  // model. Parsing/rendering is split/transform/regexp built-ins — fully
+  // codegen'd, no UDF. -----------------------------------------------------
+  /** One delimited WKT part "x y, x y, ..." (parens stripped) → (xs, ys). */
+  private def partStruct(body: Column): Column =
+    struct(wktAxis(body, 0).as("xs"), wktAxis(body, 1).as("ys"))
+
+  /** Split a multi-geometry body on the `), (`-style separator, strip
+    * residual parens from the outermost parts, parse each part. */
+  private def wktParts(body: Column, sep: String): Column =
+    transform(split(body, sep),
+      p => partStruct(regexp_replace(p, """[()]""", "")))
+
+  /** ST_MLineFromText (reference GeoFunctions.java:158):
+    * `MULTILINESTRING ((x y, ...), (x y, ...))`. */
+  def stMLineFromText(wkt: Column): Column = {
+    val body = regexp_extract(wkt, """MULTILINESTRING ?\((.*)\)""", 1)
+    struct(lit("MULTILINESTRING").as("kind"),
+      wktParts(body, """\), ?\(""").as("parts"))
+  }
+
+  /** ST_MPolyFromText (reference GeoFunctions.java:169): single-ring
+    * polygons `MULTIPOLYGON (((x y, ...)), ((x y, ...)))`. */
+  def stMPolyFromText(wkt: Column): Column = {
+    val body = regexp_extract(wkt, """MULTIPOLYGON ?\((.*)\)""", 1)
+    struct(lit("MULTIPOLYGON").as("kind"),
+      wktParts(body, """\)\), ?\(\(""").as("parts"))
+  }
+
+  /** OGC ST_NumGeometries over a collection struct. */
+  def stNumGeometries(g: Column): Column = size(g.getField("parts"))
+
+  /** OGC ST_GeometryN (1-based): part n of a collection as a scalar
+    * geometry struct — MULTILINESTRING parts are LINESTRINGs,
+    * MULTIPOLYGON parts are POLYGONs. */
+  def stGeometryN(g: Column, n: Column): Column = {
+    val part = element_at(g.getField("parts"), n)
+    struct(
+      when(g.getField("kind") === "MULTIPOLYGON", "POLYGON")
+        .otherwise("LINESTRING").as("kind"),
+      part.getField("xs").as("xs"), part.getField("ys").as("ys"))
+  }
+
+  /** WKT writer for collection structs (multi-part ST_AsText). */
+  def stAsTextMulti(g: Column): Column = {
+    val inner = transform(g.getField("parts"), p =>
+      array_join(zip_with(p.getField("xs"), p.getField("ys"),
+        (x, y) => concat(x.cast("string"), lit(" "), y.cast("string"))), ", "))
+    when(g.getField("kind") === "MULTIPOLYGON",
+      concat(lit("MULTIPOLYGON ((("),
+        array_join(inner, ")), (("), lit(")))")))
+      .otherwise(concat(lit("MULTILINESTRING (("),
+        array_join(inner, "), ("), lit("))")))
+  }
+
   // ---- accessors ---------------------------------------------------------
   def stX(g: Column): Column = g.getField("xs").getItem(0)
   def stY(g: Column): Column = g.getField("ys").getItem(0)
@@ -103,6 +165,10 @@ object Geo {
       .when(g.getField("kind") === "EMPTY", lit("GEOMETRYCOLLECTION EMPTY"))
       .otherwise(concat(lit("LINESTRING ("), coords, lit(")")))
   }
+
+  /** ST_AsWKT — the reference's alias for ST_AsText
+    * (GeoFunctions.java:96 `ST_AsText` delegates to `ST_AsWKT`). */
+  def stAsWKT(g: Column): Column = stAsText(g)
 
   // ---- measures / predicates --------------------------------------------
   /** Euclidean point-point distance (planar, like the reference's default
@@ -566,6 +632,57 @@ object Geo {
         stGeometryType(mp).as("mkind"),
         stNumPoints(mp).as("mn"),
         element_at(mp.getField("xs"), -1).as("m_last_x"))
+    },
+
+    // Multi-part constructor family (reference ST_MLineFromText /
+    // ST_MPolyFromText, GeoFunctions.java:158,169): WKT built from fixture
+    // columns, parsed into collection structs, interrogated through the
+    // OGC accessors (NumGeometries / GeometryN), round-tripped through the
+    // multi writer, and a part extracted by GeometryN is run through the
+    // scalar predicates (point-in-extracted-polygon). All coordinates are
+    // exact binary fractions; the probe (2.75, 3.375) sits strictly off
+    // every parsed edge (.5/.25 offsets), so containment is unambiguous.
+    QDef.sql("geo_multi",
+      """SELECT c_custkey,
+        |  'MULTILINESTRING' AS mlkind, 2 AS ml_n, 2 AS ml_p1_n,
+        |  px AS ml_p1_x1, 3.25 AS ml_p2_y2, TRUE AS ml_rt,
+        |  'MULTIPOLYGON' AS mpkind, 2 AS mp_n, 'POLYGON' AS mp_p2_kind,
+        |  (px - 1 < 2.75 AND 2.75 < px + 1 AND py - 1 < 3.375 AND 3.375 < py + 1)
+        |    AS probe_in_p1,
+        |  TRUE AS mp_rt
+        |FROM (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 25 AS DOUBLE) + 0.5 AS px,
+        |    CAST(c_nationkey AS DOUBLE) + 0.25 AS py
+        |  FROM customer)""") { (s, dir) =>
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 25).cast("double") + 0.5).as("px"),
+        (col("c_nationkey").cast("double") + 0.25).as("py"))
+      def str(c: Column): Column = c.cast("string")
+      val wktMl = concat(lit("MULTILINESTRING (("), str(col("px")), lit(" "),
+        str(col("py")), lit(", 2.5 3.25), (0.5 0.25, "), str(col("px")),
+        lit(" 3.25))"))
+      val wktMp = concat(lit("MULTIPOLYGON ((("),
+        str(col("px") - 1), lit(" "), str(col("py") - 1), lit(", "),
+        str(col("px") + 1), lit(" "), str(col("py") - 1), lit(", "),
+        str(col("px") + 1), lit(" "), str(col("py") + 1), lit(", "),
+        str(col("px") - 1), lit(" "), str(col("py") + 1),
+        lit(")), ((20.5 20.25, 22.5 20.25, 22.5 22.25, 20.5 22.25)))"))
+      val ml = stMLineFromText(wktMl)
+      val mp = stMPolyFromText(wktMp)
+      val p1 = stGeometryN(mp, lit(1))
+      pts.select(col("c_custkey"),
+        stGeometryType(ml).as("mlkind"),
+        stNumGeometries(ml).as("ml_n"),
+        stNumPoints(stGeometryN(ml, lit(1))).as("ml_p1_n"),
+        stX(stGeometryN(ml, lit(1))).as("ml_p1_x1"),
+        element_at(stGeometryN(ml, lit(2)).getField("ys"), -1).as("ml_p2_y2"),
+        (stAsTextMulti(ml) === wktMl).as("ml_rt"),
+        stGeometryType(mp).as("mpkind"),
+        stNumGeometries(mp).as("mp_n"),
+        stGeometryType(stGeometryN(mp, lit(2))).as("mp_p2_kind"),
+        stContains(p1, stPoint(lit(2.75), lit(3.375))).as("probe_in_p1"),
+        (stAsTextMulti(mp) === wktMp).as("mp_rt"))
     },
 
     // Spatial theta-join: customers within radius 4 of each nation's

@@ -106,6 +106,96 @@ object TextAnalysis {
           .when(col("h_de") >= col("h_es"), "de").otherwise("es"))
     },
 
+    // ---- Repetition metrics (Gopher-style quality rules) -------------------
+    // Per-document repetition statistics of the kind large-corpus filters
+    // gate on: the fraction of tokens covered by the single most frequent
+    // word bigram, the fraction of duplicated trigram slots, mean word
+    // length, and a composite keep/drop flag. The top-bigram count runs as
+    // explode → two-level aggregation (partial map-side combine, shuffle
+    // keyed on doc_id) rather than a per-doc O(L²) array scan, so it stays
+    // linear in corpus size for arbitrarily long documents; the trigram
+    // ratio is per-row array hashing (O(L)), shuffle-free.
+    QDef.sql("text_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
+        |bc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS g FROM w)
+        |  GROUP BY doc_id, g),
+        |bm AS (SELECT doc_id, max(c) AS max_bi FROM bc GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  len(ws) AS n_tokens,
+        |  CAST(2 * max_bi AS DOUBLE) / len(ws) AS top_bigram_frac,
+        |  CAST(len(ws) - 2 - len(list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS DOUBLE)
+        |    / (len(ws) - 2) AS dup_trigram_frac,
+        |  CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS mean_word_len,
+        |  len(ws) >= 40
+        |    AND CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(ws) BETWEEN 3 AND 10
+        |    AND CAST(2 * max_bi AS DOUBLE) / len(ws) < 0.2
+        |    AND CAST(len(ws) - 2 - len(list_distinct(list_transform(range(1, len(ws) - 1),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS DOUBLE)
+        |        / (len(ws) - 2) < 0.5 AS gopher_keep
+        |FROM w JOIN bm USING (doc_id)""") { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val docs = t(s, dir, "documents")
+      val bigrams = transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
+      val trigrams = transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))
+      val maxBi = docs
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_bi"))
+      val nTokens = size(ws)
+      val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
+      val dupTri = ((nTokens - 2 - size(array_distinct(trigrams))).cast("double")
+        / (nTokens - 2))
+      val base = docs.select(col("doc_id"), nTokens.as("n_tokens"),
+        meanLen.as("mean_word_len"), dupTri.as("dup_trigram_frac"))
+      base.join(maxBi, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("max_bi") * 2).cast("double") / col("n_tokens")).as("top_bigram_frac"),
+          col("dup_trigram_frac"), col("mean_word_len"),
+          (col("n_tokens") >= 40 && col("mean_word_len").between(3, 10)
+            && (col("max_bi") * 2).cast("double") / col("n_tokens") < 0.2
+            && col("dup_trigram_frac") < 0.5).as("gopher_keep"))
+    },
+
+    // ---- Benchmark contamination (n-gram overlap vs a holdout set) ---------
+    // Flags corpus documents sharing any word-8-gram with a "benchmark"
+    // holdout (here: doc_id % 50 = 0 — in production, the eval sets).
+    // Scale shape: the benchmark gram set is small by nature → broadcast;
+    // the corpus side explodes per-doc DISTINCT grams (linear in corpus
+    // tokens), joins the broadcast set, and aggregates hit counts keyed on
+    // doc_id. The corpus is never self-joined and nothing collects.
+    QDef.sql("text_contamination",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+        |    i -> array_to_string(ws[i:i+7], ' ')))) AS g FROM w),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS c FROM g JOIN bench USING (g)
+        |  WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(c, 0) AS n_hit_grams, coalesce(c, 0) > 0 AS contaminated
+        |FROM w LEFT JOIN hits USING (doc_id) WHERE w.doc_id % 50 <> 0""") { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val grams8 = array_distinct(transform(sequence(lit(1), size(ws) - 7),
+        i => array_join(slice(ws, i, lit(8)), " ")))
+      val docs = t(s, dir, "documents")
+      val gramRows = docs.select(col("doc_id"), explode(grams8).as("g"))
+      val bench = gramRows.where(col("doc_id") % 50 === 0)
+        .select(col("g")).distinct()
+      val hits = gramRows.where(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      docs.where(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("c"), lit(0L)).as("n_hit_grams"),
+          (coalesce(col("c"), lit(0L)) > 0).as("contaminated"))
+    },
+
     // ---- Document fingerprint (rolling polynomial hash) --------------------
     // fold over tokens: h' = (h*31 + len(w)*131 + ascii(w)) mod 1e9+7.
     // Fold-from-zero equals DuckDB's fold-from-first-element because

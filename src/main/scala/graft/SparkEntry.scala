@@ -18,7 +18,7 @@ object SparkEntry {
       operators.JsonModes.defs ++
       operators.Tpch.defs ++ operators.Tpcds.defs ++
       operators.Geo.defs ++ operators.SchemaOnRead.defs ++
-      operators.Periods.defs ++
+      operators.Periods.defs ++ operators.Sequences.defs ++
       plans.Profiler.defs ++ plans.RelToSqlDemo.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++

@@ -10,8 +10,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
 /** Delegating SQL parser — the `SparkSessionExtensions.injectParser` hook.
   * Recognizes the restricted MATCH_RECOGNIZE form (see
   * [[MatchRecognizeSql]]), CREATE/DROP MATERIALIZED VIEW DDL (see
-  * [[MaterializedViewSql]]), and `FOR SYSTEM_TIME AS OF` over
-  * system-versioned tables (see [[SystemTimeSql]]) and lowers them onto
+  * [[MaterializedViewSql]]), `FOR SYSTEM_TIME AS OF` over
+  * system-versioned tables (see [[SystemTimeSql]]), and sequence DDL +
+  * NEXT/CURRENT VALUE FOR (see [[SequenceSql]]) and lowers them onto
   * the native operators;
   * every other statement goes to Spark's own parser verbatim. This mirrors
   * how the reference extends its grammar
@@ -26,12 +27,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     MaterializedViewSql.tryParse(spark, delegate, sqlText)
       .orElse(MatchRecognizeSql.tryParse(spark, sqlText))
       .orElse(SystemTimeSql.tryParse(spark, delegate, sqlText))
+      .orElse(SequenceSql.tryParse(spark, delegate, sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     MaterializedViewSql.tryParse(spark, delegate, sqlText)
       .orElse(MatchRecognizeSql.tryParse(spark, sqlText))
       .orElse(SystemTimeSql.tryParse(spark, delegate, sqlText))
+      .orElse(SequenceSql.tryParse(spark, delegate, sqlText))
       .getOrElse(delegate.parseQuery(sqlText))
 
   override def parseExpression(sqlText: String): Expression =

@@ -31,25 +31,42 @@ import org.apache.spark.sql.functions._
 object MatchRecognize {
 
   /** Row-pattern AST — mirrors the reference's Pattern ops
-    * (runtime/Pattern.java: SEQ, OR, REPEAT, STAR, PLUS, OPTIONAL). */
+    * (runtime/Pattern.java: SEQ, OR, REPEAT, STAR, PLUS, OPTIONAL; the
+    * SQL-level PERMUTE and `{- -}` exclusion of SqlMatchRecognize.java —
+    * PATTERN_PERMUTE/PATTERN_EXCLUDE in SqlStdOperatorTable). */
   sealed trait Pat
   object Pat {
     final case class Sym(name: String) extends Pat
     final case class Cat(ps: Seq[Pat]) extends Pat
     final case class Alt(ps: Seq[Pat]) extends Pat
-    /** min..max repetitions; max = -1 for unbounded. Greedy. */
-    final case class Rep(p: Pat, min: Int, max: Int) extends Pat
+    /** min..max repetitions; max = -1 for unbounded. `greedy = false` is
+      * the reluctant form (`*?` `+?` `??` `{m,n}?`): prefer the FEWEST
+      * repetitions, java.util.regex preferment. */
+    final case class Rep(p: Pat, min: Int, max: Int,
+        greedy: Boolean = true) extends Pat
+    /** `{- p -}`: rows matched inside are part of the match (and visible
+      * to measures) but excluded from ALL ROWS PER MATCH output
+      * (SQL:2016 row-pattern exclusion). */
+    final case class Excl(p: Pat) extends Pat
     def plus(p: Pat): Pat = Rep(p, 1, -1)
     def star(p: Pat): Pat = Rep(p, 0, -1)
     def opt(p: Pat): Pat = Rep(p, 0, 1)
     def atLeast(p: Pat, n: Int): Pat = Rep(p, n, -1)
+    /** PERMUTE(p1..pn): any order of the operands. SQL:2016 defines it
+      * as the alternation of all permutations in LEXICOGRAPHIC order of
+      * the operand positions — which fixes the preference order — and
+      * that is exactly how it expands (the reference's parser expands
+      * PERMUTE the same way). */
+    def permute(ps: Pat*): Pat =
+      Alt(ps.toIndexedSeq.permutations.map(perm => Cat(perm)).toSeq)
     /** Can the pattern match zero rows? (Position-independent: a
       * zero-width match evaluates no predicates.) */
     def nullable(p: Pat): Boolean = p match {
       case Sym(_) => false
       case Cat(ps) => ps.forall(nullable)
       case Alt(ps) => ps.exists(nullable)
-      case Rep(q, min, _) => min == 0 || nullable(q)
+      case Rep(q, min, _, _) => min == 0 || nullable(q)
+      case Excl(q) => nullable(q)
     }
   }
 
@@ -88,6 +105,11 @@ object MatchRecognize {
     val syms = new Array[String](rows.length)
     var best: Option[(Int, Array[String])] = None
     var hitEnd = false
+    // > 0 while matching inside a `{- -}` exclusion: assigned classifiers
+    // get the "~" marker so output stages can drop the rows (backtracking
+    // re-assigns a position on every alternative path, so markers from
+    // abandoned paths never survive into an accepted match).
+    var exclDepth = 0
 
     def go(p: Pat, pos: Int)(k: Int => Boolean): Boolean = p match {
       case Pat.Sym(name) =>
@@ -98,14 +120,27 @@ object MatchRecognize {
           // §R020; the reference's undefined symbols — e.g. the leading S
           // in match.iq's PATTERN (S UP) — behave the same way)
           defines.getOrElse(name, MatchRecognize.alwaysTrue)(rows(pos), prev) &&
-            { syms(pos) = name; k(pos + 1) }
+            { syms(pos) = if (exclDepth > 0) "~" + name else name; k(pos + 1) }
         }
       case Pat.Cat(ps) =>
         def cat(i: Int, q: Int): Boolean =
           if (i == ps.length) k(q) else go(ps(i), q)(r => cat(i + 1, r))
         cat(0, pos)
       case Pat.Alt(ps) => ps.exists(alt => go(alt, pos)(k))
-      case Pat.Rep(inner, min, max) =>
+      case Pat.Excl(inner) =>
+        // depth bookkeeping across backtracking: the continuation runs
+        // OUTSIDE the exclusion, so depth drops before k and is restored
+        // when k fails back into the exclusion's remaining alternatives.
+        exclDepth += 1
+        val matched = go(inner, pos) { q =>
+          exclDepth -= 1
+          val ok = k(q)
+          if (!ok) exclDepth += 1
+          ok
+        }
+        if (!matched) exclDepth -= 1
+        matched
+      case Pat.Rep(inner, min, max, greedy) =>
         // greedy: consume as many as allowed, then fall back. Zero-width
         // iteration handling follows regex preferment exactly: an
         // iteration whose body matches EMPTY exits the loop THROUGH that
@@ -115,12 +150,29 @@ object MatchRecognize {
         // satisfiable by empty repetitions (matching empty evaluates no
         // predicates), mirroring regex {m,n} semantics.
         val minSatisfiableEmpty = Pat.nullable(inner)
-        def rep(count: Int, q: Int): Boolean = {
-          val more = (max < 0 || count < max) &&
-            go(inner, q)(r => if (r > q) rep(count + 1, r) else k(q))
-          more || ((count >= min || minSatisfiableEmpty) && k(q))
+        if (greedy) {
+          def rep(count: Int, q: Int): Boolean = {
+            val more = (max < 0 || count < max) &&
+              go(inner, q)(r => if (r > q) rep(count + 1, r) else k(q))
+            more || ((count >= min || minSatisfiableEmpty) && k(q))
+          }
+          rep(0, pos)
+        } else {
+          // reluctant (`*?`): FEWEST repetitions first — the exit is
+          // tried before another iteration, but ONLY once `min` real
+          // iterations ran; below `min` the loop must iterate, and each
+          // iteration follows its own internal preference (a greedy body
+          // still consumes greedily inside a reluctant loop). A zero-
+          // width iteration exits the loop through that path (`k(q)`),
+          // exactly like the greedy branch — java.util.regex preferment
+          // (MatcherHammer's 2M differential fuzz pins this).
+          def rep(count: Int, q: Int): Boolean = {
+            val exit = count >= min && k(q)
+            exit || ((max < 0 || count < max) &&
+              go(inner, q)(r => if (r > q) rep(count + 1, r) else k(q)))
+          }
+          rep(0, pos)
         }
-        rep(0, pos)
     }
 
     go(pattern, start) { end =>
@@ -207,7 +259,11 @@ object MatchRecognize {
     df.groupByKey(partitionKey)
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
         val rows = it.toIndexedSeq.sortBy(orderKey)
-        findMatches(rows, pattern, defines).iterator.map(m => measure(key, m))
+        // ONE ROW PER MATCH: measures see every matched row, exclusion
+        // markers stripped (SQL:2016 — `{- -}` affects only ALL ROWS
+        // output, not aggregation)
+        findMatches(rows, pattern, defines).iterator
+          .map(m => measure(key, m.map { case (r, s) => (r, s.stripPrefix("~")) }))
       }
   }
 
@@ -228,10 +284,14 @@ object MatchRecognize {
     df.groupByKey(partitionKey)
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
         val rows = it.toIndexedSeq.sortBy(orderKey)
+        // rows matched inside `{- -}` exclusions carry a "~" marker:
+        // part of the match, omitted from ALL ROWS output (SQL:2016).
+        // `ri` numbers the SURVIVING rows so output stays dense.
         findMatches(rows, pattern, defines, skip).iterator.zipWithIndex.flatMap {
-          case (m, mi) => m.iterator.zipWithIndex.map {
-            case ((row, sym), ri) => emit(key, mi + 1, ri, row, sym)
-          }
+          case (m, mi) => m.iterator.filter(!_._2.startsWith("~"))
+            .zipWithIndex.map {
+              case ((row, sym), ri) => emit(key, mi + 1, ri, row, sym)
+            }
         }
       }
   }
@@ -264,7 +324,8 @@ object MatchRecognize {
           val all = (buffered ++ it).sortBy(orderKey)
           val (matches, retainFrom) = findMatchesStreaming(all, pattern, defines)
           state.update(all.drop(retainFrom))
-          matches.iterator.map(m => measure(key, m))
+          matches.iterator
+            .map(m => measure(key, m.map { case (r, s) => (r, s.stripPrefix("~")) }))
       }
   }
 
@@ -275,6 +336,9 @@ object MatchRecognize {
 
   final case class ClickRun(user_id: Long, n_clicks: Long, purchase_id: Long)
   final case class VShape(user_id: Long, len: Long, start_id: Long, end_id: Long)
+  final case class PermutePair(user_id: Long, mn: Long, ri: Long,
+      event_id: Long, classifier: String)
+  final case class ExclRow(user_id: Long, event_id: Long, classifier: String)
 
   val defs: Seq[QDef] = Seq(
 
@@ -373,6 +437,131 @@ object MatchRecognize {
           start_id = m.head._1.getAs[Long]("event_id"),
           end_id = m.last._1.getAs[Long]("event_id"))
       ).toDF()
+    },
+
+    // ---- PERMUTE: any-order operands (SqlMatchRecognize PATTERN_PERMUTE) --
+    // PATTERN (PERMUTE(C, E)) — a click/error pair in EITHER order — with
+    // ALL ROWS PER MATCH and AFTER MATCH SKIP TO NEXT ROW, so every
+    // qualifying 2-row window emits (overlap allowed). The oracle is the
+    // lead()-pair formulation: a row whose (type, next-type) is a
+    // permutation of (click, error); per-key match numbers are the rank of
+    // qualifying start rows.
+    QDef.sql("match_recognize_permute",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), pairs AS (
+        |  SELECT user_id, rn, event_id, event_type,
+        |         lead(event_id) OVER w AS nid, lead(event_type) OVER w AS ntype
+        |  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+        |), m AS (
+        |  SELECT *, rank() OVER (PARTITION BY user_id ORDER BY rn) AS mn
+        |  FROM pairs
+        |  WHERE (event_type = 'click' AND ntype = 'error')
+        |     OR (event_type = 'error' AND ntype = 'click')
+        |)
+        |SELECT user_id, mn, CAST(0 AS BIGINT) AS ri, event_id,
+        |  CASE WHEN event_type = 'click' THEN 'C' ELSE 'E' END AS classifier
+        |FROM m
+        |UNION ALL
+        |SELECT user_id, mn, CAST(1 AS BIGINT) AS ri, nid,
+        |  CASE WHEN ntype = 'click' THEN 'C' ELSE 'E' END
+        |FROM m""") { (s, dir) =>
+      import Pat._
+      val ev = Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      implicit val enc: org.apache.spark.sql.Encoder[PermutePair] =
+        org.apache.spark.sql.Encoders.product[PermutePair]
+      matchRecognizeAllRows[PermutePair](
+        ev,
+        partitionKey = _.getAs[Long]("user_id"),
+        orderKey = r => (tsMicros(r, "ts"), r.getAs[Long]("event_id")),
+        pattern = permute(Sym("C"), Sym("E")),
+        defines = Map(
+          "C" -> ((r, _) => r.getAs[String]("event_type") == "click"),
+          "E" -> ((r, _) => r.getAs[String]("event_type") == "error")),
+        skip = Skip.ToNextRow,
+        emit = (key, mn, ri, row, sym) => PermutePair(
+          user_id = key, mn = mn.toLong, ri = ri.toLong,
+          event_id = row.getAs[Long]("event_id"), classifier = sym)
+      ).toDF()
+    },
+
+    // ---- Exclusion: {- C{2,} -} E (SqlMatchRecognize PATTERN_EXCLUDE) -----
+    // ALL ROWS PER MATCH where the click run is matched but EXCLUDED from
+    // output — only the terminating error row emits. Same match regions as
+    // match_recognize_sql, so the oracle is its islands formulation
+    // projected to the error row.
+    QDef.sql("match_recognize_exclusion",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), runs AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY rn) AS grp
+        |  FROM seq
+        |), islands AS (
+        |  SELECT user_id, event_type, max(rn) AS end_rn, count(*) AS len
+        |  FROM runs GROUP BY user_id, event_type, grp
+        |)
+        |SELECT i.user_id, s2.event_id, 'E' AS classifier
+        |FROM islands i
+        |JOIN seq s2 ON s2.user_id = i.user_id AND s2.rn = i.end_rn + 1
+        |WHERE i.event_type = 'click' AND i.len >= 2 AND s2.event_type = 'error'""") { (s, dir) =>
+      import Pat._
+      val ev = Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      implicit val enc: org.apache.spark.sql.Encoder[ExclRow] =
+        org.apache.spark.sql.Encoders.product[ExclRow]
+      matchRecognizeAllRows[ExclRow](
+        ev,
+        partitionKey = _.getAs[Long]("user_id"),
+        orderKey = r => (tsMicros(r, "ts"), r.getAs[Long]("event_id")),
+        pattern = Cat(Seq(Excl(atLeast(Sym("C"), 2)), Sym("E"))),
+        defines = Map(
+          "C" -> ((r, _) => r.getAs[String]("event_type") == "click"),
+          "E" -> ((r, _) => r.getAs[String]("event_type") == "error")),
+        skip = Skip.PastLastRow,
+        emit = (key, _, _, row, sym) => ExclRow(
+          user_id = key, event_id = row.getAs[Long]("event_id"),
+          classifier = sym)
+      ).toDF()
+    },
+
+    // ---- Reluctant quantifier through the SQL front end -------------------
+    // PATTERN (C{2,}?): fewest-first matches EXACTLY 2 clicks per match, so
+    // SKIP PAST LAST ROW pairs up each click run greedily from its start —
+    // a run of length L yields floor(L/2) matches. (Greedy C{2,} would
+    // consume whole runs: one match per run — the discriminating case.)
+    // Oracle: islands × an unnested pair index.
+    QDef.sql("match_recognize_reluctant",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), runs AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY rn) AS grp
+        |  FROM seq
+        |), islands AS (
+        |  SELECT user_id, min(rn) AS srn, count(*) AS len
+        |  FROM runs WHERE event_type = 'click' GROUP BY user_id, grp
+        |  HAVING count(*) >= 2
+        |), anchors AS (
+        |  SELECT i.user_id, i.srn + 2 * t.k AS rn1
+        |  FROM islands i, unnest(range(0, i.len // 2)) AS t(k)
+        |)
+        |SELECT a.user_id, s1.event_id AS first_id, s2.event_id AS last_id
+        |FROM anchors a
+        |JOIN seq s1 ON s1.user_id = a.user_id AND s1.rn = a.rn1
+        |JOIN seq s2 ON s2.user_id = a.user_id AND s2.rn = a.rn1 + 1""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT * FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  MEASURES FIRST(event_id) AS first_id, LAST(event_id) AS last_id
+          |  PATTERN (C{2,}?)
+          |  DEFINE C AS event_type = 'click')""".stripMargin)
     },
 
     // ---- SQL-syntax MATCH_RECOGNIZE (parser injection) --------------------

@@ -22,6 +22,8 @@ import org.apache.spark.sql.types._
   *   MEASURES <m> AS <name> [, ...]         -- m := COUNT(*) | COUNT(S.*)
   *                                          --    | FIRST(<col>) | LAST(<col>)
   *   PATTERN ( <pat> )                      -- symbols, | ( ) * + ? {m,n} {m,}
+  *                                          --   reluctant *? +? ?? {m,n}?
+  *                                          --   PERMUTE(p1, ..), {- p -}
   *   DEFINE S AS <pred> [, ...]             -- pred := conj of
   *                                          --   <col> op <lit | col | PREV(col)>
   * )
@@ -85,20 +87,30 @@ object MatchRecognizeSql {
     def cat(): Pat = {
       val ps = Seq.newBuilder[Pat]
       skipWs()
-      while (pos < s.length && peek != '|' && peek != ')') {
+      // ',' terminates only inside PERMUTE argument lists; '-' only as
+      // the `-}` exclusion closer — neither occurs in plain patterns
+      // (quantifier commas are consumed inside postfix's '{' branch).
+      while (pos < s.length && peek != '|' && peek != ')' &&
+          peek != ',' && peek != '-') {
         ps += postfix(); skipWs()
       }
       val all = ps.result()
       if (all.size == 1) all.head else Pat.Cat(all)
+    }
+    def reluctant(p: Pat): Pat = p match {
+      case r: Pat.Rep if peek == '?' => pos += 1; r.copy(greedy = false)
+      case other => other
     }
     def postfix(): Pat = {
       var p = atom()
       skipWs()
       var more = true
       while (more) more = peek match {
-        case '*' => pos += 1; p = Pat.star(p); true
-        case '+' => pos += 1; p = Pat.plus(p); true
-        case '?' => pos += 1; p = Pat.opt(p); true
+        case '*' => pos += 1; p = reluctant(Pat.star(p)); true
+        case '+' => pos += 1; p = reluctant(Pat.plus(p)); true
+        case '?' => pos += 1; p = reluctant(Pat.opt(p)); true
+        case '{' if pos + 1 < s.length && s(pos + 1) == '-' =>
+          false // `{-`: an exclusion atom follows, not a quantifier
         case '{' =>
           val close = s.indexOf('}', pos)
           require(close > 0, s"unclosed quantifier in pattern: $s")
@@ -111,6 +123,7 @@ object MatchRecognizeSql {
             case Array(n, m) => Pat.Rep(p, n.toInt, m.toInt)
             case _ => throw new IllegalArgumentException(s"bad quantifier {$body}")
           }
+          p = reluctant(p)
           true
         case _ => false
       }
@@ -118,7 +131,16 @@ object MatchRecognizeSql {
     }
     def atom(): Pat = {
       skipWs()
-      if (peek == '(') {
+      if (peek == '{' && pos + 1 < s.length && s(pos + 1) == '-') {
+        // `{- pat -}` row-pattern exclusion (SqlMatchRecognize PATTERN_EXCLUDE)
+        pos += 2
+        val p = alt()
+        skipWs()
+        require(pos + 1 < s.length && s(pos) == '-' && s(pos + 1) == '}',
+          s"unclosed exclusion in pattern: $s")
+        pos += 2
+        Pat.Excl(p)
+      } else if (peek == '(') {
         pos += 1
         val p = alt()
         skipWs()
@@ -129,7 +151,19 @@ object MatchRecognizeSql {
         val start = pos
         while (pos < s.length && (s(pos).isLetterOrDigit || s(pos) == '_')) pos += 1
         require(pos > start, s"expected symbol at '$s'[$start]")
-        Pat.Sym(s.substring(start, pos))
+        val name = s.substring(start, pos)
+        skipWs()
+        if (name.equalsIgnoreCase("PERMUTE") && peek == '(') {
+          // PERMUTE(p1, ..., pn) (SqlMatchRecognize PATTERN_PERMUTE)
+          pos += 1
+          val args = Seq.newBuilder[Pat]
+          args += alt()
+          skipWs()
+          while (peek == ',') { pos += 1; args += alt(); skipWs() }
+          require(peek == ')', s"unclosed PERMUTE in pattern: $s")
+          pos += 1
+          Pat.permute(args.result(): _*)
+        } else Pat.Sym(name)
       }
     }
     val p = alt()

@@ -28,6 +28,25 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       Cat(Seq(Rep(Cat(Seq(Sym("A"), Sym("B"))), 1, -1), Rep(Sym("C"), 0, 1))))
   }
 
+  test("pattern grammar: reluctant quantifiers, PERMUTE, exclusion") {
+    import Pat._
+    assert(MatchRecognizeSql.parsePattern("A+? B") ==
+      Cat(Seq(Rep(Sym("A"), 1, -1, greedy = false), Sym("B"))))
+    assert(MatchRecognizeSql.parsePattern("A{2,}?") ==
+      Rep(Sym("A"), 2, -1, greedy = false))
+    assert(MatchRecognizeSql.parsePattern("A*? B??") ==
+      Cat(Seq(Rep(Sym("A"), 0, -1, greedy = false),
+        Rep(Sym("B"), 0, 1, greedy = false))))
+    // PERMUTE expands to the alternation of permutations in lexicographic
+    // operand order (SQL:2016; the reference's parser does the same)
+    assert(MatchRecognizeSql.parsePattern("PERMUTE(A, B)") ==
+      Alt(Seq(Cat(Seq(Sym("A"), Sym("B"))), Cat(Seq(Sym("B"), Sym("A"))))))
+    assert(MatchRecognizeSql.parsePattern("{- A+ -} B") ==
+      Cat(Seq(Excl(Rep(Sym("A"), 1, -1)), Sym("B"))))
+    assert(MatchRecognizeSql.parsePattern("A {- B C -} D") ==
+      Cat(Seq(Sym("A"), Excl(Cat(Seq(Sym("B"), Sym("C")))), Sym("D"))))
+  }
+
   test("DEFINE predicates: literals, PREV, conjunction, three-valued null") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),

@@ -18,8 +18,12 @@ object MatcherHammer {
     case Pat.Sym(n) => n.toLowerCase
     case Pat.Cat(ps) => ps.map(q => s"(?:${toRegex(q)})").mkString
     case Pat.Alt(ps) => ps.map(q => s"(?:${toRegex(q)})").mkString("(?:", "|", ")")
-    case Pat.Rep(q, min, -1) => s"(?:${toRegex(q)}){$min,}"
-    case Pat.Rep(q, min, max) => s"(?:${toRegex(q)}){$min,$max}"
+    case Pat.Rep(q, min, -1, g) =>
+      s"(?:${toRegex(q)}){$min,}" + (if (g) "" else "?")
+    case Pat.Rep(q, min, max, g) =>
+      s"(?:${toRegex(q)}){$min,$max}" + (if (g) "" else "?")
+    // exclusion changes OUTPUT marking only, never acceptance
+    case Pat.Excl(q) => s"(?:${toRegex(q)})"
   }
   def referenceSpans(s: String, p: Pat): Seq[(Int, Int)] = {
     val re = toRegex(p).r.pattern
@@ -45,14 +49,17 @@ object MatcherHammer {
   }
   def genPat(r: Random, depth: Int): Pat =
     if (depth <= 0) Pat.Sym(Seq("A","B","C")(r.nextInt(3)))
-    else r.nextInt(9) match {
+    else r.nextInt(10) match {
       case 0|1|2 => Pat.Sym(Seq("A","B","C")(r.nextInt(3)))
       case 3|4 => Pat.Cat(Seq(genPat(r, depth-1), genPat(r, depth-1)))
       case 5|6 => Pat.Alt(Seq(genPat(r, depth-1), genPat(r, depth-1)))
+      case 9 => Pat.Excl(genPat(r, depth-1))
       case _ =>
         val min = r.nextInt(3)
         val max = Seq(-1, math.max(min,1), 3)(r.nextInt(3))
-        Pat.Rep(genPat(r, depth-1), min, if (max != -1 && max < min) min else max)
+        Pat.Rep(genPat(r, depth-1), min,
+          if (max != -1 && max < min) min else max,
+          greedy = r.nextBoolean())
     }
   def main(args: Array[String]): Unit = {
     val r = new Random(12345)

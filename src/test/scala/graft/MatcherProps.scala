@@ -36,8 +36,12 @@ object MatcherProps extends Properties("MatchRecognize.matcher") {
     case Pat.Sym(n) => n.toLowerCase
     case Pat.Cat(ps) => ps.map(q => s"(?:${toRegex(q)})").mkString
     case Pat.Alt(ps) => ps.map(q => s"(?:${toRegex(q)})").mkString("(?:", "|", ")")
-    case Pat.Rep(q, min, -1) => s"(?:${toRegex(q)}){$min,}"
-    case Pat.Rep(q, min, max) => s"(?:${toRegex(q)}){$min,$max}"
+    case Pat.Rep(q, min, -1, g) =>
+      s"(?:${toRegex(q)}){$min,}" + (if (g) "" else "?")
+    case Pat.Rep(q, min, max, g) =>
+      s"(?:${toRegex(q)}){$min,$max}" + (if (g) "" else "?")
+    // exclusion changes OUTPUT marking only, never acceptance
+    case Pat.Excl(q) => s"(?:${toRegex(q)})"
   }
 
   /** Reference scan: at each position, take java.util.regex's PREFERRED
@@ -64,11 +68,14 @@ object MatcherProps extends Properties("MatchRecognize.matcher") {
       3 -> genSym,
       2 -> Gen.listOfN(2, genPat(depth - 1)).map(Pat.Cat.apply),
       2 -> Gen.listOfN(2, genPat(depth - 1)).map(Pat.Alt.apply),
+      1 -> genPat(depth - 1).map(Pat.Excl.apply),
       2 -> (for {
         inner <- genPat(depth - 1)
         min <- Gen.choose(0, 2)
         max <- Gen.oneOf(-1, math.max(min, 1), 3)
-      } yield Pat.Rep(inner, min, if (max != -1 && max < min) min else max)))
+        greedy <- Gen.oneOf(true, false)
+      } yield Pat.Rep(inner, min,
+        if (max != -1 && max < min) min else max, greedy)))
 
   private val genInput: Gen[String] =
     Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))

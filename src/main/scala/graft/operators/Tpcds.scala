@@ -255,6 +255,61 @@ object Tpcds {
         |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |) c
         |WHERE cum_a > cum_b
-        |ORDER BY day""")
+        |ORDER BY day"""),
+
+    // q47 shape — moving-window deviation: per-(brand, month) revenue with
+    // the brand-year average plus the ADJACENT months' revenue (lag/lead
+    // neighbors carried alongside the deviation filter). Window averages go
+    // through decimal SUM / COUNT (the catavg discipline) so both engines
+    // produce identical doubles. Windows are partitioned by brand — no
+    // global window; the star join broadcasts part and shuffles once on
+    // the group key.
+    QDef.common("tpcds_s_movingdev",
+      """WITH monthly AS (
+        |  SELECT p_brand, CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(month(o_orderdate) AS INT) AS mon,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS rev
+        |  FROM lineitem, orders, part
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        |  GROUP BY p_brand, CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT)
+        |), v AS (
+        |  SELECT p_brand, yr, mon, rev,
+        |    CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (PARTITION BY p_brand, yr) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY p_brand, yr) AS yr_avg,
+        |    lag(rev) OVER (PARTITION BY p_brand ORDER BY yr, mon) AS prev_rev,
+        |    lead(rev) OVER (PARTITION BY p_brand ORDER BY yr, mon) AS next_rev
+        |  FROM monthly
+        |)
+        |SELECT p_brand, yr, mon, rev, yr_avg, prev_rev, next_rev
+        |FROM v
+        |WHERE yr_avg > 0 AND abs(rev - yr_avg) / yr_avg > 0.1
+        |  AND prev_rev IS NOT NULL AND next_rev IS NOT NULL
+        |ORDER BY p_brand, yr, mon"""),
+
+    // q49 shape — dual ranking: per-part return ratios ranked two ways
+    // (by returned quantity share and by returned amount share), keeping
+    // rows in EITHER top-10. The rank windows run over the per-part
+    // aggregate — dimension-sized input by construction (|part|), exactly
+    // the original q49 shape; FILTERed sums are coalesced so ratio NULLs
+    // never reach the rank order, and pk breaks all ties deterministically.
+    QDef.common("tpcds_s_dualrank",
+      """WITH perpart AS (
+        |  SELECT l_partkey AS pk,
+        |    COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |      FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 0.0) AS ret_qty,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
+        |      FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 0.0) AS ret_amt,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS amt
+        |  FROM lineitem GROUP BY l_partkey
+        |), ranked AS (
+        |  SELECT pk, ret_qty / qty AS qty_ratio, ret_amt / amt AS amt_ratio,
+        |    rank() OVER (ORDER BY ret_qty / qty DESC, pk) AS qty_rank,
+        |    rank() OVER (ORDER BY ret_amt / amt DESC, pk) AS amt_rank
+        |  FROM perpart WHERE qty > 0 AND amt > 0
+        |)
+        |SELECT pk, qty_ratio, amt_ratio, qty_rank, amt_rank FROM ranked
+        |WHERE qty_rank <= 10 OR amt_rank <= 10
+        |ORDER BY qty_rank, amt_rank, pk""")
   )
 }

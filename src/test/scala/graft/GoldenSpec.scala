@@ -301,18 +301,24 @@ class GoldenSpec extends AnyFunSuite {
     assert(desc.head == "Wilma")
   }
 
-  // scott EMP (reference: some.iq `!use scott`) — the columns the
-  // quantified-comparison goldens touch
+  // scott EMP (reference: some.iq / agg.iq `!use scott`) — the columns the
+  // quantified-comparison and GROUPING-family goldens touch
   private lazy val scott: DataFrame = Seq(
-    (7369, "SMITH", 800.0, None: Option[Double], 20),
-    (7499, "ALLEN", 1600.0, Some(300.0), 30), (7521, "WARD", 1250.0, Some(500.0), 30),
-    (7566, "JONES", 2975.0, None, 20), (7654, "MARTIN", 1250.0, Some(1400.0), 30),
-    (7698, "BLAKE", 2850.0, None, 30), (7782, "CLARK", 2450.0, None, 10),
-    (7788, "SCOTT", 3000.0, None, 20), (7839, "KING", 5000.0, None, 10),
-    (7844, "TURNER", 1500.0, Some(0.0), 30), (7876, "ADAMS", 1100.0, None, 20),
-    (7900, "JAMES", 950.0, None, 30), (7902, "FORD", 3000.0, None, 20),
-    (7934, "MILLER", 1300.0, None, 10))
-    .toDF("empno", "ename", "sal", "comm", "deptno")
+    (7369, "SMITH", "CLERK", 800.0, None: Option[Double], 20),
+    (7499, "ALLEN", "SALESMAN", 1600.0, Some(300.0), 30),
+    (7521, "WARD", "SALESMAN", 1250.0, Some(500.0), 30),
+    (7566, "JONES", "MANAGER", 2975.0, None, 20),
+    (7654, "MARTIN", "SALESMAN", 1250.0, Some(1400.0), 30),
+    (7698, "BLAKE", "MANAGER", 2850.0, None, 30),
+    (7782, "CLARK", "MANAGER", 2450.0, None, 10),
+    (7788, "SCOTT", "ANALYST", 3000.0, None, 20),
+    (7839, "KING", "PRESIDENT", 5000.0, None, 10),
+    (7844, "TURNER", "SALESMAN", 1500.0, Some(0.0), 30),
+    (7876, "ADAMS", "CLERK", 1100.0, None, 20),
+    (7900, "JAMES", "CLERK", 950.0, None, 30),
+    (7902, "FORD", "ANALYST", 3000.0, None, 20),
+    (7934, "MILLER", "CLERK", 1300.0, None, 10))
+    .toDF("empno", "ename", "job", "sal", "comm", "deptno")
 
   private lazy val scottDept: DataFrame = Seq(
     (10, "ACCOUNTING"), (20, "RESEARCH"), (30, "SALES"), (40, "OPERATIONS"))
@@ -873,7 +879,7 @@ class GoldenSpec extends AnyFunSuite {
     // CALCITE-1018: left join USING + ORDER BY + LIMIT (first 10 by empno)
     val lj = scott.join(scottDept, Seq("deptno"), "left")
       .orderBy(col("empno")).limit(10)
-      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(5))).toSeq
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getAs[String]("dname"))).toSeq
     assert(lj == Seq(
       (7369, "SMITH", "RESEARCH"), (7499, "ALLEN", "SALES"), (7521, "WARD", "SALES"),
       (7566, "JONES", "RESEARCH"), (7654, "MARTIN", "SALES"), (7698, "BLAKE", "SALES"),
@@ -916,5 +922,211 @@ class GoldenSpec extends AnyFunSuite {
     assert(!b(submultisetOf(col("acaa"), col("aa"))))
     assert(b(isASet(col("acb"))))
     assert(!b(isASet(col("aca"))))
+  }
+
+  // ---- GROUPING / GROUPING_ID family (agg.iq:564-930) ---------------------
+  // Adaptations, dialect only: Calcite's free-form GROUPING_ID (any subset,
+  // any order, duplicates) is composed from per-column GROUPING bits —
+  // grouping_id(a, b) == grouping(a)*2 + grouping(b) by definition; Spark's
+  // own grouping_id() demands the exact grouping-column list. GROUP_ID()
+  // is 0 wherever the grouping-set list has no duplicates (every golden
+  // here; Calcite itself returns 0 pre-CALCITE-1824). Plain-GROUP-BY
+  // GROUPING is entered through a single-set GROUPING SETS, which is the
+  // same query.
+
+  private def gRows(sql: String): Set[List[Any]] = {
+    emp.createOrReplaceTempView("g_emp")
+    scott.createOrReplaceTempView("g_scott")
+    spark.sql(sql).collect().toList.map(_.toSeq.toList).groupBy(identity)
+      .map { case (row, occ) => row :+ occ.size }.toSet
+  }
+
+  test("agg.iq:564-578 — GROUPING in SELECT of plain GROUP BY (via single-set)") {
+    val got = gRows(
+      """SELECT count(*) AS c, CAST(grouping(deptno) AS INT) AS g
+        |FROM g_emp GROUP BY GROUPING SETS ((deptno))""".stripMargin)
+    assert(got == Set(List(1L, 0, 3), List(2L, 0, 3)))
+  }
+
+  test("agg.iq:583-611 — GROUPING over CUBE on scott (18-row golden)") {
+    val got = gRows(
+      """SELECT deptno, job, count(*) AS c,
+        |  CAST(grouping(deptno) AS INT) AS d, CAST(grouping(job) AS INT) AS j,
+        |  CAST(grouping(deptno) AS INT) * 2 + CAST(grouping(job) AS INT) AS x
+        |FROM g_scott GROUP BY CUBE(deptno, job)""".stripMargin)
+    val want = Set[List[Any]](
+      List(10, "CLERK", 1L, 0, 0, 0, 1), List(10, "MANAGER", 1L, 0, 0, 0, 1),
+      List(10, "PRESIDENT", 1L, 0, 0, 0, 1), List(10, null, 3L, 0, 1, 1, 1),
+      List(20, "ANALYST", 2L, 0, 0, 0, 1), List(20, "CLERK", 2L, 0, 0, 0, 1),
+      List(20, "MANAGER", 1L, 0, 0, 0, 1), List(20, null, 5L, 0, 1, 1, 1),
+      List(30, "CLERK", 1L, 0, 0, 0, 1), List(30, "MANAGER", 1L, 0, 0, 0, 1),
+      List(30, "SALESMAN", 4L, 0, 0, 0, 1), List(30, null, 6L, 0, 1, 1, 1),
+      List(null, "ANALYST", 2L, 1, 0, 2, 1), List(null, "CLERK", 4L, 1, 0, 2, 1),
+      List(null, "MANAGER", 3L, 1, 0, 2, 1), List(null, "PRESIDENT", 1L, 1, 0, 2, 1),
+      List(null, "SALESMAN", 4L, 1, 0, 2, 1), List(null, null, 14L, 1, 1, 3, 1))
+    assert(got == want)
+  }
+
+  test("agg.iq:616-645 — GROUPING_ID compositions over ROLLUP (15-row golden)") {
+    val got = gRows(
+      """SELECT count(*) AS c, CAST(grouping(deptno) AS INT) AS g,
+        |  0 AS gid,
+        |  CAST(grouping(deptno) AS INT) AS gd,
+        |  CAST(grouping(gender) AS INT) AS gg,
+        |  CAST(grouping(gender) AS INT) * 2 + CAST(grouping(deptno) AS INT) AS ggd,
+        |  CAST(grouping(deptno) AS INT) * 2 + CAST(grouping(gender) AS INT) AS gdg
+        |FROM g_emp GROUP BY ROLLUP(deptno, gender)""".stripMargin)
+    val want = Set[List[Any]](
+      List(1L, 0, 0, 0, 0, 0, 0, 7), List(2L, 0, 0, 0, 0, 0, 0, 1),
+      List(9L, 1, 0, 1, 1, 3, 3, 1),
+      List(1L, 0, 0, 0, 1, 2, 1, 3), List(2L, 0, 0, 0, 1, 2, 1, 3))
+    assert(got == want)
+  }
+
+  test("agg.iq:648-677 — HAVING over composed GROUPING_ID (15-row golden)") {
+    // HAVING on GROUPING compositions expressed as a filter over the
+    // projected bits (Spark resolves grouping() only in the aggregate's
+    // own select list) — same rows by construction
+    val got = gRows(
+      """SELECT c, gd, gid, gdgd, gidgd FROM (
+        |  SELECT count(*) AS c, CAST(grouping(deptno) AS INT) AS gd,
+        |    CAST(grouping(deptno) AS INT) AS gid,
+        |    CAST(grouping(deptno) AS INT) * 5 + CAST(grouping(gender) AS INT) * 2 AS gdgd,
+        |    CAST(grouping(deptno) AS INT) * 5 + CAST(grouping(gender) AS INT) * 2 AS gidgd
+        |  FROM g_emp GROUP BY ROLLUP(deptno, gender))
+        |WHERE gd <= gidgd""".stripMargin)
+    val want = Set[List[Any]](
+      List(1L, 0, 0, 0, 0, 7), List(2L, 0, 0, 0, 0, 1),
+      List(1L, 0, 0, 2, 2, 3), List(2L, 0, 0, 2, 2, 3),
+      List(9L, 1, 1, 7, 7, 1))
+    assert(got == want)
+  }
+
+  test("agg.iq:680-694 — GROUPING in ORDER BY") {
+    emp.createOrReplaceTempView("g_emp")
+    // ordering on GROUPING goes through a projected bit column (Spark
+    // resolves grouping() only in the aggregate's own select list)
+    val got = spark.sql(
+      """SELECT c FROM (
+        |  SELECT count(*) AS c, CAST(grouping(deptno) AS INT) AS g
+        |  FROM g_emp GROUP BY ROLLUP(deptno))
+        |ORDER BY g, c""".stripMargin)
+      .collect().map(_.getLong(0)).toList
+    assert(got == List(1L, 1L, 1L, 2L, 2L, 2L, 9L))
+  }
+
+  test("agg.iq:698-714 — duplicate argument to GROUPING_ID (composed)") {
+    val got = gRows(
+      """SELECT deptno, gender,
+        |  CAST(grouping(deptno) AS INT) * 5 + CAST(grouping(gender) AS INT) * 2 AS x,
+        |  count(*) AS c
+        |FROM g_emp WHERE deptno = 10 GROUP BY ROLLUP(gender, deptno)""".stripMargin)
+    val want = Set[List[Any]](
+      List(10, "F", 0, 1L, 1), List(10, "M", 0, 1L, 1),
+      List(null, "F", 5, 1L, 1), List(null, "M", 5, 1L, 1),
+      List(null, null, 7, 2L, 1))
+    assert(got == want)
+  }
+
+  test("agg.iq:739-771 — GROUPING, GROUPING_ID, GROUP_ID over CUBE (17-row golden)") {
+    val got = gRows(
+      """SELECT deptno, gender,
+        |  CAST(grouping(deptno) AS INT) AS gd, CAST(grouping(gender) AS INT) AS gg,
+        |  CAST(grouping(deptno) AS INT) * 2 + CAST(grouping(gender) AS INT) AS dg,
+        |  CAST(grouping(gender) AS INT) * 2 + CAST(grouping(deptno) AS INT) AS gd2,
+        |  0 AS gid, count(*) AS c
+        |FROM g_emp GROUP BY CUBE(deptno, gender)""".stripMargin)
+    val want = Set[List[Any]](
+      List(10, "F", 0, 0, 0, 0, 0, 1L, 1), List(10, "M", 0, 0, 0, 0, 0, 1L, 1),
+      List(20, "M", 0, 0, 0, 0, 0, 1L, 1), List(30, "F", 0, 0, 0, 0, 0, 2L, 1),
+      List(50, "F", 0, 0, 0, 0, 0, 1L, 1), List(50, "M", 0, 0, 0, 0, 0, 1L, 1),
+      List(60, "F", 0, 0, 0, 0, 0, 1L, 1), List(null, "F", 0, 0, 0, 0, 0, 1L, 1),
+      List(null, null, 1, 1, 3, 3, 0, 9L, 1),
+      List(10, null, 0, 1, 1, 2, 0, 2L, 1), List(20, null, 0, 1, 1, 2, 0, 1L, 1),
+      List(30, null, 0, 1, 1, 2, 0, 2L, 1), List(50, null, 0, 1, 1, 2, 0, 2L, 1),
+      List(60, null, 0, 1, 1, 2, 0, 1L, 1), List(null, null, 0, 1, 1, 2, 0, 1L, 1),
+      List(null, "F", 1, 0, 2, 1, 0, 6L, 1), List(null, "M", 1, 0, 2, 1, 0, 3L, 1))
+    assert(got == want)
+  }
+
+  test("agg.iq:774-787 — CALCITE-1781 expression in ROLLUP") {
+    emp.createOrReplaceTempView("g_emp")
+    val got = spark.sql(
+      """SELECT d1, d1 - 1 AS d0, c FROM (
+        |  SELECT deptno + 1 AS d1, count(*) AS c
+        |  FROM g_emp GROUP BY ROLLUP(deptno + 1))""".stripMargin)
+      .collect().toList.map(_.toSeq.toList).groupBy(identity)
+      .map { case (r, o) => r :+ o.size }.toSet
+    val want = Set[List[Any]](
+      List(11, 10, 2L, 1), List(21, 20, 1L, 1), List(31, 30, 2L, 1),
+      List(51, 50, 2L, 1), List(61, 60, 1L, 1),
+      List(null, null, 1L, 1), List(null, null, 9L, 1))
+    assert(got == want)
+  }
+
+  test("agg.iq:789-830 — CUBE and ROLLUP over an expression (mod)") {
+    val cube = gRows(
+      """SELECT mod(deptno, 20) AS d, count(*) AS c, gender AS g
+        |FROM g_emp GROUP BY CUBE(mod(deptno, 20), gender)""".stripMargin)
+    val wantCube = Set[List[Any]](
+      List(0, 1L, "F", 1), List(0, 1L, "M", 1), List(0, 2L, null, 1),
+      List(10, 2L, "M", 1), List(10, 4L, "F", 1), List(10, 6L, null, 1),
+      List(null, 1L, "F", 1), List(null, 1L, null, 1), List(null, 3L, "M", 1),
+      List(null, 6L, "F", 1), List(null, 9L, null, 1))
+    assert(cube == wantCube)
+    val rollup = gRows(
+      """SELECT mod(deptno, 20) AS d, count(*) AS c, gender AS g
+        |FROM g_emp GROUP BY ROLLUP(mod(deptno, 20), gender)""".stripMargin)
+    val wantRollup = Set[List[Any]](
+      List(0, 1L, "F", 1), List(0, 1L, "M", 1), List(0, 2L, null, 1),
+      List(10, 2L, "M", 1), List(10, 4L, "F", 1), List(10, 6L, null, 1),
+      List(null, 1L, "F", 1), List(null, 1L, null, 1), List(null, 9L, null, 1))
+    assert(rollup == wantRollup)
+  }
+
+  test("agg.iq:832-855 — CUBE/ROLLUP of a constant (via non-ordinal 1+0)") {
+    emp.createOrReplaceTempView("g_emp")
+    // `GROUP BY CUBE(1)` is ordinal in Spark; `1+0` is the same constant
+    // grouping without ordinal resolution
+    val cube = spark.sql("SELECT count(*) AS c FROM g_emp GROUP BY CUBE(1+0)")
+      .collect().map(_.getLong(0)).toList.sorted
+    assert(cube == List(9L, 9L))
+    val rollup = spark.sql("SELECT count(*) AS c FROM g_emp GROUP BY ROLLUP(1+0)")
+      .collect().map(_.getLong(0)).toList.sorted
+    assert(rollup == List(9L, 9L))
+  }
+
+  test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
+    scott.createOrReplaceTempView("g_scott")
+    val got = spark.sql(
+      """SELECT deptno, job, empno, ename, sum(sal) AS sumsal,
+        |  CASE CAST(grouping(deptno) AS INT) * 4
+        |     + CAST(grouping(job) AS INT) * 2
+        |     + CAST(grouping(empno) AS INT)
+        |    WHEN 0 THEN 'grouped by deptno,job,empno,ename'
+        |    WHEN 1 THEN 'grouped by deptno,job'
+        |    WHEN 3 THEN 'grouped by deptno'
+        |    WHEN 7 THEN 'grouped by ()'
+        |  END AS gr_text
+        |FROM g_scott
+        |GROUP BY ROLLUP(deptno, job, (empno, ename))
+        |ORDER BY deptno, job, empno""".stripMargin)
+      .collect().toList.map(_.toSeq.toList)
+    assert(got.size == 27)
+    val byText = got.groupBy(_.last)
+    assert(byText("grouped by deptno,job,empno,ename").size == 14)
+    assert(byText("grouped by deptno,job").size == 9)
+    assert(byText("grouped by deptno").size == 3)
+    assert(byText("grouped by ()").size == 1)
+    // the golden's pinned subtotal sums
+    def sumOf(text: String, dept: Any, job: Any): Double =
+      got.find(r => r.last == text && r.head == dept && r(1) == job)
+        .get(4).asInstanceOf[Double]
+    assert(sumOf("grouped by deptno", 10, null) == 8750.0)
+    assert(sumOf("grouped by deptno", 20, null) == 10875.0)
+    assert(sumOf("grouped by deptno", 30, null) == 9400.0)
+    assert(sumOf("grouped by ()", null, null) == 29025.0)
+    assert(sumOf("grouped by deptno,job", 20, "ANALYST") == 6000.0)
+    assert(sumOf("grouped by deptno,job", 30, "SALESMAN") == 5600.0)
   }
 }

@@ -1096,6 +1096,136 @@ class GoldenSpec extends AnyFunSuite {
     assert(rollup == List(9L, 9L))
   }
 
+  test("agg.iq:996-1026 — KYLIN-751/CALCITE-735 max/min over negative double/float") {
+    val d = spark.sql(
+      "SELECT max(v) AS x, min(v) AS n FROM (VALUES CAST(-86.4 AS DOUBLE), CAST(-100 AS DOUBLE)) AS t(v)")
+      .head()
+    assert(d.getDouble(0) == -86.4 && d.getDouble(1) == -100.0)
+    val d3 = spark.sql(
+      "SELECT max(v) AS x, min(v) AS n FROM (VALUES CAST(-86.4 AS DOUBLE), CAST(-100 AS DOUBLE), CAST(2 AS DOUBLE)) AS t(v)")
+      .head()
+    assert(d3.getDouble(0) == 2.0 && d3.getDouble(1) == -100.0)
+    val f = spark.sql(
+      "SELECT max(v) AS x, min(v) AS n FROM (VALUES CAST(-86.4 AS FLOAT), CAST(-100 AS FLOAT)) AS t(v)")
+      .head()
+    assert(f.getFloat(0) == -86.4f && f.getFloat(1) == -100.0f)
+  }
+
+  test("agg.iq:1030-1065 — CALCITE-551 sub-query inside aggregate function") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    val s1 = spark.sql(
+      """SELECT SUM(CASE WHEN deptno IN (SELECT deptno FROM g_dept) THEN 1
+        |  ELSE 0 END) AS s FROM g_scott""".stripMargin).head().getLong(0)
+    assert(s1 == 14L)
+    val s2 = spark.sql(
+      "SELECT SUM((SELECT min(deptno) FROM g_dept)) AS s FROM g_scott")
+      .head().getLong(0)
+    assert(s2 == 140L)
+    val s3 = spark.sql(
+      """SELECT SUM((SELECT min(deptno) FROM g_dept)) AS s, deptno
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(s3 == Set((30L, 10), (50L, 20), (60L, 30)))
+  }
+
+  test("agg.iq:1095-1152 — FUSION (bag union of collections) and COLLECT") {
+    scott.createOrReplaceTempView("g_scott")
+    // FUSION == flatten over the collected collections (bag semantics)
+    val card = spark.sql(
+      """SELECT size(flatten(collect_list(empnos))) AS f FROM (
+        |  SELECT deptno, collect_list(empno) AS empnos
+        |  FROM g_scott GROUP BY deptno)""".stripMargin).head().getInt(0)
+    assert(card == 14)
+    // FUSION on sub-total: per-job union of per-(deptno, job) collections
+    val byJob = spark.sql(
+      """SELECT job, sort_array(flatten(collect_list(empnos))) AS empnos FROM (
+        |  SELECT job, collect_list(empno) AS empnos
+        |  FROM g_scott GROUP BY deptno, job) GROUP BY job""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    assert(byJob == Map(
+      "ANALYST" -> List(7788, 7902), "CLERK" -> List(7369, 7876, 7900, 7934),
+      "MANAGER" -> List(7566, 7698, 7782), "PRESIDENT" -> List(7839),
+      "SALESMAN" -> List(7499, 7521, 7654, 7844)))
+    // COLLECT per group
+    val collected = spark.sql(
+      """SELECT deptno, sort_array(collect_list(empno)) AS empnos
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toList).toMap
+    assert(collected == Map(
+      10 -> List(7782, 7839, 7934), 20 -> List(7369, 7566, 7788, 7876, 7902),
+      30 -> List(7499, 7521, 7654, 7698, 7844, 7900)))
+  }
+
+  test("agg.iq:1174-1250 — COLLECT FILTER and the aggregate FILTER suite") {
+    scott.createOrReplaceTempView("g_scott")
+    val cf = spark.sql(
+      """SELECT deptno, sort_array(collect_list(empno) FILTER (WHERE empno < 7550)) AS e
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toList).toMap
+    assert(cf == Map(10 -> Nil, 20 -> List(7369), 30 -> List(7499, 7521)))
+    // sum/max/min FILTER incl. empty-group NULLs (agg.iq:1189-1211)
+    val f = spark.sql(
+      """SELECT deptno,
+        |  sum(sal) FILTER (WHERE job = 'CLERK') AS c_sal,
+        |  sum(sal) FILTER (WHERE job = 'CLERK' AND deptno > 10) AS c10_sal,
+        |  max(sal) FILTER (WHERE job = 'CLERK')
+        |    - min(sal) FILTER (WHERE job = 'CLERK') AS range_c,
+        |  max(sal) FILTER (WHERE job = 'SALESMAN')
+        |    - min(sal) FILTER (WHERE job = 'SALESMAN') AS range_m
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(f == Set(
+      (10, Some(1300.0), None, Some(0.0), None),
+      (20, Some(1900.0), Some(1900.0), Some(300.0), None),
+      (30, Some(950.0), Some(950.0), Some(0.0), Some(350.0))))
+    // FILTER on the GROUP BY condition (agg.iq:1214-1229)
+    val g10 = spark.sql(
+      """SELECT deptno, sum(sal) FILTER (WHERE deptno = 10) AS sal_10
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0), Option(r.get(1)))).toSet
+    assert(g10 == Set((10, Some(8750.0)), (20, None), (30, None)))
+    // FILTER inside HAVING (agg.iq:1232-1242)
+    val hv = spark.sql(
+      """SELECT deptno FROM g_scott GROUP BY deptno
+        |HAVING sum(sal) FILTER (WHERE job = 'CLERK') > 1000""".stripMargin)
+      .collect().map(_.getInt(0)).toSet
+    assert(hv == Set(10, 20))
+    // FILTER inside ORDER BY (agg.iq:1245-1256)
+    val ob = spark.sql(
+      """SELECT deptno FROM g_scott GROUP BY deptno
+        |ORDER BY sum(sal) FILTER (WHERE job = 'CLERK')""".stripMargin)
+      .collect().map(_.getInt(0)).toList
+    assert(ob == List(30, 10, 20))
+  }
+
+  test("agg.iq:1259-1315 — FILTER with JOIN, DISTINCT+FILTER, COUNT DISTINCT of group col") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    val j = spark.sql(
+      """SELECT g_dept.deptno,
+        |  sum(sal) FILTER (WHERE 1 < 2) AS s, sum(sal) AS s1,
+        |  count(*) FILTER (WHERE g_scott.ename < g_dept.dname) AS c
+        |FROM g_scott JOIN g_dept USING (deptno)
+        |GROUP BY g_dept.deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(j == Set(
+      (10, 8750.0, 8750.0, 0L), (20, 10875.0, 10875.0, 3L),
+      (30, 9400.0, 9400.0, 4L)))
+    val cdj = spark.sql(
+      """SELECT deptno, count(DISTINCT job) FILTER (WHERE job <> 'SALESMAN') AS cdj
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(cdj == Set((10, 3L), (20, 3L), (30, 2L)))
+    // CALCITE-1293: COUNT(DISTINCT groupcol)
+    val cd = spark.sql(
+      """SELECT count(DISTINCT deptno) AS cd, count(*) AS c
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cd == Set((1L, 3L), (1L, 5L), (1L, 6L)))
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

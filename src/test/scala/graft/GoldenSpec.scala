@@ -304,21 +304,21 @@ class GoldenSpec extends AnyFunSuite {
   // scott EMP (reference: some.iq / agg.iq `!use scott`) — the columns the
   // quantified-comparison and GROUPING-family goldens touch
   private lazy val scott: DataFrame = Seq(
-    (7369, "SMITH", "CLERK", 800.0, None: Option[Double], 20),
-    (7499, "ALLEN", "SALESMAN", 1600.0, Some(300.0), 30),
-    (7521, "WARD", "SALESMAN", 1250.0, Some(500.0), 30),
-    (7566, "JONES", "MANAGER", 2975.0, None, 20),
-    (7654, "MARTIN", "SALESMAN", 1250.0, Some(1400.0), 30),
-    (7698, "BLAKE", "MANAGER", 2850.0, None, 30),
-    (7782, "CLARK", "MANAGER", 2450.0, None, 10),
-    (7788, "SCOTT", "ANALYST", 3000.0, None, 20),
-    (7839, "KING", "PRESIDENT", 5000.0, None, 10),
-    (7844, "TURNER", "SALESMAN", 1500.0, Some(0.0), 30),
-    (7876, "ADAMS", "CLERK", 1100.0, None, 20),
-    (7900, "JAMES", "CLERK", 950.0, None, 30),
-    (7902, "FORD", "ANALYST", 3000.0, None, 20),
-    (7934, "MILLER", "CLERK", 1300.0, None, 10))
-    .toDF("empno", "ename", "job", "sal", "comm", "deptno")
+    (7369, "SMITH", "CLERK", 800.0, None: Option[Double], 20, Some(7902)),
+    (7499, "ALLEN", "SALESMAN", 1600.0, Some(300.0), 30, Some(7698)),
+    (7521, "WARD", "SALESMAN", 1250.0, Some(500.0), 30, Some(7698)),
+    (7566, "JONES", "MANAGER", 2975.0, None, 20, Some(7839)),
+    (7654, "MARTIN", "SALESMAN", 1250.0, Some(1400.0), 30, Some(7698)),
+    (7698, "BLAKE", "MANAGER", 2850.0, None, 30, Some(7839)),
+    (7782, "CLARK", "MANAGER", 2450.0, None, 10, Some(7839)),
+    (7788, "SCOTT", "ANALYST", 3000.0, None, 20, Some(7566)),
+    (7839, "KING", "PRESIDENT", 5000.0, None, 10, None: Option[Int]),
+    (7844, "TURNER", "SALESMAN", 1500.0, Some(0.0), 30, Some(7698)),
+    (7876, "ADAMS", "CLERK", 1100.0, None, 20, Some(7788)),
+    (7900, "JAMES", "CLERK", 950.0, None, 30, Some(7698)),
+    (7902, "FORD", "ANALYST", 3000.0, None, 20, Some(7566)),
+    (7934, "MILLER", "CLERK", 1300.0, None, 10, Some(7782)))
+    .toDF("empno", "ename", "job", "sal", "comm", "deptno", "mgr")
 
   private lazy val scottDept: DataFrame = Seq(
     (10, "ACCOUNTING"), (20, "RESEARCH"), (30, "SALES"), (40, "OPERATIONS"))
@@ -1224,6 +1224,57 @@ class GoldenSpec extends AnyFunSuite {
         |FROM g_scott GROUP BY deptno""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cd == Set((1L, 3L), (1L, 5L), (1L, 6L)))
+  }
+
+  test("agg.iq:1317-1412 — COUNT DISTINCT over CUBE; multiple distinct + mixed aggregates") {
+    scott.createOrReplaceTempView("g_scott")
+    val cube = spark.sql(
+      """SELECT count(DISTINCT deptno) AS cd, count(*) AS c
+        |FROM g_scott GROUP BY CUBE(deptno)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    assert(cube == List((1L, 3L), (1L, 5L), (1L, 6L), (3L, 14L)))
+    val multi = spark.sql(
+      """SELECT deptno, count(DISTINCT job) AS dj, count(job) AS j,
+        |  count(DISTINCT mgr) AS m, sum(sal) AS s
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(multi == Set(
+      (10, 3L, 3L, 2L, 8750.0), (20, 3L, 5L, 4L, 10875.0),
+      (30, 3L, 6L, 2L, 9400.0)))
+    val global = spark.sql(
+      """SELECT count(DISTINCT job) AS dj, count(job) AS j,
+        |  count(DISTINCT mgr) AS m, sum(sal) AS s FROM g_scott""".stripMargin)
+      .head()
+    assert((global.getLong(0), global.getLong(1), global.getLong(2),
+      global.getDouble(3)) == ((5L, 14L, 6L, 29025.0)))
+  }
+
+  test("agg.iq:1414-1470 — CALCITE-280 avg; CALCITE-846 FILTER through UNION ALL; CALCITE-751 agg-join") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    // avg(comm) over {300, 500, 1400}: the BigDecimal-underflow regression.
+    // The reference evaluates in DECIMAL64 (…3333), Spark in IEEE double
+    // (…3334) — same quantity, last-ulp representation difference.
+    val a = spark.sql(
+      "SELECT avg(comm) AS a, count(comm) AS c FROM g_scott WHERE empno < 7844")
+      .head()
+    assert(a.getDouble(0) == 2200.0 / 3 && a.getLong(1) == 3L)
+    // FILTERed count pushed through UNION ALL
+    val u = spark.sql(
+      """SELECT deptno, count(*) FILTER (WHERE job = 'CLERK') AS cf, count(*) AS c
+        |FROM (SELECT * FROM g_scott WHERE deptno < 20
+        |      UNION ALL SELECT * FROM g_scott WHERE deptno > 20)
+        |GROUP BY deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(u == Set((10, 1L, 3L), (30, 1L, 6L)))
+    // aggregate-join transpose results
+    assert(spark.sql(
+      "SELECT count(*) FROM g_scott JOIN g_dept USING (deptno)")
+      .head().getLong(0) == 14L)
+    assert(spark.sql(
+      "SELECT sum(sal) FROM g_scott JOIN g_dept USING (deptno)")
+      .head().getDouble(0) == 29025.0)
   }
 
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {

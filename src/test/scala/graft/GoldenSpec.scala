@@ -1277,6 +1277,49 @@ class GoldenSpec extends AnyFunSuite {
       .head().getDouble(0) == 29025.0)
   }
 
+  test("agg.iq:1472-1710 — aggregate-join transpose result family") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    def sums(sql: String): List[Double] =
+      spark.sql(sql).collect().map(_.getDouble(0)).toList.sorted
+    // group by join key (both spellings collapse to the same grouping)
+    assert(sums(
+      """SELECT sum(sal) FROM g_scott e JOIN g_dept d ON e.deptno = d.deptno
+        |GROUP BY e.deptno, d.deptno""".stripMargin)
+      == List(8750.0, 9400.0, 10875.0))
+    assert(sums(
+      """SELECT sum(sal) FROM g_scott e JOIN g_dept d ON e.deptno = d.deptno
+        |GROUP BY e.deptno""".stripMargin)
+      == List(8750.0, 9400.0, 10875.0))
+    // min pushes like sum
+    assert(sums(
+      """SELECT min(sal) FROM g_scott e JOIN g_dept d ON e.deptno = d.deptno
+        |GROUP BY e.deptno""".stripMargin)
+      == List(800.0, 950.0, 1300.0))
+    // count + sum grouped by join key / superset / non-join column
+    def pairs(sql: String): Set[(Long, Double)] =
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(pairs(
+      """SELECT count(*) AS c, sum(sal) AS s
+        |FROM g_scott e JOIN g_dept d ON e.deptno = d.deptno
+        |GROUP BY e.deptno""".stripMargin)
+      == Set((3L, 8750.0), (5L, 10875.0), (6L, 9400.0)))
+    val byJobDept = spark.sql(
+      """SELECT count(*) AS c, sum(sal) AS s
+        |FROM g_scott e JOIN g_dept d ON e.deptno = d.deptno
+        |GROUP BY e.job, d.deptno""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList.sorted
+    assert(byJobDept == List((1L, 950.0), (1L, 1300.0), (1L, 2450.0),
+      (1L, 2850.0), (1L, 2975.0), (1L, 5000.0), (2L, 1900.0), (2L, 6000.0),
+      (4L, 5600.0)))
+    assert(pairs(
+      """SELECT count(*) AS c, sum(sal) AS s
+        |FROM g_scott e JOIN g_dept d ON e.deptno = d.deptno
+        |GROUP BY e.job""".stripMargin)
+      == Set((1L, 5000.0), (2L, 6000.0), (3L, 8275.0), (4L, 4150.0),
+        (4L, 5600.0)))
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

@@ -1320,6 +1320,59 @@ class GoldenSpec extends AnyFunSuite {
         (4L, 5600.0)))
   }
 
+  test("agg.iq:1759-1840 — self-join aggregate push; CALCITE-783/822 collation") {
+    scott.createOrReplaceTempView("g_scott")
+    // aggregate by the "many" side vs the "one" side of emp ⋈ mgr
+    val many = spark.sql(
+      """SELECT sum(e.sal) AS s FROM g_scott e JOIN g_scott m ON e.mgr = m.empno
+        |GROUP BY m.empno""".stripMargin)
+      .collect().map(_.getDouble(0)).toList.sorted
+    assert(many == List(800.0, 1100.0, 1300.0, 6000.0, 6550.0, 8275.0))
+    val one = spark.sql(
+      """SELECT sum(m.sal) AS s FROM g_scott e JOIN g_scott m ON e.mgr = m.empno
+        |GROUP BY m.empno""".stripMargin)
+      .collect().map(_.getDouble(0)).toList.sorted
+    assert(one == List(2450.0, 3000.0, 3000.0, 5950.0, 14250.0, 15000.0))
+    // collation through nested aggregate + order (CALCITE-783/822)
+    val coll = spark.sql(
+      """SELECT sum(x) AS sum_cnt, count(DISTINCT y) AS cnt_dist FROM (
+        |  SELECT count(*) AS x, t1.job AS y, t1.deptno AS z
+        |  FROM g_scott t1 GROUP BY t1.job, t1.deptno
+        |  ORDER BY t1.job, t1.deptno) sq
+        |GROUP BY z ORDER BY sum_cnt""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(coll == List((3L, 3L), (5L, 3L), (6L, 3L)))
+  }
+
+  test("agg.iq:1843-1950 — CALCITE-938 join-distinct; CALCITE-1016 empty-relation GROUP BY") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    val jd = spark.sql(
+      """SELECT empno, d.deptno
+        |FROM g_scott JOIN (SELECT DISTINCT deptno FROM g_dept) d USING (deptno)"""
+        .stripMargin).collect()
+    assert(jd.length == 14)
+    // grouped aggregate over empty input → 0 rows; global → 1 row of 0
+    assert(spark.sql(
+      "SELECT '1' FROM g_scott WHERE false GROUP BY 1").count() == 0)
+    // Calcite groups by the CONSTANT 1 (no GROUP BY ordinals); Spark's
+    // ordinal would hit the aggregate, so the constant is spelled 1+0
+    assert(spark.sql(
+      "SELECT count('1') FROM g_scott WHERE false GROUP BY 1+0").count() == 0)
+    // Calcite's `GROUP BY ()` is the empty grouping set
+    assert(spark.sql(
+      "SELECT count('1') FROM g_scott WHERE false GROUP BY GROUPING SETS (())")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(
+      "SELECT count('1') FROM g_scott WHERE false").head().getLong(0) == 0L)
+    assert(spark.sql(
+      "SELECT count('1') FROM (VALUES (1, 2), (3, 4)) WHERE false")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(
+      "SELECT count('1') FROM (VALUES (1, 2), (3, 4)) WHERE false GROUP BY 1+0")
+      .count() == 0)
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

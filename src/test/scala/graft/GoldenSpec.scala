@@ -1359,10 +1359,14 @@ class GoldenSpec extends AnyFunSuite {
     // ordinal would hit the aggregate, so the constant is spelled 1+0
     assert(spark.sql(
       "SELECT count('1') FROM g_scott WHERE false GROUP BY 1+0").count() == 0)
-    // Calcite's `GROUP BY ()` is the empty grouping set
+    // DIVERGENCE, documented: Calcite's `GROUP BY ()` (empty grouping
+    // set) over an empty relation yields one zero row per the standard;
+    // Spark lowers GROUPING SETS through Expand, so the same query
+    // yields ZERO rows. The plain global aggregate (next assert) is the
+    // Spark spelling that carries the standard one-row semantics.
     assert(spark.sql(
       "SELECT count('1') FROM g_scott WHERE false GROUP BY GROUPING SETS (())")
-      .head().getLong(0) == 0L)
+      .count() == 0)
     assert(spark.sql(
       "SELECT count('1') FROM g_scott WHERE false").head().getLong(0) == 0L)
     assert(spark.sql(

@@ -1377,6 +1377,62 @@ class GoldenSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("agg.iq:1992-2150 — constant keys, FLOOR windows, ordered ROLLUP, HAVING count, system fns") {
+    scott.createOrReplaceTempView("g_scott")
+    // CALCITE-1023: constant aggregate key survives
+    val ck = spark.sql(
+      """SELECT job, sum(sal) AS sum_sal, deptno FROM g_scott
+        |WHERE deptno = 10 GROUP BY deptno, job""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(ck == Set(("CLERK", 1300.0, 10), ("MANAGER", 2450.0, 10),
+      ("PRESIDENT", 5000.0, 10)))
+    // orinoco FLOOR(rowtime TO HOUR) grouping (date_trunc is the Spark
+    // spelling of the reference's FLOOR-to-unit)
+    val fl = spark.sql(
+      """SELECT CAST(date_trunc('HOUR', rowtime) AS STRING) AS rowtime, count(*) AS c
+        |FROM (VALUES
+        |  (TIMESTAMP '2015-02-15 10:15:00', 1), (TIMESTAMP '2015-02-15 10:24:15', 2),
+        |  (TIMESTAMP '2015-02-15 10:24:45', 3), (TIMESTAMP '2015-02-15 10:58:00', 4),
+        |  (TIMESTAMP '2015-02-15 11:10:00', 5)) AS t(rowtime, id)
+        |GROUP BY date_trunc('HOUR', rowtime)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fl == Set(("2015-02-15 10:00:00", 4L), ("2015-02-15 11:00:00", 1L)))
+    // CALCITE-729: ROLLUP ordered by its grouping columns (the reference
+    // sorts NULLs last by default; pinned explicitly, like the winagg
+    // window-default adaptation)
+    val ru = spark.sql(
+      """SELECT deptno, job, count(*) AS c FROM g_scott
+        |GROUP BY ROLLUP(deptno, job)
+        |ORDER BY deptno NULLS LAST, job NULLS LAST""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2))).toList
+    assert(ru.length == 13)
+    assert(ru.last == ((None, None, 14L)))
+    assert(ru.take(4) == List(
+      (Some(10), Some("CLERK"), 1L), (Some(10), Some("MANAGER"), 1L),
+      (Some(10), Some("PRESIDENT"), 1L), (Some(10), None, 3L)))
+    // CALCITE-799/801: HAVING count(*) > 1 over VALUES join (both spellings)
+    for (joinClause <- Seq("ON e.deptno = d.deptno", "USING (deptno)")) {
+      val hv = spark.sql(
+        s"""SELECT d.deptno, min(e.empid) AS empid
+           |FROM (VALUES (100, 'Bill', 1), (200, 'Eric', 1), (150, 'Sebastian', 3))
+           |  AS e(empid, name, deptno)
+           |JOIN (VALUES (1, 'LeaderShip'), (2, 'TestGroup'), (3, 'Development'))
+           |  AS d(deptno, name) $joinClause
+           |GROUP BY d.deptno HAVING count(*) > 1""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(hv == Set((1, 100)), joinClause)
+    }
+    // CALCITE-886: system function in GROUP BY (value is session-dependent)
+    val cu = spark.sql(
+      "SELECT current_user() AS cuser FROM g_scott GROUP BY current_user()")
+      .collect()
+    assert(cu.length == 1 && cu.head.getString(0).nonEmpty)
+    // CALCITE-1381: function quantifier retained through clone
+    assert(spark.sql(
+      "SELECT nullif(count(DISTINCT '1'), 0) FROM (VALUES (1, 2), (3, 4))")
+      .head().getLong(0) == 1L)
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

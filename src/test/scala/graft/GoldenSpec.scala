@@ -1433,6 +1433,84 @@ class GoldenSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("agg.iq:2160-2280 — CALCITE-1930 multi-distinct with shared input refs; ANY_VALUE") {
+    scott.createOrReplaceTempView("g_scott")
+    val a = spark.sql(
+      "SELECT count(DISTINCT empno), count(sal), min(sal), max(sal) FROM g_scott")
+      .head()
+    assert((a.getLong(0), a.getLong(1), a.getDouble(2), a.getDouble(3))
+      == ((14L, 14L, 800.0, 5000.0)))
+    val b = spark.sql(
+      "SELECT count(DISTINCT deptno), count(job), min(sal), max(sal) FROM g_scott")
+      .head()
+    assert((b.getLong(0), b.getLong(1), b.getDouble(2), b.getDouble(3))
+      == ((3L, 14L, 800.0, 5000.0)))
+    val byMgr = spark.sql(
+      """SELECT mgr, count(DISTINCT deptno) AS cd, count(job) AS cj,
+        |  min(sal) AS mn, max(sal) AS mx
+        |FROM g_scott GROUP BY mgr""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(byMgr == Set(
+      (Some(7566), 1L, 2L, 3000.0, 3000.0), (Some(7698), 1L, 5L, 950.0, 1600.0),
+      (Some(7782), 1L, 1L, 1300.0, 1300.0), (Some(7788), 1L, 1L, 1100.0, 1100.0),
+      (Some(7839), 3L, 3L, 2450.0, 2975.0), (Some(7902), 1L, 1L, 800.0, 800.0),
+      (None, 1L, 1L, 5000.0, 5000.0)))
+    // composite DISTINCT argument
+    val comp = spark.sql(
+      """SELECT mgr, count(DISTINCT deptno, job) AS c
+        |FROM g_scott GROUP BY mgr""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSet
+    assert(comp == Set(
+      (Some(7566), 1L), (Some(7698), 2L), (Some(7782), 1L), (Some(7788), 1L),
+      (Some(7839), 3L), (Some(7902), 1L), (None, 1L)))
+    // CALCITE-2366 ANY_VALUE: one row globally; per-sal-group the value is
+    // SOME member of the group (the reference's pick is storage-order)
+    assert(spark.sql("SELECT any_value(empno) FROM g_scott").collect().length == 1)
+    val groups = scott.collect()
+      .groupBy(_.getAs[Double]("sal")).map { case (s, rs) =>
+        s -> rs.map(_.getAs[Int]("empno")).toSet }
+    val av = spark.sql(
+      "SELECT sal, any_value(empno) FROM g_scott GROUP BY sal").collect()
+    assert(av.length == 12)
+    av.foreach(r => assert(groups(r.getDouble(0)).contains(r.getInt(1))))
+  }
+
+  test("agg.iq:2284-2360 — REGR_COUNT/SXX/SYY and COVAR/VAR family") {
+    scott.createOrReplaceTempView("g_scott")
+    val rc = spark.sql(
+      """SELECT regr_count(comm, sal), regr_count(empno, sal) FROM g_scott""")
+      .head()
+    assert((rc.getLong(0), rc.getLong(1)) == ((4L, 14L)))
+    // Spark's regr_sxx accumulates moments in double (…99999 at the last
+    // ulp); the reference evaluates the decimal formula exactly
+    val sx = spark.sql(
+      """SELECT regr_sxx(comm, sal), regr_syy(comm, sal),
+        |  regr_sxx(sal, comm), regr_syy(sal, comm) FROM g_scott""".stripMargin)
+      .head()
+    Seq(sx.getDouble(0) -> 95000.0, sx.getDouble(1) -> 1090000.0,
+      sx.getDouble(2) -> 1090000.0, sx.getDouble(3) -> 95000.0)
+      .foreach { case (got, want) => assert(math.abs(got - want) < 1e-6) }
+    val cv = spark.sql(
+      """SELECT covar_pop(comm, comm), covar_samp(sal, sal),
+        |  var_pop(comm), var_samp(sal) FROM g_scott""".stripMargin)
+      .head()
+    assert(cv.getDouble(0) == 272500.0 && cv.getDouble(2) == 272500.0)
+    // sample variance over 14 doubles: engines differ in accumulation
+    // order, so pin to a relative ulp-scale tolerance
+    assert(math.abs(cv.getDouble(1) - 1398313.873626374) < 1e-6)
+    assert(math.abs(cv.getDouble(3) - 1398313.873626374) < 1e-6)
+    // REGR_COUNT with GROUP BY: only the two-comm sal=1250 group pairs up
+    val g = spark.sql(
+      """SELECT sal, regr_count(comm, sal) AS rc, regr_count(empno, sal) AS re
+        |FROM g_scott GROUP BY sal""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g == Set(
+      (1100.0, 0L, 1L), (1250.0, 2L, 2L), (1300.0, 0L, 1L), (1500.0, 1L, 1L),
+      (1600.0, 1L, 1L), (2450.0, 0L, 1L), (2850.0, 0L, 1L), (2975.0, 0L, 1L),
+      (3000.0, 0L, 2L), (5000.0, 0L, 1L), (800.0, 0L, 1L), (950.0, 0L, 1L)))
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

@@ -1511,6 +1511,82 @@ class GoldenSpec extends AnyFunSuite {
       (3000.0, 0L, 2L), (5000.0, 0L, 1L), (800.0, 0L, 1L), (950.0, 0L, 1L)))
   }
 
+  test("agg.iq:2403-2530 — WITHIN GROUP collect (as sorted collect_list) with FILTER and JOIN") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    // WITHIN GROUP (ORDER BY empno DESC) == sort_array(collect_list, desc)
+    val desc = spark.sql(
+      """SELECT deptno, sort_array(collect_list(empno), false) AS empnos
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toList).toMap
+    assert(desc == Map(
+      10 -> List(7934, 7839, 7782), 20 -> List(7902, 7876, 7788, 7566, 7369),
+      30 -> List(7900, 7844, 7698, 7654, 7521, 7499)))
+    // DESC + FILTER
+    val df2 = spark.sql(
+      """SELECT deptno,
+        |  sort_array(collect_list(empno) FILTER (WHERE empno > 7500), false) AS empnos
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toList).toMap
+    assert(df2 == Map(
+      10 -> List(7934, 7839, 7782), 20 -> List(7902, 7876, 7788, 7566),
+      30 -> List(7900, 7844, 7698, 7654, 7521)))
+    // JOIN variant: ordered sals + filtered ordered sals
+    val j = spark.sql(
+      """SELECT d.deptno,
+        |  sort_array(collect_list(sal), false) AS s,
+        |  sort_array(collect_list(sal) FILTER (WHERE sal > 2000)) AS s2
+        |FROM g_scott e JOIN g_dept d ON e.deptno = d.deptno
+        |GROUP BY d.deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toList,
+        r.getSeq[Double](2).toList)).toSet
+    assert(j == Set(
+      (10, List(5000.0, 2450.0, 1300.0), List(2450.0, 5000.0)),
+      (20, List(3000.0, 3000.0, 2975.0, 1100.0, 800.0), List(2975.0, 3000.0, 3000.0)),
+      (30, List(2850.0, 1600.0, 1500.0, 1250.0, 1250.0, 950.0), List(2850.0))))
+    // collect over an expression
+    val expr = spark.sql(
+      """SELECT deptno, sort_array(collect_list(empno + 1)) AS empnos
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).toList).toMap
+    assert(expr(10) == List(7783, 7840, 7935))
+  }
+
+  test("agg.iq:2532-2600 — BIT_AND/BIT_OR; DRUID-7593 distinct-count of complex CASE") {
+    scott.createOrReplaceTempView("g_scott")
+    val bits = spark.sql(
+      "SELECT bit_and(deptno), bit_or(deptno) FROM g_scott").head()
+    assert((bits.getInt(0), bits.getInt(1)) == ((0, 30)))
+    val byDept = spark.sql(
+      """SELECT deptno, bit_and(empno), bit_or(empno)
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(byDept == Set((10, 7686, 7935), (20, 7168, 8191), (30, 7168, 8191)))
+    // DRUID-7593: COUNT(DISTINCT complex CASE) minus a MAX-derived
+    // constant. The +Long.MaxValue+1 arithmetic runs in Scala: Spark's
+    // ANSI constant reassociation folds the two literals together and
+    // overflows where Calcite evaluates left-to-right without overflow.
+    val druid = spark.sql(
+      """WITH wikipedia AS (
+        |  SELECT empno AS delta,
+        |    CASE WHEN deptno = 10 THEN 'true' ELSE 'false' END AS isRobot,
+        |    ename AS user FROM g_scott)
+        |SELECT COUNT(DISTINCT
+        |    CASE WHEN (((CASE WHEN wikipedia.delta IN (1,2,3,4,5,6,7,8,9,10)
+        |                      THEN REPLACE('Yes', 'Yes', 'Yes')
+        |                      ELSE REPLACE('No', 'No', 'No') END) = 'No'))
+        |         AND (wikipedia.isRobot = 'true')
+        |         THEN (wikipedia.user) ELSE NULL END) AS cd,
+        |  MAX(CASE WHEN (((CASE WHEN wikipedia.delta IN (1,2,3,4,5,6,7,8,9,10)
+        |                        THEN REPLACE('Yes', 'Yes', 'Yes')
+        |                        ELSE REPLACE('No', 'No', 'No') END) = 'No'))
+        |           AND (wikipedia.isRobot = 'true')
+        |           THEN NULL ELSE -9223372036854775807L END) AS mx
+        |FROM wikipedia LIMIT 500""".stripMargin).head()
+    val druidResult = druid.getLong(0) - (druid.getLong(1) + 9223372036854775807L + 1L)
+    assert(druidResult == 2L)
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

@@ -1587,6 +1587,83 @@ class GoldenSpec extends AnyFunSuite {
     assert(druidResult == 2L)
   }
 
+  test("misc.iq:325-500 — the EXISTS family over the hr schema") {
+    hrEmps.drop("pos").createOrReplaceTempView("hr_emps")
+    Seq((10, "Sales"), (30, "Marketing"), (40, "HR")).toDF("deptno", "dname")
+      .createOrReplaceTempView("hr_depts")
+    // un-correlated EXISTS / NOT EXISTS, non-empty and empty inner
+    assert(spark.sql(
+      "SELECT deptno FROM hr_depts WHERE EXISTS (SELECT 1 FROM hr_emps)")
+      .collect().map(_.getInt(0)).toSet == Set(10, 30, 40))
+    assert(spark.sql(
+      "SELECT deptno FROM hr_depts WHERE NOT EXISTS (SELECT 1 FROM hr_emps)")
+      .count() == 0)
+    assert(spark.sql(
+      """SELECT deptno FROM hr_depts
+        |WHERE EXISTS (SELECT 1 FROM hr_emps WHERE empid < 0)""".stripMargin)
+      .count() == 0)
+    assert(spark.sql(
+      """SELECT deptno FROM hr_depts
+        |WHERE NOT EXISTS (SELECT 1 FROM hr_emps WHERE empid < 0)""".stripMargin)
+      .collect().map(_.getInt(0)).toSet == Set(10, 30, 40))
+    // correlated EXISTS → the three deptno-10 employees
+    assert(spark.sql(
+      """SELECT name FROM hr_emps WHERE EXISTS (
+        |  SELECT 1 FROM hr_depts WHERE hr_depts.deptno = hr_emps.deptno)"""
+        .stripMargin).collect().map(_.getString(0)).toSet
+      == Set("Bill", "Theodore", "Sebastian"))
+    // correlated NOT EXISTS → Eric (deptno 20 has no dept row)
+    assert(spark.sql(
+      """SELECT name FROM hr_emps WHERE NOT EXISTS (
+        |  SELECT 1 FROM hr_depts WHERE hr_depts.deptno = hr_emps.deptno)"""
+        .stripMargin).collect().map(_.getString(0)).toSet == Set("Eric"))
+    // NOT EXISTS .. OR NOT EXISTS (CALCITE-374 shape)
+    assert(spark.sql(
+      """SELECT name FROM hr_emps WHERE NOT EXISTS (
+        |  SELECT 1 FROM hr_depts WHERE hr_depts.deptno = hr_emps.deptno)
+        |OR NOT EXISTS (
+        |  SELECT 1 FROM hr_depts WHERE hr_depts.deptno + 90 = hr_emps.empid)"""
+        .stripMargin).collect().map(_.getString(0)).toSet
+      == Set("Theodore", "Sebastian", "Eric"))
+    // left join to a one-row aggregate keeps all left rows
+    assert(spark.sql(
+      """SELECT e.deptno FROM hr_emps e
+        |LEFT JOIN (SELECT count(*) FROM hr_depts) ON true""".stripMargin)
+      .collect().map(_.getInt(0)).toList.sorted == List(10, 10, 10, 20))
+  }
+
+  test("misc.iq:1033-1105 — DISTINCT ORDER BY expression; negation; UNION of counts; NULL compare") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    val d = spark.sql(
+      """SELECT DISTINCT deptno, job FROM g_scott
+        |ORDER BY substring(job, 2, 1), -deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toList
+    assert(d == List(
+      (30, "SALESMAN"), (30, "MANAGER"), (20, "MANAGER"), (10, "MANAGER"),
+      (30, "CLERK"), (20, "CLERK"), (10, "CLERK"), (20, "ANALYST"),
+      (10, "PRESIDENT")))
+    // CALCITE-2180: negation of small integer types
+    assert(spark.sql("SELECT -deptno AS d FROM g_dept")
+      .collect().map(_.getInt(0)).toList.sorted == List(-40, -30, -20, -10))
+    // CALCITE-2099: UNION over grouped counts
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM g_scott GROUP BY deptno
+        |UNION
+        |SELECT count(*) AS c FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(_.getLong(0)).toList.sorted == List(3L, 5L, 6L))
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM g_scott GROUP BY job
+        |UNION ALL
+        |SELECT count(*) AS c FROM g_dept GROUP BY deptno""".stripMargin)
+      .collect().map(_.getLong(0)).toList.sorted
+      == List(1L, 1L, 1L, 1L, 1L, 2L, 3L, 4L, 4L))
+    // CALCITE-1864: comparison against a NULL literal selects nothing
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM g_scott WHERE empno > CAST(NULL AS INT)")
+      .head().getLong(0) == 0L)
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

@@ -303,22 +303,23 @@ class GoldenSpec extends AnyFunSuite {
 
   // scott EMP (reference: some.iq / agg.iq `!use scott`) — the columns the
   // quantified-comparison and GROUPING-family goldens touch
+  private def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
   private lazy val scott: DataFrame = Seq(
-    (7369, "SMITH", "CLERK", 800.0, None: Option[Double], 20, Some(7902)),
-    (7499, "ALLEN", "SALESMAN", 1600.0, Some(300.0), 30, Some(7698)),
-    (7521, "WARD", "SALESMAN", 1250.0, Some(500.0), 30, Some(7698)),
-    (7566, "JONES", "MANAGER", 2975.0, None, 20, Some(7839)),
-    (7654, "MARTIN", "SALESMAN", 1250.0, Some(1400.0), 30, Some(7698)),
-    (7698, "BLAKE", "MANAGER", 2850.0, None, 30, Some(7839)),
-    (7782, "CLARK", "MANAGER", 2450.0, None, 10, Some(7839)),
-    (7788, "SCOTT", "ANALYST", 3000.0, None, 20, Some(7566)),
-    (7839, "KING", "PRESIDENT", 5000.0, None, 10, None: Option[Int]),
-    (7844, "TURNER", "SALESMAN", 1500.0, Some(0.0), 30, Some(7698)),
-    (7876, "ADAMS", "CLERK", 1100.0, None, 20, Some(7788)),
-    (7900, "JAMES", "CLERK", 950.0, None, 30, Some(7698)),
-    (7902, "FORD", "ANALYST", 3000.0, None, 20, Some(7566)),
-    (7934, "MILLER", "CLERK", 1300.0, None, 10, Some(7782)))
-    .toDF("empno", "ename", "job", "sal", "comm", "deptno", "mgr")
+    (7369, "SMITH", "CLERK", 800.0, None: Option[Double], 20, Some(7902), d("1980-12-17")),
+    (7499, "ALLEN", "SALESMAN", 1600.0, Some(300.0), 30, Some(7698), d("1981-02-20")),
+    (7521, "WARD", "SALESMAN", 1250.0, Some(500.0), 30, Some(7698), d("1981-02-22")),
+    (7566, "JONES", "MANAGER", 2975.0, None, 20, Some(7839), d("1981-04-02")),
+    (7654, "MARTIN", "SALESMAN", 1250.0, Some(1400.0), 30, Some(7698), d("1981-09-28")),
+    (7698, "BLAKE", "MANAGER", 2850.0, None, 30, Some(7839), d("1981-05-01")),
+    (7782, "CLARK", "MANAGER", 2450.0, None, 10, Some(7839), d("1981-06-09")),
+    (7788, "SCOTT", "ANALYST", 3000.0, None, 20, Some(7566), d("1987-04-19")),
+    (7839, "KING", "PRESIDENT", 5000.0, None, 10, None: Option[Int], d("1981-11-17")),
+    (7844, "TURNER", "SALESMAN", 1500.0, Some(0.0), 30, Some(7698), d("1981-09-08")),
+    (7876, "ADAMS", "CLERK", 1100.0, None, 20, Some(7788), d("1987-05-23")),
+    (7900, "JAMES", "CLERK", 950.0, None, 30, Some(7698), d("1981-12-03")),
+    (7902, "FORD", "ANALYST", 3000.0, None, 20, Some(7566), d("1981-12-03")),
+    (7934, "MILLER", "CLERK", 1300.0, None, 10, Some(7782), d("1982-01-23")))
+    .toDF("empno", "ename", "job", "sal", "comm", "deptno", "mgr", "hiredate")
 
   private lazy val scottDept: DataFrame = Seq(
     (10, "ACCOUNTING"), (20, "RESEARCH"), (30, "SALES"), (40, "OPERATIONS"))
@@ -1662,6 +1663,113 @@ class GoldenSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) AS c FROM g_scott WHERE empno > CAST(NULL AS INT)")
       .head().getLong(0) == 0L)
+  }
+
+  test("sub-query.iq:266-327 — HAVING sub-queries; scalar sub-query with aggregates") {
+    scott.createOrReplaceTempView("g_scott")
+    // CALCITE-694: IN-list inside a HAVING aggregate
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM g_scott GROUP BY deptno
+        |HAVING sum(CASE WHEN empno IN (7369, 7839, 7902) THEN sal ELSE 0 END)
+        |  BETWEEN 5000.0 AND 10000.0""".stripMargin)
+      .collect().map(_.getLong(0)).toList == List(3L))
+    // CALCITE-716: scalar sub-query compared against an aggregate
+    assert(spark.sql(
+      """SELECT deptno FROM g_scott GROUP BY deptno
+        |HAVING max(empno) > (SELECT min(empno) FROM g_scott)""".stripMargin)
+      .collect().map(_.getInt(0)).toSet == Set(10, 20, 30))
+    assert(spark.sql(
+      """SELECT deptno, max(empno) > (SELECT min(empno) FROM g_scott) AS bbbb
+        |FROM g_scott GROUP BY deptno""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getBoolean(1))).toSet
+      == Set((10, true), (20, true), (30, true)))
+  }
+
+  test("sub-query.iq:373-422 — NOT IN with NULL keys (the Oracle-verified triple)") {
+    scott.createOrReplaceTempView("g_scott")
+    // a NULL in the NOT IN list poisons every row → 0
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM g_scott
+        |WHERE sal + 100 NOT IN (SELECT comm FROM g_scott)""".stripMargin)
+      .head().getLong(0) == 0L)
+    // restricting to SALESMAN comms HAPPENS to keep a NULL-free list minus
+    // the {MARTIN, comm 1400} hit → 13
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM g_scott
+        |WHERE sal + 100 NOT IN (
+        |  SELECT comm FROM g_scott WHERE job = 'SALESMAN')""".stripMargin)
+      .head().getLong(0) == 13L)
+    // comm < 1000 PROVABLY eliminates NULLs → all 14 rows survive
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM g_scott
+        |WHERE sal + 100 NOT IN (
+        |  SELECT comm FROM g_scott WHERE comm < 1000)""".stripMargin)
+      .head().getLong(0) == 14L)
+  }
+
+  test("sub-query.iq:552-631 — two EXISTS, two scalar sub-queries, CALCITE-1494, DRILL-5644") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    // CALCITE-1511: conjunction of two differently-correlated EXISTS
+    assert(spark.sql(
+      """SELECT deptno FROM g_dept d
+        |WHERE EXISTS (SELECT 1 FROM g_scott WHERE empno > d.deptno)
+        |AND EXISTS (SELECT 0 FROM g_scott
+        |            WHERE deptno = d.deptno AND ename = 'SMITH')""".stripMargin)
+      .collect().map(_.getInt(0)).toList == List(20))
+    // two scalar sub-queries side by side
+    val two = spark.sql(
+      """SELECT deptno,
+        |  (SELECT min(1) FROM g_scott WHERE empno > d.deptno) AS i0,
+        |  (SELECT min(0) FROM g_scott
+        |   WHERE deptno = d.deptno AND ename = 'SMITH') AS i1
+        |FROM g_dept d""".stripMargin)
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(two == Set((10, Some(1), None), (20, Some(1), Some(0)),
+      (30, Some(1), None), (40, Some(1), None)))
+    // CALCITE-1494: correlated IN whose key never matches
+    assert(spark.sql(
+      """SELECT sal FROM g_scott emp WHERE empno IN (
+        |  SELECT deptno FROM g_dept dept WHERE emp.job = dept.dname)"""
+        .stripMargin).count() == 0)
+    // DRILL-5644: IN-list over VALUES inside CASE — 10 ∉ {1} for every row
+    val drill = spark.sql(
+      """SELECT TJOIN1.RNUM, TJOIN1.C1,
+        |  CASE WHEN 10 IN (SELECT C1 FROM (VALUES (1)) T(C1))
+        |       THEN 'yes' ELSE 'no' END AS C3
+        |FROM (VALUES (0, 10, 15), (1, 20, 25),
+        |  (2, CAST(NULL AS INTEGER), 50)) TJOIN1 (RNUM, C1, C2)""".stripMargin)
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), r.getString(2))).toSet
+    assert(drill == Set((0, Some(10), "no"), (1, Some(20), "no"),
+      (2, None, "no")))
+  }
+
+  test("sub-query.iq:649-744 — CALCITE-2028 IN+EXISTS mixes; CALCITE-2071 IN with OR") {
+    scott.createOrReplaceTempView("g_scott")
+    // IN over the 1980-12-17 hire (SMITH → CLERK) AND a same-dept EXISTS
+    assert(spark.sql(
+      """SELECT empno FROM g_scott emp
+        |WHERE job IN (SELECT job FROM g_scott ee
+        |              WHERE ee.hiredate = DATE '1980-12-17')
+        |AND EXISTS (SELECT * FROM g_scott e WHERE emp.deptno = e.deptno)"""
+        .stripMargin).collect().map(_.getInt(0)).toSet
+      == Set(7369, 7876, 7900, 7934))
+    // OR variant widens to deptno = e.deptno + 20 matches
+    assert(spark.sql(
+      """SELECT empno FROM g_scott emp
+        |WHERE job IN (SELECT job FROM g_scott ee
+        |              WHERE ee.hiredate = DATE '1980-12-17')
+        |OR EXISTS (SELECT * FROM g_scott e WHERE emp.deptno = e.deptno + 20)"""
+        .stripMargin).collect().map(_.getInt(0)).toSet
+      == Set(7369, 7876, 7900, 7934, 7499, 7521, 7654, 7698, 7844))
+    // CALCITE-2071: (IN-subquery OR IN-list) AND IN-list
+    assert(spark.sql(
+      """SELECT empno FROM g_scott
+        |WHERE (empno IN (SELECT empno FROM g_scott)
+        |    OR empno IN (1,2,3,4,5,6,7,8,9,10,11,12,13,14,
+        |                 15,16,17,18,19,20,21,22,23,24,25))
+        |AND empno IN (7876, 7698, 7900)""".stripMargin)
+      .collect().map(_.getInt(0)).toSet == Set(7698, 7876, 7900))
   }
 
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {

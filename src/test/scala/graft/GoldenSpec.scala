@@ -1772,6 +1772,87 @@ class GoldenSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSet == Set(7698, 7876, 7900))
   }
 
+  test("sub-query.iq:766-1600 — CALCITE-2329 IN/NOT IN three-valued truth matrix") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    // (expr, standard truth value, Spark's projected value). Spark plans
+    // IN-subqueries as existence joins, which COLLAPSE the
+    // no-match-with-NULLs UNKNOWN to FALSE in a projection (three cases
+    // below). Filter behavior is indistinguishable — UNKNOWN and FALSE
+    // both drop the row — so the reference's filter-form results hold for
+    // every case (asserted after each projection).
+    val cases: Seq[(String, Option[Boolean], Option[Boolean])] = Seq(
+      // null IN null / literal IN null / null IN literal / null IN required
+      ("CAST(NULL AS INT) IN (SELECT CAST(NULL AS INT) FROM g_dept)", None, None),
+      ("123 IN (SELECT CAST(NULL AS INT) FROM g_dept)", None, Some(false)),
+      ("CAST(NULL AS INT) IN (SELECT 1 FROM g_dept)", None, None),
+      ("CAST(NULL AS INT) IN (SELECT deptno FROM g_dept)", None, None),
+      ("CAST(NULL AS INT) IN (SELECT mgr FROM g_scott)", None, None),
+      // literal IN required: plain two-valued membership
+      ("10 IN (SELECT deptno FROM g_dept)", Some(true), Some(true)),
+      ("123 IN (SELECT deptno FROM g_dept)", Some(false), Some(false)),
+      // literal IN nullable: TRUE on a match; a miss with NULLs present is
+      // standard-UNKNOWN, Spark-FALSE
+      ("7902 IN (SELECT mgr FROM g_scott)", Some(true), Some(true)),
+      ("123 IN (SELECT mgr FROM g_scott)", None, Some(false)),
+      // NOT IN mirrors through 3VL negation (null-aware anti join)
+      ("CAST(NULL AS INT) NOT IN (SELECT CAST(NULL AS INT) FROM g_dept)", None, None),
+      ("123 NOT IN (SELECT CAST(NULL AS INT) FROM g_dept)", None, Some(false)),
+      ("10 NOT IN (SELECT deptno FROM g_dept)", Some(false), Some(false)),
+      ("123 NOT IN (SELECT deptno FROM g_dept)", Some(true), Some(true)),
+      ("7902 NOT IN (SELECT mgr FROM g_scott)", Some(false), Some(false)),
+      ("123 NOT IN (SELECT mgr FROM g_scott)", None, Some(false)),
+      // empty RHS: IN is FALSE and NOT IN TRUE even for a NULL lhs
+      ("123 IN (SELECT deptno FROM g_dept WHERE false)", Some(false), Some(false)),
+      ("CAST(NULL AS INT) IN (SELECT deptno FROM g_dept WHERE false)", Some(false), Some(false)),
+      ("123 NOT IN (SELECT deptno FROM g_dept WHERE false)", Some(true), Some(true)),
+      ("CAST(NULL AS INT) NOT IN (SELECT deptno FROM g_dept WHERE false)", Some(true), Some(true)))
+    cases.foreach { case (expr, standard, sparkWant) =>
+      val got = Option(spark.sql(s"SELECT ($expr) AS v").head().get(0))
+        .map(_.asInstanceOf[Boolean])
+      assert(got == sparkWant, expr)
+      // the filter form keeps rows only on TRUE — identical to the
+      // reference for every case, collapsed or not
+      val kept = spark.sql(s"SELECT 1 FROM g_dept WHERE $expr").count()
+      assert(kept == (if (standard.contains(true)) 4 else 0), s"filter: $expr")
+    }
+  }
+
+  test("sub-query.iq:1981-2130 — nested sub-queries; CALCITE-1513; correlated ANY") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    // nested sub-query in PROJECT within FILTER
+    assert(spark.sql(
+      """SELECT empno FROM g_scott WHERE deptno IN (
+        |  SELECT (SELECT max(deptno) FROM g_scott t1) FROM g_scott t2)"""
+        .stripMargin).collect().map(_.getInt(0)).toSet
+      == Set(7499, 7521, 7654, 7698, 7844, 7900))
+    // nested sub-query in FILTER within PROJECT
+    val nested = spark.sql(
+      """SELECT (SELECT max(deptno) FROM g_scott
+        |        WHERE deptno IN (SELECT deptno FROM g_scott)) FROM g_scott"""
+        .stripMargin).collect().map(_.getInt(0))
+    assert(nested.length == 14 && nested.forall(_ == 30))
+    // CALCITE-1513: correlated NOT IN whose inner never matches
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM g_scott e
+        |WHERE sal + 100 NOT IN (
+        |  SELECT deptno FROM g_dept WHERE dname = e.ename)""".stripMargin)
+      .head().getLong(0) == 14L)
+    // correlated ANY — Spark has no quantified-subquery comparison, so the
+    // standard rewrite (x > ANY(S) ≡ EXISTS(s ∈ S: x > s)) carries the
+    // golden; all 14 empnos exceed 2 where their dept exists
+    assert(spark.sql(
+      """SELECT empno FROM g_scott e WHERE EXISTS (
+        |  SELECT 1 FROM g_dept e2 WHERE e2.deptno = e.deptno AND e.empno > 2)"""
+        .stripMargin).count() == 14)
+    // empty inner relation → ANY is FALSE for every row
+    assert(spark.sql(
+      """SELECT empno FROM g_scott e WHERE EXISTS (
+        |  SELECT 1 FROM g_dept e2 WHERE e2.deptno = e.empno AND e.deptno > 2)"""
+        .stripMargin).count() == 0)
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

@@ -55,6 +55,14 @@ object Sequences {
       throw new IllegalArgumentException(s"Sequence '$name' already exists")
   }
 
+  /** CREATE SEQUENCE IF NOT EXISTS — atomic put-if-absent (a
+    * check-then-create would race two concurrent sessions into the
+    * "already exists" error the clause is meant to suppress). */
+  def createIfNotExists(name: String, startWith: Long = 1L,
+      incrementBy: Long = 1L): Unit =
+    catalog.putIfAbsent(name,
+      SeqState(startWith, incrementBy, new AtomicLong(startWith)))
+
   def drop(name: String): Boolean = catalog.remove(name) != null
 
   def exists(name: String): Boolean = catalog.containsKey(name)
@@ -84,30 +92,37 @@ object Sequences {
     *
     * Cost: one extra pass to count rows per partition (the price of
     * gap-free blocks); the data itself is never globally re-sorted
-    * beyond what `orderCols` asks for.
+    * beyond what `orderCols` asks for. The input stays persisted until
+    * the session evicts it — the count and assignment passes must see
+    * the same (sampled) range-partition layout.
     */
   def nextValueFor(df: DataFrame, name: String, as: String,
       orderCols: Seq[Column] = Nil): DataFrame = {
     val st = state(name)
+    val spark = df.sparkSession
     val parted =
       if (orderCols.nonEmpty) df.repartitionByRange(orderCols: _*)
       else df
-    val withPid = parted.withColumn("__pid", spark_partition_id())
+    // Persisted for the lifetime of the two passes: range partitioning
+    // samples its boundaries per evaluation, so the count pass and the
+    // assignment pass MUST observe the same partition layout or blocks
+    // could overlap. The pin also makes the count pass the only extra
+    // scan (the price of gap-free blocks).
+    val withPid = parted.withColumn("__pid", spark_partition_id()).persist()
+    // one tiny collect: one row per partition → offsets computed on the
+    // driver (no window anywhere near the data)
     val counts = withPid.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-    // Unpartitioned window over ≤ numPartitions rows — bounded by
-    // construction (one row per partition), never over the data itself.
-    val offs = counts.withColumn("__off",
-      coalesce(sum(col("__n")).over(
-        Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val total = counts.agg(coalesce(sum(col("__n")), lit(0L)))
-      .collect()(0).getLong(0)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
     val base = st.reserve(total)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offs = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
     val localOrder = if (orderCols.nonEmpty) orderCols
       else Seq(monotonically_increasing_id())
     val local = row_number()
       .over(Window.partitionBy(col("__pid")).orderBy(localOrder: _*))
-    withPid.join(broadcast(offs.select(col("__pid"), col("__off"))), "__pid")
+    withPid.join(broadcast(offs), "__pid")
       .withColumn(as,
         lit(base) + (col("__off") + local - lit(1L)) * lit(st.incrementBy))
       .drop("__pid", "__off")

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.{QDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: token statistics, quality
@@ -128,30 +128,36 @@ object TextAnalysis {
         |  CAST(2 * max_bi AS DOUBLE) / len(ws) AS top_bigram_frac,
         |  CAST(len(ws) - 2 - len(list_distinct(list_transform(range(1, len(ws) - 1),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS DOUBLE)
-        |    / (len(ws) - 2) AS dup_trigram_frac,
+        |    / greatest(len(ws) - 2, 1) AS dup_trigram_frac,
         |  CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS mean_word_len,
         |  len(ws) >= 40
         |    AND CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(ws) BETWEEN 3 AND 10
         |    AND CAST(2 * max_bi AS DOUBLE) / len(ws) < 0.2
         |    AND CAST(len(ws) - 2 - len(list_distinct(list_transform(range(1, len(ws) - 1),
         |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS DOUBLE)
-        |        / (len(ws) - 2) < 0.5 AS gopher_keep
+        |        / greatest(len(ws) - 2, 1) < 0.5 AS gopher_keep
         |FROM w JOIN bm USING (doc_id)""") { (s, dir) =>
       val ws = split(col("text"), " ")
       val docs = t(s, dir, "documents")
-      val bigrams = transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
-      val trigrams = transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))
+      // Spark's sequence(1, n) counts DOWN for n < 1 (step defaults to -1),
+      // so short documents need an explicit empty-gram guard — DuckDB's
+      // range(1, n) is already empty there
+      def grams(k: Int): Column = when(size(ws) >= k,
+        transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => array_join(slice(ws, i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val bigrams = grams(2)
+      val trigrams = grams(3)
       val maxBi = docs
         .select(col("doc_id"), explode(bigrams).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("max_bi"))
       val nTokens = size(ws)
       val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
+      // greatest(n-2, 1): a 1-2 token doc has zero trigram slots and a
+      // zero numerator — the guard keeps the fraction 0 instead of NaN
       val dupTri = ((nTokens - 2 - size(array_distinct(trigrams))).cast("double")
-        / (nTokens - 2))
+        / greatest(nTokens - 2, lit(1)))
       val base = docs.select(col("doc_id"), nTokens.as("n_tokens"),
         meanLen.as("mean_word_len"), dupTri.as("dup_trigram_frac"))
       base.join(maxBi, "doc_id")

@@ -22,7 +22,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * shape) rather than arbitrary expression nesting. NEXT VALUE lowers
   * onto [[Sequences.nextValueFor]] — the distributed block-reservation
   * assignment, in the source's row order like the reference's row-at-a-
-  * time evaluation. CURRENT VALUE is a parse-time constant by semantics
+  * time evaluation. The block is reserved ONCE at parse time: each
+  * `spark.sql` call advances the sequence, while re-collecting the SAME
+  * returned DataFrame replays its reserved block — deliberate, because a
+  * counter advancing per row evaluation would hand out different values
+  * whenever Spark recomputes a partition (task retry, cache eviction).
+  * CURRENT VALUE is a parse-time constant by semantics
   * (reads without advancing), so it lowers to a literal projection.
   * DDL executes eagerly like the reference's DdlExecutor and returns a
   * one-row status result.
@@ -43,8 +48,8 @@ object SequenceSql {
     case CreateRe(ifNotExists, name, start, inc) =>
       val startWith = Option(start).map(_.toLong).getOrElse(1L)
       val incBy = Option(inc).map(_.toLong).getOrElse(1L)
-      if (ifNotExists == null || !Sequences.exists(name))
-        Sequences.create(name, startWith, incBy)
+      if (ifNotExists == null) Sequences.create(name, startWith, incBy)
+      else Sequences.createIfNotExists(name, startWith, incBy)
       Some(delegate.parsePlan(
         s"SELECT 'created' AS status, '$name' AS sequence"))
     case DropRe(ifExists, name) =>

@@ -75,6 +75,29 @@ object MatcherHammer {
         bad += 1
         if (bad <= 5) println(s"BATCH MISMATCH pat=$p regex=${toRegex(p)} s='$s' got=$got want=$want")
       }
+      // exclusion property: `{- p -}` must change ONLY the classifier
+      // markers — stripping every Excl node from the pattern must yield
+      // identical spans AND identical classifiers modulo the "~" marker
+      // (pins the exclDepth save/restore bookkeeping under backtracking,
+      // which the regex oracle cannot see)
+      def stripExcl(q: Pat): Pat = q match {
+        case Pat.Excl(inner) => stripExcl(inner)
+        case Pat.Cat(ps) => Pat.Cat(ps.map(stripExcl))
+        case Pat.Alt(ps) => Pat.Alt(ps.map(stripExcl))
+        case rep: Pat.Rep => rep.copy(p = stripExcl(rep.p))
+        case sym => sym
+      }
+      val stripped = stripExcl(p)
+      if (stripped != p) {
+        val withMarks = MatchRecognize.findMatches(rowsOf(s), p, defines)
+          .map(_.map(t => t._2.stripPrefix("~")))
+        val without = MatchRecognize.findMatches(rowsOf(s), stripped, defines)
+          .map(_.map(_._2))
+        if (withMarks != without) {
+          bad += 1
+          if (bad <= 5) println(s"EXCL MISMATCH pat=$p s='$s' got=$withMarks want=$without")
+        }
+      }
       // streaming property
       val cut = r.nextInt(s.length + 1)
       val rows = rowsOf(s)

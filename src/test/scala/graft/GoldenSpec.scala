@@ -1853,6 +1853,50 @@ class GoldenSpec extends AnyFunSuite {
         .stripMargin).count() == 0)
   }
 
+  test("some.iq:47-240 — quantified comparisons via the SubQueryRemoveRule expansions") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    // Spark has no quantified sub-query comparison, so each golden runs
+    // through the reference's own rewrite (SubQueryRemoveRule): ANY in a
+    // filter is EXISTS of the comparison; ALL is NOT EXISTS of the
+    // falsifier with NULL right-side values treated as potential
+    // falsifiers (UNKNOWN filters like FALSE).
+    // empno > ANY (non-null deptnos) — every empno beats min(deptno)
+    assert(spark.sql(
+      """SELECT empno FROM g_scott
+        |WHERE empno > (SELECT min(deptno) FROM g_dept)""".stripMargin)
+      .count() == 14)
+    // sal > ANY (nullable comms) — min non-null comm is 0, all qualify
+    assert(spark.sql(
+      """SELECT empno FROM g_scott e WHERE EXISTS (
+        |  SELECT 1 FROM g_scott s WHERE e.sal > s.comm)""".stripMargin)
+      .count() == 14)
+    // sal > ALL (nullable comms) — NULL comms block the proof: 0 rows
+    assert(spark.sql(
+      """SELECT empno FROM g_scott e WHERE NOT EXISTS (
+        |  SELECT 1 FROM g_scott s
+        |  WHERE e.sal <= s.comm OR s.comm IS NULL)""".stripMargin)
+      .count() == 0)
+    // comm < ALL (empty sub-query) — trivially TRUE, even for NULL comm
+    assert(spark.sql(
+      """SELECT empno FROM g_scott e WHERE NOT EXISTS (
+        |  SELECT 1 FROM g_scott s WHERE 1 = 0
+        |  AND (e.comm >= s.comm OR s.comm IS NULL))""".stripMargin)
+      .count() == 14)
+    // comm < SOME (empty sub-query) — trivially FALSE
+    assert(spark.sql(
+      """SELECT empno FROM g_scott e WHERE EXISTS (
+        |  SELECT 1 FROM g_scott s WHERE 1 = 0 AND e.comm < s.comm)"""
+        .stripMargin).count() == 0)
+    // sal > ALL (comm <> null) — `comm <> NULL` is UNKNOWN for every row,
+    // the inner is empty, ALL holds trivially: all 14 rows
+    assert(spark.sql(
+      """SELECT empno FROM g_scott e WHERE NOT EXISTS (
+        |  SELECT 1 FROM g_scott s WHERE s.comm <> NULL
+        |  AND (e.sal <= s.comm OR s.comm IS NULL))""".stripMargin)
+      .count() == 14)
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

@@ -200,6 +200,24 @@ class GoldenSpec extends AnyFunSuite {
     assert(gotRight == Set(
       (Some("Jane"), "Sales"), (Some("Susan"), "Engineering"),
       (Some("Alice"), "Engineering"), (None, "Marketing"), (None, "Empty")))
+    // full join + WHERE on the left side collapses to the left-join rows: 6
+    // (outer.iq:196-207)
+    assert(emp.join(dept, col("deptno") === col("dno"), "full")
+      .where(col("gender") === "F").count() == 6)
+    // pre-filtered full join keeps BOTH unmatched sides: 8 (outer.iq:210-224)
+    val fullPre = emp.where(col("gender") === "F")
+      .join(dept, col("deptno") === col("dno"), "full")
+    assert(fullPre.count() == 8)
+    val gotFull = fullPre.collect()
+      .map(r => (Option(r.get(0)), Option(r.get(4)))).toSet
+    assert(gotFull.contains((None, Some("Marketing"))) &&
+      gotFull.contains((None, Some("Empty"))) &&
+      gotFull.contains((Some("Wilma"), None)))
+    // the same full join as a non-equi (nested-loop) condition — NULL
+    // arithmetic never matches, so the result set is identical
+    // (outer.iq:226-240)
+    assert(emp.where(col("gender") === "F")
+      .join(dept, col("deptno") - col("dno") === 0, "full").count() == 8)
   }
 
   test("sub-query.iq:20-180 — NOT IN null traps (CALCITE-373 / Dayal VLDB-87)") {

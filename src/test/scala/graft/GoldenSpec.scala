@@ -1915,6 +1915,48 @@ class GoldenSpec extends AnyFunSuite {
       .count() == 14)
   }
 
+  test("outer.iq:275-367 — CALCITE-554 outer joins over NULL keys") {
+    // NULL keys never join but left rows always survive
+    val keyed = spark.sql(
+      """WITH t1(x) AS (SELECT * FROM (VALUES 1, 2, CAST(NULL AS INTEGER))),
+        |  t2(x) AS (SELECT * FROM (VALUES 1, CAST(NULL AS INTEGER)))
+        |SELECT t1.x, t2.x FROM t1 LEFT JOIN t2 ON t1.x = t2.x""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(keyed == Set((Some(1), Some(1)), (Some(2), None), (None, None)))
+    // two columns each side, left and full
+    val left2 = spark.sql(
+      """WITH t1(x, y) AS (SELECT * FROM (VALUES (1, 10), (2, 20),
+        |    (CAST(NULL AS INTEGER), 30)) AS t),
+        |  t2(x, y) AS (SELECT * FROM (VALUES (1, 100),
+        |    (CAST(NULL AS INTEGER), 200)) AS t)
+        |SELECT * FROM t1 LEFT JOIN t2 ON t1.x = t2.x""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), r.getInt(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(left2 == Set(
+      (Some(1), 10, Some(1), Some(100)), (Some(2), 20, None, None),
+      (None, 30, None, None)))
+    val full2 = spark.sql(
+      """WITH t1(x, y) AS (SELECT * FROM (VALUES (1, 10), (2, 20),
+        |    (CAST(NULL AS INTEGER), 30)) AS t),
+        |  t2(x, y) AS (SELECT * FROM (VALUES (1, 100),
+        |    (CAST(NULL AS INTEGER), 200)) AS t)
+        |SELECT * FROM t1 FULL JOIN t2 ON t1.x = t2.x""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(full2 == Set(
+      (Some(1), Some(10), Some(1), Some(100)), (Some(2), Some(20), None, None),
+      (None, Some(30), None, None), (None, None, None, Some(200))))
+    // right join whose condition references only the left side: nothing
+    // qualifies (sal < 100 never holds), every dept row null-extends
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    val oneSided = spark.sql(
+      """SELECT ename, dname FROM g_scott RIGHT JOIN g_dept ON sal < 100""")
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(oneSided == Set((None, "ACCOUNTING"), (None, "RESEARCH"),
+      (None, "SALES"), (None, "OPERATIONS")))
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

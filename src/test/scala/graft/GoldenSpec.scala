@@ -1957,6 +1957,29 @@ class GoldenSpec extends AnyFunSuite {
       (None, "SALES"), (None, "OPERATIONS")))
   }
 
+  test("scalar.iq:113-216 — scalar sub-queries with empty grouping, LIMIT 0, ORDER BY LIMIT 1") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    // grouped-but-empty scalar sub-query is NULL per dept row
+    val emptyGrouped = spark.sql(
+      """SELECT deptno, (SELECT sum(empno) FROM g_scott
+        |  WHERE 1 = 0 GROUP BY GROUPING SETS (())) AS x FROM g_dept"""
+        .stripMargin).collect().map(r => (r.getInt(0), Option(r.get(1)))).toSet
+    assert(emptyGrouped == Set((10, None), (20, None), (30, None), (40, None)))
+    // LIMIT 0 scalar sub-query is NULL
+    val limit0 = spark.sql(
+      """SELECT deptno, (SELECT deptno FROM g_scott
+        |  WHERE deptno = g_dept.deptno LIMIT 0) AS x FROM g_dept"""
+        .stripMargin).collect().map(r => (r.getInt(0), Option(r.get(1)))).toSet
+    assert(limit0 == Set((10, None), (20, None), (30, None), (40, None)))
+    // ORDER BY + LIMIT 1 pins the scalar value
+    val top1 = spark.sql(
+      """SELECT deptno, (SELECT empno FROM g_scott
+        |  ORDER BY empno LIMIT 1) AS x FROM g_dept""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(top1 == Set((10, 7369), (20, 7369), (30, 7369), (40, 7369)))
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

@@ -191,6 +191,13 @@ object MatchRecognize {
     case object PastLastRow extends Skip
     /** Resume at the row after the match's FIRST row (overlap allowed). */
     case object ToNextRow extends Skip
+    /** Resume AT the first row the named variable matched (SQL:2016
+      * AFTER MATCH SKIP TO FIRST var — the skipped-to row can anchor the
+      * next match, e.g. a shared peak between adjacent V-shapes). */
+    final case class ToFirst(variable: String) extends Skip
+    /** Resume AT the last row the named variable matched (SKIP TO LAST
+      * var — the canonical ticker example's mode). */
+    final case class ToLast(variable: String) extends Skip
   }
 
   /** Pattern-matching scan with the given AFTER MATCH SKIP policy.
@@ -206,9 +213,25 @@ object MatchRecognize {
       matchAt(pattern, rows, i, defines).best match {
         case Some((end, syms)) if end > i =>
           out += (i until end).map(j => (rows(j), syms(j)))
+          // SKIP TO [FIRST|LAST] var: resume AT the variable's row.
+          // SQL:2016 makes a non-advancing target (the match's first row)
+          // and an unmatched variable runtime errors — both would loop or
+          // silently change semantics if papered over.
+          def varAnchor(name: String, last: Boolean): Int = {
+            val js = (i until end)
+              .filter(j => syms(j).stripPrefix("~") == name)
+            if (js.isEmpty) throw new IllegalStateException(
+              s"AFTER MATCH SKIP TO $name: variable matched no row")
+            val j = if (last) js.last else js.head
+            if (j <= i) throw new IllegalStateException(
+              s"AFTER MATCH SKIP TO $name: target is the match's first row")
+            j
+          }
           i = skip match {
             case Skip.PastLastRow => end
             case Skip.ToNextRow => i + 1
+            case Skip.ToFirst(v) => varAnchor(v, last = false)
+            case Skip.ToLast(v) => varAnchor(v, last = true)
           }
         // empty preferred match (nullable pattern): nothing to emit, the
         // scan advances one row — java.util.regex's empty-match rule
@@ -254,7 +277,8 @@ object MatchRecognize {
       orderKey: Row => (Long, Long),
       pattern: Pat,
       defines: Map[String, Define],
-      measure: (Long, IndexedSeq[(Row, String)]) => Out): org.apache.spark.sql.Dataset[Out] = {
+      measure: (Long, IndexedSeq[(Row, String)]) => Out,
+      skip: Skip = Skip.PastLastRow): org.apache.spark.sql.Dataset[Out] = {
     import df.sparkSession.implicits._
     df.groupByKey(partitionKey)
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
@@ -262,7 +286,7 @@ object MatchRecognize {
         // ONE ROW PER MATCH: measures see every matched row, exclusion
         // markers stripped (SQL:2016 — `{- -}` affects only ALL ROWS
         // output, not aggregation)
-        findMatches(rows, pattern, defines).iterator
+        findMatches(rows, pattern, defines, skip).iterator
           .map(m => measure(key, m.map { case (r, s) => (r, s.stripPrefix("~")) }))
       }
   }
@@ -562,6 +586,61 @@ object MatchRecognize {
           |  MEASURES FIRST(event_id) AS first_id, LAST(event_id) AS last_id
           |  PATTERN (C{2,}?)
           |  DEFINE C AS event_type = 'click')""".stripMargin)
+    },
+
+    // ---- AFTER MATCH SKIP TO LAST var (the canonical ticker shape) --------
+    // PATTERN (STRT DOWN+ UP+) AFTER MATCH SKIP TO LAST UP: adjacent
+    // V-shapes SHARE their peak row — the last UP anchors the next STRT.
+    // Oracle: every adjacent (D-island, U-island) pair is a match whose
+    // STRT is the row just before the decline (first rows are 'F', so a
+    // D-island never starts a partition and the STRT row always exists);
+    // SKIP PAST LAST ROW would shift or drop matches after shared peaks,
+    // which is what the spec's W-shape golden pins.
+    QDef.sql("match_recognize_skip_to_last",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER w AS rn,
+        |    CASE WHEN value < lag(value) OVER w THEN 'D'
+        |         WHEN value > lag(value) OVER w THEN 'U'
+        |         ELSE 'F' END AS dir
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), runs AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+        |  FROM seq
+        |), islands AS (
+        |  SELECT user_id, dir, min(rn) AS srn, max(rn) AS ern, count(*) AS n,
+        |    arg_max(event_id, rn) AS eid
+        |  FROM runs GROUP BY user_id, dir, grp
+        |)
+        |SELECT d.user_id, CAST(d.n + u.n + 1 AS BIGINT) AS len,
+        |  s.event_id AS start_id, u.eid AS end_id
+        |FROM islands d
+        |JOIN islands u ON u.user_id = d.user_id AND d.dir = 'D'
+        |              AND u.dir = 'U' AND u.srn = d.ern + 1
+        |JOIN seq s ON s.user_id = d.user_id AND s.rn = d.srn - 1""") { (s, dir) =>
+      import Pat._
+      val ev = Tables.t(s, dir, "events")
+        .select("user_id", "event_id", "value", "ts")
+      implicit val enc: org.apache.spark.sql.Encoder[VShape] =
+        org.apache.spark.sql.Encoders.product[VShape]
+      matchRecognize[VShape](
+        ev,
+        partitionKey = _.getAs[Long]("user_id"),
+        orderKey = r => (tsMicros(r, "ts"), r.getAs[Long]("event_id")),
+        pattern = Cat(Seq(Sym("STRT"), plus(Sym("DOWN")), plus(Sym("UP")))),
+        defines = Map(
+          "DOWN" -> ((r, prev) => prev.exists(p =>
+            r.getAs[Double]("value") < p.getAs[Double]("value"))),
+          "UP" -> ((r, prev) => prev.exists(p =>
+            r.getAs[Double]("value") > p.getAs[Double]("value")))),
+        measure = (key, m) => VShape(
+          user_id = key,
+          len = m.length.toLong,
+          start_id = m.head._1.getAs[Long]("event_id"),
+          end_id = m.last._1.getAs[Long]("event_id")),
+        skip = Skip.ToLast("UP")
+      ).toDF()
     },
 
     // ---- SQL-syntax MATCH_RECOGNIZE (parser injection) --------------------

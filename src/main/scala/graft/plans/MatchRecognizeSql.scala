@@ -21,6 +21,7 @@ import org.apache.spark.sql.types._
   *   ORDER BY <col> [, <col>]               -- timestamp/integral [+ tiebreak]
   *   MEASURES <m> AS <name> [, ...]         -- m := COUNT(*) | COUNT(S.*)
   *                                          --    | FIRST(<col>) | LAST(<col>)
+  *   AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] <var>
   *   PATTERN ( <pat> )                      -- symbols, | ( ) * + ? {m,n} {m,}
   *                                          --   reluctant *? +? ?? {m,n}?
   *                                          --   PERMUTE(p1, ..), {- p -}
@@ -46,12 +47,14 @@ object MatchRecognizeSql {
   private val Shell =
     ("""(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(\s*""" +
       """PARTITION\s+BY\s+(\w+)\s+ORDER\s+BY\s+(\w+)\s*(?:,\s*(\w+))?\s+""" +
-      """MEASURES\s+(.*?)\s+PATTERN\s*\(\s*(.*?)\s*\)\s+DEFINE\s+(.*?)\s*\)\s*""").r
+      """MEASURES\s+(.*?)\s+(?:AFTER\s+MATCH\s+SKIP\s+(.*?)\s+)?""" +
+      """PATTERN\s*\(\s*(.*?)\s*\)\s+DEFINE\s+(.*?)\s*\)\s*""").r
 
   /** Attempt to parse; None when the text is not (our) MATCH_RECOGNIZE. */
   def tryParse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case Shell(table, partCol, ordCol, ordTie, measures, pattern, defines) =>
+      case Shell(table, partCol, ordCol, ordTie, measures, afterMatch,
+          pattern, defines) =>
         // A statement can match the shell regex yet carry measures/defines
         // this restricted form does not support (or name an unknown table —
         // build() resolves it eagerly). Fall through to the delegate parser
@@ -61,13 +64,32 @@ object MatchRecognizeSql {
         // NonFatal catch would mask a genuine bug in the supported path
         // as a generic delegate ParseException).
         try Some(build(spark, table, partCol, ordCol, Option(ordTie),
-          measures, pattern, defines))
+          measures, Option(afterMatch), pattern, defines))
         catch {
           case _: IllegalArgumentException => None
           case _: org.apache.spark.sql.AnalysisException => None
         }
       case _ => None
     }
+
+  // ---- AFTER MATCH SKIP --------------------------------------------------
+  /** SQL:2016 after-match options (SqlMatchRecognize.AfterOption):
+    * PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] <var> (bare
+    * `TO <var>` is shorthand for TO LAST <var>, as in the standard). */
+  def parseSkip(text: String): MatchRecognize.Skip = {
+    val t = text.trim.replaceAll("\\s+", " ")
+    val up = t.toUpperCase
+    if (up == "PAST LAST ROW") MatchRecognize.Skip.PastLastRow
+    else if (up == "TO NEXT ROW") MatchRecognize.Skip.ToNextRow
+    else if (up.startsWith("TO FIRST "))
+      MatchRecognize.Skip.ToFirst(t.substring(9).trim)
+    else if (up.startsWith("TO LAST "))
+      MatchRecognize.Skip.ToLast(t.substring(8).trim)
+    else if (up.startsWith("TO "))
+      MatchRecognize.Skip.ToLast(t.substring(3).trim)
+    else throw new IllegalArgumentException(
+      s"unsupported AFTER MATCH SKIP clause: '$text'")
+  }
 
   // ---- pattern ----------------------------------------------------------
   /** Recursive-descent parse of the row-pattern regex. */
@@ -264,14 +286,19 @@ object MatchRecognizeSql {
 
   private def build(spark: SparkSession, table: String, partCol: String,
       ordCol: String, ordTie: Option[String], measuresText: String,
-      patternText: String, definesText: String): LogicalPlan = {
+      afterMatch: Option[String], patternText: String,
+      definesText: String): LogicalPlan = {
     val plan = dataframe(spark.table(table), partCol, ordCol, ordTie,
-      measuresText, patternText, definesText).queryExecution.logical
+      measuresText, patternText, definesText,
+      afterMatch.map(parseSkip).getOrElse(MatchRecognize.Skip.PastLastRow))
+      .queryExecution.logical
     val canonical =
       s"SELECT * FROM $table MATCH_RECOGNIZE (" +
         s"PARTITION BY $partCol ORDER BY $ordCol" +
         ordTie.map(t => s", $t").getOrElse("") +
-        s" MEASURES $measuresText PATTERN ($patternText) DEFINE $definesText)"
+        s" MEASURES $measuresText" +
+        afterMatch.map(a => s" AFTER MATCH SKIP $a").getOrElse("") +
+        s" PATTERN ($patternText) DEFINE $definesText)"
     plan.setTagValue(RenderTag, canonical)
     plan
   }
@@ -282,7 +309,9 @@ object MatchRecognizeSql {
     * tools/RelBuilder.java match:2474). */
   def dataframe(df: org.apache.spark.sql.DataFrame, partCol: String,
       ordCol: String, ordTie: Option[String], measuresText: String,
-      patternText: String, definesText: String): org.apache.spark.sql.DataFrame = {
+      patternText: String, definesText: String,
+      skip: MatchRecognize.Skip = MatchRecognize.Skip.PastLastRow)
+      : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
     val pattern = parsePattern(patternText)
@@ -327,7 +356,7 @@ object MatchRecognizeSql {
           pattern, defines, measureFn)(Encoders.row(outSchema))
       else
         MatchRecognize.matchRecognize[Row](df, keyFn, orderFn,
-          pattern, defines, measureFn)(Encoders.row(outSchema))
+          pattern, defines, measureFn, skip)(Encoders.row(outSchema))
     out.toDF()
   }
 }

@@ -112,6 +112,42 @@ class CustomOpsSpec extends AnyFunSuite {
     assert(m.size == 1 && m.head.map(_._2) == Seq("C", "B"))
   }
 
+  test("matcher: AFTER MATCH SKIP TO LAST shares the peak between V-shapes (ticker shape)") {
+    // W: 10 9 8 9 10 8 7 9 — two V-shapes sharing nothing but the peak row
+    val rs = rows("x" -> 10, "x" -> 9, "x" -> 8, "x" -> 9, "x" -> 10,
+      "x" -> 8, "x" -> 7, "x" -> 9)
+    val down: MatchRecognize.Define =
+      (r, p) => p.exists(pr => r.getAs[Double]("x") < pr.getAs[Double]("x"))
+    val up: MatchRecognize.Define =
+      (r, p) => p.exists(pr => r.getAs[Double]("x") > pr.getAs[Double]("x"))
+    val pat = Pat.Cat(Seq(Pat.Sym("STRT"), Pat.plus(Pat.Sym("DOWN")),
+      Pat.plus(Pat.Sym("UP"))))
+    val defs = Map("DOWN" -> down, "UP" -> up)
+    // SKIP TO LAST UP: the second match STARTS at the first match's peak
+    val toLast = MatchRecognize.findMatches(rs, pat, defs,
+      MatchRecognize.Skip.ToLast("UP"))
+    assert(toLast.map(m => (m.head._1.getAs[Double]("x"), m.size))
+      == Seq((10.0, 5), (10.0, 4)))
+    // PAST LAST ROW anchors after the peak: the second V loses its STRT
+    // row to the first match and shifts
+    val pastLast = MatchRecognize.findMatches(rs, pat, defs,
+      MatchRecognize.Skip.PastLastRow)
+    assert(pastLast.map(m => (m.head._1.getAs[Double]("x"), m.size))
+      == Seq((10.0, 5), (8.0, 3)))
+    // SKIP TO FIRST DOWN from the first match would target row 1 > 0: legal,
+    // overlapping restart inside the first decline
+    val toFirst = MatchRecognize.findMatches(rs, pat, defs,
+      MatchRecognize.Skip.ToFirst("DOWN"))
+    assert(toFirst.head.size == 5 &&
+      toFirst(1).head._1.getAs[Double]("x") == 9.0)
+    // unmatched skip variable is the SQL:2016 runtime error
+    val e = intercept[IllegalStateException] {
+      MatchRecognize.findMatches(rs, pat, defs,
+        MatchRecognize.Skip.ToLast("NOPE"))
+    }
+    assert(e.getMessage.contains("matched no row"))
+  }
+
   test("matcher: PREV-style define sees previous row") {
     val rs = rows("x" -> 5, "x" -> 3, "x" -> 1, "x" -> 4)
     val down: MatchRecognize.Define =

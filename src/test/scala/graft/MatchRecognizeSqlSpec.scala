@@ -135,4 +135,30 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
     assert(viaSql.nonEmpty)
   }
+
+  test("AFTER MATCH SKIP clause parses and lowers (ticker shape via SQL)") {
+    import graft.operators.MatchRecognize.Skip
+    assert(MatchRecognizeSql.parseSkip("PAST LAST ROW") == Skip.PastLastRow)
+    assert(MatchRecognizeSql.parseSkip("TO NEXT ROW") == Skip.ToNextRow)
+    assert(MatchRecognizeSql.parseSkip("TO LAST UP") == Skip.ToLast("UP"))
+    assert(MatchRecognizeSql.parseSkip("TO FIRST DOWN") == Skip.ToFirst("DOWN"))
+    assert(MatchRecognizeSql.parseSkip("to up") == Skip.ToLast("up"))
+    // the SQL form must agree with the registry's API-built ticker query
+    Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES COUNT(*) AS len, FIRST(event_id) AS start_id,
+        |           LAST(event_id) AS end_id
+        |  AFTER MATCH SKIP TO LAST UP
+        |  PATTERN (STRT DOWN+ UP+)
+        |  DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value))"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaApi = graft.SparkEntry.queries("match_recognize_skip_to_last")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("len"),
+        r.getAs[Long]("start_id"), r.getAs[Long]("end_id"))).toSet
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty)
+  }
 }

@@ -213,26 +213,7 @@ object MatchRecognize {
       matchAt(pattern, rows, i, defines).best match {
         case Some((end, syms)) if end > i =>
           out += (i until end).map(j => (rows(j), syms(j)))
-          // SKIP TO [FIRST|LAST] var: resume AT the variable's row.
-          // SQL:2016 makes a non-advancing target (the match's first row)
-          // and an unmatched variable runtime errors — both would loop or
-          // silently change semantics if papered over.
-          def varAnchor(name: String, last: Boolean): Int = {
-            val js = (i until end)
-              .filter(j => syms(j).stripPrefix("~") == name)
-            if (js.isEmpty) throw new IllegalStateException(
-              s"AFTER MATCH SKIP TO $name: variable matched no row")
-            val j = if (last) js.last else js.head
-            if (j <= i) throw new IllegalStateException(
-              s"AFTER MATCH SKIP TO $name: target is the match's first row")
-            j
-          }
-          i = skip match {
-            case Skip.PastLastRow => end
-            case Skip.ToNextRow => i + 1
-            case Skip.ToFirst(v) => varAnchor(v, last = false)
-            case Skip.ToLast(v) => varAnchor(v, last = true)
-          }
+          i = advance(skip, i, end, syms)
         // empty preferred match (nullable pattern): nothing to emit, the
         // scan advances one row — java.util.regex's empty-match rule
         case _ => i += 1
@@ -241,15 +222,43 @@ object MatchRecognize {
     out.result()
   }
 
+  /** AFTER MATCH advance: where the next attempt anchors after a match
+    * over [i, end). SKIP TO [FIRST|LAST] var resumes AT the variable's
+    * row; SQL:2016 makes a non-advancing target (the match's first row)
+    * and an unmatched variable runtime errors — both would loop or
+    * silently change semantics if papered over. */
+  private def advance(skip: Skip, i: Int, end: Int,
+      syms: Array[String]): Int = {
+    def varAnchor(name: String, last: Boolean): Int = {
+      val js = (i until end)
+        .filter(j => syms(j).stripPrefix("~") == name)
+      if (js.isEmpty) throw new IllegalStateException(
+        s"AFTER MATCH SKIP TO $name: variable matched no row")
+      val j = if (last) js.last else js.head
+      if (j <= i) throw new IllegalStateException(
+        s"AFTER MATCH SKIP TO $name: target is the match's first row")
+      j
+    }
+    skip match {
+      case Skip.PastLastRow => end
+      case Skip.ToNextRow => i + 1
+      case Skip.ToFirst(v) => varAnchor(v, last = false)
+      case Skip.ToLast(v) => varAnchor(v, last = true)
+    }
+  }
+
   /** Unbounded-input scan: emits only matches that cannot extend with
     * future rows, and reports the index from which rows must stay
     * buffered — either because an attempt hit the end of the buffer
     * (could complete/extend later) or because a complete match might
-    * still grow. Rows before that index are consumed for good. */
+    * still grow, or because the AFTER MATCH policy re-anchors INSIDE an
+    * emitted match (overlapping skip modes). Rows before that index are
+    * consumed for good. */
   def findMatchesStreaming(
       rows: IndexedSeq[Row],
       pattern: Pat,
-      defines: Map[String, Define]): (Seq[IndexedSeq[(Row, String)]], Int) = {
+      defines: Map[String, Define],
+      skip: Skip = Skip.PastLastRow): (Seq[IndexedSeq[(Row, String)]], Int) = {
     val out = Seq.newBuilder[IndexedSeq[(Row, String)]]
     var i = 0
     var retainFrom = rows.length
@@ -263,7 +272,7 @@ object MatchRecognize {
       } else attempt.best match {
         case Some((end, syms)) if end > i =>
           out += (i until end).map(j => (rows(j), syms(j)))
-          i = end
+          i = advance(skip, i, end, syms)
         case _ => i += 1 // no match, or empty preferred match
       }
     }
@@ -335,7 +344,8 @@ object MatchRecognize {
       orderKey: Row => (Long, Long),
       pattern: Pat,
       defines: Map[String, Define],
-      measure: (Long, IndexedSeq[(Row, String)]) => Out): org.apache.spark.sql.Dataset[Out] = {
+      measure: (Long, IndexedSeq[(Row, String)]) => Out,
+      skip: Skip = Skip.PastLastRow): org.apache.spark.sql.Dataset[Out] = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val stateEnc: org.apache.spark.sql.Encoder[IndexedSeq[Row]] =
@@ -346,7 +356,7 @@ object MatchRecognize {
         (key: Long, it: Iterator[Row], state: GroupState[IndexedSeq[Row]]) =>
           val buffered = state.getOption.getOrElse(IndexedSeq.empty)
           val all = (buffered ++ it).sortBy(orderKey)
-          val (matches, retainFrom) = findMatchesStreaming(all, pattern, defines)
+          val (matches, retainFrom) = findMatchesStreaming(all, pattern, defines, skip)
           state.update(all.drop(retainFrom))
           matches.iterator
             .map(m => measure(key, m.map { case (r, s) => (r, s.stripPrefix("~")) }))

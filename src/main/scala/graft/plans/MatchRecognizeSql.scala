@@ -353,7 +353,7 @@ object MatchRecognizeSql {
     val out =
       if (df.isStreaming)
         MatchRecognize.matchRecognizeStream[Row](df, keyFn, orderFn,
-          pattern, defines, measureFn)(Encoders.row(outSchema))
+          pattern, defines, measureFn, skip)(Encoders.row(outSchema))
       else
         MatchRecognize.matchRecognize[Row](df, keyFn, orderFn,
           pattern, defines, measureFn, skip)(Encoders.row(outSchema))

@@ -98,16 +98,22 @@ object MatcherHammer {
           if (bad <= 5) println(s"EXCL MISMATCH pat=$p s='$s' got=$withMarks want=$without")
         }
       }
-      // streaming property
+      // streaming property — for the default skip AND the overlapping
+      // ToNextRow mode (anchoring inside emitted matches must retain the
+      // right buffer suffix)
       val cut = r.nextInt(s.length + 1)
       val rows = rowsOf(s)
-      val batch = MatchRecognize.findMatches(rows, p, defines).map(_.map(_._2))
-      val (m1, retain1) = MatchRecognize.findMatchesStreaming(rows.take(cut), p, defines)
-      val carried = rows.take(cut).drop(retain1) ++ rows.drop(cut)
-      val m2 = MatchRecognize.findMatches(carried, p, defines)
-      if ((m1.map(_.map(_._2)) ++ m2.map(_.map(_._2))) != batch) {
-        bad += 1
-        if (bad <= 5) println(s"STREAM MISMATCH pat=$p s='$s' cut=$cut")
+      for (sk <- Seq(MatchRecognize.Skip.PastLastRow: MatchRecognize.Skip,
+          MatchRecognize.Skip.ToNextRow)) {
+        val batch = MatchRecognize.findMatches(rows, p, defines, sk).map(_.map(_._2))
+        val (m1, retain1) =
+          MatchRecognize.findMatchesStreaming(rows.take(cut), p, defines, sk)
+        val carried = rows.take(cut).drop(retain1) ++ rows.drop(cut)
+        val m2 = MatchRecognize.findMatches(carried, p, defines, sk)
+        if ((m1.map(_.map(_._2)) ++ m2.map(_.map(_._2))) != batch) {
+          bad += 1
+          if (bad <= 5) println(s"STREAM MISMATCH skip=$sk pat=$p s='$s' cut=$cut")
+        }
       }
       if (iter % 500000 == 0) println(s"$iter iters, $bad bad")
       if (bad > 5) sys.exit(1)

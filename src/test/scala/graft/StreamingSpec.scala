@@ -171,8 +171,16 @@ class StreamingSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(stagedDir), true)
     val ev = Tables.t(spark, sfDir, "events")
       .select("user_id", "event_id", "event_type", "ts")
-    ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
-      .write.parquet(stagedDir)
+    // sequential writes: the file source replays in modification-time
+    // order, and a parallel write stamps files in task-completion order
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val bucketed0 = ev.withColumn("__b", ntile(4).over(w0)).cache()
+    for (k <- 1 to 4) {
+      bucketed0.where(col("__b") === k).drop("__b").coalesce(1)
+        .write.mode("append").parquet(stagedDir)
+      Thread.sleep(60)
+    }
+    bucketed0.unpersist()
     val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)
     def micros(r: org.apache.spark.sql.Row) = {
@@ -195,6 +203,71 @@ class StreamingSpec extends AnyFunSuite {
     val want = SparkEntry.queries("match_recognize_runs")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want, s"stream=${got.size} batch=${want.size} diff=${(got diff want) ++ (want diff got)}")
+  }
+
+  test("streaming MATCH_RECOGNIZE with SKIP TO LAST equals batch (overlapping retention)") {
+    import graft.operators.MatchRecognize
+    import MatchRecognize.{Pat, Skip, VShape}
+    // the ticker shape: V-shapes share peaks, so the skip re-anchors
+    // INSIDE emitted matches — the retention rule must hold those rows
+    val stagedDir = "/tmp/graft_stream_mr_skip"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stagedDir), true)
+    val ev = Tables.t(spark, sfDir, "events")
+      .select("user_id", "event_id", "value", "ts")
+    // The file source replays files in MODIFICATION-TIME order, and a
+    // parallel range-partitioned write stamps files in task-completion
+    // order — which can deliver later time ranges first. The dense ticker
+    // matcher needs per-key event-time-ordered arrival, so each quarter
+    // is written SEQUENTIALLY (strictly increasing mod times).
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val bucketed = ev.withColumn("__b", ntile(4).over(w)).cache()
+    for (k <- 1 to 4) {
+      bucketed.where(col("__b") === k).drop("__b").coalesce(1)
+        .write.mode("append").parquet(stagedDir)
+      Thread.sleep(60)
+    }
+    bucketed.unpersist()
+    // The ticker pattern ends in greedy UP+, so each key's FINAL match
+    // always hits the buffer end and stays pending — correct streaming
+    // semantics (the matcher cannot know the stream ended). Append a
+    // per-user sentinel row BELOW every value, in a last later-ts file:
+    // the decline terminates the last V definitively (emitting it) and
+    // the sentinel itself can never complete a match, so stream == batch.
+    ev.groupBy("user_id")
+      .agg(max("ts").as("mts"), max("event_id").as("mid"))
+      .select(col("user_id"), (col("mid") + 1000000L).as("event_id"),
+        lit(-1e9).as("value"),
+        (col("mts") + expr("INTERVAL 1 HOUR")).as("ts"))
+      .coalesce(1).write.mode("append").parquet(stagedDir)
+    val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+    def micros(r: org.apache.spark.sql.Row) = {
+      val t = r.getAs[java.sql.Timestamp]("ts")
+      (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
+    }
+    implicit val enc: org.apache.spark.sql.Encoder[VShape] =
+      org.apache.spark.sql.Encoders.product[VShape]
+    val pattern = Pat.Cat(Seq(Pat.Sym("STRT"), Pat.plus(Pat.Sym("DOWN")),
+      Pat.plus(Pat.Sym("UP"))))
+    val defines = Map[String, MatchRecognize.Define](
+      "DOWN" -> ((r, p) => p.exists(pr =>
+        r.getAs[Double]("value") < pr.getAs[Double]("value"))),
+      "UP" -> ((r, p) => p.exists(pr =>
+        r.getAs[Double]("value") > pr.getAs[Double]("value"))))
+    val measure = (key: Long, m: IndexedSeq[(org.apache.spark.sql.Row, String)]) =>
+      VShape(key, m.length.toLong, m.head._1.getAs[Long]("event_id"),
+        m.last._1.getAs[Long]("event_id"))
+    val streamed = MatchRecognize.matchRecognizeStream[VShape](
+      stream, _.getAs[Long]("user_id"), r => (micros(r), r.getAs[Long]("event_id")),
+      pattern, defines, measure, Skip.ToLast("UP")).toDF()
+    val got = runToCompletion(streamed, "t_mr_skip", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("match_recognize_skip_to_last")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("len"),
+        r.getAs[Long]("start_id"), r.getAs[Long]("end_id"))).toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size}")
+    assert(got.nonEmpty)
   }
 
   test("SELECT STREAM ... MATCH_RECOGNIZE lowers onto the streaming matcher and equals batch") {

@@ -47,14 +47,15 @@ object MatchRecognizeSql {
   private val Shell =
     ("""(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(\s*""" +
       """PARTITION\s+BY\s+(\w+)\s+ORDER\s+BY\s+(\w+)\s*(?:,\s*(\w+))?\s+""" +
-      """MEASURES\s+(.*?)\s+(?:AFTER\s+MATCH\s+SKIP\s+(.*?)\s+)?""" +
+      """MEASURES\s+(.*?)\s+(?:(ONE|ALL)\s+ROWS?\s+PER\s+MATCH\s+)?""" +
+      """(?:AFTER\s+MATCH\s+SKIP\s+(.*?)\s+)?""" +
       """PATTERN\s*\(\s*(.*?)\s*\)\s+DEFINE\s+(.*?)\s*\)\s*""").r
 
   /** Attempt to parse; None when the text is not (our) MATCH_RECOGNIZE. */
   def tryParse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case Shell(table, partCol, ordCol, ordTie, measures, afterMatch,
-          pattern, defines) =>
+      case Shell(table, partCol, ordCol, ordTie, measures, rowsMode,
+          afterMatch, pattern, defines) =>
         // A statement can match the shell regex yet carry measures/defines
         // this restricted form does not support (or name an unknown table —
         // build() resolves it eagerly). Fall through to the delegate parser
@@ -64,7 +65,7 @@ object MatchRecognizeSql {
         // NonFatal catch would mask a genuine bug in the supported path
         // as a generic delegate ParseException).
         try Some(build(spark, table, partCol, ordCol, Option(ordTie),
-          measures, Option(afterMatch), pattern, defines))
+          measures, Option(rowsMode), Option(afterMatch), pattern, defines))
         catch {
           case _: IllegalArgumentException => None
           case _: org.apache.spark.sql.AnalysisException => None
@@ -258,6 +259,11 @@ object MatchRecognizeSql {
   private case class FirstCol(col: String, name: String) extends Measure
   private case class LastCol(col: String, name: String) extends Measure
 
+  private case class ClassifierM(name: String) extends Measure
+  private case class MatchNumberM(name: String) extends Measure
+
+  private val MCls = """(?is)\s*CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MMn = """(?is)\s*MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
   private val MCountAll = """(?is)\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)\s*""".r
   private val MCountSym = """(?is)\s*COUNT\s*\(\s*(\w+)\s*\.\s*\*\s*\)\s+AS\s+(\w+)\s*""".r
   private val MFirst = """(?is)\s*FIRST\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
@@ -265,6 +271,8 @@ object MatchRecognizeSql {
 
   private def parseMeasures(text: String): Seq[Measure] =
     text.split(",").toSeq.map {
+      case MCls(n) => ClassifierM(n)
+      case MMn(n) => MatchNumberM(n)
       case MCountAll(n) => CountAll(n)
       case MCountSym(s, n) => CountSym(s, n)
       case MFirst(c, n) => FirstCol(c, n)
@@ -286,17 +294,20 @@ object MatchRecognizeSql {
 
   private def build(spark: SparkSession, table: String, partCol: String,
       ordCol: String, ordTie: Option[String], measuresText: String,
-      afterMatch: Option[String], patternText: String,
-      definesText: String): LogicalPlan = {
+      rowsMode: Option[String], afterMatch: Option[String],
+      patternText: String, definesText: String): LogicalPlan = {
+    val allRows = rowsMode.exists(_.equalsIgnoreCase("ALL"))
     val plan = dataframe(spark.table(table), partCol, ordCol, ordTie,
       measuresText, patternText, definesText,
-      afterMatch.map(parseSkip).getOrElse(MatchRecognize.Skip.PastLastRow))
+      afterMatch.map(parseSkip).getOrElse(MatchRecognize.Skip.PastLastRow),
+      allRows)
       .queryExecution.logical
     val canonical =
       s"SELECT * FROM $table MATCH_RECOGNIZE (" +
         s"PARTITION BY $partCol ORDER BY $ordCol" +
         ordTie.map(t => s", $t").getOrElse("") +
         s" MEASURES $measuresText" +
+        rowsMode.map(m => s" ${m.toUpperCase} ROWS PER MATCH").getOrElse("") +
         afterMatch.map(a => s" AFTER MATCH SKIP $a").getOrElse("") +
         s" PATTERN ($patternText) DEFINE $definesText)"
     plan.setTagValue(RenderTag, canonical)
@@ -310,7 +321,8 @@ object MatchRecognizeSql {
   def dataframe(df: org.apache.spark.sql.DataFrame, partCol: String,
       ordCol: String, ordTie: Option[String], measuresText: String,
       patternText: String, definesText: String,
-      skip: MatchRecognize.Skip = MatchRecognize.Skip.PastLastRow)
+      skip: MatchRecognize.Skip = MatchRecognize.Skip.PastLastRow,
+      allRows: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
@@ -327,6 +339,39 @@ object MatchRecognizeSql {
       case None => r => (asLong(r.getAs[Any](ordCol)), 0L)
     }
 
+    val keyFn: Row => Long = r => asLong(r.getAs[Any](partCol))
+    if (allRows) {
+      // ALL ROWS PER MATCH (SqlMatchRecognize RowsPerMatchOption.ALL_ROWS):
+      // one output row per MATCHED INPUT row — the partition key, the
+      // per-row measures (CLASSIFIER / MATCH_NUMBER), then every input
+      // column except the partition key. Aggregate measures belong to
+      // ONE ROW mode, per the standard.
+      measures.collectFirst {
+        case m: CountAll => m; case m: CountSym => m
+        case m: FirstCol => m; case m: LastCol => m
+      }.foreach(m => throw new IllegalArgumentException(
+        s"aggregate measure '$m' requires ONE ROW PER MATCH"))
+      val passCols = schema.fields.filter(_.name != partCol)
+      val outSchema = StructType(
+        StructField(partCol, LongType, nullable = false) +:
+          (measures.map {
+            case ClassifierM(n) => StructField(n, StringType, nullable = false)
+            case MatchNumberM(n) => StructField(n, LongType, nullable = false)
+            case other => throw new IllegalArgumentException(
+              s"unsupported ALL ROWS measure: $other")
+          } ++ passCols))
+      require(!df.isStreaming,
+        "ALL ROWS PER MATCH over a stream is not supported in this form")
+      return MatchRecognize.matchRecognizeAllRows[Row](
+        df, keyFn, orderFn, pattern, defines, skip,
+        emit = (key, mn, _, row, sym) => Row.fromSeq(
+          key +: (measures.map {
+            case ClassifierM(_) => sym
+            case MatchNumberM(_) => mn.toLong
+            case _ => throw new IllegalStateException("unreachable")
+          } ++ passCols.map(f => row.getAs[Any](f.name)))))(
+        Encoders.row(outSchema)).toDF()
+    }
     val outSchema = StructType(
       // partition key is normalized to long by the operator's key function
       StructField(partCol, LongType, nullable = false) +: measures.map {
@@ -334,15 +379,17 @@ object MatchRecognizeSql {
         case CountSym(_, n) => StructField(n, LongType, nullable = false)
         case FirstCol(c, n) => StructField(n, schema(c).dataType, schema(c).nullable)
         case LastCol(c, n) => StructField(n, schema(c).dataType, schema(c).nullable)
+        case other => throw new IllegalArgumentException(
+          s"per-row measure '$other' requires ALL ROWS PER MATCH")
       })
 
-    val keyFn: Row => Long = r => asLong(r.getAs[Any](partCol))
     val measureFn: (Long, IndexedSeq[(Row, String)]) => Row = (key, m) => {
       val vals: Seq[Any] = measures.map {
         case CountAll(_) => m.size.toLong
         case CountSym(s, _) => m.count(_._2 == s).toLong
         case FirstCol(c, _) => m.head._1.getAs[Any](c)
         case LastCol(c, _) => m.last._1.getAs[Any](c)
+        case _ => throw new IllegalStateException("unreachable")
       }
       Row.fromSeq(key +: vals)
     }

@@ -136,6 +136,59 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty)
   }
 
+  test("ALL ROWS PER MATCH emits per-row CLASSIFIER/MATCH_NUMBER plus input columns") {
+    import graft.operators.MatchRecognize
+    import MatchRecognize.{Pat, Skip}
+    Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+        |  ALL ROWS PER MATCH
+        |  PATTERN (C{2,} E)
+        |  DEFINE C AS event_type = 'click', E AS event_type = 'error')"""
+        .stripMargin)
+    // schema: user_id, mn, cls, then the non-partition input columns
+    assert(viaSql.columns.take(3).toSeq == Seq("user_id", "mn", "cls"))
+    val got = viaSql.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[Long]("event_id"))).toSet
+    // API equivalent through matchRecognizeAllRows
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long, String, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, String, Long)]
+    val ev = Tables.t(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+    val viaApi = MatchRecognize.matchRecognizeAllRows[(Long, Long, String, Long)](
+      ev,
+      partitionKey = _.getAs[Long]("user_id"),
+      orderKey = r => {
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        ((t.getTime / 1000L) * 1000000L + t.getNanos / 1000L, r.getAs[Long]("event_id"))
+      },
+      pattern = Pat.Cat(Seq(Pat.atLeast(Pat.Sym("C"), 2), Pat.Sym("E"))),
+      defines = Map(
+        "C" -> ((r, _) => r.getAs[String]("event_type") == "click"),
+        "E" -> ((r, _) => r.getAs[String]("event_type") == "error")),
+      skip = Skip.PastLastRow,
+      emit = (key, mn, _, row, sym) =>
+        (key, mn.toLong, sym, row.getAs[Long]("event_id"))
+    ).collect().toSet
+    assert(got == viaApi)
+    assert(got.nonEmpty)
+    // aggregate measures are rejected in ALL ROWS mode (falls through to
+    // the delegate parser, which raises its own parse error)
+    intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  MEASURES COUNT(*) AS c
+          |  ALL ROWS PER MATCH
+          |  PATTERN (C{2,} E)
+          |  DEFINE C AS event_type = 'click', E AS event_type = 'error')"""
+          .stripMargin).collect()
+    }
+  }
+
   test("AFTER MATCH SKIP clause parses and lowers (ticker shape via SQL)") {
     import graft.operators.MatchRecognize.Skip
     assert(MatchRecognizeSql.parseSkip("PAST LAST ROW") == Skip.PastLastRow)

@@ -21,6 +21,7 @@ import org.apache.spark.sql.types._
   *   ORDER BY <col> [, <col>]               -- timestamp/integral [+ tiebreak]
   *   MEASURES <m> AS <name> [, ...]         -- m := COUNT(*) | COUNT(S.*)
   *                                          --    | FIRST(<col>) | LAST(<col>)
+  *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] <var>
   *   PATTERN ( <pat> )                      -- symbols, | ( ) * + ? {m,n} {m,}
   *                                          --   reluctant *? +? ?? {m,n}?
@@ -29,8 +30,10 @@ import org.apache.spark.sql.types._
   *                                          --   <col> op <lit | col | PREV(col)>
   * )
   * }}}
-  * Semantics follow the operator: ONE ROW PER MATCH, AFTER MATCH SKIP PAST
-  * LAST ROW, greedy quantifiers. Unsupported syntax falls through to the
+  * Semantics follow the operator: ONE ROW PER MATCH with aggregate
+  * measures (default) or ALL ROWS PER MATCH with per-row CLASSIFIER() /
+  * MATCH_NUMBER() measures; AFTER MATCH SKIP PAST LAST ROW unless the
+  * clause picks another mode. Unsupported syntax falls through to the
   * delegate parser untouched.
   */
 object MatchRecognizeSql {

@@ -23,7 +23,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object MaterializedViewSql {
 
   private val CreateRe =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$""".r
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
 
@@ -35,13 +35,22 @@ object MaterializedViewSql {
   /** Recognize and eagerly execute MV DDL; None for any other statement. */
   def tryParse(spark: SparkSession, delegate: ParserInterface,
       sqlText: String): Option[LogicalPlan] = sqlText match {
-    case CreateRe(name, defText) =>
-      val df = spark.sql(defText)
-      MaterializedViews.create(spark, name, df, tilePath(spark, name))
-      MaterializedViews.install(spark)
-      spark.read.parquet(tilePath(spark, name)).createOrReplaceTempView(name)
-      Some(delegate.parsePlan(
-        s"SELECT 'created' AS status, '$name' AS materialized_view"))
+    case CreateRe(ifNotExists, name, defText) =>
+      // reference semantics (server materialized_view.iq): duplicate
+      // CREATE fails; IF NOT EXISTS keeps the existing tile untouched
+      if (MaterializedViews.exists(name)) {
+        if (ifNotExists == null) throw new IllegalStateException(
+          s"Materialized view '$name' already exists")
+        Some(delegate.parsePlan(
+          s"SELECT 'exists' AS status, '$name' AS materialized_view"))
+      } else {
+        val df = spark.sql(defText)
+        MaterializedViews.create(spark, name, df, tilePath(spark, name))
+        MaterializedViews.install(spark)
+        spark.read.parquet(tilePath(spark, name)).createOrReplaceTempView(name)
+        Some(delegate.parsePlan(
+          s"SELECT 'created' AS status, '$name' AS materialized_view"))
+      }
     case DropRe(ifExists, name) =>
       MaterializedViews.drop(name)
       try spark.catalog.dropTempView(name)

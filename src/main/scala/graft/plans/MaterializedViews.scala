@@ -59,6 +59,8 @@ object MaterializedViews {
   def drop(name: String): Unit =
     registry.filterInPlace(_.name != name)
 
+  def exists(name: String): Boolean = registry.exists(_.name == name)
+
   def clear(): Unit = registry.clear()
 
   /** Normalize an expression for cross-plan comparison: wrap it in a

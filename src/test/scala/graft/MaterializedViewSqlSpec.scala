@@ -108,4 +108,29 @@ class MaterializedViewSqlSpec extends AnyFunSuite {
     assert(got == want)
     MaterializedViews.drop("mv_union_fo")
   }
+
+  test("server materialized_view.iq DDL semantics: duplicate fails, IF NOT EXISTS keeps contents") {
+    MaterializedViews.drop("mv_ddl_sem")
+    spark.sql(
+      "CREATE MATERIALIZED VIEW mv_ddl_sem AS SELECT n_nationkey FROM nation WHERE n_nationkey > 20")
+    val original = spark.sql("SELECT * FROM mv_ddl_sem").count()
+    assert(original == 4)
+    // create again — fails (materialized_view.iq:44-50)
+    val e = intercept[IllegalStateException] {
+      spark.sql(
+        "CREATE MATERIALIZED VIEW mv_ddl_sem AS SELECT n_nationkey FROM nation WHERE n_nationkey < 30")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // IF NOT EXISTS — fails SILENTLY, contents unchanged (:52-66)
+    val st = spark.sql(
+      "CREATE MATERIALIZED VIEW IF NOT EXISTS mv_ddl_sem AS SELECT n_nationkey FROM nation WHERE n_nationkey < 30")
+      .head().getString(0)
+    assert(st == "exists")
+    assert(spark.sql("SELECT * FROM mv_ddl_sem").count() == original)
+    // drop — gone (:68-76); a second DROP IF EXISTS stays silent
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS mv_ddl_sem")
+    assert(!MaterializedViews.exists("mv_ddl_sem"))
+    intercept[Exception] { spark.sql("SELECT * FROM mv_ddl_sem").collect() }
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS mv_ddl_sem")
+  }
 }

@@ -95,4 +95,39 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP VIEW big_orders")
     assertThrows[Exception](spark.sql("SELECT * FROM big_orders").collect())
   }
+
+  test("server table_as.iq — CTAS lifecycle: duplicate fails, IF NOT EXISTS silent, drop gone") {
+    spark.sql("DROP TABLE IF EXISTS tas_dept")
+    spark.sql("DROP TABLE IF EXISTS tas_d")
+    spark.sql("DROP TABLE IF EXISTS tas_d3")
+    spark.sql("CREATE TABLE tas_dept (deptno INT NOT NULL, name VARCHAR(20))")
+    spark.sql(
+      "INSERT INTO tas_dept VALUES (10, 'Sales'), (20, 'Marketing'), (30, 'Engineering')")
+    // create as select (:33-42)
+    spark.sql("CREATE TABLE tas_d AS SELECT * FROM tas_dept WHERE deptno > 10")
+    assert(spark.sql("SELECT * FROM tas_d").count() == 2)
+    // create again — fails (:44-48)
+    assertThrows[Exception](spark.sql(
+      "CREATE TABLE tas_d AS SELECT * FROM tas_dept WHERE deptno < 30"))
+    // IF NOT EXISTS — silent, contents unchanged (:50-62)
+    spark.sql(
+      "CREATE TABLE IF NOT EXISTS tas_d AS SELECT * FROM tas_dept WHERE deptno < 30")
+    assert(spark.sql("SELECT * FROM tas_d").count() == 2)
+    // drop; it's gone; second DROP IF EXISTS silent (:64-80)
+    spark.sql("DROP TABLE IF EXISTS tas_d")
+    assertThrows[Exception](spark.sql("SELECT * FROM tas_d").collect())
+    spark.sql("DROP TABLE IF EXISTS tas_d")
+    // create based on itself — object not found (:95-97)
+    assertThrows[Exception](spark.sql(
+      "CREATE TABLE tas_d2 AS SELECT * FROM tas_d2"))
+    // CTAS over a UNION ALL (:99-105)
+    spark.sql(
+      """CREATE TABLE tas_d3 AS
+        |SELECT deptno AS dd FROM tas_dept WHERE deptno < 15
+        |UNION ALL SELECT deptno AS ee FROM tas_dept WHERE deptno > 25""".stripMargin)
+    assert(spark.sql("SELECT * FROM tas_d3").collect().map(_.getInt(0)).toSet
+      == Set(10, 30))
+    spark.sql("DROP TABLE IF EXISTS tas_d3")
+    spark.sql("DROP TABLE IF EXISTS tas_dept")
+  }
 }

@@ -193,11 +193,15 @@ object MatchRecognize {
     case object ToNextRow extends Skip
     /** Resume AT the first row the named variable matched (SQL:2016
       * AFTER MATCH SKIP TO FIRST var — the skipped-to row can anchor the
-      * next match, e.g. a shared peak between adjacent V-shapes). */
-    final case class ToFirst(variable: String) extends Skip
+      * next match, e.g. a shared peak between adjacent V-shapes).
+      * `members` carries a SUBSET union variable's expansion: the target
+      * matches any member classifier. */
+    final case class ToFirst(variable: String,
+        members: Set[String] = Set.empty) extends Skip
     /** Resume AT the last row the named variable matched (SKIP TO LAST
       * var — the canonical ticker example's mode). */
-    final case class ToLast(variable: String) extends Skip
+    final case class ToLast(variable: String,
+        members: Set[String] = Set.empty) extends Skip
   }
 
   /** Pattern-matching scan with the given AFTER MATCH SKIP policy.
@@ -229,9 +233,11 @@ object MatchRecognize {
     * silently change semantics if papered over. */
   private def advance(skip: Skip, i: Int, end: Int,
       syms: Array[String]): Int = {
-    def varAnchor(name: String, last: Boolean): Int = {
-      val js = (i until end)
-        .filter(j => syms(j).stripPrefix("~") == name)
+    def varAnchor(name: String, members: Set[String], last: Boolean): Int = {
+      val js = (i until end).filter { j =>
+        val s = syms(j).stripPrefix("~")
+        s == name || members.contains(s)
+      }
       if (js.isEmpty) throw new IllegalStateException(
         s"AFTER MATCH SKIP TO $name: variable matched no row")
       val j = if (last) js.last else js.head
@@ -242,8 +248,8 @@ object MatchRecognize {
     skip match {
       case Skip.PastLastRow => end
       case Skip.ToNextRow => i + 1
-      case Skip.ToFirst(v) => varAnchor(v, last = false)
-      case Skip.ToLast(v) => varAnchor(v, last = true)
+      case Skip.ToFirst(v, ms) => varAnchor(v, ms, last = false)
+      case Skip.ToLast(v, ms) => varAnchor(v, ms, last = true)
     }
   }
 

@@ -52,13 +52,13 @@ object MatchRecognizeSql {
       """PARTITION\s+BY\s+(\w+)\s+ORDER\s+BY\s+(\w+)\s*(?:,\s*(\w+))?\s+""" +
       """MEASURES\s+(.*?)\s+(?:(ONE|ALL)\s+ROWS?\s+PER\s+MATCH\s+)?""" +
       """(?:AFTER\s+MATCH\s+SKIP\s+(.*?)\s+)?""" +
-      """PATTERN\s*\(\s*(.*?)\s*\)\s+DEFINE\s+(.*?)\s*\)\s*""").r
+      """PATTERN\s*\(\s*(.*?)\s*\)\s+(?:SUBSET\s+(.*?)\s+)?DEFINE\s+(.*?)\s*\)\s*""").r
 
   /** Attempt to parse; None when the text is not (our) MATCH_RECOGNIZE. */
   def tryParse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case Shell(table, partCol, ordCol, ordTie, measures, rowsMode,
-          afterMatch, pattern, defines) =>
+          afterMatch, pattern, subsets, defines) =>
         // A statement can match the shell regex yet carry measures/defines
         // this restricted form does not support (or name an unknown table —
         // build() resolves it eagerly). Fall through to the delegate parser
@@ -68,7 +68,8 @@ object MatchRecognizeSql {
         // NonFatal catch would mask a genuine bug in the supported path
         // as a generic delegate ParseException).
         try Some(build(spark, table, partCol, ordCol, Option(ordTie),
-          measures, Option(rowsMode), Option(afterMatch), pattern, defines))
+          measures, Option(rowsMode), Option(afterMatch), pattern,
+          Option(subsets), defines))
         catch {
           case _: IllegalArgumentException => None
           case _: org.apache.spark.sql.AnalysisException => None
@@ -93,6 +94,30 @@ object MatchRecognizeSql {
       MatchRecognize.Skip.ToLast(t.substring(3).trim)
     else throw new IllegalArgumentException(
       s"unsupported AFTER MATCH SKIP clause: '$text'")
+  }
+
+  /** Attach a SUBSET union variable's member set to a skip target. */
+  private def resolveSubsetSkip(skip: MatchRecognize.Skip,
+      subsets: Map[String, Set[String]]): MatchRecognize.Skip = skip match {
+    case MatchRecognize.Skip.ToFirst(v, _) =>
+      MatchRecognize.Skip.ToFirst(v, subsets.getOrElse(v, Set.empty))
+    case MatchRecognize.Skip.ToLast(v, _) =>
+      MatchRecognize.Skip.ToLast(v, subsets.getOrElse(v, Set.empty))
+    case other => other
+  }
+
+  // ---- SUBSET ------------------------------------------------------------
+  /** SUBSET clause: `X = (A, B), Y = (C)` — union variables whose
+    * classifier set is the union of their members (SqlMatchRecognize
+    * subset list). */
+  def parseSubsets(text: String): Map[String, Set[String]] = {
+    val Entry = """(?is)\s*(\w+)\s*=\s*\(([^)]*)\)\s*""".r
+    text.split(",(?![^()]*\\))").toSeq.map {
+      case Entry(name, members) =>
+        name -> members.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      case other => throw new IllegalArgumentException(
+        s"unsupported SUBSET entry: '$other'")
+    }.toMap
   }
 
   // ---- pattern ----------------------------------------------------------
@@ -264,6 +289,8 @@ object MatchRecognizeSql {
 
   private case class ClassifierM(name: String) extends Measure
   private case class MatchNumberM(name: String) extends Measure
+  private case class VarFirst(sym: String, col: String, name: String) extends Measure
+  private case class VarLast(sym: String, col: String, name: String) extends Measure
 
   private val MCls = """(?is)\s*CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
   private val MMn = """(?is)\s*MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
@@ -271,12 +298,19 @@ object MatchRecognizeSql {
   private val MCountSym = """(?is)\s*COUNT\s*\(\s*(\w+)\s*\.\s*\*\s*\)\s+AS\s+(\w+)\s*""".r
   private val MFirst = """(?is)\s*FIRST\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MLast = """(?is)\s*LAST\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MVarFirst = """(?is)\s*FIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MVarLast = """(?is)\s*LAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MVarBare = """(?is)\s*(\w+)\s*\.\s*(\w+)\s+AS\s+(\w+)\s*""".r
 
   private def parseMeasures(text: String): Seq[Measure] =
     text.split(",").toSeq.map {
       case MCls(n) => ClassifierM(n)
       case MMn(n) => MatchNumberM(n)
       case MCountAll(n) => CountAll(n)
+      case MVarFirst(v, c, n) => VarFirst(v, c, n)
+      case MVarLast(v, c, n) => VarLast(v, c, n)
+      // bare VAR.col in ONE ROW PER MATCH is FINAL LAST(VAR.col)
+      case MVarBare(v, c, n) => VarLast(v, c, n)
       case MCountSym(s, n) => CountSym(s, n)
       case MFirst(c, n) => FirstCol(c, n)
       case MLast(c, n) => LastCol(c, n)
@@ -298,12 +332,15 @@ object MatchRecognizeSql {
   private def build(spark: SparkSession, table: String, partCol: String,
       ordCol: String, ordTie: Option[String], measuresText: String,
       rowsMode: Option[String], afterMatch: Option[String],
-      patternText: String, definesText: String): LogicalPlan = {
+      patternText: String, subsetsText: Option[String],
+      definesText: String): LogicalPlan = {
     val allRows = rowsMode.exists(_.equalsIgnoreCase("ALL"))
+    val subsets = subsetsText.map(parseSubsets).getOrElse(Map.empty)
     val plan = dataframe(spark.table(table), partCol, ordCol, ordTie,
       measuresText, patternText, definesText,
-      afterMatch.map(parseSkip).getOrElse(MatchRecognize.Skip.PastLastRow),
-      allRows)
+      afterMatch.map(a => resolveSubsetSkip(parseSkip(a), subsets))
+        .getOrElse(MatchRecognize.Skip.PastLastRow),
+      allRows, subsets)
       .queryExecution.logical
     val canonical =
       s"SELECT * FROM $table MATCH_RECOGNIZE (" +
@@ -312,7 +349,9 @@ object MatchRecognizeSql {
         s" MEASURES $measuresText" +
         rowsMode.map(m => s" ${m.toUpperCase} ROWS PER MATCH").getOrElse("") +
         afterMatch.map(a => s" AFTER MATCH SKIP $a").getOrElse("") +
-        s" PATTERN ($patternText) DEFINE $definesText)"
+        s" PATTERN ($patternText)" +
+        subsetsText.map(t => s" SUBSET $t").getOrElse("") +
+        s" DEFINE $definesText)"
     plan.setTagValue(RenderTag, canonical)
     plan
   }
@@ -325,8 +364,14 @@ object MatchRecognizeSql {
       ordCol: String, ordTie: Option[String], measuresText: String,
       patternText: String, definesText: String,
       skip: MatchRecognize.Skip = MatchRecognize.Skip.PastLastRow,
-      allRows: Boolean = false)
+      allRows: Boolean = false,
+      subsets: Map[String, Set[String]] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
+    // a pattern variable reference resolves to itself plus, for a SUBSET
+    // union variable, any member classifier
+    def ofVar(m: IndexedSeq[(Row, String)], v: String): IndexedSeq[(Row, String)] =
+      m.filter { case (_, s) =>
+        s == v || subsets.getOrElse(v, Set.empty).contains(s) }
     val spark = df.sparkSession
     val schema = df.schema
     val pattern = parsePattern(patternText)
@@ -382,6 +427,9 @@ object MatchRecognizeSql {
         case CountSym(_, n) => StructField(n, LongType, nullable = false)
         case FirstCol(c, n) => StructField(n, schema(c).dataType, schema(c).nullable)
         case LastCol(c, n) => StructField(n, schema(c).dataType, schema(c).nullable)
+        // a variable (or subset) may match no rows -> nullable
+        case VarFirst(_, c, n) => StructField(n, schema(c).dataType, nullable = true)
+        case VarLast(_, c, n) => StructField(n, schema(c).dataType, nullable = true)
         case other => throw new IllegalArgumentException(
           s"per-row measure '$other' requires ALL ROWS PER MATCH")
       })
@@ -389,9 +437,13 @@ object MatchRecognizeSql {
     val measureFn: (Long, IndexedSeq[(Row, String)]) => Row = (key, m) => {
       val vals: Seq[Any] = measures.map {
         case CountAll(_) => m.size.toLong
-        case CountSym(s, _) => m.count(_._2 == s).toLong
+        case CountSym(s, _) => ofVar(m, s).size.toLong
         case FirstCol(c, _) => m.head._1.getAs[Any](c)
         case LastCol(c, _) => m.last._1.getAs[Any](c)
+        case VarFirst(v, c, _) =>
+          ofVar(m, v).headOption.map(_._1.getAs[Any](c)).orNull
+        case VarLast(v, c, _) =>
+          ofVar(m, v).lastOption.map(_._1.getAs[Any](c)).orNull
         case _ => throw new IllegalStateException("unreachable")
       }
       Row.fromSeq(key +: vals)

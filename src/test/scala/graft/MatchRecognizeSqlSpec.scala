@@ -189,6 +189,57 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("the reference's canonical ticker query runs verbatim (var measures + SKIP TO LAST)") {
+    // match.iq:164-180 (the SQL:2016 flagship example), adapted only in
+    // table/column names: events(value) for ticker(price), ts for tstamp
+    Tables.registerAll(spark, sfDir)
+    val got = spark.sql(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES STRT.event_id AS start_id,
+        |           LAST(DOWN.event_id) AS bottom_id,
+        |           LAST(UP.event_id) AS end_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST UP
+        |  PATTERN (STRT DOWN+ UP+)
+        |  DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value))"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // cross-check start/end against the oracle-verified registry query
+    val want = graft.SparkEntry.queries("match_recognize_skip_to_last")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"))).toSet
+    assert(got.map(t => (t._1, t._2, t._4)) == want)
+    // the bottom is strictly between start and end in event order per
+    // construction of the V
+    assert(got.forall(t => t._3 > t._2 && t._3 < t._4))
+    assert(got.nonEmpty)
+  }
+
+  test("SUBSET union variables resolve in measures and skip targets") {
+    Tables.registerAll(spark, sfDir)
+    // W = (DOWN, UP): the whole movement; COUNT(W.*) excludes only STRT
+    val got = spark.sql(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES COUNT(*) AS len, COUNT(W.*) AS moves,
+        |           LAST(W.event_id) AS end_id
+        |  AFTER MATCH SKIP TO LAST W
+        |  PATTERN (STRT DOWN+ UP+)
+        |  SUBSET W = (DOWN, UP)
+        |  DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value))"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the subset covers every row but STRT, and its LAST row is the match
+    // end, so SKIP TO LAST W ≡ SKIP TO LAST UP — equal to the registry query
+    assert(got.forall(t => t._3 == t._2 - 1))
+    val want = graft.SparkEntry.queries("match_recognize_skip_to_last")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("len"),
+        r.getAs[Long]("end_id"))).toSet
+    assert(got.map(t => (t._1, t._2, t._4)).toSet == want)
+    assert(got.nonEmpty)
+  }
+
   test("AFTER MATCH SKIP clause parses and lowers (ticker shape via SQL)") {
     import graft.operators.MatchRecognize.Skip
     assert(MatchRecognizeSql.parseSkip("PAST LAST ROW") == Skip.PastLastRow)

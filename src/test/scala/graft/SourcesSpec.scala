@@ -130,4 +130,22 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS tas_d3")
     spark.sql("DROP TABLE IF EXISTS tas_dept")
   }
+
+  test("server schema.iq — schema DDL: create, qualified objects, duplicate fails, IF NOT EXISTS") {
+    spark.sql("DROP SCHEMA IF EXISTS sch_s CASCADE")
+    spark.sql("CREATE SCHEMA sch_s")
+    // table and view inside the schema, qualified references (:24-35)
+    spark.sql("CREATE TABLE sch_s.t (i INT)")
+    spark.sql("CREATE VIEW sch_s.v AS SELECT * FROM sch_s.t")
+    assert(spark.sql("SELECT count(*) AS c FROM sch_s.v").head().getLong(0) == 0L)
+    spark.sql("INSERT INTO sch_s.t VALUES (1), (2)")
+    assert(spark.sql("SELECT count(*) AS c FROM sch_s.v").head().getLong(0) == 2L)
+    // duplicate create fails; IF NOT EXISTS is silent (:37-48)
+    assertThrows[Exception](spark.sql("CREATE SCHEMA sch_s"))
+    spark.sql("CREATE SCHEMA IF NOT EXISTS sch_s")
+    assert(spark.sql("SELECT count(*) FROM sch_s.t").head().getLong(0) == 2L)
+    // drop cascade removes the contained objects
+    spark.sql("DROP SCHEMA sch_s CASCADE")
+    assertThrows[Exception](spark.sql("SELECT * FROM sch_s.t").collect())
+  }
 }

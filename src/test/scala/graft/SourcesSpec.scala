@@ -148,4 +148,23 @@ class SourcesSpec extends AnyFunSuite {
     spark.sql("DROP SCHEMA sch_s CASCADE")
     assertThrows[Exception](spark.sql("SELECT * FROM sch_s.t").collect())
   }
+
+  test("server view.iq — view DDL: duplicate fails, OR REPLACE, explicit column list") {
+    spark.sql("DROP VIEW IF EXISTS viq_v")
+    spark.sql("CREATE VIEW viq_v AS SELECT 1 AS a, 1 + 1 AS b")
+    assert(spark.sql("SELECT * FROM viq_v").head().getInt(1) == 2)
+    // duplicate create fails (:30-34); OR REPLACE swaps the definition
+    assertThrows[Exception](spark.sql(
+      "CREATE VIEW viq_v AS SELECT 1 AS a, 1 + 2 AS b"))
+    spark.sql("CREATE OR REPLACE VIEW viq_v AS SELECT 1 AS a, 1 + 3 AS b")
+    assert(spark.sql("SELECT * FROM viq_v").head().getInt(1) == 4)
+    spark.sql("DROP VIEW viq_v")
+    // explicit column names rename the projection (:46-52)
+    spark.sql("CREATE VIEW viq_v (x, y) AS SELECT 1 AS a, 1 + 4 AS b")
+    assert(spark.sql("SELECT y FROM viq_v").head().getInt(0) == 5)
+    // wrong arity fails (:54-57)
+    assertThrows[Exception](spark.sql(
+      "CREATE OR REPLACE VIEW viq_v (x, y, z) AS SELECT 1 AS a, 1 + 5 AS b"))
+    spark.sql("DROP VIEW viq_v")
+  }
 }

@@ -1980,6 +1980,72 @@ class GoldenSpec extends AnyFunSuite {
     assert(top1 == Set((10, 7369), (20, 7369), (30, 7369), (40, 7369)))
   }
 
+  test("winagg.iq:560-660 — windowed COVAR_SAMP / VAR_POP / VAR_SAMP / REGR_SXX decompositions") {
+    import org.apache.spark.sql.expressions.Window
+    val ea = Seq(
+      (Some(25), 10, None: Option[String]), (Some(80), 20, Some("M")),
+      (None: Option[Int], 40, Some("M")), (Some(5), 20, Some("F")),
+      (None: Option[Int], 40, Some("F")))
+      .toDF("age", "deptno", "gender")
+    // the reference evaluates the SAMP/POP formulas over INT args with
+    // integer division at every step (winagg.iq:569-571, 589-591)
+    def decomp(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+        w: org.apache.spark.sql.expressions.WindowSpec, samp: Boolean) = {
+      val bothX = sum(when(y.isNotNull, x)).over(w)
+      val bothY = sum(when(x.isNotNull, y)).over(w)
+      val rc = count(when(x.isNotNull && y.isNotNull, 1)).over(w)
+      // zero pair counts / SAMP over one pair are NULL, not errors
+      def nz(c: org.apache.spark.sql.Column) =
+        when(c === 0, lit(null)).otherwise(c)
+      val denom = nz(if (samp) rc - 1 else rc)
+      floor((sum(x * y).over(w) - floor(bothX * bothY / nz(rc))) / denom)
+        .cast("long")
+    }
+    val wAll = Window.partitionBy()
+    // var_samp(age) = 1508, covar_samp(deptno, age) = 58 — uniform rows
+    val sampAll = ea.select(
+      decomp(col("age"), col("age"), wAll, samp = true).as("vs"),
+      decomp(col("deptno"), col("age"), wAll, samp = true).as("cs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sampAll.length == 5 && sampAll.forall(_ == ((1508L, 58L))))
+    // var_pop(age) = 1005 globally; 0 per single-age partition
+    val popAll = ea.select(
+      decomp(col("age"), col("age"), wAll, samp = false).as("vp"),
+      decomp(col("age"), col("age"), Window.partitionBy(col("age")),
+        samp = false).as("vpByAge"),
+      col("age"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(popAll.forall(_._1 == 1005L))
+    assert(popAll.filter(_._3.nonEmpty).forall(_._2.contains(0L)))
+    // var_samp by gender: every gender has at most one non-null age → NULL
+    val vsByG = ea.select(
+      decomp(col("age"), col("age"), Window.partitionBy(col("gender")),
+        samp = true).as("v"))
+      .collect().map(r => Option(r.get(0)))
+    assert(vsByG.forall(_.isEmpty))
+    // REGR_SXX(x, y) = RC * VAR_POP(y over the non-null pairs); SYY mirrors
+    def regrS(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+        w: org.apache.spark.sql.expressions.WindowSpec) = {
+      val rc = count(when(x.isNotNull && y.isNotNull, 1)).over(w)
+      val rcSafe = when(rc === 0, lit(null)).otherwise(rc)
+      val pairY = when(x.isNotNull, y)
+      val vp = floor((sum(pairY * pairY).over(w)
+        - floor(sum(pairY).over(w) * sum(pairY).over(w) / rcSafe)) / rcSafe)
+      (rc * vp).cast("long")
+    }
+    val sxx = ea.select(
+      regrS(col("age"), col("deptno"), wAll).as("sxx"),
+      regrS(col("deptno"), col("age"), wAll).as("syy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sxx.forall(_ == ((66L, 3015L))), sxx.toSeq.toString)
+    // partitioned by gender: one pair per partition → 0
+    val sxxByG = ea.select(
+      regrS(col("age"), col("deptno"),
+        Window.partitionBy(col("gender"))).as("sxx"))
+      .collect().map(_.getLong(0))
+    assert(sxxByG.forall(_ == 0L))
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

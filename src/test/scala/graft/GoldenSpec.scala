@@ -1606,6 +1606,56 @@ class GoldenSpec extends AnyFunSuite {
     assert(druidResult == 2L)
   }
 
+  test("misc.iq:132-275 — timestamp→date casts, nested ORDER BY, complex join conditions") {
+    // CALCITE-307 / DRILL-1051: CAST(timestamp AS DATE) across centuries
+    // and the 1996 leap boundary
+    val casted = spark.sql(
+      """SELECT CAST(c_timestamp AS STRING) AS s, CAST(c_timestamp AS DATE) AS d
+        |FROM (VALUES
+        |  (1, TIMESTAMP '1997-01-02 03:04:05'),
+        |  (2, TIMESTAMP '1997-01-02 00:00:00'),
+        |  (3, TIMESTAMP '2001-09-22 18:19:20'),
+        |  (16, TIMESTAMP '1697-02-16 17:32:01'),
+        |  (20, TIMESTAMP '2097-02-16 17:32:01'),
+        |  (21, TIMESTAMP '1996-02-28 17:32:01'),
+        |  (22, TIMESTAMP '1996-02-29 17:32:01'),
+        |  (23, TIMESTAMP '1996-03-01 17:32:01')) AS t(c_row, c_timestamp)"""
+        .stripMargin)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(casted == Set(
+      ("1997-01-02 03:04:05", "1997-01-02"), ("1997-01-02 00:00:00", "1997-01-02"),
+      ("2001-09-22 18:19:20", "2001-09-22"), ("1697-02-16 17:32:01", "1697-02-16"),
+      ("2097-02-16 17:32:01", "2097-02-16"), ("1996-02-28 17:32:01", "1996-02-28"),
+      ("1996-02-29 17:32:01", "1996-02-29"), ("1996-03-01 17:32:01", "1996-03-01")))
+    // DRILL-1149: SELECT *, expr
+    hrEmps.drop("pos").createOrReplaceTempView("hr_emps")
+    Seq((10, "Sales"), (30, "Marketing"), (40, "HR")).toDF("deptno", "dname")
+      .createOrReplaceTempView("hr_depts")
+    val star = spark.sql("SELECT *, upper(name) FROM hr_emps").collect()
+    assert(star.length == 4 && star.map(_.getString(5)).toSet
+      == Set("BILL", "THEODORE", "SEBASTIAN", "ERIC"))
+    // DRILL-1199: ORDER BY nested inside a filtered subquery (Tableau shape)
+    assert(spark.sql(
+      "SELECT * FROM (SELECT * FROM hr_emps ORDER BY empid) WHERE (0=1)")
+      .count() == 0)
+    // DRILL-1842: HAVING over an implicit global aggregate with a join
+    assert(spark.sql(
+      """SELECT count(DISTINCT salary) AS c FROM hr_emps
+        |JOIN hr_depts ON hr_emps.deptno = hr_depts.deptno
+        |HAVING count(1) > 0""".stripMargin).head().getLong(0) == 3L)
+    // CALCITE-340: complex (but equi-reducible) join conditions, both
+    // operand orders and the mixed form
+    for (cond <- Seq(
+      "e.deptno + 1 - 1 = d.deptno + 2 - 2 AND e.deptno + 10 - 10 = d.deptno + 20 - 20",
+      "d.deptno + 2 - 2 = e.deptno + 1 - 1 AND d.deptno + 20 - 20 = e.deptno + 10 - 10",
+      "d.deptno + 2 - 2 = e.deptno + 1 - 1 AND e.deptno + 10 - 10 = d.deptno + 20 - 20")) {
+      val got = spark.sql(
+        s"SELECT e.deptno, d.deptno FROM hr_emps e JOIN hr_depts d ON ($cond)")
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(got.length == 3 && got.forall(_ == ((10, 10))), cond)
+    }
+  }
+
   test("misc.iq:325-500 — the EXISTS family over the hr schema") {
     hrEmps.drop("pos").createOrReplaceTempView("hr_emps")
     Seq((10, "Sales"), (30, "Marketing"), (40, "HR")).toDF("deptno", "dname")

@@ -1656,6 +1656,61 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("misc.iq:707-824 — correlated count IN, HAVING EXISTS, dup aliases, DERBY GROUP BY shapes") {
+    // HIVE-5873 / CALCITE-365: orderOnHand IN (correlated COUNT) — the
+    // zero-supply part matches count 0, the one-supply part count 1
+    val pnum = spark.sql(
+      """WITH parts (PNum, OrderOnHand)
+        |  AS (SELECT * FROM (VALUES (3, 6), (10, 1), (8, 0)) AS t(PNum, OrderOnHand)),
+        |supply (PNum, Qty)
+        |  AS (SELECT * FROM (VALUES (3, 4), (3, 2), (10, 1)) AS t(PNum, Qty))
+        |SELECT pnum FROM parts p
+        |WHERE orderOnHand IN (SELECT count(*) FROM supply s WHERE s.pnum = p.pnum)"""
+        .stripMargin).collect().map(_.getInt(0)).toSet
+    assert(pnum == Set(8, 10))
+    // HIVE-7362: HAVING EXISTS with correlation
+    val he = spark.sql(
+      """WITH src (key, value) AS (SELECT * FROM (VALUES (1, 'a'), (2, 'z')) AS t(key, value))
+        |SELECT b.key, count(*) AS c FROM src b GROUP BY b.key
+        |HAVING EXISTS (SELECT a.key FROM src a
+        |               WHERE a.key = b.key AND a.value > 'val_9')""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(he.toSeq == Seq((2, 1L)))
+    // CALCITE-411: duplicate output aliases are legal
+    val dup = spark.sql("SELECT 1 AS a, 2 AS a FROM (VALUES (true))").head()
+    assert((dup.getInt(0), dup.getInt(1)) == ((1, 2)))
+    // days fixture for the DERBY shapes
+    Seq((1, "Mon"), (2, "Tue"), (3, "Wed"), (4, "Thu"), (5, "Fri"),
+      (6, "Sat"), (7, "Sun")).toDF("day", "week_day")
+      .createOrReplaceTempView("g_days")
+    // DERBY-5313: CASE in GROUP BY over a self-join
+    val cse = spark.sql(
+      """SELECT CASE WHEN t1.day = 1 THEN 1 ELSE 2 END AS e
+        |FROM g_days t1 JOIN g_days t2 ON t1.day = t2.day
+        |GROUP BY CASE WHEN t1.day = 1 THEN 1 ELSE 2 END""".stripMargin)
+      .collect().map(_.getInt(0)).toSet
+    assert(cse == Set(1, 2))
+    // DERBY-4450: GROUP BY inside an IN-sub-query inside HAVING
+    val havingIn = spark.sql(
+      """SELECT sum(day) FROM g_days GROUP BY week_day
+        |HAVING week_day IN (
+        |  SELECT week_day FROM g_days GROUP BY week_day, day)""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(havingIn == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // DERBY-4701: aggregate of the grouped column in HAVING
+    val hc = spark.sql(
+      """SELECT max(day) AS m, count(T.week_day) AS c FROM g_days T
+        |GROUP BY T.week_day HAVING count(T.week_day) = 1""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(hc == (1 to 7).map(d => (d, 1L)).toSet)
+    // misc.iq:698-705: merged duplicate filter conditions
+    assert(spark.sql(
+      "SELECT * FROM (SELECT * FROM g_days WHERE day = 1) WHERE day = 1")
+      .count() == 1)
+    // CALCITE-393: no projected fields still scans correctly
+    assert(spark.sql("SELECT 1 FROM g_days").count() == 7)
+  }
+
   test("misc.iq:325-500 — the EXISTS family over the hr schema") {
     hrEmps.drop("pos").createOrReplaceTempView("hr_emps")
     Seq((10, "Sales"), (30, "Marketing"), (40, "HR")).toDF("deptno", "dname")

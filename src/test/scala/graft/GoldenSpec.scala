@@ -1711,6 +1711,23 @@ class GoldenSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 FROM g_days").count() == 7)
   }
 
+  test("misc.iq:1116-1225 — CALCITE-613 implicit string coercion in comparisons") {
+    scott.createOrReplaceTempView("g_scott")
+    def n(where: String): Long =
+      spark.sql(s"SELECT count(*) FROM g_scott WHERE $where").head().getLong(0)
+    // date vs string literal, both operand orders, BETWEEN, concatenation
+    assert(n("hiredate < '1981-01-02'") == 1L)
+    assert(n("'1981-01-02' > hiredate") == 1L)
+    assert(n("hiredate BETWEEN '1981-01-02' AND '1981-06-01'") == 4L)
+    assert(n("hiredate > '1986-01-02'") == 2L)
+    assert(n("'1986-' || '01-02' < hiredate") == 2L)
+    // numeric vs string literal
+    assert(n("sal < '1100'") == 2L)
+    assert(n("empno IN ('7369', '7876')") == 2L)
+    assert(n("empno BETWEEN '7500' AND '07600'") == 2L)
+    assert(n("'7369' BETWEEN empno AND '7876'") == 1L)
+  }
+
   test("misc.iq:325-500 — the EXISTS family over the hr schema") {
     hrEmps.drop("pos").createOrReplaceTempView("hr_emps")
     Seq((10, "Sales"), (30, "Marketing"), (40, "HR")).toDF("deptno", "dname")

@@ -1728,6 +1728,48 @@ class GoldenSpec extends AnyFunSuite {
     assert(n("'7369' BETWEEN empno AND '7876'") == 1L)
   }
 
+  test("misc.iq:1456-1600 — composite set ops, NULL intersection, string padding") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    // composite UNION / MINUS on duplicated keys
+    assert(spark.sql(
+      """SELECT deptno, deptno FROM g_scott UNION
+        |SELECT deptno, deptno FROM g_dept""".stripMargin).count() == 4)
+    assert(spark.sql(
+      """SELECT deptno, deptno FROM g_scott EXCEPT
+        |SELECT deptno, deptno FROM g_dept WHERE deptno = 10""".stripMargin)
+      .count() == 2)
+    // EXISTS over a FROM-less one-row subquery
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM g_dept WHERE EXISTS (SELECT 1)")
+      .head().getLong(0) == 4L)
+    // INTERSECT [DISTINCT] and the NULL-bearing intersection: NULLs ARE
+    // equal under set-op grouping semantics
+    assert(spark.sql(
+      "SELECT deptno FROM g_scott INTERSECT SELECT deptno FROM g_dept").count() == 3)
+    assert(spark.sql(
+      "SELECT deptno FROM g_scott INTERSECT DISTINCT SELECT deptno FROM g_dept")
+      .count() == 3)
+    val nullInt = spark.sql(
+      """SELECT comm FROM g_scott WHERE mgr = 7698 INTERSECT
+        |SELECT comm FROM g_scott WHERE deptno = 10""".stripMargin).collect()
+    assert(nullInt.length == 1 && nullInt.head.isNullAt(0))
+    val compInt = spark.sql(
+      """SELECT job, comm FROM g_scott WHERE mgr = 7698 INTERSECT
+        |SELECT job, comm FROM g_scott WHERE deptno = 10""".stripMargin).collect()
+    assert(compInt.length == 1 && compInt.head.getString(0) == "CLERK"
+      && compInt.head.isNullAt(1))
+    // IN must not pad-compare the shorter string ('MARTIN' ∉ 'MARTINGALE')
+    val inStr = spark.sql(
+      "SELECT ename FROM g_scott WHERE ename IN ('MARTINGALE', 'WARD')")
+      .collect().map(_.getString(0)).toSet
+    assert(inStr == Set("WARD"))
+    // DRILL-4906: CASE with no ELSE
+    assert(spark.sql(
+      "SELECT (CASE WHEN (true) THEN 1 END) FROM (VALUES (1))")
+      .head().getInt(0) == 1)
+  }
+
   test("misc.iq:325-500 — the EXISTS family over the hr schema") {
     hrEmps.drop("pos").createOrReplaceTempView("hr_emps")
     Seq((10, "Sales"), (30, "Marketing"), (40, "HR")).toDF("deptno", "dname")

@@ -1770,6 +1770,40 @@ class GoldenSpec extends AnyFunSuite {
       .head().getInt(0) == 1)
   }
 
+  test("misc.iq:1980-2243 — NOT NOT IN, self-comparison, distinct over VALUES") {
+    scott.createOrReplaceTempView("g_scott")
+    // CALCITE-1592: NOT (x NOT IN list) — 'Fred' is not an ename
+    assert(spark.sql(
+      "SELECT * FROM g_scott WHERE NOT (ename NOT IN ('Fred'))").count() == 0)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM g_scott WHERE NOT (ename IN ('Fred'))")
+      .head().getLong(0) == 14L)
+    // CALCITE-1638: x > x simplifies to empty (never NULL-true)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM g_scott WHERE deptno > deptno")
+      .head().getLong(0) == 0L)
+    // CALCITE-1659/1664: string→timestamp casts keep the sub-second value
+    // intact (no fraction bleeding into seconds); second-difference is 0
+    val ts = spark.sql(
+      """SELECT CAST('2016-02-26 19:06:00.123' AS TIMESTAMP) AS a,
+        |  unix_timestamp(TIMESTAMP '2016-02-26 19:06:00.123456')
+        |    - unix_timestamp(CAST('2016-02-26 19:06:00.123456' AS TIMESTAMP)) AS d"""
+        .stripMargin).head()
+    assert(ts.getTimestamp(0).toString.startsWith("2016-02-26 19:06:00"))
+    assert(ts.getLong(1) == 0L)
+    // CALCITE-1188: EXTRACT in WHERE ... IN over nullable timestamps
+    val ex = spark.sql(
+      """SELECT t FROM (VALUES (TIMESTAMP '1970-01-01 00:00:00'),
+        |  (CAST(NULL AS TIMESTAMP)), (TIMESTAMP '2001-06-01 12:00:00')) AS v(t)
+        |WHERE extract(YEAR FROM t) IN (1969, 1970)""".stripMargin).collect()
+    assert(ex.length == 1 && ex.head.getTimestamp(0).toString.startsWith("1970-01-01"))
+    // CALCITE-2002: DISTINCT over VALUES
+    assert(spark.sql(
+      """SELECT DISTINCT T.B
+        |FROM (VALUES (1, 'X'), (2, 'Y'), (3, 'X'), (4, 'X')) AS T(A, B)"""
+        .stripMargin).collect().map(_.getString(0)).toSet == Set("X", "Y"))
+  }
+
   test("misc.iq:325-500 — the EXISTS family over the hr schema") {
     hrEmps.drop("pos").createOrReplaceTempView("hr_emps")
     Seq((10, "Sales"), (30, "Marketing"), (40, "HR")).toDF("deptno", "dname")

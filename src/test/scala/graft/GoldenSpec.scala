@@ -2244,6 +2244,39 @@ class GoldenSpec extends AnyFunSuite {
     assert(sxxByG.forall(_ == 0L))
   }
 
+  test("sub-query.iq:1617-1900 — correlated filter IN/NOT IN matrix") {
+    scott.createOrReplaceTempView("g_scott")
+    scottDept.createOrReplaceTempView("g_dept")
+    // (lhs, inner select, op) → surviving row count; the correlated inner
+    // restricts to the OUTER row's dept. NULL lhs or NULL-bearing inner
+    // never yields TRUE; literal membership decides the rest.
+    val cases: Seq[(String, String, String, Long)] = Seq(
+      ("CAST(NULL AS INT)", "CAST(NULL AS INT)", "IN", 0L),
+      ("123", "CAST(NULL AS INT)", "IN", 0L),
+      ("CAST(NULL AS INT)", "1", "IN", 0L),
+      ("CAST(NULL AS INT)", "deptno", "IN", 0L),
+      ("CAST(NULL AS INT)", "CASE WHEN true THEN deptno ELSE NULL END", "IN", 0L),
+      ("10", "deptno", "IN", 3L),
+      ("10", "CASE WHEN true THEN deptno ELSE NULL END", "IN", 3L),
+      ("CAST(NULL AS INT)", "CAST(NULL AS INT)", "NOT IN", 0L),
+      ("123", "CAST(NULL AS INT)", "NOT IN", 0L),
+      ("CAST(NULL AS INT)", "1", "NOT IN", 0L),
+      ("CAST(NULL AS INT)", "deptno", "NOT IN", 0L),
+      ("CAST(NULL AS INT)", "CASE WHEN true THEN deptno ELSE NULL END", "NOT IN", 0L),
+      // NOT IN with a correlated EMPTY inner (dept 20's emp rows have no
+      // matching d row only when... all depts exist, so the inner is
+      // one-row everywhere): non-members survive
+      ("10", "deptno", "NOT IN", 11L),
+      ("10", "CASE WHEN true THEN deptno ELSE NULL END", "NOT IN", 11L))
+    cases.foreach { case (lhs, inner, op, want) =>
+      val got = spark.sql(
+        s"""SELECT sal FROM g_scott e WHERE $lhs $op (
+           |  SELECT $inner FROM g_dept d WHERE e.deptno = d.deptno)""".stripMargin)
+        .count()
+      assert(got == want, s"$lhs $op ($inner)")
+    }
+  }
+
   test("agg.iq:880-930 — rwijk composite ROLLUP(deptno, job, (empno, ename))") {
     scott.createOrReplaceTempView("g_scott")
     val got = spark.sql(

@@ -47,21 +47,32 @@ object Bench {
       "scan_filter_project")
 
   private def fmt(v: Double): String = f"$v%.3f"
-
-  /** The one-line stdout payload. Kept small enough that a 2000-char tail
-    * capture always contains the complete line. */
-  def renderLine(total: Double, results: Seq[(String, Double)], sfDir: String): String = {
-    val want = headline.toSet
-    val qs = results.filter(r => want(r._1))
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+  // A query whose every rep threw renders as null (not its time-to-exception,
+  // which would make the committed bench silently optimistic) and is listed
+  // under "failed" so the driver's parser sees the breakage structurally.
+  private def fmtOpt(v: Option[Double]): String = v.map(fmt).getOrElse("null")
+  private def failedList(results: Seq[(String, Option[Double])], cap: Int = Int.MaxValue): String = {
+    val names = results.collect { case (k, None) => k }
+    val shown = names.take(cap).map("\"" + _ + "\"")
+    (shown ++ (if (names.size > cap) Seq("\"+" + (names.size - cap) + " more\"") else Nil))
+      .mkString("[", ",", "]")
   }
 
-  def renderFull(total: Double, results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+  /** The one-line stdout payload. Kept small enough that a 2000-char tail
+    * capture always contains the complete line (the failed list is capped
+    * here; BENCH_FULL.json carries it uncapped). */
+  def renderLine(total: Double, results: Seq[(String, Option[Double])], sfDir: String): String = {
+    val want = headline.toSet
+    val qs = results.filter(r => want(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + fmtOpt(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${failedList(results, cap = 5)},"queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  def renderFull(total: Double, results: Seq[(String, Option[Double])], sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtOpt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${failedList(results)},"queries":$qs,"sf":"$sfDir"}"""
   }
 
   /** Median of the recorded reps (odd rep counts take the middle element;
@@ -130,20 +141,25 @@ object Bench {
     System.err.println(f"[bench] warmup done in ${(System.nanoTime() - tWarm0) / 1e9}%.1fs; timing ${defs.size} queries x $reps reps (median)")
 
     val results = defs.map { d =>
-      val times = (1 to reps).map { rep =>
+      // a rep that throws contributes NO timing — medians run over the
+      // successful reps only, and a query failing every rep is recorded as
+      // failed (null in the JSON) instead of its time-to-exception
+      val times = (1 to reps).flatMap { rep =>
         val t0 = System.nanoTime()
-        try d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
+        try {
+          d.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] ${d.name} rep $rep FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      val med = median(times)
+      val med = if (times.isEmpty) None else Some(median(times))
       // stream per-query results to stderr so partial runs stay diagnosable
-      System.err.println(s"[bench] ${d.name}: median=${fmt(med)}s reps=[${times.map(fmt).mkString(",")}]")
+      System.err.println(s"[bench] ${d.name}: median=${med.map(fmt).getOrElse("FAILED")}s reps=[${times.map(fmt).mkString(",")}]")
       d.name -> med
     }
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     // Full map → file (survives any stdout truncation); headline → stdout.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

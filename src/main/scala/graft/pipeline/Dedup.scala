@@ -110,8 +110,9 @@ object Dedup {
         |)
         |SELECT doc_id, CAST(SUM(bitv) AS BIGINT) AS simhash16
         |FROM bits GROUP BY doc_id""") { (s, dir) =>
-      val polyHash = aggregate(split(col("w"), ""), lit(0L),
-        (h, c) => (h * lit(31L) + ascii(c).cast("long")) % lit(1000003L))
+      // one-pass native kernel — same polynomial the oracle recomputes;
+      // replaces the per-character interpreted aggregate(split(w, ""), ...)
+      val polyHash = graft.functions.TokenPolyHash.token_poly_hash(col("w"))
       val words = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .where(col("w") =!= "")

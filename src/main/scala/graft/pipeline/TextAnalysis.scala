@@ -176,6 +176,12 @@ object TextAnalysis {
     // the corpus side explodes per-doc DISTINCT grams (linear in corpus
     // tokens), joins the broadcast set, and aggregates hit counts keyed on
     // doc_id. The corpus is never self-joined and nothing collects.
+    // Grams are hashed to 64-bit longs in one native pass (WordGramHashes —
+    // no ~40-byte gram string is ever built; the explode/broadcast carry
+    // 8 bytes per gram) and the gram relation is localCheckpoint'ed so the
+    // holdout-build and probe sides share ONE scan+explode instead of two.
+    // The hash never reaches the output (only per-doc hit counts do), so
+    // the string-gram DuckDB oracle still hash-matches exactly.
     QDef.sql("text_contamination",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 6),
@@ -186,11 +192,10 @@ object TextAnalysis {
         |  WHERE doc_id % 50 <> 0 GROUP BY doc_id)
         |SELECT w.doc_id, coalesce(c, 0) AS n_hit_grams, coalesce(c, 0) > 0 AS contaminated
         |FROM w LEFT JOIN hits USING (doc_id) WHERE w.doc_id % 50 <> 0""") { (s, dir) =>
-      val ws = split(col("text"), " ")
-      val grams8 = array_distinct(transform(sequence(lit(1), size(ws) - 7),
-        i => array_join(slice(ws, i, lit(8)), " ")))
+      val grams8 = graft.functions.WordGramHashes.word_gram_hashes(col("text"), 8)
       val docs = t(s, dir, "documents")
       val gramRows = docs.select(col("doc_id"), explode(grams8).as("g"))
+        .localCheckpoint()
       val bench = gramRows.where(col("doc_id") % 50 === 0)
         .select(col("g")).distinct()
       val hits = gramRows.where(col("doc_id") % 50 =!= 0)

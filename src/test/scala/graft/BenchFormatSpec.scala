@@ -20,10 +20,24 @@ class BenchFormatSpec extends AnyFunSuite {
   test("stdout line stays under 1800 chars at worst-case timings") {
     // Worst case: every registry query present, every headline timing at
     // four integer digits (9999.999 s — far beyond any plausible run).
-    val results = SparkEntry.allDefs.map(d => d.name -> 9999.999)
+    val results = SparkEntry.allDefs.map(d => d.name -> Option(9999.999))
     val line = Bench.renderLine(9999.999, results, "/root/testdata/sf0.1")
     assert(line.length < 1800, s"stdout bench line too long: ${line.length}")
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.endsWith("""}"""))
+    assert(line.contains(""""failed":[]"""))
+  }
+
+  test("stdout line stays bounded when every query fails (capped failed list)") {
+    val results: Seq[(String, Option[Double])] = SparkEntry.allDefs.map(d => d.name -> None)
+    val line = Bench.renderLine(0.0, results, "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"stdout bench line too long: ${line.length}")
+    assert(line.contains(""""failed":["""))
+    assert(line.contains("more\""), "capped failed list should note the overflow count")
+    // failed queries must surface as null, never a fabricated timing
+    assert(line.contains(""""agg_tpch_q1":null"""))
+    // full render carries the uncapped list
+    val full = Bench.renderFull(0.0, results, "/root/testdata/sf0.1")
+    assert(SparkEntry.allDefs.forall(d => full.contains("\"" + d.name + "\"")))
   }
 }

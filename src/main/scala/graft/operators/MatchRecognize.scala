@@ -234,9 +234,11 @@ object MatchRecognize {
   private def advance(skip: Skip, i: Int, end: Int,
       syms: Array[String]): Int = {
     def varAnchor(name: String, members: Set[String], last: Boolean): Int = {
+      // classifier comparison is case-insensitive, like every other part of
+      // the grammar: `SKIP TO LAST up` must hit PATTERN (... UP ...)
       val js = (i until end).filter { j =>
         val s = syms(j).stripPrefix("~")
-        s == name || members.contains(s)
+        s.equalsIgnoreCase(name) || members.exists(_.equalsIgnoreCase(s))
       }
       if (js.isEmpty) throw new IllegalStateException(
         s"AFTER MATCH SKIP TO $name: variable matched no row")

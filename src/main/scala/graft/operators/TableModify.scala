@@ -30,11 +30,17 @@ object TableModify {
     if (fs.exists(t)) fs.rename(t, tmpOld)
     fs.rename(new org.apache.hadoop.fs.Path(staged), t)
     if (fs.exists(tmpOld)) fs.delete(tmpOld, true)
+    // any materialized tile built over this table is now STALE: it stops
+    // answering queries until REFRESH MATERIALIZED VIEW re-materializes it
+    // (the reference's MaterializationService validity lifecycle)
+    graft.plans.MaterializedViews.invalidate(spark, target)
   }
 
   /** INSERT INTO target VALUES/SELECT — append semantics. */
-  def insertInto(rows: DataFrame, targetDir: String): Unit =
+  def insertInto(rows: DataFrame, targetDir: String): Unit = {
     rows.write.mode(SaveMode.Append).parquet(targetDir)
+    graft.plans.MaterializedViews.invalidate(rows.sparkSession, targetDir)
+  }
 
   /** DELETE FROM target WHERE cond — copy-on-write anti-filter.
     * SQL DELETE removes only rows where the predicate is TRUE; rows where

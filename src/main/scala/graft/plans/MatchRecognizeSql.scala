@@ -87,23 +87,29 @@ object MatchRecognizeSql {
     if (up == "PAST LAST ROW") MatchRecognize.Skip.PastLastRow
     else if (up == "TO NEXT ROW") MatchRecognize.Skip.ToNextRow
     else if (up.startsWith("TO FIRST "))
-      MatchRecognize.Skip.ToFirst(t.substring(9).trim)
+      MatchRecognize.Skip.ToFirst(t.substring(9).trim.toUpperCase)
     else if (up.startsWith("TO LAST "))
-      MatchRecognize.Skip.ToLast(t.substring(8).trim)
+      MatchRecognize.Skip.ToLast(t.substring(8).trim.toUpperCase)
     else if (up.startsWith("TO "))
-      MatchRecognize.Skip.ToLast(t.substring(3).trim)
+      MatchRecognize.Skip.ToLast(t.substring(3).trim.toUpperCase)
     else throw new IllegalArgumentException(
       s"unsupported AFTER MATCH SKIP clause: '$text'")
   }
 
-  /** Attach a SUBSET union variable's member set to a skip target. */
+  /** Attach a SUBSET union variable's member set to a skip target —
+    * name lookup case-insensitive, like the rest of the grammar. */
   private def resolveSubsetSkip(skip: MatchRecognize.Skip,
-      subsets: Map[String, Set[String]]): MatchRecognize.Skip = skip match {
-    case MatchRecognize.Skip.ToFirst(v, _) =>
-      MatchRecognize.Skip.ToFirst(v, subsets.getOrElse(v, Set.empty))
-    case MatchRecognize.Skip.ToLast(v, _) =>
-      MatchRecognize.Skip.ToLast(v, subsets.getOrElse(v, Set.empty))
-    case other => other
+      subsets: Map[String, Set[String]]): MatchRecognize.Skip = {
+    def membersOf(v: String): Set[String] =
+      subsets.collectFirst { case (k, ms) if k.equalsIgnoreCase(v) => ms }
+        .getOrElse(Set.empty)
+    skip match {
+      case MatchRecognize.Skip.ToFirst(v, _) =>
+        MatchRecognize.Skip.ToFirst(v, membersOf(v))
+      case MatchRecognize.Skip.ToLast(v, _) =>
+        MatchRecognize.Skip.ToLast(v, membersOf(v))
+      case other => other
+    }
   }
 
   // ---- SUBSET ------------------------------------------------------------
@@ -114,7 +120,8 @@ object MatchRecognizeSql {
     val Entry = """(?is)\s*(\w+)\s*=\s*\(([^)]*)\)\s*""".r
     text.split(",(?![^()]*\\))").toSeq.map {
       case Entry(name, members) =>
-        name -> members.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        name.toUpperCase ->
+          members.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSet
       case other => throw new IllegalArgumentException(
         s"unsupported SUBSET entry: '$other'")
     }.toMap
@@ -214,7 +221,7 @@ object MatchRecognizeSql {
           require(peek == ')', s"unclosed PERMUTE in pattern: $s")
           pos += 1
           Pat.permute(args.result(): _*)
-        } else Pat.Sym(name)
+        } else Pat.Sym(name.toUpperCase) // unquoted ids normalize to upper (Calcite semantics)
       }
     }
     val p = alt()
@@ -307,11 +314,11 @@ object MatchRecognizeSql {
       case MCls(n) => ClassifierM(n)
       case MMn(n) => MatchNumberM(n)
       case MCountAll(n) => CountAll(n)
-      case MVarFirst(v, c, n) => VarFirst(v, c, n)
-      case MVarLast(v, c, n) => VarLast(v, c, n)
+      case MVarFirst(v, c, n) => VarFirst(v.toUpperCase, c, n)
+      case MVarLast(v, c, n) => VarLast(v.toUpperCase, c, n)
       // bare VAR.col in ONE ROW PER MATCH is FINAL LAST(VAR.col)
-      case MVarBare(v, c, n) => VarLast(v, c, n)
-      case MCountSym(s, n) => CountSym(s, n)
+      case MVarBare(v, c, n) => VarLast(v.toUpperCase, c, n)
+      case MCountSym(s, n) => CountSym(s.toUpperCase, n)
       case MFirst(c, n) => FirstCol(c, n)
       case MLast(c, n) => LastCol(c, n)
       case other => throw new IllegalArgumentException(s"unsupported measure: '$other'")
@@ -379,7 +386,7 @@ object MatchRecognizeSql {
     val defines: Map[String, Define] =
       definesText.split(",(?![^()]*\\))").toSeq.map { d =>
         val Array(sym, body) = d.split("(?i)\\bAS\\b", 2).map(_.trim)
-        sym -> parsePredicate(body)
+        sym.toUpperCase -> parsePredicate(body)
       }.toMap
 
     val orderFn: Row => (Long, Long) = ordTie match {

@@ -26,6 +26,8 @@ object MaterializedViewSql {
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
+  private val RefreshRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
 
   private def tilePath(spark: SparkSession, name: String): String = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -52,11 +54,24 @@ object MaterializedViewSql {
           s"SELECT 'created' AS status, '$name' AS materialized_view"))
       }
     case DropRe(ifExists, name) =>
+      // reference semantics (server materialized_view.iq): dropping an
+      // absent view raises "Table not found" unless IF EXISTS was given
+      // (then the statement is a silent no-op)
+      if (!MaterializedViews.exists(name) && ifExists == null)
+        throw new IllegalStateException(s"Materialized view '$name' not found")
       MaterializedViews.drop(name)
-      try spark.catalog.dropTempView(name)
-      catch { case _: Throwable if ifExists != null => () }
+      spark.catalog.dropTempView(name)
       Some(delegate.parsePlan(
         s"SELECT 'dropped' AS status, '$name' AS materialized_view"))
+    case RefreshRe(name) =>
+      // re-materialize from the definition against the CURRENT base tables
+      // and clear staleness (the reference's MaterializationService validity
+      // lifecycle; stale tiles stop answering queries until refreshed)
+      MaterializedViews.refresh(spark, name) // throws if the view is absent
+      MaterializedViews.tilePathOf(name).foreach(p =>
+        spark.read.parquet(p).createOrReplaceTempView(name))
+      Some(delegate.parsePlan(
+        s"SELECT 'refreshed' AS status, '$name' AS materialized_view"))
     case _ => None
   }
 }

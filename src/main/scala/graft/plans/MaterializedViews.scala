@@ -41,9 +41,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object MaterializedViews {
 
-  private case class Entry(name: String, canonical: LogicalPlan,
-      optimized: LogicalPlan, path: String)
+  private final class Entry(
+      val name: String, val canonical: LogicalPlan,
+      val optimized: LogicalPlan, val path: String,
+      val definition: DataFrame, val sources: Set[String],
+      var stale: Boolean = false)
   private val registry = mutable.ArrayBuffer[Entry]()
+
+  /** Base-table paths a definition reads (subqueries included) — the
+    * staleness dependency set, the analogue of the reference's
+    * MaterializationService tracking which tables a materialization uses
+    * (materialize/MaterializationService.java). */
+  private def sourcePaths(plan: LogicalPlan): Set[String] =
+    plan.collectWithSubqueries {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.toSet
 
   /** Define + materialize a view: stores the result as parquet and
     * registers the definition for rewriting. */
@@ -53,7 +70,8 @@ object MaterializedViews {
     // the main optimizer batches, so incoming subtrees are already pruned/
     // collapsed — the match must be against the same normal form
     val opt = definition.queryExecution.optimizedPlan
-    registry += Entry(name, opt.canonicalized, opt, path)
+    registry += new Entry(name, opt.canonicalized, opt, path,
+      definition, sourcePaths(definition.queryExecution.analyzed))
   }
 
   def drop(name: String): Unit =
@@ -61,7 +79,56 @@ object MaterializedViews {
 
   def exists(name: String): Boolean = registry.exists(_.name == name)
 
+  def isStale(name: String): Boolean = registry.exists(e => e.name == name && e.stale)
+
   def clear(): Unit = registry.clear()
+
+  /** Mark every tile whose definition reads `mutatedPath` as STALE — called
+    * by TableModify after a write. Stale tiles stop answering queries (the
+    * rewrite skips them) until REFRESH re-materializes; the lifecycle the
+    * reference models as MaterializationService validity. Paths compare
+    * after filesystem qualification so "/x/t", "file:/x/t" and children
+    * ("/x/t/part-0.parquet") all hit. */
+  def invalidate(spark: SparkSession, mutatedPath: String): Unit = {
+    val q = qualify(spark, mutatedPath)
+    registry.foreach { e =>
+      if (e.sources.exists(s => s == q || s.startsWith(q + "/") || q.startsWith(s + "/")))
+        e.stale = true
+    }
+  }
+
+  private def qualify(spark: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(hp).toString
+  }
+
+  /** Re-materialize a tile from its definition against the CURRENT base
+    * tables and clear staleness — REFRESH MATERIALIZED VIEW. The
+    * definition's captured file listings are refreshed first so a
+    * copy-on-write swap (TableModify) is picked up instead of the listing
+    * cached at CREATE time. */
+  def refresh(spark: SparkSession, name: String): Unit = {
+    val e = registry.find(_.name == name).getOrElse(throw new IllegalStateException(
+      s"Materialized view '$name' not found"))
+    // stale during the rebuild: the write below re-optimizes the definition
+    // with the rewrite installed, which would otherwise answer the rebuild
+    // from the very tile being overwritten (reading files the overwrite is
+    // deleting). Stale entries are skipped by every rewrite path. Cleared
+    // only on success — a failed rebuild leaves the tile marked stale.
+    e.stale = true
+    e.definition.queryExecution.analyzed.collectWithSubqueries {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }.foreach(_.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.refresh()
+      case _ => ()
+    })
+    e.definition.write.mode("overwrite").parquet(e.path)
+    e.stale = false
+  }
+
+  def tilePathOf(name: String): Option[String] =
+    registry.find(_.name == name).map(_.path)
 
   /** Normalize an expression for cross-plan comparison: wrap it in a
     * Project over its child and canonicalize — attribute references become
@@ -91,7 +158,7 @@ object MaterializedViews {
 
   /** Try to answer `q` by re-aggregating a registered aggregate tile. */
   private def rollup(spark: SparkSession, q: Aggregate): Option[LogicalPlan] =
-    registry.iterator.flatMap { entry =>
+    registry.iterator.filterNot(_.stale).flatMap { entry =>
       entry.optimized match {
         case Aggregate(_, am, childM, _)
             if stripPrune(q.child).canonicalized == stripPrune(childM).canonicalized =>
@@ -234,7 +301,7 @@ object MaterializedViews {
       case _ => false
     }
   private def filterResidual(spark: SparkSession, f: Filter): Option[LogicalPlan] =
-    registry.iterator.flatMap { entry =>
+    registry.iterator.filterNot(_.stale).flatMap { entry =>
       entry.optimized match {
         case Filter(mPred, childM)
             if f.child.canonicalized == childM.canonicalized =>
@@ -281,7 +348,7 @@ object MaterializedViews {
     * fires first); this rule adds permutation + subset coverage. */
   private def unionUnify(spark: SparkSession,
       u: org.apache.spark.sql.catalyst.plans.logical.Union): Option[LogicalPlan] =
-    registry.iterator.flatMap { entry =>
+    registry.iterator.filterNot(_.stale).flatMap { entry =>
       entry.optimized match {
         case mu: org.apache.spark.sql.catalyst.plans.logical.Union
             if mu.children.size <= u.children.size =>
@@ -310,7 +377,7 @@ object MaterializedViews {
   final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case sub if registry.nonEmpty =>
-        registry.find(_.canonical == sub.canonicalized) match {
+        registry.find(e => !e.stale && e.canonical == sub.canonicalized) match {
           case Some(entry) =>
             val scan = spark.read.parquet(entry.path).queryExecution.analyzed
             // rebind: tile columns take over the replaced subtree's exprIds

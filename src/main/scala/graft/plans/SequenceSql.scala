@@ -27,6 +27,17 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * returned DataFrame replays its reserved block — deliberate, because a
   * counter advancing per row evaluation would hand out different values
   * whenever Spark recomputes a partition (task retry, cache eviction).
+  *
+  * RE-PARSE HAZARD (documented tradeoff): because reservation happens in
+  * `ParserInterface.parsePlan`, ANY path that re-parses the statement TEXT
+  * advances the sequence again and runs the reservation job during parsing
+  * — e.g. a view or tool that stores and replays the SQL string. This is
+  * the same contract as "each spark.sql call advances", just easy to miss
+  * when the re-parse is implicit. (Spark's own `EXPLAIN <stmt>` does NOT
+  * hit this: the EXPLAIN text falls through to the delegate parser as one
+  * statement and never matches the anchored NEXT VALUE form.) Callers that
+  * need parse-without-advance must hold the returned DataFrame instead of
+  * the text.
   * CURRENT VALUE is a parse-time constant by semantics
   * (reads without advancing), so it lowers to a literal projection.
   * DDL executes eagerly like the reference's DdlExecutor and returns a

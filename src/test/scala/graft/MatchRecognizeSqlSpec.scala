@@ -216,6 +216,38 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("SKIP TO target is case-insensitive against pattern variables (ADVICE r5)") {
+    // 'skip to last up' in lowercase must hit PATTERN (... UP ...): the
+    // whole grammar is case-insensitive, and varAnchor used to compare the
+    // skip target case-sensitively → IllegalStateException at runtime
+    Tables.registerAll(spark, sfDir)
+    val got = spark.sql(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES STRT.event_id AS start_id, LAST(up.event_id) AS end_id
+        |  ONE ROW PER MATCH
+        |  after match skip to last up
+        |  PATTERN (STRT DOWN+ UP+)
+        |  DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value))"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.SparkEntry.queries("match_recognize_skip_to_last")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"))).toSet
+    assert(got == want && got.nonEmpty)
+    // lowercase SUBSET name in the skip target resolves too
+    val sub = spark.sql(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  MEASURES COUNT(*) AS len, LAST(w.event_id) AS end_id
+        |  AFTER MATCH SKIP TO LAST w
+        |  PATTERN (STRT DOWN+ UP+)
+        |  SUBSET W = (DOWN, UP)
+        |  DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value))"""
+        .stripMargin).collect()
+    assert(sub.nonEmpty)
+  }
+
   test("SUBSET union variables resolve in measures and skip targets") {
     Tables.registerAll(spark, sfDir)
     // W = (DOWN, UP): the whole movement; COUNT(W.*) excludes only STRT
@@ -246,7 +278,8 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(MatchRecognizeSql.parseSkip("TO NEXT ROW") == Skip.ToNextRow)
     assert(MatchRecognizeSql.parseSkip("TO LAST UP") == Skip.ToLast("UP"))
     assert(MatchRecognizeSql.parseSkip("TO FIRST DOWN") == Skip.ToFirst("DOWN"))
-    assert(MatchRecognizeSql.parseSkip("to up") == Skip.ToLast("up"))
+    // unquoted identifiers normalize to upper case (Calcite semantics)
+    assert(MatchRecognizeSql.parseSkip("to up") == Skip.ToLast("UP"))
     // the SQL form must agree with the registry's API-built ticker query
     Tables.registerAll(spark, sfDir)
     val viaSql = spark.sql(

@@ -115,6 +115,38 @@ object MatcherHammer {
           if (bad <= 5) println(s"STREAM MISMATCH skip=$sk pat=$p s='$s' cut=$cut")
         }
       }
+      // streaming property for SKIP TO FIRST/LAST <var> (r5 ADVICE): the
+      // retention interaction is compared differentially against batch,
+      // with the SQL:2016 runtime errors (variable matched no row /
+      // non-advancing target) treated as part of the compared OUTCOME —
+      // both sides must either produce the same matches or both raise.
+      def symsOf(q: Pat): Seq[String] = q match {
+        case Pat.Sym(nm) => Seq(nm)
+        case Pat.Cat(ps) => ps.flatMap(symsOf)
+        case Pat.Alt(ps) => ps.flatMap(symsOf)
+        case rep: Pat.Rep => symsOf(rep.p)
+        case Pat.Excl(inner) => symsOf(inner)
+      }
+      val targets = symsOf(p).distinct
+      val tv = targets(r.nextInt(targets.size))
+      def outcome(f: => Seq[Seq[String]]): Either[String, Seq[Seq[String]]] =
+        try Right(f) catch { case _: IllegalStateException => Left("sql2016-skip-error") }
+      for (sk <- Seq(MatchRecognize.Skip.ToFirst(tv): MatchRecognize.Skip,
+          MatchRecognize.Skip.ToLast(tv))) {
+        val batchO = outcome(
+          MatchRecognize.findMatches(rows, p, defines, sk).map(_.map(_._2)))
+        val streamO = outcome {
+          val (m1, retain1) =
+            MatchRecognize.findMatchesStreaming(rows.take(cut), p, defines, sk)
+          val carried = rows.take(cut).drop(retain1) ++ rows.drop(cut)
+          val m2 = MatchRecognize.findMatches(carried, p, defines, sk)
+          (m1 ++ m2).map(_.map(_._2))
+        }
+        if (batchO != streamO) {
+          bad += 1
+          if (bad <= 5) println(s"STREAM-SKIPVAR MISMATCH skip=$sk pat=$p s='$s' cut=$cut got=$streamO want=$batchO")
+        }
+      }
       if (iter % 500000 == 0) println(s"$iter iters, $bad bad")
       if (bad > 5) sys.exit(1)
     }

@@ -109,6 +109,64 @@ class MaterializedViewSqlSpec extends AnyFunSuite {
     MaterializedViews.drop("mv_union_fo")
   }
 
+  test("MV lifecycle: TableModify marks tiles stale, REFRESH re-materializes") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    // private mutable copy of nation so TableModify can rewrite it
+    val dir = "/tmp/graft_mv_life/nation"
+    Tables.t(spark, sfDir, "nation").write.mode("overwrite").parquet(dir)
+    def agg() = spark.read.parquet(dir)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    MaterializedViews.create(spark, "mv_life", agg(), "/tmp/graft_mv_life/tile")
+
+    val q1 = agg()
+    assert(q1.queryExecution.executedPlan.toString.contains("graft_mv_life/tile"),
+      "fresh tile should answer the query")
+    val before = q1.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+
+    // copy-on-write DELETE on the base table → the tile must go stale and
+    // STOP answering; results must reflect the delete immediately
+    graft.operators.TableModify.delete(spark, dir, col("n_regionkey") === 0L)
+    assert(MaterializedViews.isStale("mv_life"), "TableModify must mark the tile stale")
+    val q2 = agg()
+    val phys2 = q2.queryExecution.executedPlan.toString
+    assert(!phys2.contains("graft_mv_life/tile"), s"stale tile still answering:\n$phys2")
+    val after = q2.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(!after.contains(0) && after == (before - 0),
+      s"post-delete results wrong: before=$before after=$after")
+
+    // REFRESH → re-materialized from the CURRENT base, answering again
+    MaterializedViews.refresh(spark, "mv_life")
+    assert(!MaterializedViews.isStale("mv_life"))
+    val q3 = agg()
+    assert(q3.queryExecution.executedPlan.toString.contains("graft_mv_life/tile"),
+      "refreshed tile should answer again")
+    assert(q3.collect().map(r => (r.getInt(0), r.getLong(1))).toMap == after)
+    MaterializedViews.drop("mv_life")
+  }
+
+  test("REFRESH MATERIALIZED VIEW DDL verb; DROP without IF EXISTS on absent view fails") {
+    MaterializedViews.clear()
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      "CREATE MATERIALIZED VIEW mv_refresh_ddl AS SELECT n_regionkey, count(1) AS n FROM nation GROUP BY n_regionkey")
+    val st = spark.sql("REFRESH MATERIALIZED VIEW mv_refresh_ddl").head()
+    assert(st.getString(0) == "refreshed" && st.getString(1) == "mv_refresh_ddl")
+    assert(spark.sql("SELECT count(1) FROM mv_refresh_ddl").head().getLong(0) > 0)
+    spark.sql("DROP MATERIALIZED VIEW mv_refresh_ddl")
+    // refresh of an absent view raises, like the reference's "Table not found"
+    val e1 = intercept[IllegalStateException] {
+      spark.sql("REFRESH MATERIALIZED VIEW mv_refresh_ddl")
+    }
+    assert(e1.getMessage.contains("not found"))
+    // ADVICE r5: DROP without IF EXISTS on an absent view must raise, not
+    // silently report 'dropped' (server materialized_view.iq semantics)
+    val e2 = intercept[IllegalStateException] {
+      spark.sql("DROP MATERIALIZED VIEW mv_refresh_ddl")
+    }
+    assert(e2.getMessage.contains("not found"))
+  }
+
   test("server materialized_view.iq DDL semantics: duplicate fails, IF NOT EXISTS keeps contents") {
     MaterializedViews.drop("mv_ddl_sem")
     spark.sql(

@@ -1,0 +1,391 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Native polygon-clipping kernels — the last spatial gap from the
+  * reference surface (reference: core/src/main/java/org/apache/calcite/
+  * runtime/GeoFunctions.java ST_Intersection/ST_Union/ST_Buffer, which
+  * delegate to ESRI's operator set; here the kernels are implemented
+  * directly over the engine's parallel-coordinate-array geometry).
+  *
+  * Contract (documented, spec-pinned): CONVEX inputs in generic position —
+  * no shared vertices, no edge-on-edge overlap, crossings transversal.
+  * Inputs of either winding are normalized to CCW. Within that contract:
+  *
+  *  - [[ConvexClip]]: Sutherland–Hodgman intersection of a subject polygon
+  *    with a convex clip polygon → single polygon (possibly empty).
+  *  - [[PolyUnion]]: union of two convex polygons — boundary walk that
+  *    switches rings at every transversal crossing (the two-polygon case
+  *    of Weiler–Atherton). Disjoint inputs → two parts; containment →
+  *    the container; overlapping → the traced (possibly non-convex)
+  *    union polygon.
+  *  - [[PolyBuffer]]: line mode strokes each segment into a 34-gon capsule
+  *    (rectangle + two half-32-gon caps, one part per segment); polygon
+  *    mode is the EXACT Minkowski sum of the convex polygon with a regular
+  *    32-gon of circumradius r (sorted edge-vector merge) — the same
+  *    32-gon circle discretization as the existing point buffer.
+  *
+  * All three run as static kernels callable from generated code, keeping
+  * the surrounding projection in WholeStageCodegen (the ShingleHashes
+  * extension path; reference RexImpTable.java:274).
+  */
+object PolyClip {
+
+  private def toArr(a: ArrayData): Array[Double] = a.toDoubleArray()
+
+  private def signedArea2(xs: Array[Double], ys: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = xs.length
+    while (i < n) {
+      val j = (i + 1) % n
+      s += xs(i) * ys(j) - xs(j) * ys(i)
+      i += 1
+    }
+    s
+  }
+
+  private def ccw(xs: Array[Double], ys: Array[Double]): (Array[Double], Array[Double]) =
+    if (signedArea2(xs, ys) >= 0) (xs, ys) else (xs.reverse, ys.reverse)
+
+  /** Even-odd point-in-polygon (boundary undefined — generic position). */
+  def pointIn(xs: Array[Double], ys: Array[Double], px: Double, py: Double): Boolean = {
+    var inside = false
+    var i = 0
+    var j = xs.length - 1
+    while (i < xs.length) {
+      if ((ys(i) > py) != (ys(j) > py) &&
+          px < (xs(j) - xs(i)) * (py - ys(i)) / (ys(j) - ys(i)) + xs(i))
+        inside = !inside
+      j = i; i += 1
+    }
+    inside
+  }
+
+  // ---- Sutherland–Hodgman intersection -----------------------------------
+
+  /** Clip subject polygon (sx, sy) against CONVEX polygon (cx, cy). */
+  def clip(sx0: Array[Double], sy0: Array[Double],
+      cx0: Array[Double], cy0: Array[Double]): (Array[Double], Array[Double]) = {
+    val (cx, cy) = ccw(cx0, cy0)
+    var outX = sx0.toBuffer
+    var outY = sy0.toBuffer
+    var e = 0
+    val m = cx.length
+    while (e < m && outX.nonEmpty) {
+      val x1 = cx(e); val y1 = cy(e)
+      val x2 = cx((e + 1) % m); val y2 = cy((e + 1) % m)
+      // inside = left of the CCW clip edge
+      def inside(px: Double, py: Double): Boolean =
+        (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+      def inter(px: Double, py: Double, qx: Double, qy: Double): (Double, Double) = {
+        val t = ((x1 - px) * (y2 - y1) - (y1 - py) * (x2 - x1)) /
+          ((qx - px) * (y2 - y1) - (qy - py) * (x2 - x1))
+        (px + t * (qx - px), py + t * (qy - py))
+      }
+      val inX = outX; val inY = outY
+      outX = collection.mutable.Buffer.empty
+      outY = collection.mutable.Buffer.empty
+      var i = 0
+      val n = inX.length
+      while (i < n) {
+        val px = inX((i + n - 1) % n); val py = inY((i + n - 1) % n)
+        val qx = inX(i); val qy = inY(i)
+        val qIn = inside(qx, qy); val pIn = inside(px, py)
+        if (qIn) {
+          if (!pIn) { val (ix, iy) = inter(px, py, qx, qy); outX += ix; outY += iy }
+          outX += qx; outY += qy
+        } else if (pIn) {
+          val (ix, iy) = inter(px, py, qx, qy); outX += ix; outY += iy
+        }
+        i += 1
+      }
+      e += 1
+    }
+    (outX.toArray, outY.toArray)
+  }
+
+  def clipRow(ax: ArrayData, ay: ArrayData, bx: ArrayData, by: ArrayData): InternalRow = {
+    val (sx, sy) = ccw(toArr(ax), toArr(ay))
+    val (rx, ry) = clip(sx, sy, toArr(bx), toArr(by))
+    new GenericInternalRow(Array[Any](new GenericArrayData(rx), new GenericArrayData(ry)))
+  }
+
+  // ---- convex-convex union boundary walk ---------------------------------
+
+  private final case class Node(x: Double, y: Double, crossId: Int) // -1 = vertex
+
+  /** Union of two convex polygons → one or two (xs, ys) parts. */
+  def union(ax0: Array[Double], ay0: Array[Double],
+      bx0: Array[Double], by0: Array[Double]): Array[(Array[Double], Array[Double])] = {
+    val (ax, ay) = ccw(ax0, ay0)
+    val (bx, by) = ccw(bx0, by0)
+    val n = ax.length; val m = bx.length
+    // proper crossings (tA in (0,1), tB in (0,1)) between edge i of A and j of B
+    final case class Cross(id: Int, i: Int, tA: Double, j: Int, tB: Double,
+        x: Double, y: Double)
+    val crossings = collection.mutable.ArrayBuffer[Cross]()
+    var i = 0
+    while (i < n) {
+      val x1 = ax(i); val y1 = ay(i)
+      val x2 = ax((i + 1) % n); val y2 = ay((i + 1) % n)
+      var j = 0
+      while (j < m) {
+        val x3 = bx(j); val y3 = by(j)
+        val x4 = bx((j + 1) % m); val y4 = by((j + 1) % m)
+        val d = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+        if (d != 0.0) {
+          val t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / d
+          val u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / d
+          if (t > 0 && t < 1 && u > 0 && u < 1)
+            crossings += Cross(crossings.size, i, t, j, u,
+              x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (crossings.isEmpty) {
+      if (pointIn(bx, by, ax(0), ay(0))) return Array((bx, by)) // A inside B
+      if (pointIn(ax, ay, bx(0), by(0))) return Array((ax, ay)) // B inside A
+      return Array((ax, ay), (bx, by)) // disjoint
+    }
+    // augmented rings: vertices + crossings in traversal order
+    def ring(xs: Array[Double], ys: Array[Double], isA: Boolean): Array[Node] = {
+      val out = collection.mutable.ArrayBuffer[Node]()
+      var e = 0
+      while (e < xs.length) {
+        out += Node(xs(e), ys(e), -1)
+        val onEdge = crossings.filter(c => (if (isA) c.i else c.j) == e)
+          .sortBy(c => if (isA) c.tA else c.tB)
+        onEdge.foreach(c => out += Node(c.x, c.y, c.id))
+        e += 1
+      }
+      out.toArray
+    }
+    val ringA = ring(ax, ay, isA = true)
+    val ringB = ring(bx, by, isA = false)
+    val posA = new Array[Int](crossings.size)
+    val posB = new Array[Int](crossings.size)
+    ringA.zipWithIndex.foreach { case (nd, k) => if (nd.crossId >= 0) posA(nd.crossId) = k }
+    ringB.zipWithIndex.foreach { case (nd, k) => if (nd.crossId >= 0) posB(nd.crossId) = k }
+    // start from an A vertex strictly outside B (exists: crossings exist,
+    // so neither contains the other)
+    val startIdx = ringA.indexWhere(nd =>
+      nd.crossId < 0 && !pointIn(bx, by, nd.x, nd.y))
+    if (startIdx < 0) throw new IllegalStateException(
+      "st_union: degenerate input (no outside vertex; generic position required)")
+    val rx = collection.mutable.ArrayBuffer[Double]()
+    val ry = collection.mutable.ArrayBuffer[Double]()
+    var onA = true
+    var k = startIdx
+    var steps = 0
+    val maxSteps = 2 * (ringA.length + ringB.length) + 4
+    while (steps == 0 || !(onA && k == startIdx)) {
+      val cur = if (onA) ringA(k) else ringB(k)
+      rx += cur.x; ry += cur.y
+      if (cur.crossId >= 0) {
+        // switch rings at every transversal crossing (union walk)
+        onA = !onA
+        k = if (onA) posA(cur.crossId) else posB(cur.crossId)
+      }
+      k = (k + 1) % (if (onA) ringA.length else ringB.length)
+      steps += 1
+      if (steps > maxSteps) throw new IllegalStateException(
+        "st_union: walk did not close (degenerate input; generic position required)")
+    }
+    Array((rx.toArray, ry.toArray))
+  }
+
+  def unionRow(ax: ArrayData, ay: ArrayData, bx: ArrayData, by: ArrayData): InternalRow = {
+    val parts = union(toArr(ax), toArr(ay), toArr(bx), toArr(by))
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(parts.map(p => new GenericArrayData(p._1): Any)),
+      new GenericArrayData(parts.map(p => new GenericArrayData(p._2): Any))))
+  }
+
+  // ---- buffers ------------------------------------------------------------
+
+  /** One 34-gon capsule per segment: rectangle + two half-32-gon caps.
+    * Cap vertices sit exactly at distance r (the 32-gon circle
+    * discretization of the existing point buffer). */
+  def capsule(axv: Double, ayv: Double, bxv: Double, byv: Double, r: Double)
+      : (Array[Double], Array[Double]) = {
+    val dx = bxv - axv; val dy = byv - ayv
+    val len = math.sqrt(dx * dx + dy * dy)
+    val phi = math.atan2(dy, dx)
+    val xs = new Array[Double](34)
+    val ys = new Array[Double](34)
+    var k = 0
+    while (k <= 16) { // cap at b: phi - pi/2 .. phi + pi/2 (outward)
+      val a = phi - math.Pi / 2 + k * math.Pi / 16
+      xs(k) = bxv + r * math.cos(a); ys(k) = byv + r * math.sin(a)
+      k += 1
+    }
+    while (k <= 33) { // cap at a: phi + pi/2 .. phi + 3pi/2
+      val a = phi + math.Pi / 2 + (k - 17) * math.Pi / 16
+      xs(k) = axv + r * math.cos(a); ys(k) = ayv + r * math.sin(a)
+      k += 1
+    }
+    val _ = len
+    (xs, ys)
+  }
+
+  /** Minkowski sum of a CONVEX polygon with the regular 32-gon of
+    * circumradius r — the exact convex buffer under the engine's 32-gon
+    * circle discretization. Sorted edge-vector merge, both rings CCW
+    * rotated to start at their bottom-most vertex. */
+  def minkowski32(xs0: Array[Double], ys0: Array[Double], r: Double)
+      : (Array[Double], Array[Double]) = {
+    val (xs, ys) = ccw(xs0, ys0)
+    def rotateToBottom(px: Array[Double], py: Array[Double]): (Array[Double], Array[Double]) = {
+      var b = 0
+      var i = 1
+      while (i < px.length) {
+        if (py(i) < py(b) || (py(i) == py(b) && px(i) < px(b))) b = i
+        i += 1
+      }
+      (px.drop(b) ++ px.take(b), py.drop(b) ++ py.take(b))
+    }
+    val (axr, ayr) = rotateToBottom(xs, ys)
+    val kx = new Array[Double](32)
+    val ky = new Array[Double](32)
+    var k = 0
+    while (k < 32) {
+      kx(k) = r * math.cos(2 * math.Pi * k / 32)
+      ky(k) = r * math.sin(2 * math.Pi * k / 32)
+      k += 1
+    }
+    val (kxr, kyr) = rotateToBottom(kx, ky)
+    def edgeAngle(px: Array[Double], py: Array[Double], i: Int): Double = {
+      val j = (i + 1) % px.length
+      val a = math.atan2(py(j) - py(i), px(j) - px(i))
+      if (a < 0) a + 2 * math.Pi else a
+    }
+    val n = axr.length; val m = 32
+    val outX = new Array[Double](n + m)
+    val outY = new Array[Double](n + m)
+    var cx = axr(0) + kxr(0)
+    var cy = ayr(0) + kyr(0)
+    var i = 0; var j = 0; var o = 0
+    while (o < n + m) {
+      outX(o) = cx; outY(o) = cy
+      val takeA = j >= m ||
+        (i < n && edgeAngle(axr, ayr, i) <= edgeAngle(kxr, kyr, j))
+      if (takeA) {
+        val i2 = (i + 1) % n
+        cx += axr(i2) - axr(i); cy += ayr(i2) - ayr(i)
+        i += 1
+      } else {
+        val j2 = (j + 1) % m
+        cx += kxr(j2) - kxr(j); cy += kyr(j2) - kyr(j)
+        j += 1
+      }
+      o += 1
+    }
+    (outX, outY)
+  }
+
+  def bufferRow(xs: ArrayData, ys: ArrayData, r: Double, line: Boolean): InternalRow = {
+    val px = toArr(xs); val py = toArr(ys)
+    val parts: Array[(Array[Double], Array[Double])] =
+      if (!line) Array(minkowski32(px, py, r))
+      else if (px.length < 2) Array(minkowski32(Array(px(0)), Array(py(0)), r))
+      else (0 until px.length - 1).map(i =>
+        capsule(px(i), py(i), px(i + 1), py(i + 1), r)).toArray
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(parts.map(p => new GenericArrayData(p._1): Any)),
+      new GenericArrayData(parts.map(p => new GenericArrayData(p._2): Any))))
+  }
+
+  // ---- column-level API ----------------------------------------------------
+
+  import org.apache.spark.sql.GraftBridge
+
+  val polySchema: StructType = StructType(Seq(
+    StructField("xs", ArrayType(DoubleType, containsNull = false)),
+    StructField("ys", ArrayType(DoubleType, containsNull = false))))
+  val partsSchema: StructType = StructType(Seq(
+    StructField("pxs", ArrayType(ArrayType(DoubleType, containsNull = false))),
+    StructField("pys", ArrayType(ArrayType(DoubleType, containsNull = false)))))
+
+  def st_intersection_rings(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    GraftBridge.column(ConvexClip(GraftBridge.expression(ax), GraftBridge.expression(ay),
+      GraftBridge.expression(bx), GraftBridge.expression(by)))
+  def st_union_rings(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    GraftBridge.column(PolyUnion(GraftBridge.expression(ax), GraftBridge.expression(ay),
+      GraftBridge.expression(bx), GraftBridge.expression(by)))
+  def st_buffer_ring(xs: Column, ys: Column, r: Column, line: Boolean): Column =
+    GraftBridge.column(PolyBuffer(GraftBridge.expression(xs), GraftBridge.expression(ys),
+      GraftBridge.expression(r), line))
+}
+
+/** Sutherland–Hodgman intersection: (subject xs, ys, convex clip xs, ys) →
+  * struct<xs, ys> (empty when disjoint). */
+case class ConvexClip(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType.isInstanceOf[ArrayType])) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_intersection_rings expects four array<double>")
+  override def dataType: DataType = PolyClip.polySchema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_intersection_rings"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PolyClip.clipRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.PolyClip.clipRow($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
+/** Convex-convex union walk: → struct<pxs: array<array<double>>, pys: ...>
+  * (one part when overlapping/contained, two when disjoint). */
+case class PolyUnion(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType.isInstanceOf[ArrayType])) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_union_rings expects four array<double>")
+  override def dataType: DataType = PolyClip.partsSchema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_union_rings"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PolyClip.unionRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.PolyClip.unionRow($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
+/** Buffer: line=true strokes segments into capsules; line=false is the
+  * convex-polygon Minkowski sum with the regular 32-gon. */
+case class PolyBuffer(first: Expression, second: Expression,
+    third: Expression, line: Boolean) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (_: ArrayType, _: ArrayType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "st_buffer_ring expects (array<double>, array<double>, double)")
+    }
+  override def dataType: DataType = PolyClip.partsSchema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_buffer_ring"
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    PolyClip.bufferRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Double], line)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.PolyClip.bufferRow($a, $b, $c, $line);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(f, s, t)
+}

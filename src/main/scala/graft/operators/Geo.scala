@@ -396,6 +396,67 @@ object Geo {
       transform(ks, k => stY(p) + r * sin(k.cast("double") * (2 * math.Pi / 32))).as("ys"))
   }
 
+  // ---- clipping kernels: area / intersection / union / buffer ------------
+  // (reference GeoFunctions ST_Intersection/ST_Union/ST_Buffer via ESRI;
+  // here native kernels over the struct geometry — functions/PolyClip.)
+
+  /** Shoelace area of a {xs, ys} ring (closing edge implied). */
+  def stArea(g: Column): Column = {
+    val xs = g.getField("xs"); val ys = g.getField("ys")
+    val n = size(xs)
+    when(n < 3, lit(0.0)).otherwise(
+      abs(aggregate(sequence(lit(1), n), lit(0.0), (acc, i) => {
+        val j = when(i === n, lit(1)).otherwise(i + 1)
+        acc + element_at(xs, i) * element_at(ys, j) -
+          element_at(xs, j) * element_at(ys, i)
+      })) / 2)
+  }
+
+  /** Total area of a multi-part geometry (parts representation). */
+  def stAreaMulti(g: Column): Column =
+    aggregate(transform(g.getField("parts"), p => stArea(p)), lit(0.0), _ + _)
+
+  /** ST_Intersection of a polygon with a CONVEX polygon — exact
+    * Sutherland–Hodgman clipping (empty ring when disjoint). */
+  def stIntersectionPoly(a: Column, b: Column): Column = {
+    val r = graft.functions.PolyClip.st_intersection_rings(
+      a.getField("xs"), a.getField("ys"), b.getField("xs"), b.getField("ys"))
+    struct(lit("POLYGON").as("kind"),
+      r.getField("xs").as("xs"), r.getField("ys").as("ys"))
+  }
+
+  /** ST_Union of two CONVEX polygons (generic position): overlapping →
+    * the traced union boundary (one part, possibly non-convex);
+    * containment → the container; disjoint → two parts. */
+  def stUnionPoly(a: Column, b: Column): Column = {
+    val r = graft.functions.PolyClip.st_union_rings(
+      a.getField("xs"), a.getField("ys"), b.getField("xs"), b.getField("ys"))
+    struct(lit("MULTIPOLYGON").as("kind"),
+      zip_with(r.getField("pxs"), r.getField("pys"),
+        (x, y) => struct(x.as("xs"), y.as("ys"))).as("parts"))
+  }
+
+  /** ST_Buffer of a LINESTRING: one 34-gon capsule per segment
+    * (rectangle + two half-32-gon caps — the same 32-gon circle
+    * discretization as the point buffer). */
+  def stBufferLine(line: Column, r: Column): Column = {
+    val b = graft.functions.PolyClip.st_buffer_ring(
+      line.getField("xs"), line.getField("ys"), r.cast("double"), line = true)
+    struct(lit("MULTIPOLYGON").as("kind"),
+      zip_with(b.getField("pxs"), b.getField("pys"),
+        (x, y) => struct(x.as("xs"), y.as("ys"))).as("parts"))
+  }
+
+  /** ST_Buffer of a CONVEX polygon: the exact Minkowski sum with the
+    * regular 32-gon of circumradius r (n + 32 vertices). */
+  def stBufferPolygon(poly: Column, r: Column): Column = {
+    val b = graft.functions.PolyClip.st_buffer_ring(
+      poly.getField("xs"), poly.getField("ys"), r.cast("double"), line = false)
+    struct(lit("POLYGON").as("kind"),
+      element_at(b.getField("pxs"), 1).as("xs"),
+      element_at(b.getField("pys"), 1).as("ys"))
+  }
+
   /** OGC SFS type code (reference: GeoFunctions.Type enum). */
   def stGeometryTypeCode(g: Column): Column =
     when(g.getField("kind") === "POINT", 1)
@@ -705,6 +766,107 @@ object Geo {
           col("n_nationkey").cast("double") + 0.25).as("np"))
       npt.join(cpt, stDWithin(col("np"), col("cp"), lit(4.0)))
         .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n_near"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // ST_Union of convex polygons via the boundary-walk kernel, plus the
+    // Sutherland–Hodgman intersection. Fixtures: per-nation axis-aligned
+    // rectangles — A = [0,aw]×[0,12] with integer edges, B a 5×5 square at
+    // .25-fraction offsets, so no edge coordinate is ever shared (generic
+    // position) while the ORACLE is closed-form inclusion-exclusion
+    // arithmetic. The engine runs the GENERAL convex kernels; the rectangle
+    // choice only makes the expected values expressible. Offsets sweep
+    // overlap, containment (B inside A → 1 part, union = A) and disjoint
+    // (→ 2 parts). round(…,6) absorbs the parametric-intersection ulps;
+    // true values are quarter-integers, far from any rounding boundary.
+    QDef.sql("geo_union_poly",
+      """SELECT n_nationkey,
+        |  round(aw * 12.0 + 25.0 - ov, 6) AS union_area,
+        |  round(ov, 6) AS inter_area,
+        |  CASE WHEN ov = 0 THEN 2 ELSE 1 END AS n_parts
+        |FROM (
+        |  SELECT n_nationkey, aw, bx0, by0,
+        |    greatest(least(aw, bx0 + 5) - greatest(0.0, bx0), 0)
+        |      * greatest(least(12.0, by0 + 5) - greatest(0.0, by0), 0) AS ov
+        |  FROM (
+        |    SELECT n_nationkey,
+        |      CAST(12 + n_nationkey % 3 AS DOUBLE) AS aw,
+        |      CAST(n_nationkey * 3 % 23 - 4 AS DOUBLE) + 0.25 AS bx0,
+        |      CAST(n_nationkey * 7 % 11 - 2 AS DOUBLE) + 0.25 AS by0
+        |    FROM nation))
+        |ORDER BY n_nationkey""") { (s, dir) =>
+      val base = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") % 3 + 12).cast("double").as("aw"),
+        ((col("n_nationkey") * 3 % 23 - 4).cast("double") + 0.25).as("bx0"),
+        ((col("n_nationkey") * 7 % 11 - 2).cast("double") + 0.25).as("by0"))
+      val zero = lit(0.0)
+      val rectA = struct(lit("POLYGON").as("kind"),
+        array(zero, col("aw"), col("aw"), zero).as("xs"),
+        array(zero, zero, lit(12.0), lit(12.0)).as("ys"))
+      val rectB = struct(lit("POLYGON").as("kind"),
+        array(col("bx0"), col("bx0") + 5, col("bx0") + 5, col("bx0")).as("xs"),
+        array(col("by0"), col("by0"), col("by0") + 5, col("by0") + 5).as("ys"))
+      val u = stUnionPoly(rectA, rectB)
+      base.select(col("n_nationkey"),
+        round(stAreaMulti(u), 6).as("union_area"),
+        round(stArea(stIntersectionPoly(rectA, rectB)), 6).as("inter_area"),
+        stNumGeometries(u).as("n_parts"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // ST_Buffer of a LINESTRING: per-segment 34-gon capsule. The engine
+    // computes real trigonometry (non-axis-aligned segments) and validates
+    // its own shoelace area against the closed form 2·r·len + 16·r²·sin(π/16)
+    // — pinned as a boolean (trig ulps differ across libm builds, so the
+    // cross-engine contract is the predicate, not the float). Containment
+    // probes sit far from the boundary, so their booleans are exact.
+    QDef.sql("geo_buffer_line",
+      """SELECT n_nationkey, 34 AS nv, 1 AS n_parts,
+        |  TRUE AS area_ok, TRUE AS contains_start, FALSE AS intersects_far
+        |FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val base = t(s, dir, "nation").select(col("n_nationkey"),
+        ((col("n_nationkey") % 5).cast("double") + 0.25).as("ax"),
+        ((col("n_nationkey") % 7).cast("double") + 0.5).as("ay"))
+        .withColumn("bx", col("ax") + (col("n_nationkey") % 3).cast("double") + 3.0)
+        .withColumn("by", col("ay") + (col("n_nationkey") % 2).cast("double") * 3.0 - 1.5)
+      val line = stMakeLine(stPoint(col("ax"), col("ay")), stPoint(col("bx"), col("by")))
+      val r = 1.25
+      val cap = stGeometryN(stBufferLine(line, lit(r)), lit(1))
+      val len = sqrt((col("bx") - col("ax")) * (col("bx") - col("ax"))
+        + (col("by") - col("ay")) * (col("by") - col("ay")))
+      val closed = lit(2.0 * r) * len + lit(16.0 * r * r * math.sin(math.Pi / 16))
+      base.select(col("n_nationkey"),
+        stNumPoints(cap).as("nv"),
+        stNumGeometries(stBufferLine(line, lit(r))).as("n_parts"),
+        (abs(stArea(cap) - closed) < 1e-9).as("area_ok"),
+        stContains(cap, stPoint(col("ax"), col("ay"))).as("contains_start"),
+        stIntersects(cap, stPoint(col("ax") + 100, col("ay"))).as("intersects_far"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // ST_Buffer of a CONVEX polygon: exact Minkowski sum with the regular
+    // 32-gon (4 + 32 vertices for a rectangle). Same contract style: the
+    // engine's shoelace must equal w·h + 2r(w+h) + 16·r²·sin(π/16) to 1e-9
+    // (strip offsets use cos(π/2)≈6e-17, so the identity holds to ~1e-14).
+    QDef.sql("geo_buffer_poly",
+      """SELECT n_nationkey, 36 AS nv,
+        |  TRUE AS area_ok, TRUE AS contains_corner, FALSE AS intersects_far
+        |FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val base = t(s, dir, "nation").select(col("n_nationkey"),
+        ((col("n_nationkey") % 3).cast("double") + 2.0).as("w"))
+      val zero = lit(0.0)
+      val rect = struct(lit("POLYGON").as("kind"),
+        array(zero, col("w"), col("w"), zero).as("xs"),
+        array(zero, zero, lit(2.5), lit(2.5)).as("ys"))
+      val r = 0.75
+      val buf = stBufferPolygon(rect, lit(r))
+      val closed = col("w") * 2.5 + lit(2.0 * r) * (col("w") + 2.5) +
+        lit(16.0 * r * r * math.sin(math.Pi / 16))
+      base.select(col("n_nationkey"),
+        stNumPoints(buf).as("nv"),
+        (abs(stArea(buf) - closed) < 1e-9).as("area_ok"),
+        stContains(buf, stPoint(lit(0.0), lit(0.0))).as("contains_corner"),
+        stIntersects(buf, stPoint(col("w") + 2, lit(-2.0))).as("intersects_far"))
         .orderBy(col("n_nationkey"))
     }
   )

@@ -200,6 +200,51 @@ object Extras {
           .otherwise("SCALAR").as("jtype"))
     },
 
+    // ---- JSON introspection II: DEPTH / PRETTY / REMOVE / STORAGE_SIZE ----
+    // (SqlLibraryOperators JSON_DEPTH/JSON_PRETTY/JSON_REMOVE/
+    // JSON_STORAGE_SIZE — the rest of the MySQL introspection family,
+    // native kernels in functions/JsonIntrospect). DuckDB 1.0 has none of
+    // the four, so the oracle pins expected outputs CLOSED-FORM over
+    // constructed JSON of known shape: a nested document for even ids, a
+    // flat one for odd; STORAGE_SIZE parses a whitespace-riddled variant
+    // and must equal the canonical compact length.
+    QDef.sql("fn_json_info2",
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 4 ELSE 2 END AS jd,
+        |  CASE WHEN event_id % 2 = 0 THEN
+        |      '{' || chr(10) || '  "a": ' || CAST(event_id AS VARCHAR) || ',' || chr(10)
+        |      || '  "b": [' || chr(10) || '    1,' || chr(10) || '    {' || chr(10)
+        |      || '      "c": "x"' || chr(10) || '    }' || chr(10) || '  ]' || chr(10) || '}'
+        |    ELSE '{' || chr(10) || '  "k": ' || CAST(event_id AS VARCHAR) || chr(10) || '}'
+        |  END AS jp,
+        |  CASE WHEN event_id % 2 = 0 THEN '{"b": [1, {"c": "x"}]}'
+        |       ELSE '{"k": ' || CAST(event_id AS VARCHAR) || '}' END AS jr,
+        |  CASE WHEN event_id % 2 = 0
+        |       THEN '{"a": ' || CAST(event_id AS VARCHAR) || ', "b": [{"c": "x"}]}'
+        |       ELSE '{"k": ' || CAST(event_id AS VARCHAR) || '}' END AS jr2,
+        |  CAST(length(CASE WHEN event_id % 2 = 0
+        |    THEN '{"a": ' || CAST(event_id AS VARCHAR) || ', "b": [1, {"c": "x"}]}'
+        |    ELSE '{"k": ' || CAST(event_id AS VARCHAR) || '}' END) AS INT) AS sz
+        |FROM events WHERE event_id % 13 = 0""") { (s, dir) =>
+      import graft.functions.JsonIntrospect._
+      val id = col("event_id").cast("string")
+      val even = col("event_id") % 2 === 0
+      val j = when(even,
+          concat(lit("{\"a\": "), id, lit(", \"b\": [1, {\"c\": \"x\"}]}")))
+        .otherwise(concat(lit("{\"k\": "), id, lit("}")))
+      // same documents, hostile whitespace — STORAGE_SIZE must see through
+      val messy = when(even,
+          concat(lit("{ \"a\" :"), id, lit(" ,  \"b\":[ 1,{\"c\": \"x\"} ] }")))
+        .otherwise(concat(lit("{  \"k\":"), id, lit(" }")))
+      t(s, dir, "events").where(col("event_id") % 13 === 0).select(
+        col("event_id"),
+        json_depth(j).as("jd"),
+        json_pretty(j).as("jp"),
+        json_remove(j, lit("$.a")).as("jr"),
+        json_remove(j, lit("$.b[0]")).as("jr2"),
+        json_storage_size(messy).as("sz"))
+    },
+
     // ---- JSON aggregation: JSON_ARRAYAGG / JSON_OBJECTAGG -----------------
     // reference: RexImpTable.java:544-553 JSON_OBJECTAGG/JSON_ARRAYAGG.
     // Aggregation order is pinned (sorted by key) so the emitted text is

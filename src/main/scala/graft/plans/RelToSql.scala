@@ -98,6 +98,28 @@ object RelToSql {
     }
   }
 
+  /** PostgreSQL rendering (reference: sql/dialect/PostgresqlSqlDialect.java
+    * — the most-hit real-world JDBC target). Double-quoted identifiers like
+    * Ansi; type renames: no TINYINT (SMALLINT), DOUBLE is spelled DOUBLE
+    * PRECISION, unbounded VARCHAR is TEXT; integer '/' already divides
+    * integrally in PostgreSQL; epoch conversion via TO_TIMESTAMP. DuckDB
+    * executes this dialect's text for everything demoPlan-shaped
+    * (`rel2sql_roundtrip_pg`), EXCEPT integer '/' — DuckDB made int '/'
+    * float division, so intDivide renderings are pinned text-only. */
+  object Postgres extends Dialect {
+    val name = "postgres"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def typeName(dt: DataType): String = dt match {
+      case ByteType => "SMALLINT"
+      case DoubleType => "DOUBLE PRECISION"
+      case StringType => "TEXT"
+      case other => super.typeName(other)
+    }
+    override def intDivide(a: String, b: String): String = s"($a / $b)"
+    override def microsToTimestamp(us: String): String =
+      s"TO_TIMESTAMP(($us) / 1000000.0)"
+  }
+
   /** MySQL-flavored rendering (reference: sql/dialect/MysqlSqlDialect.java —
     * backtick quoting, CONCAT function, no "double-quote = identifier"). */
   object MySql extends Dialect {

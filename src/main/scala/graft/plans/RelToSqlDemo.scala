@@ -42,6 +42,18 @@ object RelToSqlDemo {
     QDef.sql("rel2sql_roundtrip", RelToSqlPinned.ansi) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(RelToSql.convert(demoPlan(s, dir), RelToSql.Spark))
+    },
+
+    // PostgreSQL-dialect cycle: Spark executes the Spark rendering, the
+    // DuckDB oracle executes the POSTGRES rendering verbatim (DuckDB's
+    // Postgres-compatible subset covers it: double-quoted identifiers,
+    // DOUBLE PRECISION, DECIMAL casts). Hash-match proves the Postgres
+    // text computes the same relation — the JDBC-adapter shape against
+    // the reference's most-hit real-world dialect
+    // (sql/dialect/PostgresqlSqlDialect.java).
+    QDef.sql("rel2sql_roundtrip_pg", RelToSqlPinned.postgres) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(RelToSql.convert(demoPlan(s, dir), RelToSql.Spark))
     }
   )
 }

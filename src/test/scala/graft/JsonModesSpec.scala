@@ -51,4 +51,43 @@ class JsonModesSpec extends AnyFunSuite {
     assert(one(JsonModes.jsonQuery(lit("""{"a":1}"""), "$.a",
       arrayWrapper = true)) == "[1]")
   }
+
+  test("JSON introspection quartet: depth/pretty/remove/storage_size edge cases") {
+    import graft.functions.JsonIntrospect
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    // depth: scalars and empty containers are 1 (MySQL semantics)
+    assert(JsonIntrospect.depth(u8("42")) == 1)
+    assert(JsonIntrospect.depth(u8("{}")) == 1 && JsonIntrospect.depth(u8("[]")) == 1)
+    assert(JsonIntrospect.depth(u8("""{"a": [], "b": [[1]]}""")) == 4)
+    // escaped quotes survive parsing/serialization verbatim
+    val esc = """{"a": "x\"y", "b": 1}"""
+    assert(JsonIntrospect.remove(u8(esc), u8("$.b")).toString == """{"a": "x\"y"}""")
+    // absent path is a no-op; nested and array-index paths remove in place
+    assert(JsonIntrospect.remove(u8("""{"a": 1}"""), u8("$.zz")).toString == """{"a": 1}""")
+    assert(JsonIntrospect.remove(u8("""{"a": {"b": 1, "c": 2}}"""), u8("$.a.b")).toString
+      == """{"a": {"c": 2}}""")
+    assert(JsonIntrospect.remove(u8("""[1, 2, 3]"""), u8("$[1]")).toString == "[1, 3]")
+    assert(JsonIntrospect.remove(u8("""[1]"""), u8("$[5]")).toString == "[1]")
+    // storage size is whitespace-insensitive (canonical compact length)
+    assert(JsonIntrospect.storageSize(u8("""{ "a" : 1 }""")) ==
+      JsonIntrospect.storageSize(u8("""{"a": 1}""")))
+    // pretty round-trips structure with 2-space indent
+    assert(JsonIntrospect.pretty(u8("""{"a": [1]}""")).toString ==
+      "{\n  \"a\": [\n    1\n  ]\n}")
+    // malformed input raises (MySQL errors on invalid JSON)
+    intercept[IllegalArgumentException] { JsonIntrospect.depth(u8("{broken")) }
+    // codegen == interpreted through the column API
+    import spark.implicits._
+    val df = Seq("""{"a": {"b": [1, 2]}}""").toDF("j")
+    def run() = df.select(
+      JsonIntrospect.json_depth(col("j")),
+      JsonIntrospect.json_remove(col("j"), lit("$.a.b[0]")),
+      JsonIntrospect.json_storage_size(col("j"))).head()
+    val cg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(cg == interp)
+    assert(cg.getInt(0) == 4 && cg.getString(1) == """{"a": {"b": [2]}}""")
+  }
 }

@@ -24,6 +24,31 @@ class RelToSqlSpec extends AnyFunSuite {
     val plan = RelToSqlDemo.demoPlan(spark, sfDir)
     assert(RelToSql.convert(plan, RelToSql.Ansi) == RelToSqlPinned.ansi)
     assert(RelToSql.convert(plan, RelToSql.Spark) == RelToSqlPinned.spark)
+    assert(RelToSql.convert(plan, RelToSql.Postgres) == RelToSqlPinned.postgres)
+  }
+
+  test("PostgreSQL dialect: quoting, type renames, TO_TIMESTAMP, int division") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(col("c_name").cast("string").as("s"),
+        col("c_acctbal").cast("double").as("d"),
+        (col("c_custkey") / 7).cast("long").as("q"))
+    val sql = RelToSql.convert(c, RelToSql.Postgres)
+    assert(sql.contains("\"c_name\""), sql)
+    assert(sql.contains("AS TEXT"), sql)
+    assert(sql.contains("DOUBLE PRECISION"), sql)
+    // micros→timestamp renders as TO_TIMESTAMP(us / 1e6)
+    val ts = Tables.t(spark, sfDir, "orders")
+      .select((col("o_orderkey") * 1000000L).as("us"))
+      .select(timestamp_micros(col("us")).as("t"))
+    val tsSql = RelToSql.convert(ts, RelToSql.Postgres)
+    assert(tsSql.contains("TO_TIMESTAMP("), tsSql)
+    // integer division renders as plain '/' (integral on int operands in
+    // PostgreSQL; documented text-only vs DuckDB, whose int '/' is float)
+    val idiv = Tables.t(spark, sfDir, "orders")
+      .selectExpr("o_orderkey div 10 AS b")
+    val divSql = RelToSql.convert(idiv, RelToSql.Postgres)
+    assert(divSql.contains(" / "), divSql)
+    assert(!divSql.contains("DIV") && !divSql.contains("//"), divSql)
   }
 
   test("demo plan round-trips through its Spark rendering") {

@@ -87,6 +87,61 @@ object Dedup {
       minhashPairs(t(s, dir, "documents"), threshold = 0.6)
     },
 
+    // ---- MinHash+LSH, PORTABLE-HASH mode (r5 VERDICT #8) -------------------
+    // The SAME Scala pipeline as dedup_minhash_lsh — OPH bins, rotation
+    // densification, 96×8 banding, bucket cap, merge-scan exact verify —
+    // with both hash functions swapped for mod-1000003 polynomials the
+    // oracle replays step for step (trigram hash → bin-min → densify via
+    // nearest-filled-clockwise + hop → band fold → bucket join under the
+    // cap → exact Jaccard). This gives the banding machinery a true
+    // hash-match oracle; the production entry keeps the fmix64 kernel
+    // (wrap-around folds cannot port: DuckDB BIGINT errors on overflow).
+    // The engine's in-place densification chains through already-densified
+    // bins, which telescopes to nearest-originally-filled + total distance
+    // — exactly the oracle's closed form.
+    QDef.sql("dedup_minhash_portable",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 3),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(1, len(text) - 1),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(substr(text, i, 3), ''),
+        |                            c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 31 + c) % 1000003)))) AS hs
+        |  FROM d),
+        |bins AS (
+        |  SELECT doc_id, h % 768 AS b, min(h) AS mn
+        |  FROM (SELECT doc_id, unnest(hs) AS h FROM g) GROUP BY doc_id, h % 768),
+        |allb AS (
+        |  SELECT g.doc_id, gs.b FROM g, (SELECT unnest(range(0, 768)) AS b) gs),
+        |dens AS (
+        |  SELECT ab.doc_id, ab.b,
+        |    (SELECT f.mn + (f.b - ab.b + 768) % 768
+        |     FROM bins f WHERE f.doc_id = ab.doc_id
+        |     ORDER BY (f.b - ab.b + 768) % 768 LIMIT 1) AS v
+        |  FROM allb ab),
+        |bands AS (
+        |  SELECT doc_id, b // 8 AS band,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY b)),
+        |      (h, x) -> (h * 31 + x) % 1000003) AS bh
+        |  FROM dens GROUP BY doc_id, b // 8),
+        |cnt AS (SELECT band, bh, count(*) AS c FROM bands GROUP BY band, bh),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM bands l
+        |  JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        |  JOIN cnt ON cnt.band = l.band AND cnt.bh = l.bh AND cnt.c <= 100),
+        |v AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)
+        |      / (len(ga.hs) + len(gb.hs) - len(list_intersect(ga.hs, gb.hs))) AS jac
+        |  FROM cand
+        |  JOIN g ga ON ga.doc_id = cand.id_a
+        |  JOIN g gb ON gb.doc_id = cand.id_b)
+        |SELECT id_a, id_b, jac FROM v WHERE jac >= 0.6""") { (s, dir) =>
+      minhashPairs(t(s, dir, "documents"), threshold = 0.6, portable = true)
+    },
+
     // ---- SimHash signatures ------------------------------------------------
     // 16-bit simhash over token hashes: bit b = sign of Σ_tokens (±1).
     // The token hash is a polynomial fold mod 1000003 — engine-independent
@@ -303,16 +358,30 @@ object Dedup {
     *    recomputed per join side.
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
-      numHashes: Int = 768, bands: Int = 96): DataFrame = {
+      numHashes: Int = 768, bands: Int = 96, portable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands // r=8: a 0.45 noise floor collides at 0.45^8 ~ 0.002
     // ONE materialization carries the sorted gram hashes — shared by the
     // signature kernel and the merge-scan verify step. The codegen'd
     // one-pass shingling kernel replaces the interpreted
     // substr-per-window projection (the former pipeline bottleneck).
+    //
+    // `portable` swaps BOTH hash functions for DuckDB-recomputable
+    // mod-1000003 polynomials (gram hash = the simhash token polynomial
+    // over each trigram; band fold = the same recurrence over bin-mins,
+    // seed 0) so the ENTIRE pipeline — OPH bins, rotation densification,
+    // banding, bucket cap, exact verify — can be replayed by the oracle
+    // (`dedup_minhash_portable`). Production keeps the fmix64 kernel:
+    // DuckDB's BIGINT errors on overflow, so the wrap-around fold cannot
+    // port, and the portable trigram hashing is an interpreted transform.
+    val gramHashes =
+      if (!portable) graft.functions.ShingleHashes.shingle_hashes(col("text"))
+      else array_sort(array_distinct(transform(
+        sequence(lit(1), length(col("text")) - 2),
+        i => graft.functions.TokenPolyHash.token_poly_hash(
+          col("text").substr(i, lit(3))))))
     val mat = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .where(length(col("text")) >= 3)
-      .select(col("doc_id"),
-        graft.functions.ShingleHashes.shingle_hashes(col("text")).as("gs"))
+      .select(col("doc_id"), gramHashes.as("gs"))
       .localCheckpoint(eager = true)
     val g = mat.select(col("doc_id"), col("gs"))
     // One-Permutation Hashing (Li/Owen/Zhang 2012) with rotation
@@ -333,6 +402,7 @@ object Dedup {
     val nh = numHashes
     val nb = bands
     val rpb = rowsPerBand
+    val port = portable
     val banded = g
       .as[(Long, Array[Long])]   // primitive-array encoder: no per-element boxing
       .mapPartitions { it =>
@@ -358,9 +428,12 @@ object Dedup {
             i += 1
           }
           (0 until nb).iterator.map { bi =>
-            var h = 1125899906842597L
+            var h = if (port) 0L else 1125899906842597L
             var k = bi * rpb
-            while (k < (bi + 1) * rpb) { h = h * 31 + mins(k); k += 1 }
+            while (k < (bi + 1) * rpb) {
+              h = if (port) (h * 31 + mins(k)) % 1000003L else h * 31 + mins(k)
+              k += 1
+            }
             (id, bi, h)
           }
         }

@@ -17,6 +17,7 @@ object SparkEntry {
       operators.MatchRecognize.defs ++ operators.Extras.defs ++
       operators.JsonModes.defs ++
       operators.Tpch.defs ++ operators.Tpcds.defs ++
+      operators.FoodMart.defs ++
       operators.Geo.defs ++ operators.SchemaOnRead.defs ++
       operators.Periods.defs ++ operators.Sequences.defs ++
       plans.Profiler.defs ++ plans.RelToSqlDemo.defs ++

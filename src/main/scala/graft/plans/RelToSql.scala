@@ -64,6 +64,15 @@ object RelToSql {
         case (None, Some(o)) => s" OFFSET $o"
         case _ => ""
       }
+    /** ORDER BY + LIMIT/OFFSET tail rendered as one unit — some targets
+      * (MSSQL) can only express OFFSET/FETCH attached to an ORDER BY. */
+    def orderLimit(orderBy: Option[String],
+        limit: Option[Long], offset: Option[Long]): String =
+      orderBy.map(" ORDER BY " + _).getOrElse("") + limitClause(limit, offset)
+    /** Set-operation keyword with its quantifier (BigQuery requires the
+      * DISTINCT spelled out). */
+    def setOpKeyword(op: String, isAll: Boolean): String =
+      if (isAll) s"$op ALL" else op
     /** String concatenation of two rendered operands. */
     def concat(a: String, b: String): String = s"($a || $b)"
     /** Arithmetic right shift. */
@@ -132,6 +141,80 @@ object RelToSql {
       case IntegerType => "SIGNED"
       case other => super.typeName(other)
     }
+  }
+
+  /** Oracle rendering (reference: sql/dialect/OracleSqlDialect.java —
+    * NUMBER(p) integer cast specs, DOUBLE PRECISION, VARCHAR2 capped at
+    * 4000 bytes, no BOOLEAN SQL type [supportsDataType returns false], no
+    * LIMIT keyword: ANSI OFFSET … ROWS / FETCH NEXT … ROWS ONLY. Table
+    * aliases render without AS [allowsAs=false] — this converter already
+    * renders bare table aliases in every dialect). */
+  object Oracle extends Dialect {
+    val name = "oracle"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def typeName(dt: DataType): String = dt match {
+      case BooleanType =>
+        throw unsupported("cast target BOOLEAN (Oracle has no boolean column type)")
+      case ByteType => "NUMBER(3)"
+      case ShortType => "NUMBER(5)"
+      case IntegerType => "NUMBER(10)"
+      case LongType => "NUMBER(19)"
+      case DoubleType => "DOUBLE PRECISION"
+      case StringType => "VARCHAR2(4000)"
+      case other => super.typeName(other)
+    }
+    override def limitClause(limit: Option[Long], offset: Option[Long]): String =
+      offset.map(n => s" OFFSET $n ROWS").getOrElse("") +
+        limit.map(n => s" FETCH NEXT $n ROWS ONLY").getOrElse("")
+  }
+
+  /** SQL Server rendering (reference: sql/dialect/MssqlSqlDialect.java —
+    * bracket-quoted identifiers, '+' string concatenation, OFFSET/FETCH
+    * only legal attached to an ORDER BY [unparseOffsetFetch suppresses a
+    * bare one], so an unordered limit gets the ORDER BY (SELECT NULL)
+    * carrier instead of select-list TOP surgery). */
+  object Mssql extends Dialect {
+    val name = "mssql"
+    def quote(id: String): String = "[" + id.replace("]", "]]") + "]"
+    override def concat(a: String, b: String): String = s"($a + $b)"
+    override def typeName(dt: DataType): String = dt match {
+      case StringType => "NVARCHAR(MAX)"
+      case DoubleType => "FLOAT"
+      case TimestampNTZType | TimestampType => "DATETIME2"
+      case other => super.typeName(other)
+    }
+    override def orderLimit(orderBy: Option[String],
+        limit: Option[Long], offset: Option[Long]): String =
+      if (limit.isEmpty && offset.isEmpty)
+        orderBy.map(" ORDER BY " + _).getOrElse("")
+      else {
+        val carrier = orderBy.getOrElse("(SELECT NULL)")
+        s" ORDER BY $carrier OFFSET ${offset.getOrElse(0L)} ROWS" +
+          limit.map(n => s" FETCH NEXT $n ROWS ONLY").getOrElse("")
+      }
+  }
+
+  /** BigQuery standard-SQL rendering (reference:
+    * sql/dialect/BigQuerySqlDialect.java — backtick identifiers, INT64/
+    * FLOAT64/NUMERIC/BOOL/STRING cast specs, CONCAT function, and set
+    * operations must spell their quantifier: UNION/INTERSECT/EXCEPT
+    * DISTINCT [unparseCall rewrites the bare operators]). */
+  object BigQuery extends Dialect {
+    val name = "bigquery"
+    def quote(id: String): String = "`" + id.replace("`", "\\`") + "`"
+    override def concat(a: String, b: String): String = s"CONCAT($a, $b)"
+    override def setOpKeyword(op: String, isAll: Boolean): String =
+      if (isAll) s"$op ALL" else s"$op DISTINCT"
+    override def typeName(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "INT64"
+      case FloatType | DoubleType => "FLOAT64"
+      case _: DecimalType => "NUMERIC"
+      case BooleanType => "BOOL"
+      case StringType => "STRING"
+      case other => super.typeName(other)
+    }
+    override def intDivide(a: String, b: String): String = s"DIV($a, $b)"
+    override def microsToTimestamp(us: String): String = s"TIMESTAMP_MICROS($us)"
   }
 
   private def unsupported(what: String) =
@@ -308,7 +391,7 @@ object RelToSql {
 
       case Sort(order, true, child, _) =>
         val o = order.map(sortOrder).mkString(", ")
-        selectAll(child, s" ORDER BY $o")
+        selectAll(child, d.orderLimit(Some(o), None, None))
 
       case GlobalLimit(IntegerLiteral(n), LocalLimit(IntegerLiteral(_), child)) =>
         child match {
@@ -316,20 +399,20 @@ object RelToSql {
           // would let the outer block drop the inner ordering)
           case Sort(order, true, grand, _) =>
             val o = order.map(sortOrder).mkString(", ")
-            selectAll(grand, s" ORDER BY $o${d.limitClause(Some(n.toLong), None)}")
+            selectAll(grand, d.orderLimit(Some(o), Some(n.toLong), None))
           case Offset(IntegerLiteral(off), Sort(order, true, grand, _)) =>
             val o = order.map(sortOrder).mkString(", ")
             selectAll(grand,
-              s" ORDER BY $o${d.limitClause(Some(n.toLong), Some(off.toLong))}")
-          case _ => selectAll(child, d.limitClause(Some(n.toLong), None))
+              d.orderLimit(Some(o), Some(n.toLong), Some(off.toLong)))
+          case _ => selectAll(child, d.orderLimit(None, Some(n.toLong), None))
         }
 
       case Offset(IntegerLiteral(n), child) =>
         child match {
           case Sort(order, true, grand, _) =>
             val o = order.map(sortOrder).mkString(", ")
-            selectAll(grand, s" ORDER BY $o${d.limitClause(None, Some(n.toLong))}")
-          case _ => selectAll(child, d.limitClause(None, Some(n.toLong)))
+            selectAll(grand, d.orderLimit(Some(o), None, Some(n.toLong)))
+          case _ => selectAll(child, d.orderLimit(None, None, Some(n.toLong)))
         }
 
       case Distinct(child) =>
@@ -341,13 +424,13 @@ object RelToSql {
         s"SELECT DISTINCT * FROM ${from(child)}"
 
       case u: Union =>
-        setOp(u.children, u.output, "UNION ALL")
+        setOp(u.children, u.output, d.setOpKeyword("UNION", isAll = true))
 
       case Intersect(l, r, isAll) =>
-        setOp(Seq(l, r), plan.output, if (isAll) "INTERSECT ALL" else "INTERSECT")
+        setOp(Seq(l, r), plan.output, d.setOpKeyword("INTERSECT", isAll))
 
       case Except(l, r, isAll) =>
-        setOp(Seq(l, r), plan.output, if (isAll) "EXCEPT ALL" else "EXCEPT")
+        setOp(Seq(l, r), plan.output, d.setOpKeyword("EXCEPT", isAll))
 
       // window functions: child's columns pass through, each window
       // expression becomes an OVER clause in the same SELECT block

@@ -175,6 +175,74 @@ class RelToSqlSpec extends AnyFunSuite {
     assert(!sql.contains("||"))
   }
 
+  test("Oracle dialect: NUMBER casts, OFFSET/FETCH, no BOOLEAN") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        col("c_acctbal").cast("double").as("d"),
+        col("c_name").cast("string").as("s"))
+    val sql = RelToSql.convert(c, RelToSql.Oracle)
+    assert(sql.contains("AS NUMBER(19)"), sql)
+    assert(sql.contains("AS DOUBLE PRECISION"), sql)
+    assert(sql.contains("AS VARCHAR2(4000)"), sql)
+    val lim = Tables.t(spark, sfDir, "nation")
+      .orderBy(col("n_nationkey")).offset(5).limit(10)
+    val limSql = RelToSql.convert(lim, RelToSql.Oracle)
+    assert(limSql.contains("OFFSET 5 ROWS FETCH NEXT 10 ROWS ONLY"), limSql)
+    assert(!limSql.contains("LIMIT"), limSql)
+    val bool = Tables.t(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("boolean").as("b"))
+    intercept[UnsupportedOperationException] {
+      RelToSql.convert(bool, RelToSql.Oracle)
+    }
+  }
+
+  test("MSSQL dialect: brackets, + concat, ORDER BY carrier for OFFSET/FETCH") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(concat(col("c_name"), lit("x")).as("n"))
+    val sql = RelToSql.convert(c, RelToSql.Mssql)
+    assert(sql.contains("[c_name]"), sql)
+    assert(sql.contains(" + "), sql)
+    assert(!sql.contains("||"), sql)
+    // ordered limit+offset: OFFSET/FETCH rides the real ORDER BY
+    val ordered = Tables.t(spark, sfDir, "nation")
+      .orderBy(col("n_nationkey")).offset(3).limit(7)
+    val oSql = RelToSql.convert(ordered, RelToSql.Mssql)
+    assert(oSql.matches("(?s).*ORDER BY \\[n_nationkey\\][^,]* OFFSET 3 ROWS FETCH NEXT 7 ROWS ONLY.*"),
+      oSql)
+    // bare limit: the (SELECT NULL) carrier, never a bare OFFSET/FETCH
+    val bare = Tables.t(spark, sfDir, "nation").limit(4)
+    val bSql = RelToSql.convert(bare, RelToSql.Mssql)
+    assert(bSql.contains("ORDER BY (SELECT NULL) OFFSET 0 ROWS FETCH NEXT 4 ROWS ONLY"),
+      bSql)
+    // a plain sort keeps its ORDER BY with no OFFSET clause
+    val sorted = Tables.t(spark, sfDir, "nation").orderBy(col("n_name"))
+    val sSql = RelToSql.convert(sorted, RelToSql.Mssql)
+    assert(sSql.contains("ORDER BY [n_name]") && !sSql.contains("OFFSET"), sSql)
+  }
+
+  test("BigQuery dialect: INT64/FLOAT64 casts, set-op quantifiers, CONCAT") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        col("c_acctbal").cast("double").as("d"),
+        concat(col("c_name"), lit("x")).as("n"))
+    val sql = RelToSql.convert(c, RelToSql.BigQuery)
+    assert(sql.contains("AS INT64"), sql)
+    assert(sql.contains("AS FLOAT64"), sql)
+    assert(sql.contains("CONCAT("), sql)
+    assert(sql.contains("`c_custkey`"), sql)
+    val n = Tables.t(spark, sfDir, "nation").select(col("n_nationkey").as("k"))
+    val bqIntersect = RelToSql.convert(n.intersect(n), RelToSql.BigQuery)
+    assert(bqIntersect.contains("INTERSECT DISTINCT"), bqIntersect)
+    val bqExcept = RelToSql.convert(n.except(n), RelToSql.BigQuery)
+    assert(bqExcept.contains("EXCEPT DISTINCT"), bqExcept)
+    val bqUnion = RelToSql.convert(n.union(n), RelToSql.BigQuery)
+    assert(bqUnion.contains("UNION ALL"), bqUnion)
+    // the quantifier stays implicit in every other dialect
+    val ansiIntersect = RelToSql.convert(n.intersect(n), RelToSql.Ansi)
+    assert(ansiIntersect.contains("INTERSECT") &&
+      !ansiIntersect.contains("INTERSECT DISTINCT"), ansiIntersect)
+  }
+
   test("temp-view plans convert (View unwrapping)") {
     Tables.registerAll(spark, sfDir)
     roundTrip(spark.table("nation")

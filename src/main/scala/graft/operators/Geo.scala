@@ -831,16 +831,22 @@ object Geo {
         .withColumn("by", col("ay") + (col("n_nationkey") % 2).cast("double") * 3.0 - 1.5)
       val line = stMakeLine(stPoint(col("ax"), col("ay")), stPoint(col("bx"), col("by")))
       val r = 1.25
-      val cap = stGeometryN(stBufferLine(line, lit(r)), lit(1))
       val len = sqrt((col("bx") - col("ax")) * (col("bx") - col("ax"))
         + (col("by") - col("ay")) * (col("by") - col("ay")))
       val closed = lit(2.0 * r) * len + lit(16.0 * r * r * math.sin(math.Pi / 16))
-      base.select(col("n_nationkey"),
-        stNumPoints(cap).as("nv"),
-        stNumGeometries(stBufferLine(line, lit(r))).as("n_parts"),
-        (abs(stArea(cap) - closed) < 1e-9).as("area_ok"),
-        stContains(cap, stPoint(col("ax"), col("ay"))).as("contains_start"),
-        stIntersects(cap, stPoint(col("ax") + 100, col("ay"))).as("intersects_far"))
+      // The buffer kernel is aliased ONCE and referenced by attribute: an
+      // inline `cap` repeated per measure would clone the kernel subtree
+      // into every output column — 6× the optimizer/codegen work for the
+      // same rows (CollapseProject refuses to inline the expensive alias,
+      // keeping the plan two stacked projections).
+      base.withColumn("buf", stBufferLine(line, lit(r)))
+        .withColumn("cap", stGeometryN(col("buf"), lit(1)))
+        .select(col("n_nationkey"),
+          stNumPoints(col("cap")).as("nv"),
+          stNumGeometries(col("buf")).as("n_parts"),
+          (abs(stArea(col("cap")) - closed) < 1e-9).as("area_ok"),
+          stContains(col("cap"), stPoint(col("ax"), col("ay"))).as("contains_start"),
+          stIntersects(col("cap"), stPoint(col("ax") + 100, col("ay"))).as("intersects_far"))
         .orderBy(col("n_nationkey"))
     },
 

@@ -139,24 +139,22 @@ object TextAnalysis {
         |FROM w JOIN bm USING (doc_id)""") { (s, dir) =>
       val ws = split(col("text"), " ")
       val docs = t(s, dir, "documents")
-      // Spark's sequence(1, n) counts DOWN for n < 1 (step defaults to -1),
-      // so short documents need an explicit empty-gram guard — DuckDB's
-      // range(1, n) is already empty there
-      def grams(k: Int): Column = when(size(ws) >= k,
-        transform(sequence(lit(1), size(ws) - (k - 1)),
-          i => array_join(slice(ws, i, lit(k)), " ")))
-        .otherwise(array().cast("array<string>"))
-      val bigrams = grams(2)
-      val trigrams = grams(3)
+      // Gram equality runs on 64-bit WordGramHashes (the text_contamination
+      // kernel) instead of materialized gram strings: the explode carries
+      // 8-byte longs and the per-row distinct-trigram count is one codegen'd
+      // pass. Collisions are 2^-64 per pair; the output exposes only counts,
+      // so the string-gram DuckDB oracle is unchanged.
       val maxBi = docs
-        .select(col("doc_id"), explode(bigrams).as("g"))
+        .select(col("doc_id"),
+          explode(graft.functions.WordGramHashes.word_gram_hashes_all(col("text"), 2)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("max_bi"))
       val nTokens = size(ws)
       val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
       // greatest(n-2, 1): a 1-2 token doc has zero trigram slots and a
       // zero numerator — the guard keeps the fraction 0 instead of NaN
-      val dupTri = ((nTokens - 2 - size(array_distinct(trigrams))).cast("double")
+      val dupTri = ((nTokens - 2
+        - size(graft.functions.WordGramHashes.word_gram_hashes(col("text"), 3))).cast("double")
         / greatest(nTokens - 2, lit(1)))
       val base = docs.select(col("doc_id"), nTokens.as("n_tokens"),
         meanLen.as("mean_word_len"), dupTri.as("dup_trigram_frac"))

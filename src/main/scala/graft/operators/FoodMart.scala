@@ -160,6 +160,79 @@ object FoodMart {
         |FROM customer
         |GROUP BY CASE WHEN c_acctbal < 0 THEN 'negative'
         |              WHEN c_acctbal < 5000 THEN 'low'
-        |              ELSE 'high' END, c_mktsegment""")
+        |              ELSE 'high' END, c_mktsegment"""),
+
+    // Shape #13: parallel-period calculated member — each member carries
+    // this-period and prior-period measures side by side (MDX
+    // ParallelPeriod; FoodMart "unit sales vs last year"). One fact scan,
+    // CASE-split by year.
+    QDef.common("foodmart_parallel_period",
+      """SELECT o_orderpriority AS c0,
+        |  CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS cur,
+        |  CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS prior
+        |FROM orders GROUP BY o_orderpriority"""),
+
+    // Shape #14: share-of-total calculated member (MDX [Measures].[x] /
+    // ([Measures].[x], [Dim].[All]) — each member's measure over the grand
+    // total. The total is a one-row scalar aggregate cross-joined in (a
+    // broadcast at scale), not an unpartitioned window over the fact.
+    QDef.common("foodmart_share_of_total",
+      """SELECT c0, CAST(m AS DOUBLE) AS m0,
+        |  CAST(m AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM (
+        |  SELECT n_name AS c0, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS m
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name) t
+        |CROSS JOIN (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot
+        |  FROM customer) g"""),
+
+    // Shape #15: named members vs 'Other' (MDX picks explicit members and
+    // aggregates the remainder — FoodMart "CA, OR and everything else").
+    QDef.common("foodmart_members_vs_other",
+      """SELECT CASE WHEN n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |            THEN n_name ELSE 'Other' END AS c0,
+        |  COUNT(*) AS m0,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY CASE WHEN n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |              THEN n_name ELSE 'Other' END"""),
+
+    // Shape #16: NON EMPTY CrossJoin of two dimensions — only member pairs
+    // that actually occur in the fact survive (inner joins through the
+    // fact impose the non-emptiness, exactly like the MDX NON EMPTY axis).
+    QDef.common("foodmart_nonempty_crossjoin",
+      """SELECT n_name AS c0, o_orderpriority AS c1,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m0
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, o_orderpriority"""),
+
+    // Shape #17: multiple distinct-count measures at different grains in
+    // one statement (FoodMart customer_count + a product-level distinct).
+    QDef.common("foodmart_multi_distinct",
+      """SELECT o_orderstatus AS c0,
+        |  COUNT(DISTINCT o_custkey) AS customers,
+        |  COUNT(DISTINCT l_partkey) AS products,
+        |  COUNT(*) AS line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus"""),
+
+    // Shape #18: TopCount members with detail columns carried along — the
+    // top-k join-back (rank on one measure, report several others).
+    QDef.common("foodmart_topcount_detail",
+      """SELECT t.c0, t.m0, CAST(s_acctbal AS DOUBLE) AS acctbal, s_nationkey
+        |FROM (
+        |  SELECT s_suppkey AS c0,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m0
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_suppkey
+        |  ORDER BY m0 DESC, c0 LIMIT 10) t
+        |JOIN supplier ON t.c0 = s_suppkey
+        |ORDER BY t.m0 DESC, t.c0""")
   )
 }

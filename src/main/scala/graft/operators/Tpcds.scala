@@ -13,7 +13,12 @@ import graft.QDef
   * rank (q36), one-scan FILTERed slice counts (q88), LAG year-over-year
   * growth (q75), YoY two-channel ratio self-join (q11/q74), per-group
   * top-k over ROLLUP (q67), and FULL OUTER JOIN of cumulative series
-  * (q51). Dialect-shared SQL; each doubles as its own DuckDB oracle.
+  * (q51); plus carriers for each of the reference's ENABLED TpcdsTest
+  * queries — q1 (CTE + correlated above-average filter), q17 (fact×fact
+  * returns join with decomposed stats), q27 (AVG measures over ROLLUP),
+  * q58 (cross-channel equal-share band), q72 (equi + non-equi date-band
+  * join), q95 (double-EXISTS chain with a self-join inside).
+  * Dialect-shared SQL; each doubles as its own DuckDB oracle.
   */
 object Tpcds {
   val defs: Seq[QDef] = Seq(
@@ -310,6 +315,108 @@ object Tpcds {
         |)
         |SELECT pk, qty_ratio, amt_ratio, qty_rank, amt_rank FROM ranked
         |WHERE qty_rank <= 10 OR amt_rank <= 10
-        |ORDER BY qty_rank, amt_rank, pk""")
+        |ORDER BY qty_rank, amt_rank, pk"""),
+
+    // ---- The reference's ENABLED TpcdsTest queries (q1, q17, q27, q58,
+    // q72, q95 — TpcdsTest.java:212-271) — structure carriers for each.
+
+    // q1 shape: CTE of per-entity totals, kept where above 1.2× the
+    // group's average via a correlated scalar subquery over the same CTE.
+    // The average divides as IEEE doubles after exact decimal sums.
+    QDef.common("tpcds_s_returnavg",
+      """WITH ctotal AS (
+        |  SELECT o_custkey AS cust, c_nationkey AS nat,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY o_custkey, c_nationkey)
+        |SELECT cust, total FROM ctotal c1
+        |WHERE total > 1.2 * (
+        |  SELECT CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM ctotal c2 WHERE c2.nat = c1.nat)
+        |ORDER BY cust"""),
+
+    // q17 shape: fact×fact join (sales rows matched to a return row of the
+    // same order+part) plus the order and item dimensions, with mean and
+    // sum-of-squared-deviation per brand from exact decimal power sums
+    // (the q17 count/avg/stdev block, decomposed like fn_agg_stats).
+    QDef.common("tpcds_s_quantitystats",
+      """SELECT p_brand AS brand, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ls.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_q,
+        |  CAST(SUM(CAST(ls.l_quantity * ls.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    - CAST(SUM(CAST(ls.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      * CAST(SUM(CAST(ls.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ssq_dev
+        |FROM lineitem ls
+        |JOIN lineitem lr ON ls.l_orderkey = lr.l_orderkey
+        |  AND ls.l_partkey = lr.l_partkey
+        |  AND lr.l_returnflag = 'R' AND lr.l_linenumber <> ls.l_linenumber
+        |JOIN orders ON ls.l_orderkey = o_orderkey
+        |JOIN part ON ls.l_partkey = p_partkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY p_brand"""),
+
+    // q27 shape: multiple AVG measures over ROLLUP(state, ...) — averages
+    // as exact decimal sums divided once as doubles; NULL rollup keys are
+    // part of the compared output.
+    QDef.common("tpcds_s_staterollup",
+      """SELECT n_name AS c0, o_orderpriority AS c1,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY ROLLUP(n_name, o_orderpriority)"""),
+
+    // q58 shape: the same measure computed per channel (disjoint fact
+    // slices), items kept only where every channel sits within ±10% of
+    // the three-channel average.
+    QDef.common("tpcds_s_equalshare",
+      """WITH ch AS (
+        |  SELECT l_partkey AS item, l_returnflag AS flag,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev
+        |  FROM lineitem GROUP BY l_partkey, l_returnflag)
+        |SELECT a.item, a.rev AS rev_a, n.rev AS rev_n, r.rev AS rev_r
+        |FROM ch a
+        |JOIN ch n ON a.item = n.item AND n.flag = 'N'
+        |JOIN ch r ON a.item = r.item AND r.flag = 'R'
+        |WHERE a.flag = 'A'
+        |  AND a.rev BETWEEN 0.9 * (a.rev + n.rev + r.rev) / 3
+        |              AND 1.1 * (a.rev + n.rev + r.rev) / 3
+        |  AND n.rev BETWEEN 0.9 * (a.rev + n.rev + r.rev) / 3
+        |              AND 1.1 * (a.rev + n.rev + r.rev) / 3
+        |  AND r.rev BETWEEN 0.9 * (a.rev + n.rev + r.rev) / 3
+        |              AND 1.1 * (a.rev + n.rev + r.rev) / 3
+        |ORDER BY a.item"""),
+
+    // q72 shape: equi-join on the entity plus a non-equi date band (the
+    // d1.d_date + 5 < d2.d_date inventory window) — a follow-up order by
+    // the same customer 3-30 days later.
+    QDef.common("tpcds_s_dategap",
+      """SELECT o1.o_orderpriority AS c0, COUNT(*) AS m0
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        | AND o2.o_orderdate > o1.o_orderdate + INTERVAL 3 DAY
+        | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o1.o_orderpriority"""),
+
+    // q95 shape: the double-EXISTS chain — orders shipped by more than one
+    // supplier (self-join inside the first EXISTS) that also have a
+    // returned line, counted and totaled per priority.
+    QDef.common("tpcds_s_existschain",
+      """SELECT o_orderpriority AS c0,
+        |  COUNT(DISTINCT o_orderkey) AS m0,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM orders o
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l1 JOIN lineitem l2
+        |      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+        |    WHERE l1.l_orderkey = o.o_orderkey)
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem lr
+        |    WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'R')
+        |GROUP BY o_orderpriority""")
   )
 }

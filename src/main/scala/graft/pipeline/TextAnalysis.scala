@@ -205,6 +205,44 @@ object TextAnalysis {
           (coalesce(col("c"), lit(0L)) > 0).as("contaminated"))
     },
 
+    // ---- Corpus-frequency boilerplate screen (C4/RefinedWeb-style) ---------
+    // The other direction from contamination: grams frequent across the
+    // CORPUS ITSELF (document frequency > K distinct docs) mark boilerplate;
+    // a document is dropped when too much of it is corpus-frequent. Scale
+    // shape: one explode of hashed 5-grams (8 bytes/gram), document
+    // frequency by two-level aggregate, join back on the gram hash, per-doc
+    // re-aggregate — the corpus is never self-joined, nothing collects, and
+    // the gram relation is checkpointed so the df-count and probe sides
+    // share one scan. Hashes never reach the output (counts only), so the
+    // string-gram DuckDB oracle matches exactly.
+    QDef.sql("text_boilerplate",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> array_to_string(ws[i:i+4], ' '))) AS gram FROM w),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS dfreq FROM g GROUP BY gram),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    coalesce(sum(CASE WHEN dfreq > 5 THEN 1 ELSE 0 END), 0) AS frequent
+        |  FROM g JOIN df USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, n_grams, frequent,
+        |  CAST(frequent AS DOUBLE) / n_grams AS boiler_frac,
+        |  CAST(frequent AS DOUBLE) / n_grams < 0.3 AS keep
+        |FROM per""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(graft.functions.WordGramHashes.word_gram_hashes_all(col("text"), 5)).as("g"))
+        .localCheckpoint()
+      val dfreq = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("dfreq"))
+      val per = grams.join(dfreq, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("dfreq") > 5, 1L).otherwise(0L)).as("frequent"))
+      per.select(col("doc_id"), col("n_grams"), col("frequent"),
+        (col("frequent").cast("double") / col("n_grams")).as("boiler_frac"),
+        (col("frequent").cast("double") / col("n_grams") < 0.3).as("keep"))
+    },
+
     // ---- Document fingerprint (rolling polynomial hash) --------------------
     // fold over tokens: h' = (h*31 + len(w)*131 + ascii(w)) mod 1e9+7.
     // Fold-from-zero equals DuckDB's fold-from-first-element because

@@ -217,6 +217,57 @@ object RelToSql {
     override def microsToTimestamp(us: String): String = s"TIMESTAMP_MICROS($us)"
   }
 
+  /** Hive rendering (reference: sql/dialect/HiveSqlDialect.java — backtick
+    * identifiers, INT cast spec instead of INTEGER, LIMIT/OFFSET via
+    * unparseFetchUsingLimit, table aliases without AS [allowsAs=false —
+    * this converter renders bare aliases everywhere]. STRING for
+    * unbounded VARCHAR and CONCAT() are Hive-language requirements this
+    * renderer adds on top of the reference's minimal remap). */
+  object Hive extends Dialect {
+    val name = "hive"
+    def quote(id: String): String = "`" + id.replace("`", "``") + "`"
+    override def concat(a: String, b: String): String = s"CONCAT($a, $b)"
+    override def typeName(dt: DataType): String = dt match {
+      case IntegerType => "INT"
+      case StringType => "STRING"
+      case other => super.typeName(other)
+    }
+    override def shiftRight(a: String, b: String): String = s"SHIFTRIGHT($a, $b)"
+    override def intDivide(a: String, b: String): String = s"($a DIV $b)"
+  }
+
+  /** Presto/Trino rendering (reference: sql/dialect/PrestoSqlDialect.java —
+    * double-quoted identifiers, ANSI cast specs, and OFFSET BEFORE LIMIT:
+    * unparseUsingLimit emits "OFFSET o LIMIT l", the reverse of the
+    * ANSI-dialect order). */
+  object Presto extends Dialect {
+    val name = "presto"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def limitClause(limit: Option[Long], offset: Option[Long]): String =
+      offset.map(n => s" OFFSET $n").getOrElse("") +
+        limit.map(n => s" LIMIT $n").getOrElse("")
+  }
+
+  /** ClickHouse rendering (reference: sql/dialect/ClickHouseSqlDialect.java
+    * — backtick identifiers and CASE-SENSITIVE type names emitted as
+    * identifiers: String, Int8/16/32/64, Float32/64, Date, DateTime). */
+  object ClickHouse extends Dialect {
+    val name = "clickhouse"
+    def quote(id: String): String = "`" + id.replace("`", "``") + "`"
+    override def typeName(dt: DataType): String = dt match {
+      case StringType => "String"
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case DateType => "Date"
+      case TimestampNTZType | TimestampType => "DateTime"
+      case other => super.typeName(other)
+    }
+  }
+
   private def unsupported(what: String) =
     new UnsupportedOperationException(s"rel2sql: unsupported $what")
 

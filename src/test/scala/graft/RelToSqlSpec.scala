@@ -243,6 +243,41 @@ class RelToSqlSpec extends AnyFunSuite {
       !ansiIntersect.contains("INTERSECT DISTINCT"), ansiIntersect)
   }
 
+  test("Hive dialect: backticks, INT/STRING casts, CONCAT") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("int").as("k"),
+        col("c_name").cast("string").as("s"),
+        concat(col("c_name"), lit("x")).as("n"))
+    val sql = RelToSql.convert(c, RelToSql.Hive)
+    assert(sql.contains("`c_custkey`"), sql)
+    assert(sql.contains("AS INT)"), sql)
+    assert(sql.contains("AS STRING)"), sql)
+    assert(sql.contains("CONCAT("), sql)
+  }
+
+  test("Presto dialect: OFFSET before LIMIT, double quotes") {
+    val lim = Tables.t(spark, sfDir, "nation")
+      .orderBy(col("n_nationkey")).offset(5).limit(10)
+    val sql = RelToSql.convert(lim, RelToSql.Presto)
+    assert(sql.contains("OFFSET 5 LIMIT 10"), sql)
+    assert(sql.contains("\"n_nationkey\""), sql)
+    // ANSI keeps the reverse order for the same plan
+    val ansi = RelToSql.convert(lim, RelToSql.Ansi)
+    assert(ansi.contains("LIMIT 10 OFFSET 5"), ansi)
+  }
+
+  test("ClickHouse dialect: case-sensitive type identifiers") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        col("c_acctbal").cast("double").as("d"),
+        col("c_name").cast("string").as("s"))
+    val sql = RelToSql.convert(c, RelToSql.ClickHouse)
+    assert(sql.contains("AS Int64)"), sql)
+    assert(sql.contains("AS Float64)"), sql)
+    assert(sql.contains("AS String)"), sql)
+    assert(sql.contains("`c_name`"), sql)
+  }
+
   test("temp-view plans convert (View unwrapping)") {
     Tables.registerAll(spark, sfDir)
     roundTrip(spark.table("nation")

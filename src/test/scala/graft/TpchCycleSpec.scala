@@ -16,7 +16,9 @@ class TpchCycleSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private val cycling = Seq("agg_tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22", "tpcds_s_catavg", "tpcds_s_intersect", "tpcds_s_channels", "tpcds_s_orderband", "tpcds_s_multicount", "tpcds_s_salesgrowth", "tpcds_s_yoyratio", "tpcds_s_cumcompare", "tpcds_s_lochierarchy", "tpcds_s_rolluptopk", "tpcds_s_movingdev",
-    "tpcds_s_dualrank", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_grouping_fn", "scan_filter_project", "join_inner_multiway", "sort_limit_offset", "setop_union_all", "setop_intersect", "setop_except", "subq_in", "subq_scalar", "subq_exists_correlated", "subq_not_in", "window_rank_frames", "window_ntile", "window_navigation", "match_recognize_sql", "match_recognize_reluctant", "lateral_posexplode")
+    "tpcds_s_dualrank", "tpcds_s_returnavg", "tpcds_s_quantitystats",
+    "tpcds_s_staterollup", "tpcds_s_equalshare", "tpcds_s_dategap",
+    "tpcds_s_existschain", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_grouping_fn", "scan_filter_project", "join_inner_multiway", "sort_limit_offset", "setop_union_all", "setop_intersect", "setop_except", "subq_in", "subq_scalar", "subq_exists_correlated", "subq_not_in", "window_rank_frames", "window_ntile", "window_navigation", "match_recognize_sql", "match_recognize_reluctant", "lateral_posexplode")
 
   for (q <- cycling) {
     test(s"$q cycles through its regenerated SQL") {

@@ -157,9 +157,16 @@ class RelToSqlFuzzSpec extends AnyFunSuite {
       val spk = try RelToSql.convert(df, RelToSql.Spark) catch {
         case e: Throwable => fail(s"case $i: Spark rendering threw ${e.getMessage}")
       }
-      // Ansi must also render without throwing (executable subset is gated
-      // against DuckDB by rel2sql_roundtrip; here we pin only totality)
-      RelToSql.convert(df, RelToSql.Ansi)
+      // every other dialect must also render without throwing (Ansi's
+      // executable subset is gated against DuckDB by rel2sql_roundtrip;
+      // here we pin totality over the whole shape space — the grammar
+      // never casts to BOOLEAN, so even Oracle renders every case)
+      Seq(RelToSql.Ansi, RelToSql.Postgres, RelToSql.MySql, RelToSql.Oracle,
+        RelToSql.Mssql, RelToSql.BigQuery, RelToSql.Hive, RelToSql.Presto,
+        RelToSql.ClickHouse).foreach { d =>
+        val text = RelToSql.convert(df, d)
+        assert(text.startsWith("SELECT"), s"case $i/${d.name}: $text")
+      }
       val direct = rows(df)
       val rerun = try rows(spark.sql(spk)) catch {
         case e: Throwable => fail(s"case $i: regenerated SQL failed to execute:\n$spk\n${e.getMessage}")

@@ -79,6 +79,48 @@ object MatchRecognize {
     * such variables match every row). */
   val alwaysTrue: Define = (_, _) => true
 
+  /** Zero-copy view of the partial match under construction during one
+    * anchored attempt: rows[start, end) with their current-path
+    * classifiers. RUNNING aggregates in DEFINE (SQL:2016 §R010 —
+    * `DEFINE B AS SUM(B.value) <= k`, the reference's own disabled
+    * match.iq:55-85 block: its enumerable engine never implemented
+    * aggregates in DEFINE) evaluate against this view; the candidate row
+    * itself is NOT part of the view — the predicate decides its
+    * inclusion per the variable under test. */
+  final class Partial private[MatchRecognize] (
+      rows: IndexedSeq[Row], syms: Array[String],
+      val start: Int, val end: Int) {
+    /** Number of rows matched so far in this attempt. */
+    def size: Int = end - start
+    /** Rows the variable has matched so far, in match order (exclusion
+      * markers stripped — `{- -}` affects output, not aggregation). */
+    def rowsOf(v: String): IndexedSeq[Row] = {
+      val b = IndexedSeq.newBuilder[Row]
+      var i = start
+      while (i < end) {
+        if (syms(i) == v || (syms(i) != null && syms(i).length == v.length + 1 &&
+            syms(i).charAt(0) == '~' && syms(i).endsWith(v))) b += rows(i)
+        i += 1
+      }
+      b.result()
+    }
+  }
+
+  /** DEFINE predicate with full running-match context:
+    * (candidate row, previous row in partition, partial match so far,
+    * name of the variable under test) => matches. */
+  type DefineCtx = (Row, Option[Row], Partial, String) => Boolean
+
+  private val alwaysTrueCtx: DefineCtx = (_, _, _, _) => true
+
+  /** Lift plain (row, prev) defines into the context form and merge the
+    * context-aware ones on top. */
+  private def lift(defines: Map[String, Define],
+      ctx: Map[String, DefineCtx]): Map[String, DefineCtx] =
+    defines.map { case (k, f) =>
+      k -> ((r: Row, p: Option[Row], _: Partial, _: String) => f(r, p))
+    } ++ ctx
+
   /** Result of one anchored match attempt: the PREFERRED complete match
     * (if any) plus whether some explored path ran off the end of the
     * buffer — i.e. the attempt could complete, or a MORE-preferred path
@@ -101,7 +143,7 @@ object MatchRecognize {
       pattern: Pat,
       rows: IndexedSeq[Row],
       start: Int,
-      defines: Map[String, Define]): Attempt = {
+      defines: Map[String, DefineCtx]): Attempt = {
     val syms = new Array[String](rows.length)
     var best: Option[(Int, Array[String])] = None
     var hitEnd = false
@@ -119,7 +161,8 @@ object MatchRecognize {
           // a pattern variable with no DEFINE matches any row (SQL:2016
           // §R020; the reference's undefined symbols — e.g. the leading S
           // in match.iq's PATTERN (S UP) — behave the same way)
-          defines.getOrElse(name, MatchRecognize.alwaysTrue)(rows(pos), prev) &&
+          defines.getOrElse(name, alwaysTrueCtx)(
+              rows(pos), prev, new Partial(rows, syms, start, pos), name) &&
             { syms(pos) = if (exclDepth > 0) "~" + name else name; k(pos + 1) }
         }
       case Pat.Cat(ps) =>
@@ -210,11 +253,14 @@ object MatchRecognize {
       rows: IndexedSeq[Row],
       pattern: Pat,
       defines: Map[String, Define],
-      skip: Skip = Skip.PastLastRow): Seq[IndexedSeq[(Row, String)]] = {
+      skip: Skip = Skip.PastLastRow,
+      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      : Seq[IndexedSeq[(Row, String)]] = {
+    val defs = lift(defines, ctxDefines)
     val out = Seq.newBuilder[IndexedSeq[(Row, String)]]
     var i = 0
     while (i < rows.length) {
-      matchAt(pattern, rows, i, defines).best match {
+      matchAt(pattern, rows, i, defs).best match {
         case Some((end, syms)) if end > i =>
           out += (i until end).map(j => (rows(j), syms(j)))
           i = advance(skip, i, end, syms)
@@ -266,13 +312,16 @@ object MatchRecognize {
       rows: IndexedSeq[Row],
       pattern: Pat,
       defines: Map[String, Define],
-      skip: Skip = Skip.PastLastRow): (Seq[IndexedSeq[(Row, String)]], Int) = {
+      skip: Skip = Skip.PastLastRow,
+      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      : (Seq[IndexedSeq[(Row, String)]], Int) = {
+    val defs = lift(defines, ctxDefines)
     val out = Seq.newBuilder[IndexedSeq[(Row, String)]]
     var i = 0
     var retainFrom = rows.length
     var open = false
     while (i < rows.length && !open) {
-      val attempt = matchAt(pattern, rows, i, defines)
+      val attempt = matchAt(pattern, rows, i, defs)
       if (attempt.hitEnd) {
         // a viable path wants more input: hold everything from i
         retainFrom = i
@@ -295,7 +344,9 @@ object MatchRecognize {
       pattern: Pat,
       defines: Map[String, Define],
       measure: (Long, IndexedSeq[(Row, String)]) => Out,
-      skip: Skip = Skip.PastLastRow): org.apache.spark.sql.Dataset[Out] = {
+      skip: Skip = Skip.PastLastRow,
+      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      : org.apache.spark.sql.Dataset[Out] = {
     import df.sparkSession.implicits._
     df.groupByKey(partitionKey)
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
@@ -303,7 +354,7 @@ object MatchRecognize {
         // ONE ROW PER MATCH: measures see every matched row, exclusion
         // markers stripped (SQL:2016 — `{- -}` affects only ALL ROWS
         // output, not aggregation)
-        findMatches(rows, pattern, defines, skip).iterator
+        findMatches(rows, pattern, defines, skip, ctxDefines).iterator
           .map(m => measure(key, m.map { case (r, s) => (r, s.stripPrefix("~")) }))
       }
   }
@@ -320,7 +371,9 @@ object MatchRecognize {
       pattern: Pat,
       defines: Map[String, Define],
       skip: Skip = Skip.PastLastRow,
-      emit: (Long, Int, Int, Row, String) => Out): org.apache.spark.sql.Dataset[Out] = {
+      emit: (Long, Int, Int, Row, String) => Out,
+      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      : org.apache.spark.sql.Dataset[Out] = {
     import df.sparkSession.implicits._
     df.groupByKey(partitionKey)
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
@@ -328,7 +381,7 @@ object MatchRecognize {
         // rows matched inside `{- -}` exclusions carry a "~" marker:
         // part of the match, omitted from ALL ROWS output (SQL:2016).
         // `ri` numbers the SURVIVING rows so output stays dense.
-        findMatches(rows, pattern, defines, skip).iterator.zipWithIndex.flatMap {
+        findMatches(rows, pattern, defines, skip, ctxDefines).iterator.zipWithIndex.flatMap {
           case (m, mi) => m.iterator.filter(!_._2.startsWith("~"))
             .zipWithIndex.map {
               case ((row, sym), ri) => emit(key, mi + 1, ri, row, sym)
@@ -353,7 +406,9 @@ object MatchRecognize {
       pattern: Pat,
       defines: Map[String, Define],
       measure: (Long, IndexedSeq[(Row, String)]) => Out,
-      skip: Skip = Skip.PastLastRow): org.apache.spark.sql.Dataset[Out] = {
+      skip: Skip = Skip.PastLastRow,
+      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      : org.apache.spark.sql.Dataset[Out] = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val stateEnc: org.apache.spark.sql.Encoder[IndexedSeq[Row]] =
@@ -364,7 +419,8 @@ object MatchRecognize {
         (key: Long, it: Iterator[Row], state: GroupState[IndexedSeq[Row]]) =>
           val buffered = state.getOption.getOrElse(IndexedSeq.empty)
           val all = (buffered ++ it).sortBy(orderKey)
-          val (matches, retainFrom) = findMatchesStreaming(all, pattern, defines, skip)
+          val (matches, retainFrom) =
+            findMatchesStreaming(all, pattern, defines, skip, ctxDefines)
           state.update(all.drop(retainFrom))
           matches.iterator
             .map(m => measure(key, m.map { case (r, s) => (r, s.stripPrefix("~")) }))
@@ -693,6 +749,55 @@ object MatchRecognize {
           |           COUNT(C.*) AS n_clicks
           |  PATTERN (C{2,} E)
           |  DEFINE C AS event_type = 'click', E AS event_type = 'error')""".stripMargin)
+    },
+
+    // ---- RUNNING aggregate in DEFINE: SUM-bounded packing (SQL:2016) -----
+    // DEFINE B AS SUM(B.value) <= 150 — the aggregate runs over B's rows
+    // so far INCLUDING the candidate; with greedy B* and SKIP PAST LAST
+    // ROW the matcher becomes a sequential greedy packer (each match = one
+    // bin: a free S row, then B rows while the bin's B-sum stays within
+    // budget). The reference never ran this — its match.iq running-
+    // aggregate block sits inside `!if (false)` (match.iq:55-85) because
+    // the enumerable engine has no aggregates in DEFINE. The oracle
+    // replays the identical greedy recurrence as a recursive CTE; both
+    // sides accumulate the SAME double sequence in the SAME order, and
+    // b_sum is rounded at 9 decimals per the repo determinism convention.
+    QDef.sql("match_recognize_agg_define",
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), walk AS (
+        |  SELECT user_id, rn, value, 1 AS bin, rn AS bin_start,
+        |         CAST(0 AS DOUBLE) AS cum
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, s.value,
+        |    CASE WHEN w.cum + s.value <= 150 THEN w.bin ELSE w.bin + 1 END,
+        |    CASE WHEN w.cum + s.value <= 150 THEN w.bin_start ELSE s.rn END,
+        |    CASE WHEN w.cum + s.value <= 150 THEN w.cum + s.value
+        |         ELSE CAST(0 AS DOUBLE) END
+        |  FROM seq s JOIN walk w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+        |), bins AS (
+        |  SELECT user_id, bin, bin_start, COUNT(*) AS n_rows,
+        |    CASE WHEN COUNT(*) > 1
+        |         THEN ROUND(SUM(CASE WHEN rn > bin_start THEN value END), 9)
+        |    END AS b_sum
+        |  FROM walk GROUP BY user_id, bin, bin_start
+        |)
+        |SELECT b.user_id, b.n_rows, s.event_id AS start_id, b.b_sum
+        |FROM bins b JOIN seq s ON s.user_id = b.user_id AND s.rn = b.bin_start""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT * FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  MEASURES COUNT(*) AS n_rows, FIRST(event_id) AS start_id,
+          |           SUM(B.value) AS b_sum
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (S B*)
+          |  DEFINE B AS SUM(B.value) <= 150)""".stripMargin)
+        .withColumn("b_sum", round(col("b_sum"), 9))
     }
   )
 }

@@ -243,6 +243,59 @@ object TextAnalysis {
         (col("frequent").cast("double") / col("n_grams") < 0.3).as("keep"))
     },
 
+    // ---- Corpus mixing: deterministic per-language sampling quotas ---------
+    // The data-mixing stage of a training pipeline: each language stratum
+    // downsamples to a target rate via a deterministic per-document uniform
+    // draw (Knuth multiplicative hash of doc_id into [0,1000)), so the mix
+    // is bit-reproducible across engines, partitionings and reruns — no
+    // PRNG state, unlike TABLESAMPLE. Shuffle-free single scan; the summary
+    // reports per-language kept/total so quota adherence is part of the
+    // compared output.
+    QDef.common("text_mix_quota",
+      """SELECT lang, COUNT(*) AS total,
+        |  SUM(CASE WHEN (doc_id * 2654435761) % 1000 <
+        |    CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 600
+        |              WHEN 'es' THEN 750 ELSE 1000 END
+        |    THEN 1 ELSE 0 END) AS kept
+        |FROM documents
+        |GROUP BY lang"""),
+
+    // ---- Corpus mixing: epoch upsampling (weights > 1) ---------------------
+    // The other half of mixing: strata weighted ABOVE 1.0 replicate
+    // ceil(w)-fold (explode of a generated epoch index — the fan-out is a
+    // generator, never a self-join) and the last fractional epoch keeps a
+    // deterministic per-(doc, epoch) subset with the same multiplicative
+    // draw as text_mix_quota. en×1.0, fr×2.5, de×2.0, es×1.25, zh×0.5:
+    // output is one row per kept replica, fully reproducible.
+    QDef.sql("text_mix_epochs",
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'fr' THEN 2.5 WHEN 'de' THEN 2.0
+        |              WHEN 'es' THEN 1.25 WHEN 'zh' THEN 0.5 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |rep AS (
+        |  SELECT doc_id, lang, wt, unnest(range(0, CAST(ceil(wt) AS INT))) AS epoch
+        |  FROM w)
+        |SELECT doc_id, lang, CAST(epoch AS INT) AS epoch FROM rep
+        |WHERE epoch < wt - 1
+        |   OR (doc_id * 2654435761 + epoch * 97) % 1000 < (wt - floor(wt)) * 1000
+        |   OR (wt = floor(wt) AND epoch < wt)
+        |ORDER BY doc_id, epoch""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val wt = when(col("lang") === "fr", 2.5).when(col("lang") === "de", 2.0)
+        .when(col("lang") === "es", 1.25).when(col("lang") === "zh", 0.5)
+        .otherwise(1.0)
+      docs.select(col("doc_id"), col("lang"), wt.as("wt"))
+        .select(col("doc_id"), col("lang"), col("wt"),
+          explode(sequence(lit(0), ceil(col("wt")).cast("int") - 1)).as("epoch"))
+        .where(col("epoch") < col("wt") - 1
+          || (col("doc_id") * 2654435761L + col("epoch") * 97) % 1000 <
+             (col("wt") - floor(col("wt"))) * 1000
+          || (col("wt") === floor(col("wt")) && col("epoch") < col("wt")))
+        .select(col("doc_id"), col("lang"), col("epoch").cast("int").as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
     // ---- Document fingerprint (rolling polynomial hash) --------------------
     // fold over tokens: h' = (h*31 + len(w)*131 + ascii(w)) mod 1e9+7.
     // Fold-from-zero equals DuckDB's fold-from-first-element because

@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
   *                                          --   PERMUTE(p1, ..), {- p -}
   *   DEFINE S AS <pred> [, ...]             -- pred := conj of
   *                                          --   <col> op <lit | col | PREV(col)>
+  *                                          -- or RUNNING-aggregate terms:
+  *                                          --   addend (+ addend)* op <numlit>,
+  *                                          --   addend := SUM(v.col)
+  *                                          --   | SUM(CHAR_LENGTH(v.col [|| 'x']))
+  *                                          --   | COUNT(v.*) | COUNT(*) | v.col
+  *                                          --   | CHAR_LENGTH(v.col|'x') | numlit
   * )
   * }}}
   * Semantics follow the operator: ONE ROW PER MATCH with aggregate
@@ -287,6 +293,130 @@ object MatchRecognizeSql {
     (row, prev) => terms.forall(t => t(row, prev))
   }
 
+  // ---- running aggregates in DEFINE (SQL:2016) ---------------------------
+  // `DEFINE B AS SUM(B.value) <= 100` — the aggregate runs over the rows
+  // the variable has matched SO FAR in this attempt, including the
+  // candidate row when it is the variable under test. The reference's own
+  // engine never implemented this (match.iq:55-85 sits inside
+  // `!if (false)`); the backtracker's Partial view makes it direct here.
+  // Supported term shape: an additive chain of aggregate/navigation
+  // addends compared to a numeric literal.
+  private type Num =
+    (Row, Option[Row], MatchRecognize.Partial, String) => Option[Double]
+
+  private val ANum = """\s*(-?\d+(?:\.\d+)?)\s*""".r
+  private val ACountStar = """(?is)\s*COUNT\s*\(\s*\*\s*\)\s*""".r
+  private val ACountVar = """(?is)\s*COUNT\s*\(\s*(\w+)\s*\.\s*\*\s*\)\s*""".r
+  private val ASumLen =
+    """(?is)\s*SUM\s*\(\s*CHAR_LENGTH\s*\(\s*(\w+)\s*\.\s*(\w+)\s*((?:\s*\|\|\s*'[^']*')*)\s*\)\s*\)\s*""".r
+  private val ASumCol = """(?is)\s*SUM\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
+  private val ALenVar =
+    """(?is)\s*CHAR_LENGTH\s*\(\s*(\w+)\s*\.\s*(\w+)\s*((?:\s*\|\|\s*'[^']*')*)\s*\)\s*""".r
+  private val ALenLit = """(?is)\s*CHAR_LENGTH\s*\(\s*'([^']*)'\s*\)\s*""".r
+  private val AVarCol = """\s*(\w+)\s*\.\s*(\w+)\s*""".r
+
+  /** Total length of the string literals in a `|| 'x' || 'y'` tail. */
+  private def litLen(tail: String): Int =
+    if (tail == null) 0
+    else "'([^']*)'".r.findAllMatchIn(tail).map(_.group(1).length).sum
+
+  /** The variable's rows so far, candidate included when it is the
+    * variable under test (SQL:2016 RUNNING semantics in DEFINE). */
+  private def rowsIncl(part: MatchRecognize.Partial, v: String, cand: Row,
+      curVar: String): IndexedSeq[Row] = {
+    val vv = v.toUpperCase
+    val base = part.rowsOf(vv)
+    if (vv == curVar) base :+ cand else base
+  }
+
+  private def parseAddend(text: String): Num = text match {
+    case ANum(n) => val c = n.toDouble; (_, _, _, _) => Some(c)
+    case ACountStar() => (_, _, p, _) => Some((p.size + 1).toDouble)
+    case ACountVar(v) =>
+      (r, _, p, cv) => Some(rowsIncl(p, v, r, cv).size.toDouble)
+    case ASumLen(v, c, tail) =>
+      val extra = litLen(tail)
+      (r, _, p, cv) => {
+        val rs = rowsIncl(p, v, r, cv)
+        if (rs.isEmpty) None
+        else {
+          val ls = rs.flatMap(row => Option(row.getAs[Any](c))
+            .map(_.toString.length + extra))
+          if (ls.isEmpty) None else Some(ls.sum.toDouble)
+        }
+      }
+    case ASumCol(v, c) =>
+      (r, _, p, cv) => {
+        val vals = rowsIncl(p, v, r, cv).flatMap(row => numeric(row.getAs[Any](c)))
+        if (vals.isEmpty) None else Some(vals.sum)
+      }
+    case ALenVar(v, c, tail) =>
+      val extra = litLen(tail)
+      (r, _, p, cv) => rowsIncl(p, v, r, cv).lastOption
+        .flatMap(row => Option(row.getAs[Any](c)))
+        .map(_.toString.length.toDouble + extra)
+    case ALenLit(s) => val c = s.length.toDouble; (_, _, _, _) => Some(c)
+    case AVarCol(v, c) =>
+      (r, _, p, cv) => rowsIncl(p, v, r, cv).lastOption
+        .flatMap(row => numeric(row.getAs[Any](c)))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported DEFINE addend: '$other'")
+  }
+
+  /** Split on top-level '+' (never inside parens or quotes). */
+  private def splitAdditive(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case '+' if !inQ && depth == 0 => out += cur.toString; cur = new StringBuilder
+      case ch => cur += ch
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  private val AdditiveCmp =
+    """(?s)\A(.*?)(<=|>=|<>|!=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*\z""".r
+
+  /** One aggregate/additive DEFINE term: addend (+ addend)* relop number. */
+  private def parseAdditiveTerm(term: String): MatchRecognize.DefineCtx =
+    term match {
+      case AdditiveCmp(lhs, op, lit) =>
+        val target = lit.toDouble
+        val addends = splitAdditive(lhs).map(parseAddend)
+        (r, prev, part, cv) => {
+          val vals = addends.map(_(r, prev, part, cv))
+          vals.forall(_.isDefined) && cmp(op, vals.flatten.sum, target)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported DEFINE term: '$other'")
+    }
+
+  private val NeedsCtx =
+    """(?is)SUM\s*\(|COUNT\s*\(|CHAR_LENGTH\s*\(|\w\s*\.\s*\w|\+""".r
+
+  /** One DEFINE body → simple predicate (Left) when every conjunct fits
+    * the plain comparison grammar, context-aware (Right) when any
+    * conjunct carries an aggregate / navigation addend. */
+  def parseDefineBody(body: String): Either[Define, MatchRecognize.DefineCtx] = {
+    val conjuncts = body.split("(?i)\\bAND\\b").toSeq
+    if (conjuncts.forall(c => NeedsCtx.findFirstIn(c).isEmpty))
+      Left(parsePredicate(body))
+    else {
+      val terms: Seq[MatchRecognize.DefineCtx] = conjuncts.map { c =>
+        if (NeedsCtx.findFirstIn(c).isEmpty) {
+          val simple = parsePredicate(c)
+          (r: Row, p: Option[Row], _: MatchRecognize.Partial, _: String) =>
+            simple(r, p)
+        } else parseAdditiveTerm(c)
+      }
+      Right((r, p, part, cv) => terms.forall(t => t(r, p, part, cv)))
+    }
+  }
+
   // ---- measures ---------------------------------------------------------
   private sealed trait Measure { def name: String }
   private case class CountAll(name: String) extends Measure
@@ -298,6 +428,7 @@ object MatchRecognizeSql {
   private case class MatchNumberM(name: String) extends Measure
   private case class VarFirst(sym: String, col: String, name: String) extends Measure
   private case class VarLast(sym: String, col: String, name: String) extends Measure
+  private case class VarSum(sym: String, col: String, name: String) extends Measure
 
   private val MCls = """(?is)\s*CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
   private val MMn = """(?is)\s*MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
@@ -305,6 +436,7 @@ object MatchRecognizeSql {
   private val MCountSym = """(?is)\s*COUNT\s*\(\s*(\w+)\s*\.\s*\*\s*\)\s+AS\s+(\w+)\s*""".r
   private val MFirst = """(?is)\s*FIRST\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MLast = """(?is)\s*LAST\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MVarSum = """(?is)\s*SUM\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MVarFirst = """(?is)\s*FIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MVarLast = """(?is)\s*LAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MVarBare = """(?is)\s*(\w+)\s*\.\s*(\w+)\s+AS\s+(\w+)\s*""".r
@@ -314,6 +446,7 @@ object MatchRecognizeSql {
       case MCls(n) => ClassifierM(n)
       case MMn(n) => MatchNumberM(n)
       case MCountAll(n) => CountAll(n)
+      case MVarSum(v, c, n) => VarSum(v.toUpperCase, c, n)
       case MVarFirst(v, c, n) => VarFirst(v.toUpperCase, c, n)
       case MVarLast(v, c, n) => VarLast(v.toUpperCase, c, n)
       // bare VAR.col in ONE ROW PER MATCH is FINAL LAST(VAR.col)
@@ -383,11 +516,15 @@ object MatchRecognizeSql {
     val schema = df.schema
     val pattern = parsePattern(patternText)
     val measures = parseMeasures(measuresText)
-    val defines: Map[String, Define] =
+    val parsed: Map[String, Either[Define, MatchRecognize.DefineCtx]] =
       definesText.split(",(?![^()]*\\))").toSeq.map { d =>
         val Array(sym, body) = d.split("(?i)\\bAS\\b", 2).map(_.trim)
-        sym.toUpperCase -> parsePredicate(body)
+        sym.toUpperCase -> parseDefineBody(body)
       }.toMap
+    val defines: Map[String, Define] =
+      parsed.collect { case (k, Left(f)) => k -> f }
+    val ctxDefines: Map[String, MatchRecognize.DefineCtx] =
+      parsed.collect { case (k, Right(f)) => k -> f }
 
     val orderFn: Row => (Long, Long) = ordTie match {
       case Some(tie) => r => (asLong(r.getAs[Any](ordCol)), asLong(r.getAs[Any](tie)))
@@ -424,7 +561,8 @@ object MatchRecognizeSql {
             case ClassifierM(_) => sym
             case MatchNumberM(_) => mn.toLong
             case _ => throw new IllegalStateException("unreachable")
-          } ++ passCols.map(f => row.getAs[Any](f.name)))))(
+          } ++ passCols.map(f => row.getAs[Any](f.name)))),
+        ctxDefines = ctxDefines)(
         Encoders.row(outSchema)).toDF()
     }
     val outSchema = StructType(
@@ -437,6 +575,9 @@ object MatchRecognizeSql {
         // a variable (or subset) may match no rows -> nullable
         case VarFirst(_, c, n) => StructField(n, schema(c).dataType, nullable = true)
         case VarLast(_, c, n) => StructField(n, schema(c).dataType, nullable = true)
+        // RUNNING/FINAL SUM over a variable's rows (SQL:2016 aggregate
+        // measures) — null when the variable matched no row
+        case VarSum(_, _, n) => StructField(n, DoubleType, nullable = true)
         case other => throw new IllegalArgumentException(
           s"per-row measure '$other' requires ALL ROWS PER MATCH")
       })
@@ -451,6 +592,9 @@ object MatchRecognizeSql {
           ofVar(m, v).headOption.map(_._1.getAs[Any](c)).orNull
         case VarLast(v, c, _) =>
           ofVar(m, v).lastOption.map(_._1.getAs[Any](c)).orNull
+        case VarSum(v, c, _) =>
+          val vals = ofVar(m, v).flatMap(p => numeric(p._1.getAs[Any](c)))
+          if (vals.isEmpty) null else vals.sum
         case _ => throw new IllegalStateException("unreachable")
       }
       Row.fromSeq(key +: vals)
@@ -462,10 +606,10 @@ object MatchRecognizeSql {
     val out =
       if (df.isStreaming)
         MatchRecognize.matchRecognizeStream[Row](df, keyFn, orderFn,
-          pattern, defines, measureFn, skip)(Encoders.row(outSchema))
+          pattern, defines, measureFn, skip, ctxDefines)(Encoders.row(outSchema))
       else
         MatchRecognize.matchRecognize[Row](df, keyFn, orderFn,
-          pattern, defines, measureFn, skip)(Encoders.row(outSchema))
+          pattern, defines, measureFn, skip, ctxDefines)(Encoders.row(outSchema))
     out.toDF()
   }
 }

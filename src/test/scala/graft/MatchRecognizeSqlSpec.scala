@@ -47,6 +47,54 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       Cat(Seq(Sym("A"), Excl(Cat(Seq(Sym("B"), Sym("C")))), Sym("D"))))
   }
 
+  test("running aggregates in DEFINE: the reference's disabled match.iq block") {
+    // The exact shape of match.iq:55-85 — disabled in the reference
+    // (`!if (false)`) because its engine has no aggregates in DEFINE:
+    //   DEFINE B AS CHAR_LENGTH(S.ename)
+    //             + SUM(CHAR_LENGTH(b.ename || ';')) + CHAR_LENGTH(';') <= 15
+    // packs names into runs whose ;-joined length stays within 15.
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "CLARK"), (1L, 2L, "KING"), (1L, 3L, "SMITH"),
+      (1L, 4L, "JONES"), (1L, 5L, "SCOTT"), (1L, 6L, "ADAMS")
+    ).toDF("g", "seq", "ename")
+    val out = graft.plans.MatchRecognizeSql.dataframe(df, "g", "seq", None,
+      "COUNT(*) AS n, FIRST(ename) AS s_name, LAST(ename) AS b_last",
+      "S B+",
+      "B AS CHAR_LENGTH(S.ename) + SUM(CHAR_LENGTH(b.ename || ';')) + CHAR_LENGTH(';') <= 15")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[String]("s_name"),
+        r.getAs[String]("b_last"))).toSeq
+    // CLARK(5): KING fits (5+5+1=11), SMITH would be 17 -> [CLARK KING];
+    // then [SMITH JONES] (12), then [SCOTT ADAMS] (12)
+    assert(out == Seq((2L, "CLARK", "KING"), (2L, "SMITH", "JONES"),
+      (2L, "SCOTT", "ADAMS")), out.toString)
+  }
+
+  test("parseDefineBody routes simple vs aggregate bodies") {
+    import graft.plans.MatchRecognizeSql
+    assert(MatchRecognizeSql.parseDefineBody("t = 'click'").isLeft)
+    assert(MatchRecognizeSql.parseDefineBody("v < PREV(v)").isLeft)
+    assert(MatchRecognizeSql.parseDefineBody("SUM(B.value) <= 100").isRight)
+    assert(MatchRecognizeSql.parseDefineBody("COUNT(B.*) < 3").isRight)
+    // mixed conjunction: any aggregate conjunct makes the body contextual
+    assert(MatchRecognizeSql.parseDefineBody(
+      "t = 'click' AND SUM(B.value) <= 100").isRight)
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.parseDefineBody("AVG(B.value) FILTER (WHERE 1=1) <= 1")
+    }
+  }
+
+  test("COUNT in DEFINE bounds repetition length") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (1L, i, i.toDouble)).toDF("g", "seq", "value")
+    // B accepts while the match (S plus B's so far, incl. candidate) holds
+    // at most 4 rows total: every match is S B B B
+    val out = graft.plans.MatchRecognizeSql.dataframe(df, "g", "seq", None,
+      "COUNT(*) AS n", "S B*", "B AS COUNT(*) <= 4")
+      .collect().map(_.getAs[Long]("n")).toSeq
+    assert(out == Seq(4L, 4L, 2L), out.toString)
+  }
+
   test("DEFINE predicates: literals, PREV, conjunction, three-valued null") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),

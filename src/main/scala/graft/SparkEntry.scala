@@ -18,6 +18,7 @@ object SparkEntry {
       operators.JsonModes.defs ++
       operators.Tpch.defs ++ operators.Tpcds.defs ++
       operators.FoodMart.defs ++
+      operators.RefDisabled.defs ++
       operators.Geo.defs ++ operators.SchemaOnRead.defs ++
       operators.Periods.defs ++ operators.Sequences.defs ++
       plans.Profiler.defs ++ plans.RelToSqlDemo.defs ++

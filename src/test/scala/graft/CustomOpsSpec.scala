@@ -199,4 +199,33 @@ class CustomOpsSpec extends AnyFunSuite {
     assert(out("p2").contains(20.0)) // latest earlier build wins
     assert(out("p3").isEmpty)        // build at t=60 is after probe t=50
   }
+
+  test("ctx defines: COUNT(B.*) <= k is equivalent to B{0,k} (20k differential)") {
+    // A running COUNT bound in DEFINE must coincide with the same bound
+    // expressed structurally as a quantifier — a self-differential that
+    // exercises the DefineCtx path against the plain backtracking path
+    // across random inputs, bounds and skip modes.
+    val rnd = new scala.util.Random(0xBEEF)
+    val aDef = sym("A", "a")
+    val bPlain = sym("B", "b")
+    for (_ <- 1 to 20000) {
+      val k = 1 + rnd.nextInt(4)
+      val n = rnd.nextInt(12)
+      val s = (1 to n).map(_ => "ab" (rnd.nextInt(2))).mkString
+      val rs = rows(s.map(c => c.toString -> 1.0): _*)
+      val skip = Seq(MatchRecognize.Skip.PastLastRow,
+        MatchRecognize.Skip.ToNextRow)(rnd.nextInt(2))
+      val viaCtx = MatchRecognize.findMatches(rs,
+        Pat.Cat(Seq(Pat.Sym("A"), Pat.star(Pat.Sym("B")))),
+        Map(aDef), skip,
+        ctxDefines = Map("B" -> ((r: Row, _: Option[Row],
+            p: MatchRecognize.Partial, _: String) =>
+          r.getAs[String]("v") == "b" && p.rowsOf("B").size + 1 <= k)))
+        .map(_.map(_._2))
+      val viaPattern = MatchRecognize.findMatches(rs,
+        Pat.Cat(Seq(Pat.Sym("A"), Pat.Rep(Pat.Sym("B"), 0, k))),
+        Map(aDef, bPlain), skip).map(_.map(_._2))
+      assert(viaCtx == viaPattern, s"k=$k s='$s' skip=$skip")
+    }
+  }
 }

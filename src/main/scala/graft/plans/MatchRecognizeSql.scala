@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   *                                          --   <col> op <lit | col | PREV(col)>
   *                                          -- or RUNNING-aggregate terms:
   *                                          --   addend (+ addend)* op <numlit>,
-  *                                          --   addend := SUM(v.col)
+  *                                          --   addend := SUM|MIN|MAX|AVG(v.col)
   *                                          --   | SUM(CHAR_LENGTH(v.col [|| 'x']))
   *                                          --   | COUNT(v.*) | COUNT(*) | v.col
   *                                          --   | CHAR_LENGTH(v.col|'x') | numlit
@@ -310,6 +310,9 @@ object MatchRecognizeSql {
   private val ASumLen =
     """(?is)\s*SUM\s*\(\s*CHAR_LENGTH\s*\(\s*(\w+)\s*\.\s*(\w+)\s*((?:\s*\|\|\s*'[^']*')*)\s*\)\s*\)\s*""".r
   private val ASumCol = """(?is)\s*SUM\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
+  private val AMinCol = """(?is)\s*MIN\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
+  private val AMaxCol = """(?is)\s*MAX\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
+  private val AAvgCol = """(?is)\s*AVG\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s*""".r
   private val ALenVar =
     """(?is)\s*CHAR_LENGTH\s*\(\s*(\w+)\s*\.\s*(\w+)\s*((?:\s*\|\|\s*'[^']*')*)\s*\)\s*""".r
   private val ALenLit = """(?is)\s*CHAR_LENGTH\s*\(\s*'([^']*)'\s*\)\s*""".r
@@ -349,6 +352,21 @@ object MatchRecognizeSql {
       (r, _, p, cv) => {
         val vals = rowsIncl(p, v, r, cv).flatMap(row => numeric(row.getAs[Any](c)))
         if (vals.isEmpty) None else Some(vals.sum)
+      }
+    case AMinCol(v, c) =>
+      (r, _, p, cv) => {
+        val vals = rowsIncl(p, v, r, cv).flatMap(row => numeric(row.getAs[Any](c)))
+        if (vals.isEmpty) None else Some(vals.min)
+      }
+    case AMaxCol(v, c) =>
+      (r, _, p, cv) => {
+        val vals = rowsIncl(p, v, r, cv).flatMap(row => numeric(row.getAs[Any](c)))
+        if (vals.isEmpty) None else Some(vals.max)
+      }
+    case AAvgCol(v, c) =>
+      (r, _, p, cv) => {
+        val vals = rowsIncl(p, v, r, cv).flatMap(row => numeric(row.getAs[Any](c)))
+        if (vals.isEmpty) None else Some(vals.sum / vals.size)
       }
     case ALenVar(v, c, tail) =>
       val extra = litLen(tail)

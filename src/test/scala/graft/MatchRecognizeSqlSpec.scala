@@ -84,6 +84,23 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("MIN/MAX/AVG running aggregates in DEFINE") {
+    import spark.implicits._
+    val avg = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 9.0),
+      (1L, 4L, 20.0), (1L, 5L, 1.0)).toDF("g", "seq", "value")
+    // B extends while the B-rows' running average stays <= 5
+    val got = graft.plans.MatchRecognizeSql.dataframe(avg, "g", "seq", None,
+      "COUNT(*) AS n", "S B*", "B AS AVG(B.value) <= 5")
+      .collect().map(_.getAs[Long]("n")).toSeq
+    assert(got == Seq(2L, 1L, 2L), got.toString)
+    val mn = Seq((1L, 1L, 5.0), (1L, 2L, 4.0), (1L, 3L, 3.0),
+      (1L, 4L, 2.0), (1L, 5L, 10.0)).toDF("g", "seq", "value")
+    val gotMin = graft.plans.MatchRecognizeSql.dataframe(mn, "g", "seq", None,
+      "COUNT(*) AS n", "S B*", "B AS MIN(B.value) >= 3")
+      .collect().map(_.getAs[Long]("n")).toSeq
+    assert(gotMin == Seq(3L, 2L), gotMin.toString)
+  }
+
   test("COUNT in DEFINE bounds repetition length") {
     import spark.implicits._
     val df = (1L to 10L).map(i => (1L, i, i.toDouble)).toDF("g", "seq", "value")

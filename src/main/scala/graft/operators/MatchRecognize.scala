@@ -390,6 +390,30 @@ object MatchRecognize {
       }
   }
 
+  /** ALL ROWS PER MATCH with whole-match context: `emitMatch` receives the
+    * full match (exclusion markers intact) and returns that match's output
+    * rows. RUNNING/FINAL aggregate measures (SQL:2016 §R030 — per-row
+    * prefix aggregates vs whole-match aggregates) need this view; the
+    * per-row `emit` of [[matchRecognizeAllRows]] cannot see past its row. */
+  def matchRecognizeAllRowsFull[Out: org.apache.spark.sql.Encoder](
+      df: DataFrame,
+      partitionKey: Row => Long,
+      orderKey: Row => (Long, Long),
+      pattern: Pat,
+      defines: Map[String, Define],
+      skip: Skip = Skip.PastLastRow,
+      ctxDefines: Map[String, DefineCtx] = Map.empty)(
+      emitMatch: (Long, Int, IndexedSeq[(Row, String)]) => Iterator[Out])
+      : org.apache.spark.sql.Dataset[Out] = {
+    import df.sparkSession.implicits._
+    df.groupByKey(partitionKey)
+      .flatMapGroups { (key: Long, it: Iterator[Row]) =>
+        val rows = it.toIndexedSeq.sortBy(orderKey)
+        findMatches(rows, pattern, defines, skip, ctxDefines).iterator
+          .zipWithIndex.flatMap { case (m, mi) => emitMatch(key, mi + 1, m) }
+      }
+  }
+
   /** Streaming MATCH_RECOGNIZE: the NFA state (the unconsumed row buffer)
     * lives in the state store, matches emit in append mode — the
     * `flatMapGroupsWithState` mapping SURVEY.md §7 prescribes for the
@@ -798,6 +822,50 @@ object MatchRecognize {
           |  PATTERN (S B*)
           |  DEFINE B AS SUM(B.value) <= 150)""".stripMargin)
         .withColumn("b_sum", round(col("b_sum"), 9))
+    },
+
+    // ---- RUNNING / FINAL aggregate measures in ALL ROWS PER MATCH --------
+    // SQL:2016 §R030: RUNNING aggregates see the match prefix up to the
+    // current row, FINAL the whole match — per OUTPUT row. Matches here
+    // are maximal click runs (greedy A+ with SKIP PAST LAST ROW), so the
+    // oracle is gaps-and-islands with a running windowed sum inside each
+    // island. ts is pre-projected to epoch micros so the ALL ROWS
+    // passthrough columns compare engine-exactly.
+    QDef.sql("match_recognize_running_measures",
+      """WITH seq AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsm, event_id,
+        |         event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM seq WHERE event_type = 'click')
+        |SELECT user_id,
+        |  DENSE_RANK() OVER (PARTITION BY user_id ORDER BY grp) AS mn,
+        |  'A' AS cls,
+        |  row_number() OVER w AS rc,
+        |  COUNT(*) OVER (PARTITION BY user_id, grp) AS fc,
+        |  ROUND(SUM(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS rs,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id, grp), 9) AS fs,
+        |  tsm, event_id, event_type, value
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id, grp ORDER BY rn)""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      Tables.t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+          col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("events_m")
+      s.sql(
+        """SELECT * FROM events_m MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY tsm, event_id
+          |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+          |           RUNNING COUNT(*) AS rc, FINAL COUNT(*) AS fc,
+          |           RUNNING SUM(A.value) AS rs, FINAL SUM(A.value) AS fs
+          |  ALL ROWS PER MATCH
+          |  PATTERN (A+)
+          |  DEFINE A AS event_type = 'click')""".stripMargin)
+        .withColumn("rs", round(col("rs"), 9))
+        .withColumn("fs", round(col("fs"), 9))
     }
   )
 }

@@ -447,6 +447,13 @@ object MatchRecognizeSql {
   private case class VarFirst(sym: String, col: String, name: String) extends Measure
   private case class VarLast(sym: String, col: String, name: String) extends Measure
   private case class VarSum(sym: String, col: String, name: String) extends Measure
+  // SQL:2016 RUNNING/FINAL aggregate measures (ALL ROWS PER MATCH emits
+  // the per-row prefix value for RUNNING and the whole-match value for
+  // FINAL; in ONE ROW PER MATCH both collapse to the final value)
+  private case class RunningCountM(name: String) extends Measure
+  private case class FinalCountM(name: String) extends Measure
+  private case class RunningSumM(sym: String, col: String, name: String) extends Measure
+  private case class FinalSumM(sym: String, col: String, name: String) extends Measure
 
   private val MCls = """(?is)\s*CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
   private val MMn = """(?is)\s*MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
@@ -455,6 +462,10 @@ object MatchRecognizeSql {
   private val MFirst = """(?is)\s*FIRST\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MLast = """(?is)\s*LAST\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MVarSum = """(?is)\s*SUM\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MRunCount = """(?is)\s*RUNNING\s+COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MFinCount = """(?is)\s*FINAL\s+COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MRunSum = """(?is)\s*RUNNING\s+SUM\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MFinSum = """(?is)\s*FINAL\s+SUM\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MVarFirst = """(?is)\s*FIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MVarLast = """(?is)\s*LAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val MVarBare = """(?is)\s*(\w+)\s*\.\s*(\w+)\s+AS\s+(\w+)\s*""".r
@@ -464,6 +475,10 @@ object MatchRecognizeSql {
       case MCls(n) => ClassifierM(n)
       case MMn(n) => MatchNumberM(n)
       case MCountAll(n) => CountAll(n)
+      case MRunCount(n) => RunningCountM(n)
+      case MFinCount(n) => FinalCountM(n)
+      case MRunSum(v, c, n) => RunningSumM(v.toUpperCase, c, n)
+      case MFinSum(v, c, n) => FinalSumM(v.toUpperCase, c, n)
       case MVarSum(v, c, n) => VarSum(v.toUpperCase, c, n)
       case MVarFirst(v, c, n) => VarFirst(v.toUpperCase, c, n)
       case MVarLast(v, c, n) => VarLast(v.toUpperCase, c, n)
@@ -553,35 +568,58 @@ object MatchRecognizeSql {
     if (allRows) {
       // ALL ROWS PER MATCH (SqlMatchRecognize RowsPerMatchOption.ALL_ROWS):
       // one output row per MATCHED INPUT row — the partition key, the
-      // per-row measures (CLASSIFIER / MATCH_NUMBER), then every input
-      // column except the partition key. Aggregate measures belong to
-      // ONE ROW mode, per the standard.
+      // per-row measures (CLASSIFIER / MATCH_NUMBER / RUNNING and FINAL
+      // aggregates, SQL:2016 §R030), then every input column except the
+      // partition key. Unprefixed aggregates stay ONE-ROW-only; RUNNING
+      // sees the match prefix up to and including the current row
+      // (excluded rows included in aggregation, as everywhere else),
+      // FINAL the whole match.
       measures.collectFirst {
         case m: CountAll => m; case m: CountSym => m
-        case m: FirstCol => m; case m: LastCol => m
+        case m: FirstCol => m; case m: LastCol => m; case m: VarSum => m
       }.foreach(m => throw new IllegalArgumentException(
-        s"aggregate measure '$m' requires ONE ROW PER MATCH"))
+        s"aggregate measure '$m' requires ONE ROW PER MATCH " +
+          "(use RUNNING/FINAL for per-row aggregates)"))
       val passCols = schema.fields.filter(_.name != partCol)
       val outSchema = StructType(
         StructField(partCol, LongType, nullable = false) +:
           (measures.map {
             case ClassifierM(n) => StructField(n, StringType, nullable = false)
             case MatchNumberM(n) => StructField(n, LongType, nullable = false)
+            case RunningCountM(n) => StructField(n, LongType, nullable = false)
+            case FinalCountM(n) => StructField(n, LongType, nullable = false)
+            case RunningSumM(_, _, n) => StructField(n, DoubleType, nullable = true)
+            case FinalSumM(_, _, n) => StructField(n, DoubleType, nullable = true)
             case other => throw new IllegalArgumentException(
               s"unsupported ALL ROWS measure: $other")
           } ++ passCols))
       require(!df.isStreaming,
         "ALL ROWS PER MATCH over a stream is not supported in this form")
-      return MatchRecognize.matchRecognizeAllRows[Row](
-        df, keyFn, orderFn, pattern, defines, skip,
-        emit = (key, mn, _, row, sym) => Row.fromSeq(
-          key +: (measures.map {
-            case ClassifierM(_) => sym
-            case MatchNumberM(_) => mn.toLong
-            case _ => throw new IllegalStateException("unreachable")
-          } ++ passCols.map(f => row.getAs[Any](f.name)))),
-        ctxDefines = ctxDefines)(
-        Encoders.row(outSchema)).toDF()
+      return MatchRecognize.matchRecognizeAllRowsFull[Row](
+        df, keyFn, orderFn, pattern, defines, skip, ctxDefines) {
+        (key, mn, m) =>
+          def sumOver(rows: Seq[(Row, String)], v: String, c: String): Any = {
+            val vals = rows.filter { case (_, s0) =>
+              val s = s0.stripPrefix("~")
+              s == v || subsets.getOrElse(v, Set.empty).contains(s)
+            }.flatMap(p => numeric(p._1.getAs[Any](c)))
+            if (vals.isEmpty) null else vals.sum
+          }
+          m.iterator.zipWithIndex
+            .filter { case ((_, sym), _) => !sym.startsWith("~") }
+            .map { case ((row, sym), pos) =>
+              val prefix = m.take(pos + 1)
+              Row.fromSeq(key +: (measures.map {
+                case ClassifierM(_) => sym
+                case MatchNumberM(_) => mn.toLong
+                case RunningCountM(_) => (pos + 1).toLong
+                case FinalCountM(_) => m.size.toLong
+                case RunningSumM(v, c, _) => sumOver(prefix, v, c)
+                case FinalSumM(v, c, _) => sumOver(m, v, c)
+                case _ => throw new IllegalStateException("unreachable")
+              } ++ passCols.map(f => row.getAs[Any](f.name))))
+            }
+      }(Encoders.row(outSchema)).toDF()
     }
     val outSchema = StructType(
       // partition key is normalized to long by the operator's key function
@@ -596,6 +634,11 @@ object MatchRecognizeSql {
         // RUNNING/FINAL SUM over a variable's rows (SQL:2016 aggregate
         // measures) — null when the variable matched no row
         case VarSum(_, _, n) => StructField(n, DoubleType, nullable = true)
+        // in ONE ROW PER MATCH, RUNNING and FINAL both see the whole match
+        case RunningCountM(n) => StructField(n, LongType, nullable = false)
+        case FinalCountM(n) => StructField(n, LongType, nullable = false)
+        case RunningSumM(_, _, n) => StructField(n, DoubleType, nullable = true)
+        case FinalSumM(_, _, n) => StructField(n, DoubleType, nullable = true)
         case other => throw new IllegalArgumentException(
           s"per-row measure '$other' requires ALL ROWS PER MATCH")
       })
@@ -611,6 +654,13 @@ object MatchRecognizeSql {
         case VarLast(v, c, _) =>
           ofVar(m, v).lastOption.map(_._1.getAs[Any](c)).orNull
         case VarSum(v, c, _) =>
+          val vals = ofVar(m, v).flatMap(p => numeric(p._1.getAs[Any](c)))
+          if (vals.isEmpty) null else vals.sum
+        case RunningCountM(_) | FinalCountM(_) => m.size.toLong
+        case RunningSumM(v, c, _) =>
+          val vals = ofVar(m, v).flatMap(p => numeric(p._1.getAs[Any](c)))
+          if (vals.isEmpty) null else vals.sum
+        case FinalSumM(v, c, _) =>
           val vals = ofVar(m, v).flatMap(p => numeric(p._1.getAs[Any](c)))
           if (vals.isEmpty) null else vals.sum
         case _ => throw new IllegalStateException("unreachable")

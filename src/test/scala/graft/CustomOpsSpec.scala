@@ -228,4 +228,34 @@ class CustomOpsSpec extends AnyFunSuite {
       assert(viaCtx == viaPattern, s"k=$k s='$s' skip=$skip")
     }
   }
+
+  test("ctx defines: streaming prefix equivalence (10k differential)") {
+    // The hammer's streaming property applied to the DefineCtx path: a
+    // cut anywhere in the input, with the retained suffix re-fed, must
+    // reproduce the batch matches exactly — the running-aggregate state
+    // is part of no persisted state (it derives from the retained rows),
+    // so retention alone must suffice.
+    val rnd = new scala.util.Random(0xFACE)
+    val aDef = sym("A", "a")
+    for (_ <- 1 to 10000) {
+      val k = 1 + rnd.nextInt(3)
+      val n = rnd.nextInt(11)
+      val s = (1 to n).map(_ => "ab" (rnd.nextInt(2))).mkString
+      val rs = rows(s.map(c => c.toString -> 1.0): _*)
+      val cut = rnd.nextInt(s.length + 1)
+      val pat = Pat.Cat(Seq(Pat.Sym("A"), Pat.star(Pat.Sym("B"))))
+      val ctx = Map("B" -> ((r: Row, _: Option[Row],
+          p: MatchRecognize.Partial, _: String) =>
+        r.getAs[String]("v") == "b" && p.rowsOf("B").size + 1 <= k))
+      val batch = MatchRecognize.findMatches(rs, pat, Map(aDef),
+        ctxDefines = ctx).map(_.map(_._2))
+      val (m1, retain) = MatchRecognize.findMatchesStreaming(
+        rs.take(cut), pat, Map(aDef), ctxDefines = ctx)
+      val carried = rs.take(cut).drop(retain) ++ rs.drop(cut)
+      val m2 = MatchRecognize.findMatches(carried, pat, Map(aDef),
+        ctxDefines = ctx)
+      assert((m1.map(_.map(_._2)) ++ m2.map(_.map(_._2))) == batch,
+        s"k=$k s='$s' cut=$cut")
+    }
+  }
 }

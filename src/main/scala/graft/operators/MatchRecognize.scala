@@ -92,6 +92,12 @@ object MatchRecognize {
       val start: Int, val end: Int) {
     /** Number of rows matched so far in this attempt. */
     def size: Int = end - start
+    /** The row `n` positions before the candidate in PARTITION order —
+      * SQL:2016 PREV(col, n) navigates the partition, not the match, so
+      * it can reach rows before the match start. n=0 is the candidate
+      * itself (None here: the caller already holds it). */
+    def prevRow(n: Int): Option[Row] =
+      if (n <= 0 || end - n < 0) None else Some(rows(end - n))
     /** Rows the variable has matched so far, in match order (exclusion
       * markers stripped — `{- -}` affects output, not aggregation). */
     def rowsOf(v: String): IndexedSeq[Row] = {

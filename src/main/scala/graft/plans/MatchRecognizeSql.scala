@@ -414,7 +414,13 @@ object MatchRecognizeSql {
     }
 
   private val NeedsCtx =
-    """(?is)SUM\s*\(|COUNT\s*\(|CHAR_LENGTH\s*\(|\w\s*\.\s*\w|\+""".r
+    """(?is)SUM\s*\(|COUNT\s*\(|CHAR_LENGTH\s*\(|\w\s*\.\s*\w|\+|PREV\s*\(\s*\w+\s*,""".r
+
+  /** `col op PREV(col, n)` — explicit-offset navigation (SqlStdOperatorTable
+    * PREV's two-arg form). Offset 1 is the plain-Define path; n > 1 needs
+    * the Partial's partition-relative navigation. */
+  private val TermPrevN =
+    """(?is)\s*(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*PREV\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s*""".r
 
   /** One DEFINE body → simple predicate (Left) when every conjunct fits
     * the plain comparison grammar, context-aware (Right) when any
@@ -429,7 +435,14 @@ object MatchRecognizeSql {
           val simple = parsePredicate(c)
           (r: Row, p: Option[Row], _: MatchRecognize.Partial, _: String) =>
             simple(r, p)
-        } else parseAdditiveTerm(c)
+        } else c match {
+          case TermPrevN(lcol, op, pcol, nStr) =>
+            val n = nStr.toInt
+            (r: Row, _: Option[Row], part: MatchRecognize.Partial, _: String) =>
+              part.prevRow(n).exists(pr =>
+                cmp(op, r.getAs[Any](lcol), pr.getAs[Any](pcol)))
+          case _ => parseAdditiveTerm(c)
+        }
       }
       Right((r, p, part, cv) => terms.forall(t => t(r, p, part, cv)))
     }

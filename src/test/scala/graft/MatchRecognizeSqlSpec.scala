@@ -84,6 +84,19 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("PREV(col, n) explicit-offset navigation in DEFINE") {
+    import spark.implicits._
+    // U matches rows higher than the value TWO rows back (partition
+    // navigation: the offset can reach before the match start)
+    val df = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (1L, 3L, 6.0),
+      (1L, 4L, 2.0), (1L, 5L, 7.0)).toDF("g", "seq", "value")
+    val got = graft.plans.MatchRecognizeSql.dataframe(df, "g", "seq", None,
+      "COUNT(*) AS n, FIRST(seq) AS s0", "U+", "U AS value > PREV(value, 2)")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("s0"))).toSeq
+    // row3 (6 > 5 at offset 2) and row5 (7 > 6) qualify; row4 (2 > 3) no
+    assert(got == Seq((1L, 3L), (1L, 5L)), got.toString)
+  }
+
   test("MIN/MAX/AVG running aggregates in DEFINE") {
     import spark.implicits._
     val avg = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 9.0),

@@ -422,6 +422,15 @@ object MatchRecognizeSql {
   private val TermPrevN =
     """(?is)\s*(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*PREV\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)\s*""".r
 
+  /** Var-qualified form `v.col op PREV(v.col [, n])` — the reference's
+    * disabled `DEFINE up AS up.deptno < prev(up.deptno)` (match.iq:44-53).
+    * The qualifier on the left resolves to the candidate row when it names
+    * the variable under test (RUNNING semantics), else to the qualifier's
+    * last row so far; PREV navigates the PARTITION row sequence. */
+  private val TermVarPrev =
+    ("""(?is)\s*(\w+)\s*\.\s*(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*""" +
+      """PREV\s*\(\s*(\w+)\s*\.\s*(\w+)\s*(?:,\s*(\d+))?\s*\)\s*""").r
+
   /** One DEFINE body → simple predicate (Left) when every conjunct fits
     * the plain comparison grammar, context-aware (Right) when any
     * conjunct carries an aggregate / navigation addend. */
@@ -436,6 +445,15 @@ object MatchRecognizeSql {
           (r: Row, p: Option[Row], _: MatchRecognize.Partial, _: String) =>
             simple(r, p)
         } else c match {
+          case TermVarPrev(lv, lcol, op, _, pcol, nStr) =>
+            val n = Option(nStr).map(_.toInt).getOrElse(1)
+            (r: Row, _: Option[Row], part: MatchRecognize.Partial, cv: String) => {
+              val lval =
+                if (lv.toUpperCase == cv) Some(r.getAs[Any](lcol))
+                else rowsIncl(part, lv, r, cv).lastOption.map(_.getAs[Any](lcol))
+              lval.exists(l => part.prevRow(n).exists(pr =>
+                cmp(op, l, pr.getAs[Any](pcol))))
+            }
           case TermPrevN(lcol, op, pcol, nStr) =>
             val n = nStr.toInt
             (r: Row, _: Option[Row], part: MatchRecognize.Partial, _: String) =>
@@ -463,11 +481,13 @@ object MatchRecognizeSql {
   // SQL:2016 RUNNING/FINAL aggregate measures (ALL ROWS PER MATCH emits
   // the per-row prefix value for RUNNING and the whole-match value for
   // FINAL; in ONE ROW PER MATCH both collapse to the final value)
+  private case class LitM(value: Long, name: String) extends Measure
   private case class RunningCountM(name: String) extends Measure
   private case class FinalCountM(name: String) extends Measure
   private case class RunningSumM(sym: String, col: String, name: String) extends Measure
   private case class FinalSumM(sym: String, col: String, name: String) extends Measure
 
+  private val MLit = """\s*(-?\d+)\s+AS\s+(\w+)\s*""".r
   private val MCls = """(?is)\s*CLASSIFIER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
   private val MMn = """(?is)\s*MATCH_NUMBER\s*\(\s*\)\s+AS\s+(\w+)\s*""".r
   private val MCountAll = """(?is)\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)\s*""".r
@@ -485,6 +505,7 @@ object MatchRecognizeSql {
 
   private def parseMeasures(text: String): Seq[Measure] =
     text.split(",").toSeq.map {
+      case MLit(v, n) => LitM(v.toLong, n)
       case MCls(n) => ClassifierM(n)
       case MMn(n) => MatchNumberM(n)
       case MCountAll(n) => CountAll(n)
@@ -647,6 +668,8 @@ object MatchRecognizeSql {
         // RUNNING/FINAL SUM over a variable's rows (SQL:2016 aggregate
         // measures) — null when the variable matched no row
         case VarSum(_, _, n) => StructField(n, DoubleType, nullable = true)
+        // a constant measure (the reference's `MEASURES 1 AS m1` shape)
+        case LitM(_, n) => StructField(n, LongType, nullable = false)
         // in ONE ROW PER MATCH, RUNNING and FINAL both see the whole match
         case RunningCountM(n) => StructField(n, LongType, nullable = false)
         case FinalCountM(n) => StructField(n, LongType, nullable = false)
@@ -669,6 +692,7 @@ object MatchRecognizeSql {
         case VarSum(v, c, _) =>
           val vals = ofVar(m, v).flatMap(p => numeric(p._1.getAs[Any](c)))
           if (vals.isEmpty) null else vals.sum
+        case LitM(v, _) => v
         case RunningCountM(_) | FinalCountM(_) => m.size.toLong
         case RunningSumM(v, c, _) =>
           val vals = ofVar(m, v).flatMap(p => numeric(p._1.getAs[Any](c)))

@@ -84,6 +84,24 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("the reference's first disabled match block: up.deptno < PREV(up.deptno)") {
+    // match.iq:44-53, inside `!if (false)`:
+    //   PATTERN (s up) DEFINE up AS up.deptno < prev(up.deptno)
+    // with the literal measure `1 AS m1` — var-qualified left side plus
+    // partition-navigation PREV (a constant partition key stands in for
+    // the clause's partitionless form).
+    import spark.implicits._
+    val df = Seq((1L, 1L, 10), (1L, 2L, 30), (1L, 3L, 20),
+      (1L, 4L, 5), (1L, 5L, 50)).toDF("g", "hiredate", "deptno")
+    val got = graft.plans.MatchRecognizeSql.dataframe(df, "g", "hiredate", None,
+      "1 AS m1, FIRST(deptno) AS d0, LAST(deptno) AS d1",
+      "S UP", "UP AS up.deptno < PREV(up.deptno)")
+      .collect().map(r => (r.getAs[Long]("m1"), r.getAs[Int]("d0"),
+        r.getAs[Int]("d1"))).toSeq
+    // the only S-then-drop pair after SKIP PAST LAST ROW: rows (30, 20)
+    assert(got == Seq((1L, 30, 20)), got.toString)
+  }
+
   test("PREV(col, n) explicit-offset navigation in DEFINE") {
     import spark.implicits._
     // U matches rows higher than the value TWO rows back (partition

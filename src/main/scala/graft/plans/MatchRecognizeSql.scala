@@ -21,6 +21,10 @@ import org.apache.spark.sql.types._
   *   ORDER BY <col> [, <col>]               -- timestamp/integral [+ tiebreak]
   *   MEASURES <m> AS <name> [, ...]         -- m := COUNT(*) | COUNT(S.*)
   *                                          --    | FIRST(<col>) | LAST(<col>)
+  *                                          --    | FIRST/LAST(v.col) | v.col
+  *                                          --    | SUM(v.col) | <intlit>
+  *                                          --    | [RUNNING|FINAL] COUNT(*)/SUM(v.col)
+  *                                          --    | CLASSIFIER() | MATCH_NUMBER()
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] <var>
   *   PATTERN ( <pat> )                      -- symbols, | ( ) * + ? {m,n} {m,}
@@ -28,6 +32,7 @@ import org.apache.spark.sql.types._
   *                                          --   PERMUTE(p1, ..), {- p -}
   *   DEFINE S AS <pred> [, ...]             -- pred := conj of
   *                                          --   <col> op <lit | col | PREV(col)>
+  *                                          --   | <col|v.col> op PREV(<col|v.col> [, n])
   *                                          -- or RUNNING-aggregate terms:
   *                                          --   addend (+ addend)* op <numlit>,
   *                                          --   addend := SUM|MIN|MAX|AVG(v.col)

@@ -68,30 +68,79 @@ object Tables {
     * ProjectableFilterableTable (schema/ProjectableFilterableTable.java:36)
     * done by the format, not the engine.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in the fixture parquet, which Spark's
-    * TimestampType (µs) cannot represent: we read nanos as long and
-    * floor-divide to µs — exactly the truncation DuckDB 1.x applies when it
-    * reads the same file, so oracle comparisons stay value-identical. The
-    * full-precision nanos stay available as `ts_ns`.
+    * `events` exposes `ts` as a µs TimestampType plus a `ts_ns` nano-long
+    * tiebreaker, whichever of the two fixture generations is on disk
+    * (TIMESTAMP(NANOS) in early rounds, TIMESTAMP(MICROS) later) — see
+    * `build`. Either way the values match what DuckDB reads from the same
+    * file, so oracle comparisons stay value-identical.
     */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent((spark, sfDir, name),
+      _ => build(spark, sfDir, name))
+
+  /** Unexecuted scan plans are immutable and the fixture dir never
+    * changes, so the (session, dir, table) → DataFrame mapping is safely
+    * memoizable — it removes a driver-side parquet-footer read per table
+    * per query (hundreds across a bench/verify sweep). */
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  /** Raw read of the events parquet, tolerant of BOTH fixture generations:
+    * TIMESTAMP(NANOS) `ts` (read as a nano long via the legacy flag) and
+    * TIMESTAMP(MICROS) `ts` (read as a timestamp directly). Parquet schema
+    * inference consults SQLConf.get — the THREAD-ACTIVE session's conf,
+    * not necessarily `spark`'s — so `spark` is pinned active for the read
+    * (a caller thread with a different session active would otherwise
+    * ignore the nanosAsLong flag on the nano fixture). */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
+    try spark.read.parquet(s"$sfDir/events.parquet")
+    finally prevActive.foreach(SparkSession.setActiveSession)
+  }
+
+  private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+      import org.apache.spark.sql.functions.{col, expr}
+      val raw = eventsRaw(spark, sfDir)
+      val shaped = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nano fixture: truncate to µs for `ts` (exactly what DuckDB does
+          // reading the same file), keep the full nanos as `ts_ns`
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(expr("ts_ns div 1000")))
+        case _ =>
+          // micro fixture: `ts` is already the value DuckDB sees; session TZ
+          // is UTC so the NTZ→instant cast is numerically identity. `ts_ns`
+          // stays available as the unique nano-resolution tiebreaker.
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+            .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      }
+      shaped.select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Last directory registered per live session. Registration re-reads 11
+    * parquet footers driver-side; memoizing it turns the per-query entry
+    * (`Engine.sql`) into a no-op after the first call — material when a
+    * bench/verify run issues hundreds of queries against one session.
+    * Safe because the fixture dir is immutable and the only code that
+    * shadows a fixture view (StreamSql's streaming twin) restores it in a
+    * `finally`. Keyed by session identity: a fresh session (or a dir
+    * switch, e.g. sf0.001→sf0.01 in specs) re-registers. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    if (sfDir == registeredDir.get(spark)) return
     names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
     // the RAW events file (nanos-as-long ts) under its own name: the
     // `events` view above is a transformed projection of this relation,
     // so SQL regenerated from a plan (plans.RelToSql) must reference the
     // raw table its scan actually reads, not the view
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events_raw")
+    eventsRaw(spark, sfDir).createOrReplaceTempView("events_raw")
+    registeredDir.put(spark, sfDir)
   }
 }

@@ -328,6 +328,33 @@ object Extras {
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
     },
 
+    // ---- GROUP_ID() over duplicate grouping sets --------------------------
+    // reference: fun/SqlGroupIdFunction.java — GROUP_ID() numbers duplicate
+    // grouping sets 0..n-1 (GROUPING SETS ((k),(k),()) emits each per-k
+    // group twice with GROUP_ID 0 and 1). Calcite lowers it by expanding
+    // the duplicates into a union of distinct-set aggregates; we apply the
+    // same rewrite declaratively — one aggregate per distinct set, reused
+    // across its duplicates with the literal id attached.
+    QDef.sql("agg_group_id",
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk, CAST(0 AS BIGINT) AS gid,
+        |  count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sk
+        |FROM nation GROUP BY n_regionkey
+        |UNION ALL
+        |SELECT CAST(n_regionkey AS BIGINT), 1, count(*), CAST(sum(n_nationkey) AS BIGINT)
+        |FROM nation GROUP BY n_regionkey
+        |UNION ALL
+        |SELECT NULL, 0, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM nation""") { (s, dir) =>
+      val per = t(s, dir, "nation").groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("cnt"), sum("n_nationkey").cast("long").as("sk"))
+      def tagged(gid: Int) = per.select(
+        col("n_regionkey").cast("long").as("rk"), lit(gid.toLong).as("gid"),
+        col("cnt"), col("sk"))
+      val total = t(s, dir, "nation")
+        .agg(count(lit(1)).as("cnt"), sum("n_nationkey").cast("long").as("sk"))
+        .select(lit(null).cast("long").as("rk"), lit(0L).as("gid"), col("cnt"), col("sk"))
+      tagged(0).unionAll(tagged(1)).unionAll(total)
+    },
+
     // ---- NTILE (equal-height bucketing) -----------------------------------
     // reference: SqlStdOperatorTable NTILE window function.
     QDef.sql("window_ntile",

@@ -286,6 +286,29 @@ object Functions {
           "CASE WHEN t <= TIME '22:29:59' THEN CAST(t + INTERVAL 90 MINUTE AS STRING) END AS shifted")
     },
 
+    // ---- Oracle-compat library (fun/OracleSqlOperatorTable.java:39-60:
+    // NVL, TRANSLATE3; SqlLibraryOperators TO_DATE/TO_TIMESTAMP) ------------
+    // Spark has nvl/nvl2 natively; TO_DATE/TO_TIMESTAMP take a format
+    // pattern (Spark SimpleDateFormat-style vs DuckDB strptime %-codes —
+    // same round-trip, different spelling, so split SQL texts).
+    QDef.sql("fn_oracle_compat",
+      """SELECT o_orderkey,
+        |  coalesce(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END, 'none') AS st_nvl,
+        |  CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END) IS NOT NULL
+        |       THEN 'has' ELSE 'absent' END AS st_nvl2,
+        |  CAST(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y') AS DATE) AS rt_date,
+        |  strptime(strftime(o_orderdate, '%Y/%m/%d %H:%M:%S'), '%Y/%m/%d %H:%M:%S') AS rt_ts,
+        |  translate(o_orderpriority, '-LOWHIGH', '_lowhigh') AS prio_tr
+        |FROM orders WHERE o_orderkey % 11 = 0""") { (s, dir) =>
+      t(s, dir, "orders").where(col("o_orderkey") % 11 === 0).select(
+        col("o_orderkey"),
+        expr("nvl(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END, 'none')").as("st_nvl"),
+        expr("nvl2(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END, 'has', 'absent')").as("st_nvl2"),
+        to_date(date_format(col("o_orderdate"), "dd.MM.yyyy"), "dd.MM.yyyy").as("rt_date"),
+        to_timestamp(date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm:ss"), "yyyy/MM/dd HH:mm:ss").as("rt_ts"),
+        translate(col("o_orderpriority"), "-LOWHIGH", "_lowhigh").as("prio_tr"))
+    },
+
     // ---- Conditional: CASE / NULLIF / COALESCE / GREATEST / LEAST ---------
     QDef.sql("fn_conditional",
       """SELECT c_custkey,

@@ -16,6 +16,10 @@ import graft.QDef
   *    in the reference's planner.
   *  - winagg.iq:90-160 — FIRST_VALUE over empty/partition-only/RANGE
   *    frames was unimplemented in the enumerable convention.
+  *  - winagg.iq:187 — tied-rank running COUNT (default RANGE frame peers)
+  *    "Calcite does not yet generate tied ranks".
+  *  - misc.iq:2124 — [CALCITE-2032] implicit character→date coercion in a
+  *    comparison predicate.
   *
   * The emp/dept fixture is inline VALUES (the post-schema's shape), so
   * the identical text runs on both engines. A NULLS LAST is pinned on the
@@ -81,6 +85,34 @@ object RefDisabled {
           |  first_value(ename) OVER (PARTITION BY deptno ORDER BY ename) AS fv_dept,
           |  first_value(ename) OVER (PARTITION BY deptno ORDER BY gender, ename
           |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv_range
-          |FROM emp ORDER BY ename""")
+          |FROM emp ORDER BY ename"""),
+
+    // outer.iq:138 disabled block ("we cannot handle non-equi-join"):
+    // RIGHT JOIN whose ON clause carries the emp-side filter — every dept
+    // row survives, emp columns attach only for matched female rows.
+    QDef.common("refdis_join_on_filter_right",
+      fixture +
+        """SELECT ename, emp.deptno AS e_dept, dept.deptno AS d_dept, dname
+          |FROM emp RIGHT JOIN dept
+          |  ON emp.deptno = dept.deptno AND emp.gender = 'F'
+          |ORDER BY d_dept, ename"""),
+
+    // winagg.iq:187 disabled block ("Calcite does not yet generate tied
+    // ranks"): COUNT(*) OVER (ORDER BY k) — the default RANGE frame makes
+    // peer rows (ties on deptno) share one running count.
+    QDef.common("refdis_window_tied_count",
+      fixture +
+        """SELECT ename, deptno,
+          |  count(*) OVER (ORDER BY deptno NULLS LAST) AS c
+          |FROM emp ORDER BY ename"""),
+
+    // misc.iq:2124 disabled block — [CALCITE-2032] implicit conversion of
+    // a character literal to a date in a comparison; both Spark and DuckDB
+    // coerce natively.
+    QDef.common("refdis_implicit_date_literal",
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate = '1996-01-02'
+        |ORDER BY o_orderkey""")
   )
 }

@@ -40,15 +40,28 @@ object StreamOps {
       Files.createSymbolicLink(
         streamDir.resolve("events.parquet"), Paths.get(sfDir, "events.parquet"))
     }
+    // The stream must declare the on-disk `ts` type up front; probe the
+    // batch-side raw schema (cached) so both fixture generations work —
+    // TIMESTAMP(NANOS) read as nano long, TIMESTAMP(MICROS) read natively.
+    val tsIsNanoLong =
+      graft.Tables.eventsRaw(spark, sfDir).schema("ts").dataType == LongType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsField =
+      if (tsIsNanoLong) StructField("ts", LongType)
+      else StructField("ts", org.apache.spark.sql.types.TimestampNTZType)
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), tsField,
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(raw).parquet(streamDir.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+    val stream = spark.readStream.schema(raw).parquet(streamDir.toString)
+    val shaped =
+      if (tsIsNanoLong)
+        stream.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      else
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    shaped.select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
   }
 
   /** Tumbling-window aggregation (streaming shape; also used in batch). */

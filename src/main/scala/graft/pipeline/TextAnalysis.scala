@@ -222,7 +222,7 @@ object TextAnalysis {
         |df AS (SELECT gram, count(DISTINCT doc_id) AS dfreq FROM g GROUP BY gram),
         |per AS (
         |  SELECT doc_id, count(*) AS n_grams,
-        |    coalesce(sum(CASE WHEN dfreq > 5 THEN 1 ELSE 0 END), 0) AS frequent
+        |    CAST(coalesce(sum(CASE WHEN dfreq > 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS frequent
         |  FROM g JOIN df USING (gram) GROUP BY doc_id)
         |SELECT doc_id, n_grams, frequent,
         |  CAST(frequent AS DOUBLE) / n_grams AS boiler_frac,
@@ -253,10 +253,10 @@ object TextAnalysis {
     // compared output.
     QDef.common("text_mix_quota",
       """SELECT lang, COUNT(*) AS total,
-        |  SUM(CASE WHEN (doc_id * 2654435761) % 1000 <
+        |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000 <
         |    CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 600
         |              WHEN 'es' THEN 750 ELSE 1000 END
-        |    THEN 1 ELSE 0 END) AS kept
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
         |FROM documents
         |GROUP BY lang"""),
 

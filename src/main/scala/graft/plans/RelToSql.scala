@@ -81,12 +81,25 @@ object RelToSql {
     def intDivide(a: String, b: String): String = s"($a // $b)"
     /** Epoch-microseconds to timestamp. */
     def microsToTimestamp(us: String): String = s"MAKE_TIMESTAMP($us)"
+    /** Timestamp to epoch-microseconds — the inverse accessor. Spark 4's
+      * analyzer lowers RANGE frames ordered by a timestamp (and interval
+      * arithmetic on order keys) into UnixMicros(ts), so any window query
+      * over event time hits this on re-render. Only dialects whose target
+      * has an exact-microsecond accessor override; the rest throw, keeping
+      * the converter's partial-by-design contract (the caller leaves the
+      * plan on the local engine rather than shipping silently lossy SQL —
+      * MySQL/Hive/Oracle only expose seconds-resolution epoch accessors). */
+    def unixMicros(ts: String): String =
+      throw unsupported(s"expression UnixMicros in dialect $name")
   }
 
   /** ANSI/portable rendering — also valid DuckDB and PostgreSQL. */
   object Ansi extends Dialect {
     val name = "ansi"
     def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    // DuckDB executes this dialect's text in the round-trip oracle;
+    // epoch_us is its exact-micros accessor (BIGINT)
+    override def unixMicros(ts: String): String = s"EPOCH_US($ts)"
   }
 
   /** Spark SQL rendering — backtick identifiers (Spark treats double
@@ -100,6 +113,7 @@ object RelToSql {
     override def shiftRight(a: String, b: String): String = s"SHIFTRIGHT($a, $b)"
     override def intDivide(a: String, b: String): String = s"($a DIV $b)"
     override def microsToTimestamp(us: String): String = s"TIMESTAMP_MICROS($us)"
+    override def unixMicros(ts: String): String = s"UNIX_MICROS($ts)"
     override def typeName(dt: DataType): String = dt match {
       case StringType => "STRING"
       case TimestampNTZType => "TIMESTAMP_NTZ"
@@ -127,6 +141,8 @@ object RelToSql {
     override def intDivide(a: String, b: String): String = s"($a / $b)"
     override def microsToTimestamp(us: String): String =
       s"TO_TIMESTAMP(($us) / 1000000.0)"
+    override def unixMicros(ts: String): String =
+      s"CAST(EXTRACT(EPOCH FROM $ts) * 1000000 AS BIGINT)"
   }
 
   /** MySQL-flavored rendering (reference: sql/dialect/MysqlSqlDialect.java —
@@ -183,6 +199,8 @@ object RelToSql {
       case TimestampNTZType | TimestampType => "DATETIME2"
       case other => super.typeName(other)
     }
+    override def unixMicros(ts: String): String =
+      s"DATEDIFF_BIG(MICROSECOND, '1970-01-01', $ts)"
     override def orderLimit(orderBy: Option[String],
         limit: Option[Long], offset: Option[Long]): String =
       if (limit.isEmpty && offset.isEmpty)
@@ -215,6 +233,7 @@ object RelToSql {
     }
     override def intDivide(a: String, b: String): String = s"DIV($a, $b)"
     override def microsToTimestamp(us: String): String = s"TIMESTAMP_MICROS($us)"
+    override def unixMicros(ts: String): String = s"UNIX_MICROS($ts)"
   }
 
   /** Hive rendering (reference: sql/dialect/HiveSqlDialect.java — backtick
@@ -246,6 +265,10 @@ object RelToSql {
     override def limitClause(limit: Option[Long], offset: Option[Long]): String =
       offset.map(n => s" OFFSET $n").getOrElse("") +
         limit.map(n => s" LIMIT $n").getOrElse("")
+    // to_unixtime returns DOUBLE; epoch-micros magnitudes (~2^51) stay
+    // inside the 53-bit exact-integer range
+    override def unixMicros(ts: String): String =
+      s"CAST(TO_UNIXTIME($ts) * 1000000 AS BIGINT)"
   }
 
   /** ClickHouse rendering (reference: sql/dialect/ClickHouseSqlDialect.java
@@ -266,6 +289,8 @@ object RelToSql {
       case TimestampNTZType | TimestampType => "DateTime"
       case other => super.typeName(other)
     }
+    override def unixMicros(ts: String): String =
+      s"toUnixTimestamp64Micro(toDateTime64($ts, 6))"
   }
 
   private def unsupported(what: String) =
@@ -733,6 +758,7 @@ object RelToSql {
 
       case ShiftRight(l, r) => d.shiftRight(expr(l), expr(r))
       case MicrosToTimestamp(c) => d.microsToTimestamp(expr(c))
+      case UnixMicros(c) => d.unixMicros(expr(c))
       case IntegralDivide(l, r, _) => d.intDivide(expr(l), expr(r))
 
       case BitwiseAnd(l, r) => s"(${expr(l)} & ${expr(r)})"

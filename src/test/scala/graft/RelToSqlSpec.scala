@@ -100,11 +100,15 @@ class RelToSqlSpec extends AnyFunSuite {
   }
 
   test("self-join disambiguates the duplicated column names") {
-    val n1 = Tables.t(spark, sfDir, "nation")
-    val n2 = Tables.t(spark, sfDir, "nation")
-    val df = n1.join(n2, n1("n_regionkey") === n2("n_regionkey") &&
-        n1("n_nationkey") < n2("n_nationkey"))
-      .select(n1("n_name"), n2("n_name"))
+    // Tables.t memoizes, so both sides are the same Dataset instance —
+    // alias them as a user must (DetectAmbiguousSelfJoin rejects bare
+    // same-Dataset column refs). Both outputs are still named n_name, so
+    // the converter's global-scope suffixing is exercised unchanged.
+    val n1 = Tables.t(spark, sfDir, "nation").as("sj_a")
+    val n2 = Tables.t(spark, sfDir, "nation").as("sj_b")
+    val df = n1.join(n2, col("sj_a.n_regionkey") === col("sj_b.n_regionkey") &&
+        col("sj_a.n_nationkey") < col("sj_b.n_nationkey"))
+      .select(col("sj_a.n_name"), col("sj_b.n_name"))
     val sql = RelToSql.convert(df, RelToSql.Spark)
     // the second n_name must have been suffixed inside the query body
     assert(sql.contains("n_name_2"))

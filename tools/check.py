@@ -16,6 +16,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def kind(dt) -> str:
+    """Pandas dtype kind the driver's hash effectively distinguishes.
+    Empirically (r6): int32 vs int64 and decimal(p,s) vs double hash EQUAL
+    on the driver, but DuckDB HUGEINT (-> pandas float64) vs Spark int64
+    hashes DIFFERENT — i.e. the gate operates at pandas-dtype level after
+    .df()/read_parquet conversion. Mimic exactly that: unify integer
+    widths, keep int vs float vs bool vs object vs datetime apart."""
+    k = getattr(dt, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "datetime", "m": "timedelta"}.get(k, "object")
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for comparison
@@ -53,6 +65,27 @@ def main():
         e_c, g_c = canon(exp), canon(got)
         if list(e_c.columns) != list(g_c.columns):
             print(f"FAIL {name}: columns exp={list(e_c.columns)} got={list(g_c.columns)}")
+            n_bad += 1
+            continue
+        # type gate (mirrors the driver's type-sensitive hash — see kind()).
+        # datetime64 vs object-of-date is a tolerated pair: DuckDB DATE
+        # surfaces as datetime64[us] while Spark date32 parquet reads back
+        # as python datetime.date objects, and the driver hashes them equal
+        # (every r6 date-bearing query passed).
+        import datetime as _dt
+        def date_pair(a, b):
+            if kind(a.dtype) == "object":
+                a, b = b, a
+            if kind(a.dtype) != "datetime" or kind(b.dtype) != "object":
+                return False
+            vals = b.dropna()
+            return len(vals) == 0 or isinstance(vals.iloc[0], (_dt.date, _dt.datetime))
+        tdiff = [f"{c}: oracle={e_c[c].dtype} spark={g_c[c].dtype}"
+                 for c in e_c.columns
+                 if kind(e_c[c].dtype) != kind(g_c[c].dtype)
+                 and not date_pair(e_c[c], g_c[c])]
+        if tdiff:
+            print(f"FAIL {name}: type mismatch — " + "; ".join(tdiff[:4]))
             n_bad += 1
             continue
         if len(e_c) != len(g_c):

@@ -75,15 +75,30 @@ object Tables {
     * file, so oracle comparisons stay value-identical.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    tableCache.computeIfAbsent((spark, sfDir, name),
+    cacheOf(spark).tables.computeIfAbsent((sfDir, name),
       _ => build(spark, sfDir, name))
 
   /** Unexecuted scan plans are immutable and the fixture dir never
-    * changes, so the (session, dir, table) → DataFrame mapping is safely
-    * memoizable — it removes a driver-side parquet-footer read per table
-    * per query (hundreds across a bench/verify sweep). */
-  private val tableCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    * changes, so the per-session (dir, table) → DataFrame mapping is
+    * safely memoizable — it removes a driver-side parquet-footer read per
+    * table per query (hundreds across a bench/verify sweep).
+    *
+    * Sessions are WEAK keys: suites build one session per spec, and a
+    * strong-keyed process-lifetime map would pin every stopped session
+    * (and its plans) for the JVM's life. WeakHashMap needs external
+    * synchronization; all access goes through [[cacheOf]]. */
+  private final class SessionCache {
+    val tables = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    val rawEvents = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    @volatile var registeredDir: String = null
+  }
+  private val sessionCaches = new java.util.WeakHashMap[SparkSession, SessionCache]()
+  private def cacheOf(spark: SparkSession): SessionCache =
+    sessionCaches.synchronized {
+      var c = sessionCaches.get(spark)
+      if (c == null) { c = new SessionCache; sessionCaches.put(spark, c) }
+      c
+    }
 
   /** Raw read of the events parquet, tolerant of BOTH fixture generations:
     * TIMESTAMP(NANOS) `ts` (read as a nano long via the legacy flag) and
@@ -91,14 +106,19 @@ object Tables {
     * inference consults SQLConf.get — the THREAD-ACTIVE session's conf,
     * not necessarily `spark`'s — so `spark` is pinned active for the read
     * (a caller thread with a different session active would otherwise
-    * ignore the nanosAsLong flag on the nano fixture). */
-  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.setActiveSession(spark)
-    try spark.read.parquet(s"$sfDir/events.parquet")
-    finally prevActive.foreach(SparkSession.setActiveSession)
-  }
+    * ignore the nanosAsLong flag on the nano fixture). Memoized like `t`:
+    * streaming schema probes call this once per batch otherwise. */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    cacheOf(spark).rawEvents.computeIfAbsent(sfDir, { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.setActiveSession(spark)
+      try spark.read.parquet(s"$sfDir/events.parquet")
+      finally prevActive match {
+        case Some(s) => SparkSession.setActiveSession(s)
+        case None => SparkSession.clearActiveSession()
+      }
+    })
 
   private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -122,25 +142,31 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Last directory registered per live session. Registration re-reads 11
-    * parquet footers driver-side; memoizing it turns the per-query entry
-    * (`Engine.sql`) into a no-op after the first call — material when a
-    * bench/verify run issues hundreds of queries against one session.
-    * Safe because the fixture dir is immutable and the only code that
-    * shadows a fixture view (StreamSql's streaming twin) restores it in a
-    * `finally`. Keyed by session identity: a fresh session (or a dir
-    * switch, e.g. sf0.001→sf0.01 in specs) re-registers. */
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
-
+  /** Registration memo (on the weak per-session cache). Registration
+    * re-reads 11 parquet footers driver-side; memoizing it turns the
+    * per-query entry (`Engine.sql`) into a no-op after the first call —
+    * material when a bench/verify run issues hundreds of queries against
+    * one session. Safe because the fixture dir is immutable and every
+    * path that shadows or drops a fixture-named view either restores it
+    * in a `finally` (StreamSql's streaming twins) or calls
+    * [[invalidateRegistration]] (MaterializedViewSql's DROP of an
+    * API-created MV that reused a fixture name). Keyed by session
+    * identity: a fresh session (or a dir switch, e.g. sf0.001→sf0.01 in
+    * specs) re-registers. */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    if (sfDir == registeredDir.get(spark)) return
+    val c = cacheOf(spark)
+    if (sfDir == c.registeredDir) return
     names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
     // the RAW events file (nanos-as-long ts) under its own name: the
     // `events` view above is a transformed projection of this relation,
     // so SQL regenerated from a plan (plans.RelToSql) must reference the
     // raw table its scan actually reads, not the view
     eventsRaw(spark, sfDir).createOrReplaceTempView("events_raw")
-    registeredDir.put(spark, sfDir)
+    c.registeredDir = sfDir
   }
+
+  /** Force the next [[registerAll]] to re-register: call after dropping
+    * or replacing a temp view whose name collides with a fixture table. */
+  def invalidateRegistration(spark: SparkSession): Unit =
+    cacheOf(spark).registeredDir = null
 }

@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // other statement passes through to Spark's parser untouched.
     e.injectParser((session, delegate) =>
       new graft.plans.GraftSqlParser(session, delegate))
+    // deferred NEXT VALUE FOR: SequenceAssignPlan → SequenceAssignExec
+    e.injectPlannerStrategy(session =>
+      new graft.plans.SequenceStrategy(session))
   }
 }
 

@@ -331,10 +331,16 @@ object Extras {
     // ---- GROUP_ID() over duplicate grouping sets --------------------------
     // reference: fun/SqlGroupIdFunction.java — GROUP_ID() numbers duplicate
     // grouping sets 0..n-1 (GROUPING SETS ((k),(k),()) emits each per-k
-    // group twice with GROUP_ID 0 and 1). Calcite lowers it by expanding
-    // the duplicates into a union of distinct-set aggregates; we apply the
+    // group twice with GROUP_ID 0 and 1), lowered by expanding the
+    // duplicates into a union of distinct-set aggregates; we apply the
     // same rewrite declaratively — one aggregate per distinct set, reused
     // across its duplicates with the literal id attached.
+    // DELIBERATE DEVIATION from the pinned reference's OUTPUT: its
+    // agg.iq:858-876 golden still carries the CALCITE-1824 bug (duplicate
+    // sets collapse, gid always 0, with an in-golden comment promising the
+    // extra rows "when [CALCITE-1824] is fixed"). This implements the
+    // fixed semantics that comment describes — the later upstream fix —
+    // not the buggy collapsed output.
     QDef.sql("agg_group_id",
       """SELECT CAST(n_regionkey AS BIGINT) AS rk, CAST(0 AS BIGINT) AS gid,
         |  count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sk

@@ -67,6 +67,10 @@ object Sequences {
 
   def exists(name: String): Boolean = catalog.containsKey(name)
 
+  /** Whether the sequence has handed out any value yet (diagnostic; the
+    * deferred-reservation spec pins parse/EXPLAIN purity with it). */
+  def started(name: String): Boolean = state(name).started
+
   private def state(name: String): SeqState = {
     val st = catalog.get(name)
     if (st == null)

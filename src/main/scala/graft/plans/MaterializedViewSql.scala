@@ -40,6 +40,13 @@ object MaterializedViewSql {
     case CreateRe(ifNotExists, name, defText) =>
       // reference semantics (server materialized_view.iq): duplicate
       // CREATE fails; IF NOT EXISTS keeps the existing tile untouched
+      // a fixture-table name would shadow the registered batch view for
+      // the session's lifetime (registerAll memoizes and would not
+      // self-heal) — reject, like a catalog refusing to shadow a table
+      if (graft.Tables.names.contains(name.toLowerCase))
+        throw new IllegalArgumentException(
+          s"Materialized view '$name' would shadow the fixture table of " +
+            "the same name")
       if (MaterializedViews.exists(name)) {
         if (ifNotExists == null) throw new IllegalStateException(
           s"Materialized view '$name' already exists")
@@ -61,6 +68,11 @@ object MaterializedViewSql {
         throw new IllegalStateException(s"Materialized view '$name' not found")
       MaterializedViews.drop(name)
       spark.catalog.dropTempView(name)
+      // CREATE rejects fixture names, but an MV created through the API
+      // (MaterializedViews.create) could have reused one — re-register on
+      // the next query instead of leaving the fixture view missing
+      if (graft.Tables.names.contains(name.toLowerCase))
+        graft.Tables.invalidateRegistration(spark)
       Some(delegate.parsePlan(
         s"SELECT 'dropped' AS status, '$name' AS materialized_view"))
     case RefreshRe(name) =>

@@ -20,24 +20,18 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * Like the restricted MATCH_RECOGNIZE form, the SELECT shapes cover the
   * reference's own test surface (sequence.iq queries have exactly this
   * shape) rather than arbitrary expression nesting. NEXT VALUE lowers
-  * onto [[Sequences.nextValueFor]] — the distributed block-reservation
+  * onto [[SequenceAssignPlan]], a custom LogicalPlan planned by
+  * [[SequenceStrategy]] into [[SequenceAssignExec]], whose doExecute
+  * runs [[Sequences.nextValueFor]] — the distributed block-reservation
   * assignment, in the source's row order like the reference's row-at-a-
-  * time evaluation. The block is reserved ONCE at parse time: each
-  * `spark.sql` call advances the sequence, while re-collecting the SAME
-  * returned DataFrame replays its reserved block — deliberate, because a
-  * counter advancing per row evaluation would hand out different values
-  * whenever Spark recomputes a partition (task retry, cache eviction).
-  *
-  * RE-PARSE HAZARD (documented tradeoff): because reservation happens in
-  * `ParserInterface.parsePlan`, ANY path that re-parses the statement TEXT
-  * advances the sequence again and runs the reservation job during parsing
-  * — e.g. a view or tool that stores and replays the SQL string. This is
-  * the same contract as "each spark.sql call advances", just easy to miss
-  * when the re-parse is implicit. (Spark's own `EXPLAIN <stmt>` does NOT
-  * hit this: the EXPLAIN text falls through to the delegate parser as one
-  * statement and never matches the anchored NEXT VALUE form.) Callers that
-  * need parse-without-advance must hold the returned DataFrame instead of
-  * the text.
+  * time evaluation. Reservation is an EXECUTION-time effect: parsing
+  * (and EXPLAIN, and any tool replaying the statement text) is pure and
+  * advances nothing; each executed action reserves a fresh block —
+  * the same contract as re-issuing the statement. Within one execution
+  * the block is reserved once on the driver, so task retries and
+  * partition recomputes replay the same values.
+  * Sequence EXISTENCE is still checked at parse time (a catalog error,
+  * mirroring the reference validator's "Table not found").
   * CURRENT VALUE is a parse-time constant by semantics
   * (reads without advancing), so it lowers to a literal projection.
   * DDL executes eagerly like the reference's DdlExecutor and returns a
@@ -70,9 +64,17 @@ object SequenceSql {
       Some(delegate.parsePlan(
         s"SELECT 'dropped' AS status, '$name' AS sequence"))
     case NextRe(name, alias, source) =>
-      val df = Sequences.nextValueFor(
-        spark.sql(s"SELECT * FROM $source"), name, alias)
-      Some(df.select(alias).queryExecution.logical)
+      // existence is a parse-time (catalog) error, like the reference's
+      // validator; the RESERVATION is deferred — the plan carries an
+      // unexecuted assignment and the counter advances only when an
+      // action executes it (SequenceAssignPlan/-Exec)
+      if (!Sequences.exists(name))
+        throw new IllegalArgumentException(s"Table '$name' not found")
+      val src = spark.sql(s"SELECT * FROM $source")
+      val node = SequenceAssignPlan(src.queryExecution.analyzed, name, alias,
+        () => Sequences.nextValueFor(src, name, alias))
+      Some(org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(node.outAttr), node))
     case CurrentRe(name, alias, source) =>
       val cur = Sequences.currentValue(name)
       Some(delegate.parsePlan(

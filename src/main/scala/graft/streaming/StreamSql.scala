@@ -36,6 +36,7 @@ object StreamSql {
     scala.collection.concurrent.TrieMap.empty[String, SparkSession => DataFrame]
   def registerStreamable(name: String, make: SparkSession => DataFrame): Unit =
     extraStreamables.put(name, make)
+  def unregisterStreamable(name: String): Unit = extraStreamables.remove(name)
 
   // The reference's grouped window functions (SqlStdOperatorTable:2268-2330
   // TUMBLE/HOP/SESSION + their _START/_END auxiliaries) lowered onto
@@ -88,17 +89,25 @@ object StreamSql {
       case Shell(rest) =>
         // batch views first (dimension sides of stream-table joins) ...
         Tables.registerAll(spark, sfDir)
-        // ... then the streaming twins shadow the streamable tables
+        // ... then the streaming twins shadow the streamable tables.
+        // Snapshot what each twin shadows FIRST: the analyzed plan below
+        // resolves against the twins, and the finally must put back every
+        // shadowed batch view (not only `events` — an extra streamable
+        // named after any existing view would otherwise leave the twin
+        // permanently shadowing it, defeating registerAll's memo).
+        val shadowed: Map[String, Option[DataFrame]] =
+          (extraStreamables.keySet + "events").iterator.map { n =>
+            n -> (try Some(spark.table(n)) catch { case _: Exception => None })
+          }.toMap
         StreamOps.readEventsStream(spark, sfDir).createOrReplaceTempView("events")
         extraStreamables.foreach { case (n, mk) =>
           mk(spark).createOrReplaceTempView(n)
         }
         val df =
           try spark.sql(rewriteGroupedWindows("SELECT " + rest))
-          finally {
-            // restore the batch view; the analyzed plan above already
-            // resolved against the streaming twin
-            Tables.t(spark, sfDir, "events").createOrReplaceTempView("events")
+          finally shadowed.foreach {
+            case (n, Some(prior)) => prior.createOrReplaceTempView(n)
+            case (n, None) => spark.catalog.dropTempView(n)
           }
         if (!df.isStreaming)
           throw new IllegalArgumentException(

@@ -191,4 +191,28 @@ class MaterializedViewSqlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM mv_ddl_sem").collect() }
     spark.sql("DROP MATERIALIZED VIEW IF EXISTS mv_ddl_sem")
   }
+
+  test("fixture-table names are rejected: an MV cannot shadow the catalog (r6 ADVICE)") {
+    MaterializedViews.clear()
+    Tables.registerAll(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("CREATE MATERIALIZED VIEW nation AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("shadow"))
+    // the fixture view is untouched and queries keep working
+    assert(spark.sql("SELECT count(*) FROM nation").head().getLong(0) == 25L)
+
+    // an API-created MV that reused a fixture name: SQL DROP must heal the
+    // registration memo so the next query re-registers the fixture view
+    Tables.t(spark, sfDir, "region").limit(1)
+      .createOrReplaceTempView("supplier") // simulate the shadowing
+    MaterializedViews.create(spark, "supplier",
+      Tables.t(spark, sfDir, "region").limit(1),
+      java.nio.file.Files.createTempDirectory("mv_shadow").toString + "/t")
+    spark.sql("DROP MATERIALIZED VIEW supplier")
+    Tables.registerAll(spark, sfDir) // memo invalidated → re-registers
+    assert(spark.sql("SELECT count(*) FROM supplier").head().getLong(0) > 1L,
+      "fixture view must be restored after dropping the shadowing MV")
+    MaterializedViews.clear()
+  }
 }

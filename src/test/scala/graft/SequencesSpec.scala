@@ -90,4 +90,27 @@ class SequencesSpec extends AnyFunSuite {
       assert(got(k) == 1000L + i * 5L, s"k=$k")
     }
   }
+
+  test("reservation is execution-time: parse and EXPLAIN never advance (r6 ADVICE)") {
+    spark.sql("DROP SEQUENCE IF EXISTS lazy_seq")
+    spark.sql("CREATE SEQUENCE lazy_seq")
+    // parse alone (no action) must not reserve
+    val held = spark.sql("SELECT NEXT VALUE FOR lazy_seq AS c FROM (VALUES 1, 2)")
+    assert(!operators.Sequences.started("lazy_seq"),
+      "parsePlan must not advance the sequence")
+    // EXPLAIN renders the deferred plan without reserving
+    held.explain()
+    assert(!operators.Sequences.started("lazy_seq"),
+      "EXPLAIN must not advance the sequence")
+    // the first executed action reserves the block
+    assert(held.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(operators.Sequences.currentValue("lazy_seq") == 2L)
+    // re-collecting the SAME DataFrame replays its reserved block (Spark
+    // memoizes the executed RDD) — values are stable under re-reads ...
+    assert(held.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(operators.Sequences.currentValue("lazy_seq") == 2L)
+    // ... while re-issuing the statement reserves a fresh block
+    val again = spark.sql("SELECT NEXT VALUE FOR lazy_seq AS c FROM (VALUES 1, 2)")
+    assert(again.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
 }

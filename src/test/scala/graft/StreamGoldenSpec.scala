@@ -105,4 +105,23 @@ class StreamGoldenSpec extends AnyFunSuite {
     assert(got.size == 10 && got.distinct.size == 5)
     assert(got.head == ("2015-02-15 10:15:00.0", "paint"))
   }
+
+  test("streaming twins restore every shadowed batch view, not just events (r6 ADVICE)") {
+    setup
+    Tables.registerAll(spark, sfDir)
+    // an extra streamable that reuses a fixture table's name shadows the
+    // batch view only WITHIN the SELECT STREAM resolution
+    StreamSql.registerStreamable("nation",
+      s => streaming.StreamOps.readEventsStream(s, sfDir))
+    try {
+      val df = StreamSql.sql(spark, sfDir, "SELECT STREAM event_type FROM nation")
+      assert(df.isStreaming)
+      assert(!spark.table("nation").isStreaming,
+        "the batch fixture view must be restored after resolution")
+      assert(spark.sql("SELECT count(*) FROM nation").head().getLong(0) == 25L)
+    } finally StreamSql.unregisterStreamable("nation")
+    // a twin with no prior batch view is dropped again after resolution
+    assert(!spark.catalog.tableExists("orders_s"),
+      "a twin without a shadowed batch view must not linger")
+  }
 }

@@ -149,7 +149,14 @@ object MatchRecognize {
       pattern: Pat,
       rows: IndexedSeq[Row],
       start: Int,
-      defines: Map[String, DefineCtx]): Attempt = {
+      defines: Map[String, DefineCtx],
+      limit: Int = Int.MaxValue): Attempt = {
+    // `limit` is the WITHIN horizon: the first row index past the anchor's
+    // time bound. A path stopped by the horizon FAILS WITHOUT hitEnd when
+    // the horizon lies inside the buffer (later input is later still, so
+    // no future row can fall back under the bound — the attempt's outcome
+    // is already decided); only running off the buffer itself sets hitEnd.
+    val end = math.min(limit, rows.length)
     val syms = new Array[String](rows.length)
     var best: Option[(Int, Array[String])] = None
     var hitEnd = false
@@ -161,7 +168,7 @@ object MatchRecognize {
 
     def go(p: Pat, pos: Int)(k: Int => Boolean): Boolean = p match {
       case Pat.Sym(name) =>
-        if (pos >= rows.length) { hitEnd = true; false }
+        if (pos >= end) { if (pos >= rows.length) hitEnd = true; false }
         else {
           val prev = if (pos == 0) None else Some(rows(pos - 1))
           // a pattern variable with no DEFINE matches any row (SQL:2016
@@ -253,20 +260,47 @@ object MatchRecognize {
         members: Set[String] = Set.empty) extends Skip
   }
 
+  /** WITHIN horizon: the first index past `within` of the anchor's order
+    * value (rows are sorted by it, so binary search). Int.MaxValue = no
+    * bound. The bound is INCLUSIVE — a match may span exactly the
+    * interval (last.ord - first.ord <= within), matching the
+    * duration-filter oracle formulation. */
+  private def horizonFor(rows: IndexedSeq[Row], i: Int,
+      within: Option[Long], ordOf: Row => Long): Int = within match {
+    case None => Int.MaxValue
+    case Some(w) =>
+      val bound = ordOf(rows(i)) + w
+      var lo = i
+      var hi = rows.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ordOf(rows(mid)) <= bound) lo = mid + 1 else hi = mid
+      }
+      lo
+  }
+
   /** Pattern-matching scan with the given AFTER MATCH SKIP policy.
-    * Bounded-input (batch) semantics: end-of-input means no extension. */
+    * Bounded-input (batch) semantics: end-of-input means no extension.
+    * `within` bounds a match's duration (SqlMatchRecognize's interval
+    * operand, reference sql/SqlMatchRecognize.java getInterval): rows
+    * past anchor.ord + within are invisible to the attempt, so a greedy
+    * quantifier truncates at the horizon exactly like Flink CEP's
+    * time-bounded NFA. Requires `ordOf` (the ORDER BY value). */
   def findMatches(
       rows: IndexedSeq[Row],
       pattern: Pat,
       defines: Map[String, Define],
       skip: Skip = Skip.PastLastRow,
-      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      ctxDefines: Map[String, DefineCtx] = Map.empty,
+      within: Option[Long] = None,
+      ordOf: Row => Long = null)
       : Seq[IndexedSeq[(Row, String)]] = {
     val defs = lift(defines, ctxDefines)
     val out = Seq.newBuilder[IndexedSeq[(Row, String)]]
     var i = 0
     while (i < rows.length) {
-      matchAt(pattern, rows, i, defs).best match {
+      matchAt(pattern, rows, i, defs,
+          horizonFor(rows, i, within, ordOf)).best match {
         case Some((end, syms)) if end > i =>
           out += (i until end).map(j => (rows(j), syms(j)))
           i = advance(skip, i, end, syms)
@@ -319,7 +353,9 @@ object MatchRecognize {
       pattern: Pat,
       defines: Map[String, Define],
       skip: Skip = Skip.PastLastRow,
-      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      ctxDefines: Map[String, DefineCtx] = Map.empty,
+      within: Option[Long] = None,
+      ordOf: Row => Long = null)
       : (Seq[IndexedSeq[(Row, String)]], Int) = {
     val defs = lift(defines, ctxDefines)
     val out = Seq.newBuilder[IndexedSeq[(Row, String)]]
@@ -327,7 +363,11 @@ object MatchRecognize {
     var retainFrom = rows.length
     var open = false
     while (i < rows.length && !open) {
-      val attempt = matchAt(pattern, rows, i, defs)
+      // WITHIN sharpens streaming emission: an attempt whose horizon ends
+      // INSIDE the buffer is decided now (no future row can be in-bound),
+      // so matchAt reports no hitEnd for it and rows release promptly.
+      val attempt = matchAt(pattern, rows, i, defs,
+        horizonFor(rows, i, within, ordOf))
       if (attempt.hitEnd) {
         // a viable path wants more input: hold everything from i
         retainFrom = i
@@ -351,7 +391,8 @@ object MatchRecognize {
       defines: Map[String, Define],
       measure: (Long, IndexedSeq[(Row, String)]) => Out,
       skip: Skip = Skip.PastLastRow,
-      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      ctxDefines: Map[String, DefineCtx] = Map.empty,
+      within: Option[Long] = None)
       : org.apache.spark.sql.Dataset[Out] = {
     import df.sparkSession.implicits._
     df.groupByKey(partitionKey)
@@ -360,7 +401,8 @@ object MatchRecognize {
         // ONE ROW PER MATCH: measures see every matched row, exclusion
         // markers stripped (SQL:2016 — `{- -}` affects only ALL ROWS
         // output, not aggregation)
-        findMatches(rows, pattern, defines, skip, ctxDefines).iterator
+        findMatches(rows, pattern, defines, skip, ctxDefines,
+            within, r => orderKey(r)._1).iterator
           .map(m => measure(key, m.map { case (r, s) => (r, s.stripPrefix("~")) }))
       }
   }
@@ -378,7 +420,8 @@ object MatchRecognize {
       defines: Map[String, Define],
       skip: Skip = Skip.PastLastRow,
       emit: (Long, Int, Int, Row, String) => Out,
-      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      ctxDefines: Map[String, DefineCtx] = Map.empty,
+      within: Option[Long] = None)
       : org.apache.spark.sql.Dataset[Out] = {
     import df.sparkSession.implicits._
     df.groupByKey(partitionKey)
@@ -387,7 +430,8 @@ object MatchRecognize {
         // rows matched inside `{- -}` exclusions carry a "~" marker:
         // part of the match, omitted from ALL ROWS output (SQL:2016).
         // `ri` numbers the SURVIVING rows so output stays dense.
-        findMatches(rows, pattern, defines, skip, ctxDefines).iterator.zipWithIndex.flatMap {
+        findMatches(rows, pattern, defines, skip, ctxDefines,
+            within, r => orderKey(r)._1).iterator.zipWithIndex.flatMap {
           case (m, mi) => m.iterator.filter(!_._2.startsWith("~"))
             .zipWithIndex.map {
               case ((row, sym), ri) => emit(key, mi + 1, ri, row, sym)
@@ -408,14 +452,16 @@ object MatchRecognize {
       pattern: Pat,
       defines: Map[String, Define],
       skip: Skip = Skip.PastLastRow,
-      ctxDefines: Map[String, DefineCtx] = Map.empty)(
+      ctxDefines: Map[String, DefineCtx] = Map.empty,
+      within: Option[Long] = None)(
       emitMatch: (Long, Int, IndexedSeq[(Row, String)]) => Iterator[Out])
       : org.apache.spark.sql.Dataset[Out] = {
     import df.sparkSession.implicits._
     df.groupByKey(partitionKey)
       .flatMapGroups { (key: Long, it: Iterator[Row]) =>
         val rows = it.toIndexedSeq.sortBy(orderKey)
-        findMatches(rows, pattern, defines, skip, ctxDefines).iterator
+        findMatches(rows, pattern, defines, skip, ctxDefines,
+            within, r => orderKey(r)._1).iterator
           .zipWithIndex.flatMap { case (m, mi) => emitMatch(key, mi + 1, m) }
       }
   }
@@ -437,7 +483,8 @@ object MatchRecognize {
       defines: Map[String, Define],
       measure: (Long, IndexedSeq[(Row, String)]) => Out,
       skip: Skip = Skip.PastLastRow,
-      ctxDefines: Map[String, DefineCtx] = Map.empty)
+      ctxDefines: Map[String, DefineCtx] = Map.empty,
+      within: Option[Long] = None)
       : org.apache.spark.sql.Dataset[Out] = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -450,7 +497,8 @@ object MatchRecognize {
           val buffered = state.getOption.getOrElse(IndexedSeq.empty)
           val all = (buffered ++ it).sortBy(orderKey)
           val (matches, retainFrom) =
-            findMatchesStreaming(all, pattern, defines, skip, ctxDefines)
+            findMatchesStreaming(all, pattern, defines, skip, ctxDefines,
+              within, r => orderKey(r)._1)
           state.update(all.drop(retainFrom))
           matches.iterator
             .map(m => measure(key, m.map { case (r, s) => (r, s.stripPrefix("~")) }))
@@ -779,6 +827,50 @@ object MatchRecognize {
           |           COUNT(C.*) AS n_clicks
           |  PATTERN (C{2,} E)
           |  DEFINE C AS event_type = 'click', E AS event_type = 'error')""".stripMargin)
+    },
+
+    // ---- WITHIN: time-bounded matches (r6 VERDICT #5) ----------------------
+    // PATTERN (C+ P) WITHIN INTERVAL '4' HOUR — the reference parses an
+    // interval operand on SqlMatchRecognize (sql/SqlMatchRecognize.java
+    // getInterval) but never executes it; here it bounds the match span:
+    // rows past anchor.ts + interval are invisible to the attempt, so a
+    // greedy C+ truncates at the horizon (Flink-CEP-style pruned NFA).
+    // With SKIP PAST LAST ROW the surviving match per click-island is the
+    // LEFTMOST anchor whose whole span (through the purchase) fits the
+    // bound — which the oracle states in closed form: the earliest island
+    // click with ts >= purchase.ts - interval (the purchase is the span's
+    // latest row, so it alone decides feasibility).
+    QDef.sql("match_recognize_within",
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), runs AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY rn) AS grp
+        |  FROM seq
+        |), islands AS (
+        |  SELECT user_id, min(rn) AS srn, max(rn) AS ern
+        |  FROM runs WHERE event_type = 'click' GROUP BY user_id, grp
+        |), cands AS (
+        |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS pts, p.rn AS prn,
+        |         i.srn, i.ern
+        |  FROM seq p JOIN islands i ON p.user_id = i.user_id AND i.ern = p.rn - 1
+        |  WHERE p.event_type = 'purchase'
+        |)
+        |SELECT c.user_id, CAST(c.prn - min(s.rn) AS BIGINT) AS n_clicks,
+        |       c.purchase_id
+        |FROM cands c JOIN seq s
+        |  ON s.user_id = c.user_id AND s.rn BETWEEN c.srn AND c.ern
+        |WHERE s.ts >= c.pts - INTERVAL 4 HOUR
+        |GROUP BY c.user_id, c.prn, c.purchase_id""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT * FROM events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  MEASURES COUNT(C.*) AS n_clicks, P.event_id AS purchase_id
+          |  PATTERN (C+ P)
+          |  WITHIN INTERVAL '4' HOUR
+          |  DEFINE C AS event_type = 'click', P AS event_type = 'purchase')""".stripMargin)
     },
 
     // ---- RUNNING aggregate in DEFINE: SUM-bounded packing (SQL:2016) -----

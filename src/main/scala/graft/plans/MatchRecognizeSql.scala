@@ -30,6 +30,7 @@ import org.apache.spark.sql.types._
   *   PATTERN ( <pat> )                      -- symbols, | ( ) * + ? {m,n} {m,}
   *                                          --   reluctant *? +? ?? {m,n}?
   *                                          --   PERMUTE(p1, ..), {- p -}
+  *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]  -- match-span bound
   *   DEFINE S AS <pred> [, ...]             -- pred := conj of
   *                                          --   <col> op <lit | col | PREV(col)>
   *                                          --   | <col|v.col> op PREV(<col|v.col> [, n])
@@ -63,13 +64,15 @@ object MatchRecognizeSql {
       """PARTITION\s+BY\s+(\w+)\s+ORDER\s+BY\s+(\w+)\s*(?:,\s*(\w+))?\s+""" +
       """MEASURES\s+(.*?)\s+(?:(ONE|ALL)\s+ROWS?\s+PER\s+MATCH\s+)?""" +
       """(?:AFTER\s+MATCH\s+SKIP\s+(.*?)\s+)?""" +
-      """PATTERN\s*\(\s*(.*?)\s*\)\s+(?:SUBSET\s+(.*?)\s+)?DEFINE\s+(.*?)\s*\)\s*""").r
+      """PATTERN\s*\(\s*(.*?)\s*\)\s+""" +
+      """(?:WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)\s+)?""" +
+      """(?:SUBSET\s+(.*?)\s+)?DEFINE\s+(.*?)\s*\)\s*""").r
 
   /** Attempt to parse; None when the text is not (our) MATCH_RECOGNIZE. */
   def tryParse(spark: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case Shell(table, partCol, ordCol, ordTie, measures, rowsMode,
-          afterMatch, pattern, subsets, defines) =>
+          afterMatch, pattern, withinN, withinUnit, subsets, defines) =>
         // A statement can match the shell regex yet carry measures/defines
         // this restricted form does not support (or name an unknown table —
         // build() resolves it eagerly). Fall through to the delegate parser
@@ -80,6 +83,7 @@ object MatchRecognizeSql {
         // as a generic delegate ParseException).
         try Some(build(spark, table, partCol, ordCol, Option(ordTie),
           measures, Option(rowsMode), Option(afterMatch), pattern,
+          Option(withinN).map(n => parseWithin(n, withinUnit)),
           Option(subsets), defines))
         catch {
           case _: IllegalArgumentException => None
@@ -87,6 +91,24 @@ object MatchRecognizeSql {
         }
       case _ => None
     }
+
+  // ---- WITHIN ------------------------------------------------------------
+  /** `PATTERN (...) WITHIN INTERVAL 'n' <unit>` (the reference parses an
+    * interval operand on SqlMatchRecognize — sql/SqlMatchRecognize.java
+    * getInterval). The bound converts to MICROSECONDS of the ORDER BY
+    * column's time line (a timestamp ORDER BY key is epoch-micros in the
+    * matcher), so a match's last-to-first row span must be <= it. */
+  def parseWithin(amount: String, unit: String): Long = {
+    val n = amount.toLong
+    unit.toUpperCase match {
+      case "SECOND" => n * 1000000L
+      case "MINUTE" => n * 60L * 1000000L
+      case "HOUR" => n * 3600L * 1000000L
+      case "DAY" => n * 86400L * 1000000L
+      case other => throw new IllegalArgumentException(
+        s"unsupported WITHIN interval unit: $other")
+    }
+  }
 
   // ---- AFTER MATCH SKIP --------------------------------------------------
   /** SQL:2016 after-match options (SqlMatchRecognize.AfterOption):
@@ -544,7 +566,8 @@ object MatchRecognizeSql {
   private def build(spark: SparkSession, table: String, partCol: String,
       ordCol: String, ordTie: Option[String], measuresText: String,
       rowsMode: Option[String], afterMatch: Option[String],
-      patternText: String, subsetsText: Option[String],
+      patternText: String, withinMicros: Option[Long],
+      subsetsText: Option[String],
       definesText: String): LogicalPlan = {
     val allRows = rowsMode.exists(_.equalsIgnoreCase("ALL"))
     val subsets = subsetsText.map(parseSubsets).getOrElse(Map.empty)
@@ -552,7 +575,7 @@ object MatchRecognizeSql {
       measuresText, patternText, definesText,
       afterMatch.map(a => resolveSubsetSkip(parseSkip(a), subsets))
         .getOrElse(MatchRecognize.Skip.PastLastRow),
-      allRows, subsets)
+      allRows, subsets, withinMicros)
       .queryExecution.logical
     val canonical =
       s"SELECT * FROM $table MATCH_RECOGNIZE (" +
@@ -562,6 +585,8 @@ object MatchRecognizeSql {
         rowsMode.map(m => s" ${m.toUpperCase} ROWS PER MATCH").getOrElse("") +
         afterMatch.map(a => s" AFTER MATCH SKIP $a").getOrElse("") +
         s" PATTERN ($patternText)" +
+        withinMicros.map(w => s" WITHIN INTERVAL '${w / 1000000L}' SECOND")
+          .getOrElse("") +
         subsetsText.map(t => s" SUBSET $t").getOrElse("") +
         s" DEFINE $definesText)"
     plan.setTagValue(RenderTag, canonical)
@@ -577,7 +602,8 @@ object MatchRecognizeSql {
       patternText: String, definesText: String,
       skip: MatchRecognize.Skip = MatchRecognize.Skip.PastLastRow,
       allRows: Boolean = false,
-      subsets: Map[String, Set[String]] = Map.empty)
+      subsets: Map[String, Set[String]] = Map.empty,
+      within: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
     // a pattern variable reference resolves to itself plus, for a SUBSET
     // union variable, any member classifier
@@ -635,7 +661,7 @@ object MatchRecognizeSql {
       require(!df.isStreaming,
         "ALL ROWS PER MATCH over a stream is not supported in this form")
       return MatchRecognize.matchRecognizeAllRowsFull[Row](
-        df, keyFn, orderFn, pattern, defines, skip, ctxDefines) {
+        df, keyFn, orderFn, pattern, defines, skip, ctxDefines, within) {
         (key, mn, m) =>
           def sumOver(rows: Seq[(Row, String)], v: String, c: String): Any = {
             val vals = rows.filter { case (_, s0) =>
@@ -716,10 +742,12 @@ object MatchRecognizeSql {
     val out =
       if (df.isStreaming)
         MatchRecognize.matchRecognizeStream[Row](df, keyFn, orderFn,
-          pattern, defines, measureFn, skip, ctxDefines)(Encoders.row(outSchema))
+          pattern, defines, measureFn, skip, ctxDefines,
+          within)(Encoders.row(outSchema))
       else
         MatchRecognize.matchRecognize[Row](df, keyFn, orderFn,
-          pattern, defines, measureFn, skip, ctxDefines)(Encoders.row(outSchema))
+          pattern, defines, measureFn, skip, ctxDefines,
+          within)(Encoders.row(outSchema))
     out.toDF()
   }
 }

@@ -394,4 +394,37 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
     assert(viaSql.nonEmpty)
   }
+
+  test("WITHIN bounds the match span (SqlMatchRecognize interval operand)") {
+    import graft.plans.MatchRecognizeSql
+    // unit conversions to micros
+    assert(MatchRecognizeSql.parseWithin("90", "SECOND") == 90L * 1000000L)
+    assert(MatchRecognizeSql.parseWithin("4", "hour") == 4L * 3600L * 1000000L)
+    assert(MatchRecognizeSql.parseWithin("2", "DAY") == 2L * 86400L * 1000000L)
+    intercept[IllegalArgumentException] {
+      MatchRecognizeSql.parseWithin("1", "FORTNIGHT")
+    }
+    Tables.registerAll(spark, sfDir)
+    def q(withinClause: String) = spark.sql(
+      s"""SELECT * FROM events MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts, event_id
+         |  MEASURES COUNT(C.*) AS n_clicks, P.event_id AS purchase_id
+         |  PATTERN (C+ P)
+         |  $withinClause
+         |  DEFINE C AS event_type = 'click', P AS event_type = 'purchase')"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bounded = q("WITHIN INTERVAL '4' HOUR")
+    val unbounded = q("")
+    assert(bounded.nonEmpty)
+    assert(bounded.size < unbounded.size,
+      "the 4h bound must reject some spans at this fixture's event spacing")
+    // every bounded match's span is genuinely <= 4h, and each surviving
+    // (user, purchase) keeps at most as many clicks as its unbounded twin
+    val unboundedBy = unbounded.groupBy(t => (t._1, t._3))
+    bounded.foreach { case (u, n, p) =>
+      val twin = unboundedBy.get((u, p))
+      assert(twin.exists(_.head._2 >= n), s"($u,$p): bounded n_clicks=$n")
+    }
+  }
 }

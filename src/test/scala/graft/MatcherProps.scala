@@ -114,6 +114,57 @@ object MatcherProps extends Properties("MatchRecognize.matcher") {
       got == want
     }
 
+  /** WITHIN differential: bounding an attempt to ord <= anchor.ord + w
+    * (index ordering here) is EXACTLY java.util.regex scanning with each
+    * region capped at i + w + 1 — the regex backtracks inside the
+    * truncated region precisely like the horizon-limited matcher. */
+  property("WITHIN horizon equals regex scanning over truncated regions") =
+    forAll(genPat(3), genInput, Gen.choose(0, 6)) { (p: Pat, s: String, w: Int) =>
+      val rows = rowsOf(s)
+      val ordOf: Row => Long = r => rows.indexWhere(_ eq r).toLong
+      val got = {
+        var spans = List.empty[(Int, Int)]
+        var consumed = 0
+        MatchRecognize.findMatches(rows, p, defines,
+          within = Some(w.toLong), ordOf = ordOf).foreach { m =>
+          val start = rows.indexWhere(_ eq m.head._1, consumed)
+          spans :+= ((start, start + m.size))
+          consumed = start + m.size
+        }
+        spans
+      }
+      val want = {
+        val re = toRegex(p).r.pattern
+        val out = List.newBuilder[(Int, Int)]
+        var i = 0
+        while (i < s.length) {
+          val m = re.matcher(s)
+          m.region(i, math.min(s.length, i + w + 1))
+          if (m.lookingAt() && m.end() > i) { out += ((i, m.end())); i = m.end() }
+          else i += 1
+        }
+        out.result()
+      }
+      got == want
+    }
+
+  property("streaming split with WITHIN emits the same matches as batch") =
+    forAll(genPat(2), genInput, Gen.choose(0, 12), Gen.choose(0, 6)) {
+      (p: Pat, s: String, cutRaw: Int, w: Int) =>
+        val cut = math.min(cutRaw, s.length)
+        val rows = rowsOf(s)
+        val ordOf: Row => Long = r => rows.indexWhere(_ eq r).toLong
+        val batch = MatchRecognize.findMatches(rows, p, defines,
+          within = Some(w.toLong), ordOf = ordOf).map(_.map(_._2))
+        val (m1, retain1) = MatchRecognize.findMatchesStreaming(
+          rows.take(cut), p, defines,
+          within = Some(w.toLong), ordOf = ordOf)
+        val carried = rows.take(cut).drop(retain1) ++ rows.drop(cut)
+        val m2 = MatchRecognize.findMatches(carried, p, defines,
+          within = Some(w.toLong), ordOf = ordOf)
+        (m1.map(_.map(_._2)) ++ m2.map(_.map(_._2))) == batch
+    }
+
   property("streaming split at any boundary emits the same matches") =
     forAll(genPat(2), genInput, Gen.choose(0, 12)) { (p: Pat, s: String, cutRaw: Int) =>
       val cut = math.min(cutRaw, s.length)

@@ -205,6 +205,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream=${got.size} batch=${want.size} diff=${(got diff want) ++ (want diff got)}")
   }
 
+  test("streaming MATCH_RECOGNIZE WITHIN equals the batch time-bounded matches") {
+    import graft.operators.MatchRecognize
+    import MatchRecognize.{ClickRun, Pat}
+    val stagedDir = "/tmp/graft_stream_mr_within"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stagedDir), true)
+    val ev = Tables.t(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+    val w0 = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val bucketed0 = ev.withColumn("__b", ntile(4).over(w0)).cache()
+    for (k <- 1 to 4) {
+      bucketed0.where(col("__b") === k).drop("__b").coalesce(1)
+        .write.mode("append").parquet(stagedDir)
+      Thread.sleep(60)
+    }
+    bucketed0.unpersist()
+    val stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+    def micros(r: org.apache.spark.sql.Row) = {
+      val t = r.getAs[java.sql.Timestamp]("ts")
+      (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
+    }
+    implicit val enc: org.apache.spark.sql.Encoder[ClickRun] =
+      org.apache.spark.sql.Encoders.product[ClickRun]
+    val fourHours = 4L * 3600L * 1000000L
+    val pattern = Pat.Cat(Seq(Pat.plus(Pat.Sym("C")), Pat.Sym("P")))
+    val defines = Map[String, MatchRecognize.Define](
+      "C" -> ((r, _) => r.getAs[String]("event_type") == "click"),
+      "P" -> ((r, _) => r.getAs[String]("event_type") == "purchase"))
+    val measure = (key: Long, m: IndexedSeq[(org.apache.spark.sql.Row, String)]) =>
+      ClickRun(key, m.count(_._2 == "C").toLong, m.last._1.getAs[Long]("event_id"))
+    val streamed = MatchRecognize.matchRecognizeStream[ClickRun](
+      stream, _.getAs[Long]("user_id"), r => (micros(r), r.getAs[Long]("event_id")),
+      pattern, defines, measure, within = Some(fourHours)).toDF()
+    val got = runToCompletion(streamed, "t_mr_within", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: the registry's SQL-front-end WITHIN query
+    val want = SparkEntry.queries("match_recognize_within")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size} diff=${(got diff want) ++ (want diff got)}")
+  }
+
   test("streaming MATCH_RECOGNIZE with SKIP TO LAST equals batch (overlapping retention)") {
     import graft.operators.MatchRecognize
     import MatchRecognize.{Pat, Skip, VShape}

@@ -26,6 +26,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     MaterializedViewSql.tryParse(spark, delegate, sqlText)
       .orElse(MatchRecognizeSql.tryParse(spark, sqlText))
+      .orElse(MatchRecognizeSql.tryParseEmbedded(spark, delegate, sqlText))
       .orElse(SystemTimeSql.tryParse(spark, delegate, sqlText))
       .orElse(SequenceSql.tryParse(spark, delegate, sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
@@ -33,6 +34,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   override def parseQuery(sqlText: String): LogicalPlan =
     MaterializedViewSql.tryParse(spark, delegate, sqlText)
       .orElse(MatchRecognizeSql.tryParse(spark, sqlText))
+      .orElse(MatchRecognizeSql.tryParseEmbedded(spark, delegate, sqlText))
       .orElse(SystemTimeSql.tryParse(spark, delegate, sqlText))
       .orElse(SequenceSql.tryParse(spark, delegate, sqlText))
       .getOrElse(delegate.parseQuery(sqlText))

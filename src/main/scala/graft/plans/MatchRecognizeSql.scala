@@ -92,6 +92,65 @@ object MatchRecognizeSql {
       case _ => None
     }
 
+  /** MATCH_RECOGNIZE in a SUBQUERY: `SELECT ... FROM (SELECT * FROM t
+    * MATCH_RECOGNIZE (...)) alias ...`. The whole-statement Shell cannot
+    * see it, and Spark's own parser rejects the clause — so extract each
+    * embedded `(SELECT * FROM <t> MATCH_RECOGNIZE (...))` fragment (by
+    * balanced-paren scan), build its plan with [[tryParse]], hand the
+    * outer text to the delegate with the fragment replaced by a stub
+    * relation name, and splice the fragment plans back over the stubs.
+    * This is what [[RelToSql]]'s re-render emits whenever a projection
+    * sits above the tagged match (e.g. the determinism ROUND wrappers),
+    * so the full-registry cycle gate depends on it. */
+  def tryParseEmbedded(spark: SparkSession,
+      delegate: org.apache.spark.sql.catalyst.parser.ParserInterface,
+      sqlText: String): Option[LogicalPlan] = {
+    val Opener =
+      """(?is)\(\s*SELECT\s+\*\s+FROM\s+\w+\s+MATCH_RECOGNIZE\s*\(""".r
+    if (Opener.findFirstIn(sqlText).isEmpty) return None
+    var text = sqlText
+    val stubs = scala.collection.mutable.Map.empty[String, LogicalPlan]
+    var k = 0
+    var found = true
+    while (found) {
+      Opener.findFirstMatchIn(text) match {
+        case Some(m) =>
+          // balance parens from the fragment's outer '('
+          var depth = 0
+          var i = m.start
+          var close = -1
+          while (i < text.length && close < 0) {
+            text.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (close < 0) return None // unbalanced — not ours
+          val fragment = text.substring(m.start + 1, close)
+          tryParse(spark, fragment) match {
+            case Some(inner) =>
+              val stub = s"__graft_mr_sub_$k"
+              k += 1
+              stubs(stub) = inner
+              text = text.substring(0, m.start) + stub + text.substring(close + 1)
+            case None => return None // unsupported inner form — delegate
+          }
+        case None => found = false
+      }
+    }
+    val outer = try delegate.parsePlan(text)
+      catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        return None }
+    Some(outer.resolveOperatorsUp {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if r.multipartIdentifier.size == 1 &&
+            stubs.contains(r.multipartIdentifier.head) =>
+        stubs(r.multipartIdentifier.head)
+    })
+  }
+
   // ---- WITHIN ------------------------------------------------------------
   /** `PATTERN (...) WITHIN INTERVAL 'n' <unit>` (the reference parses an
     * interval operand on SqlMatchRecognize — sql/SqlMatchRecognize.java

@@ -360,8 +360,20 @@ object RelToSql {
       // injected grammar); Ansi renderings reject it like any dialect
       // without row-pattern support.
       case Some(text) =>
-        if (d eq Spark) text
-        else throw unsupported("MATCH_RECOGNIZE outside the Spark dialect")
+        if (d eq Spark) {
+          // the canonical text exports the clause's own output names; when
+          // the global scope renamed any of them (a same-named alias above
+          // the match claimed the bare name first), bridge with a renaming
+          // projection so outer references resolve
+          if (plan.output.forall(a => nameOf(a) == a.name)) text
+          else {
+            val cols = plan.output.map { a =>
+              if (nameOf(a) == a.name) d.quote(a.name)
+              else s"${d.quote(a.name)} AS ${d.quote(nameOf(a))}"
+            }.mkString(", ")
+            s"SELECT $cols FROM ($text) __mr_scope"
+          }
+        } else throw unsupported("MATCH_RECOGNIZE outside the Spark dialect")
       case None => queryNode(plan)
     }
 

@@ -3,33 +3,78 @@ package graft
 import graft.plans.RelToSql
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The full-corpus rel2sql cycle: every query here is re-rendered from its
-  * analyzed plan into Spark-dialect SQL, re-parsed and re-executed, and
-  * must reproduce the exact result set — all 22 TPC-H queries, 8 of the 10
-  * TPC-DS shapes, and a core-operator sample — including the grouping
-  * machinery (ROLLUP/CUBE/GROUPING SETS inverted from Expand plans) and
-  * window navigation (IGNORE NULLS, NTH_VALUE). This is the reference's
-  * RelToSqlConverter whole-corpus test run as a live round trip instead
-  * of golden strings.
+/** The FULL-REGISTRY rel2sql cycle gate: EVERY registry query is either
+  * re-rendered from its analyzed plan into Spark-dialect SQL, re-parsed,
+  * re-executed and checked for exact result identity — or it must throw
+  * the converter's documented partial-by-design rejection
+  * ("rel2sql: unsupported ..."), never any other failure. The r6 UnixMicros
+  * breakage escaped because the cycle ran over a hand-picked carrier
+  * subset; this gate makes every expression the registry's own plans
+  * produce part of the corpus (r6 VERDICT #6). `mustCycle` pins the
+  * queries KNOWN to convert — one of them regressing to "unsupported" is
+  * a failure, while a new query becoming convertible just passes.
   */
 class TpchCycleSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private val cycling = Seq("agg_tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22", "tpcds_s_catavg", "tpcds_s_intersect", "tpcds_s_channels", "tpcds_s_orderband", "tpcds_s_multicount", "tpcds_s_salesgrowth", "tpcds_s_yoyratio", "tpcds_s_cumcompare", "tpcds_s_lochierarchy", "tpcds_s_rolluptopk", "tpcds_s_movingdev",
-    "tpcds_s_dualrank", "tpcds_s_returnavg", "tpcds_s_quantitystats",
-    "tpcds_s_staterollup", "tpcds_s_equalshare", "tpcds_s_dategap",
-    "tpcds_s_existschain", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_grouping_fn", "scan_filter_project", "join_inner_multiway", "sort_limit_offset", "setop_union_all", "setop_intersect", "setop_except", "subq_in", "subq_scalar", "subq_exists_correlated", "subq_not_in", "window_rank_frames", "window_ntile", "window_navigation", "match_recognize_sql", "match_recognize_reluctant", "lateral_posexplode")
+  /** Queries pinned as convertible (the r7 census). Everything else in
+    * the registry must reject with "rel2sql: unsupported" — custom
+    * kernels (DotProduct, ShingleHashes...), object-boundary plans
+    * (SerializeFromObject/LogicalRDD from mapGroups/driver loops),
+    * inline LocalRelations, and expressions no dialect renders yet. */
+  private val mustCycle = Set(
+    "agg_cube", "agg_distinct_filter", "agg_group_id", "agg_grouping_fn",
+    "agg_grouping_sets", "agg_rollup", "agg_tpch_q1", "fn_extract_time",
+    "foodmart_banding", "foodmart_distinct_customers", "foodmart_drilldown",
+    "foodmart_having", "foodmart_in_list", "foodmart_members_vs_other",
+    "foodmart_multi_distinct", "foodmart_multi_measure",
+    "foodmart_nonempty_crossjoin", "foodmart_share_of_total",
+    "foodmart_star_5way", "foodmart_topcount", "foodmart_topcount_detail",
+    "foodmart_virtual_cube", "join_anti", "join_full_outer",
+    "join_inner_multiway", "join_left_outer", "join_semi", "join_theta_nl",
+    "lateral_posexplode", "match_recognize_agg_define",
+    "match_recognize_reluctant", "match_recognize_running_measures",
+    "match_recognize_sql", "match_recognize_within", "profile_fds",
+    "refdis_implicit_date_literal", "rel2sql_roundtrip",
+    "rel2sql_roundtrip_pg", "sample_hash", "scan_filter_project",
+    "setop_except", "setop_except_all", "setop_intersect",
+    "setop_intersect_all", "setop_union_all", "setop_union_distinct",
+    "sort_limit_offset", "stream_dedup_batch", "stream_table_join_batch",
+    "subq_exists_correlated", "subq_in", "subq_not_in",
+    "subq_quantified_all", "subq_quantified_some", "subq_scalar",
+    "temporal_snapshot", "temporal_system_time", "text_mix_quota",
+    "tpcds_s_catavg", "tpcds_s_channels", "tpcds_s_cumcompare",
+    "tpcds_s_dategap", "tpcds_s_dualrank", "tpcds_s_equalshare",
+    "tpcds_s_existschain", "tpcds_s_intersect", "tpcds_s_lochierarchy",
+    "tpcds_s_movingdev", "tpcds_s_multicount", "tpcds_s_orderband",
+    "tpcds_s_quantitystats", "tpcds_s_returnavg", "tpcds_s_rolluptopk",
+    "tpcds_s_salesgrowth", "tpcds_s_staterollup", "tpcds_s_yoyratio",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20",
+    "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "values_inline", "window_navigation",
+    "window_ntile", "window_rank_frames")
 
-  for (q <- cycling) {
-    test(s"$q cycles through its regenerated SQL") {
+  for (q <- SparkEntry.queries.keys.toSeq.sorted) {
+    test(s"$q cycles through its regenerated SQL, or rejects as documented") {
       Tables.registerAll(spark, sfDir)
       val df = SparkEntry.queries(q)(spark, sfDir)
-      val regen = RelToSql.convert(df, RelToSql.Spark)
-      val a = df.collect().map(_.toString).sorted.toSeq
-      val b = spark.sql(regen).collect().map(_.toString).sorted.toSeq
-      assert(a == b, s"cycle diverged for $q:\n$regen")
+      if (!df.isStreaming) {
+        val regen =
+          try Some(RelToSql.convert(df, RelToSql.Spark))
+          catch {
+            case e: UnsupportedOperationException
+                if e.getMessage.startsWith("rel2sql: unsupported") =>
+              assert(!mustCycle(q),
+                s"$q is pinned convertible but now rejects: ${e.getMessage}")
+              None
+          }
+        regen.foreach { sql =>
+          val a = df.collect().map(_.toString).sorted.toSeq
+          val b = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+          assert(a == b, s"cycle diverged for $q:\n$sql")
+        }
+      }
     }
   }
-
-
 }

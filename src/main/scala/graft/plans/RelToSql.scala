@@ -408,6 +408,19 @@ object RelToSql {
         }
         query(v.child)
 
+      // inline literal rows (reference: rel2sql/RelToSqlConverter.java:461
+      // visit(Values) — rendered as VALUES row-constructors with a column
+      // alias list). Catalyst's analogue is LocalRelation (produced by
+      // Seq(...).toDF and by constant-folding); an EMPTY LocalRelation
+      // (optimizer fold of a false predicate) renders as one row of typed
+      // NULLs filtered by WHERE FALSE so the FROM clause — and the column
+      // types — survive on engines that require one.
+      case lr: LocalRelation => valuesRelation(lr.output, lr.data)
+
+      // literal-only SELECT with no table (Spark's OneRowRelation; the
+      // reference models it as a single-row Values)
+      case _: OneRowRelation => "SELECT 1"
+
       case lr: LogicalRelation =>
         val table = lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -628,6 +641,27 @@ object RelToSql {
       val setsSql = sets
         .map(set => "(" + set.map(expr).mkString(", ") + ")").mkString(", ")
       s"SELECT $cols FROM $fromSql GROUP BY GROUPING SETS ($setsSql)"
+    }
+
+    /** VALUES rendering for LocalRelation — `(VALUES (…),(…)) tN(c1,…)`,
+      * the aliased-subquery form both Spark and DuckDB/ANSI parse. */
+    private def valuesRelation(out: Seq[Attribute],
+        data: Seq[org.apache.spark.sql.catalyst.InternalRow]): String = {
+      val colNames = out.map(a => d.quote(nameOf(a))).mkString(", ")
+      if (data.isEmpty) {
+        val nulls = out
+          .map(a => s"CAST(NULL AS ${d.typeName(a.dataType)})")
+          .mkString("(", ", ", ")")
+        s"SELECT * FROM (VALUES $nulls) ${alias()}($colNames) WHERE FALSE"
+      } else {
+        val rows = data.map { row =>
+          out.zipWithIndex.map { case (a, i) =>
+            if (row.isNullAt(i)) s"CAST(NULL AS ${d.typeName(a.dataType)})"
+            else literal(row.get(i, a.dataType), a.dataType)
+          }.mkString("(", ", ", ")")
+        }.mkString(", ")
+        s"SELECT * FROM (VALUES $rows) ${alias()}($colNames)"
+      }
     }
 
     /** Semi/anti join → EXISTS / NOT EXISTS (the reference renders semi

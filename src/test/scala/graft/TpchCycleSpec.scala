@@ -17,11 +17,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class TpchCycleSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  /** Queries pinned as convertible (the r7 census). Everything else in
-    * the registry must reject with "rel2sql: unsupported" — custom
+  /** Queries pinned as convertible (the r8 census — re-taken at the
+    * commit that added LocalRelation→VALUES rendering). Everything else
+    * in the registry must reject with "rel2sql: unsupported" — custom
     * kernels (DotProduct, ShingleHashes...), object-boundary plans
-    * (SerializeFromObject/LogicalRDD from mapGroups/driver loops),
-    * inline LocalRelations, and expressions no dialect renders yet. */
+    * (SerializeFromObject/LogicalRDD from mapGroups/driver loops), and
+    * expressions no dialect renders yet. */
   private val mustCycle = Set(
     "agg_cube", "agg_distinct_filter", "agg_group_id", "agg_grouping_fn",
     "agg_grouping_sets", "agg_rollup", "agg_tpch_q1", "fn_extract_time",
@@ -35,7 +36,10 @@ class TpchCycleSpec extends AnyFunSuite {
     "lateral_posexplode", "match_recognize_agg_define",
     "match_recognize_reluctant", "match_recognize_running_measures",
     "match_recognize_sql", "match_recognize_within", "profile_fds",
-    "refdis_implicit_date_literal", "rel2sql_roundtrip",
+    "refdis_implicit_date_literal", "refdis_join_on_filter_full",
+    "refdis_join_on_filter_left", "refdis_join_on_filter_right",
+    "refdis_scalar_limit", "refdis_winagg_firstval",
+    "refdis_window_tied_count", "rel2sql_roundtrip",
     "rel2sql_roundtrip_pg", "sample_hash", "scan_filter_project",
     "setop_except", "setop_except_all", "setop_intersect",
     "setop_intersect_all", "setop_union_all", "setop_union_distinct",
@@ -61,8 +65,12 @@ class TpchCycleSpec extends AnyFunSuite {
       val df = SparkEntry.queries(q)(spark, sfDir)
       if (!df.isStreaming) {
         val regen =
-          try Some(RelToSql.convert(df, RelToSql.Spark))
-          catch {
+          try {
+            val sql = RelToSql.convert(df, RelToSql.Spark)
+            assert(mustCycle(q),
+              s"$q newly converts — add it to the mustCycle census:\n$sql")
+            Some(sql)
+          } catch {
             case e: UnsupportedOperationException
                 if e.getMessage.startsWith("rel2sql: unsupported") =>
               assert(!mustCycle(q),

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic release of `localCheckpoint` storage.
+  *
+  * `Dataset.localCheckpoint` pins its materialized partitions: lineage is
+  * truncated, so Spark can never evict-and-recompute the blocks, and they
+  * stay in the block store until the RDD is explicitly unpersisted or the
+  * context dies. Iterative operators (label propagation, recursive
+  * fixpoints, Lloyd training) that checkpoint every round therefore leak
+  * one pinned RDD per round per invocation — on a long-lived session
+  * (a real cluster's driver as much as a bench loop) the block store
+  * fills with superseded rounds and every rep gets slower. This object is
+  * the discipline: the moment a checkpointed frame is superseded, release
+  * it; for the frame a query RETURNS (whose blocks the caller still has
+  * to read), release it when the NEXT invocation of the same operator
+  * supersedes it.
+  */
+object Checkpoints {
+
+  /** Unpersist every checkpointed RDD in the frame's lineage. The frame
+    * (and any other frame sharing those leaves) must not be executed
+    * afterwards — lineage is truncated, recompute is impossible. Safe to
+    * call twice (unpersist is idempotent). */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Checkpoint-backed frames a query returns, keyed by operator name +
+    * session: registering a new result releases the previous invocation's
+    * blocks (by then consumed — invocations of one operator are
+    * sequential in verify/bench/tests alike). Entries for stopped
+    * sessions are dropped on access so the map never pins a dead
+    * session's plans. */
+  private val lastResult = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** Memoized EVICTABLE materializations, keyed by (source DataFrame
+    * instance, config tag). DataFrame keys use identity equality, so this
+    * only ever hits when the caller's source relation is itself memoized
+    * (Tables.t) — fresh relations get fresh entries. persist, not
+    * localCheckpoint: persisted blocks can be evicted and recomputed from
+    * the scan, and the memo hands every re-invocation (bench reps) the
+    * same single materialization instead of stacking a pinned copy each
+    * rep. Eviction discipline: entries whose session is stopped drop on
+    * access (their blocks died with the context); the size-guard flush
+    * UNPERSISTS before clearing — CacheManager holds cached relations
+    * until unpersist, so clear() alone would leak them for the process's
+    * life. */
+  private val matCache =
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String), DataFrame]()
+
+  def materialized(src: DataFrame, tag: String)
+      (build: => DataFrame): DataFrame = {
+    val it = matCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    if (matCache.size > 32) {
+      matCache.values.forEach(df => df.unpersist(blocking = false))
+      matCache.clear()
+    }
+    matCache.computeIfAbsent((src, tag), _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def superseding(key: String, df: DataFrame): DataFrame = {
+    val it = lastResult.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    val prev = lastResult.put((df.sparkSession, key), df)
+    if (prev != null && (prev ne df)) release(prev)
+    df
+  }
+}

@@ -83,22 +83,27 @@ object Tables {
     * safely memoizable — it removes a driver-side parquet-footer read per
     * table per query (hundreds across a bench/verify sweep).
     *
-    * Sessions are WEAK keys: suites build one session per spec, and a
-    * strong-keyed process-lifetime map would pin every stopped session
-    * (and its plans) for the JVM's life. WeakHashMap needs external
-    * synchronization; all access goes through [[cacheOf]]. */
-  private final class SessionCache {
+    * Stopped sessions are EVICTED ON ACCESS: a weak-keyed map cannot
+    * reclaim these entries (each cached DataFrame strongly references its
+    * SparkSession through QueryExecution, so value→key cycles keep every
+    * entry reachable), so instead each lookup sweeps entries whose
+    * context has stopped — suites build one session per spec, and the
+    * sweep unpins each stopped session's plans the first time any later
+    * suite touches the cache. */
+  private final class SessionCache(val session: SparkSession) {
     val tables = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
     val rawEvents = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     @volatile var registeredDir: String = null
   }
-  private val sessionCaches = new java.util.WeakHashMap[SparkSession, SessionCache]()
-  private def cacheOf(spark: SparkSession): SessionCache =
-    sessionCaches.synchronized {
-      var c = sessionCaches.get(spark)
-      if (c == null) { c = new SessionCache; sessionCaches.put(spark, c) }
-      c
+  private val sessionCaches =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SessionCache]()
+  private def cacheOf(spark: SparkSession): SessionCache = {
+    val it = sessionCaches.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue.session.sparkContext.isStopped) it.remove()
     }
+    sessionCaches.computeIfAbsent(spark, s => new SessionCache(s))
+  }
 
   /** Raw read of the events parquet, tolerant of BOTH fixture generations:
     * TIMESTAMP(NANOS) `ts` (read as a nano long via the legacy flag) and

@@ -108,7 +108,7 @@ final class Rel private (
 
   // -- iteration (reference: repeatUnion:1867 + transientScan:1822) ---------
   def repeatUnion(step: DataFrame => DataFrame, maxIter: Int = 100): Rel =
-    pop1(seed => operators.Recursive.repeatUnion(seed, step, maxIter))
+    pop1(seed => operators.Recursive.repeatUnion(seed, step, maxIter, tag = "rel"))
 
   /** TableFunctionScan leaf: push a generated relation
     * (reference: rel/core/TableFunctionScan.java; RelBuilder functionScan). */

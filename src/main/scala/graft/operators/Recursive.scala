@@ -40,7 +40,8 @@ object Recursive {
       step: DataFrame => DataFrame,
       maxIter: Int = 100,
       checkpointEvery: Int = 8,
-      unroll: Int = 8): DataFrame = {
+      unroll: Int = 8,
+      tag: String = "anon"): DataFrame = {
     val spark = seed.sparkSession
     // Iteration deltas are tiny relative to the cluster; the per-iteration
     // floor is scheduler overhead, so run the loop's shuffles at minimal
@@ -64,7 +65,12 @@ object Recursive {
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       var acc = seed.distinct().localCheckpoint(eager = true)
+      var accCkpt = acc // last checkpointed ancestor of acc's union chain
       var delta = acc
+      // deltas superseded as step inputs but still unioned into acc's
+      // lineage — releasable only once acc re-checkpoints past them;
+      // pinned-checkpoint blocks never free themselves (r7 verdict #3)
+      val retired = scala.collection.mutable.Buffer.empty[DataFrame]
       var i = 0
       var round = 0
       var done = false
@@ -81,18 +87,34 @@ object Recursive {
         // whole lineage chain each round.
         // except's output is already distinct (set semantics) — no separate
         // distinct() pass needed on the union
-        delta = parts.result().reduce(_ union _)
+        val next = parts.result().reduce(_ union _)
           .except(acc).localCheckpoint(eager = true)
+        if (delta ne acc) retired += delta
+        delta = next
         done = delta.isEmpty
-        if (!done) {
+        if (done) {
+          // the terminal empty delta never joins acc's lineage — free it
+          graft.Checkpoints.release(delta)
+        } else {
           acc = acc.union(delta)
-          if (round % checkpointEvery == checkpointEvery - 1)
-            acc = acc.localCheckpoint(eager = true)
+          if (round % checkpointEvery == checkpointEvery - 1) {
+            val compacted = acc.localCheckpoint(eager = true)
+            // compacted is materialized: the old checkpoint base and every
+            // retired delta have left the live lineage (the CURRENT delta
+            // — next round's step input — was not retired yet)
+            graft.Checkpoints.release(accCkpt)
+            retired.foreach(graft.Checkpoints.release)
+            retired.clear()
+            acc = compacted
+            accCkpt = compacted
+          }
           i += levels
           round += 1
         }
       }
-      acc.distinct()
+      // remaining leaves (accCkpt + un-compacted deltas) back the returned
+      // plan; the next repeatUnion with the same tag releases them
+      graft.Checkpoints.superseding(s"repeat_union/$tag", acc.distinct())
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -118,7 +140,7 @@ object Recursive {
       // deep, cheap levels: unroll 25 per round → 5 driver rounds for the
       // 100-level series instead of 100
       repeatUnion(seed, d => d.where(col("n") < 100).select((col("n") + 1).as("n")),
-        unroll = 25)
+        unroll = 25, tag = "recursive_series")
         .select(col("n"), (col("n") * col("n")).as("n_sq"))
     },
 
@@ -142,14 +164,18 @@ object Recursive {
         .select(col("n_nationkey").as("src"), (col("n_nationkey") - 1).as("dst"))
         .localCheckpoint(eager = true)
       val seed = nation.select(col("n_nationkey").as("start_k"), col("n_nationkey").as("node"))
-      repeatUnion(seed, d =>
+      val res = repeatUnion(seed, d =>
         // alias both sides: the delta's `node` descends from edges' `dst`,
         // so an unaliased self-join is ambiguous to the analyzer
         d.alias("r").join(edges.alias("e"), col("r.node") === col("e.src"))
           .select(col("r.start_k").as("start_k"), col("e.dst").as("node")),
         // join-per-level step: keep the unrolled plan shallow (each branch
         // chains j joins, so plan size grows O(unroll²))
-        maxIter = 50, unroll = 8)
+        maxIter = 50, unroll = 8, tag = "recursive_closure")
+      // every delta is checkpointed, so the returned plan's leaves no
+      // longer reference the edge table — free its pinned blocks now
+      graft.Checkpoints.release(edges)
+      res
     }
   )
 }

@@ -102,13 +102,19 @@ object Similarity {
       // a cell that attracted no vectors this round KEEPS its previous
       // centroid (standard Lloyd empty-cell handling) — otherwise k would
       // silently shrink and probe recall degrade
-      cents = cents.select(col("cid"), col("cv").as("prev_cv"))
+      val next = cents.select(col("cid"), col("cv").as("prev_cv"))
         .join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("new_cv"), col("prev_cv")).as("cv"))
         .withColumn("cnrm", sqrt(graft.functions.DotProduct.dot_product(col("cv"), col("cv"))))
         .localCheckpoint(eager = true)
+      // next is materialized — the previous round's pinned centroid
+      // blocks are dead; release them instead of stacking one per round
+      graft.Checkpoints.release(cents)
+      cents = next
     }
-    cents
+    // the final centroid frame backs the caller's plan; the next training
+    // run for the same session supersedes (and frees) it
+    graft.Checkpoints.superseding("ivf_centroids", cents)
   }
 
   val defs: Seq[QDef] = Seq(

@@ -115,12 +115,27 @@ object MatchRecognizeSql {
     while (found) {
       Opener.findFirstMatchIn(text) match {
         case Some(m) =>
-          // balance parens from the fragment's outer '('
+          // balance parens from the fragment's outer '(' — skipping
+          // single-quoted literals (honoring '' escapes), so a quoted
+          // '(' or ')' inside a DEFINE/MEASURES literal cannot mis-locate
+          // the fragment close
           var depth = 0
           var i = m.start
           var close = -1
           while (i < text.length && close < 0) {
             text.charAt(i) match {
+              case '\'' =>
+                i += 1
+                var inStr = true
+                while (i < text.length && inStr) {
+                  if (text.charAt(i) == '\'') {
+                    // '' inside a literal is an escaped quote, not a close
+                    if (i + 1 < text.length && text.charAt(i + 1) == '\'') i += 1
+                    else inStr = false
+                  }
+                  i += 1
+                }
+                i -= 1 // compensate the shared increment below
               case '(' => depth += 1
               case ')' => depth -= 1; if (depth == 0) close = i
               case _ =>

@@ -104,12 +104,17 @@ class PipelineSpec extends AnyFunSuite {
         .groupBy(col("vec_id")).agg(max(col("cos")).as("best"))
         .agg(avg(col("best"))).head().getDouble(0)
     }
+    // ivfTrain releases the PREVIOUS invocation's centroid blocks when a
+    // new training run supersedes them — consume each result fully before
+    // starting the next run, as a sequential pipeline would
     val seed = Similarity.ivfTrain(e, k = 8, iters = 0)
+    val seedCells = cells(seed)
     val trained = Similarity.ivfTrain(e, k = 8, iters = 2)
-    assert(cells(trained) >= cells(seed), "Lloyd iterations should not loosen cells")
+    val trainedCells = cells(trained)
+    assert(trainedCells >= seedCells, "Lloyd iterations should not loosen cells")
+    val a = trained.orderBy("cid").collect().map(_.toString).toSeq
     // determinism: byte-identical centroids across runs (decimal means)
     val again = Similarity.ivfTrain(e, k = 8, iters = 2)
-    val a = trained.orderBy("cid").collect().map(_.toString).toSeq
     val b = again.orderBy("cid").collect().map(_.toString).toSeq
     assert(a == b)
   }

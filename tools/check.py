@@ -29,10 +29,19 @@ def kind(dt) -> str:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import decimal
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for comparison
     for c in df.columns:
         if df[c].dtype == object:
+            vals = df[c].dropna()
+            # Spark decimal parquet reads back as object-of-Decimal while
+            # DuckDB decimal surfaces as float64 — and the driver hashes
+            # decimal(p,s) vs double EQUAL, so mirror that here instead of
+            # false-FAILing the type gate on the object/float pair
+            if len(vals) and isinstance(vals.iloc[0], decimal.Decimal):
+                df[c] = df[c].astype("float64")
+                continue
             df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
     return df

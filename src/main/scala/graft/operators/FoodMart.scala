@@ -233,6 +233,189 @@ object FoodMart {
         |  GROUP BY s_suppkey
         |  ORDER BY m0 DESC, c0 LIMIT 10) t
         |JOIN supplier ON t.c0 = s_suppkey
-        |ORDER BY t.m0 DESC, t.c0""")
+        |ORDER BY t.m0 DESC, t.c0"""),
+
+    // ---- second tranche (r7 verdict #4): semi-additive measures, ----------
+    // ---- multi-hierarchy drilldown, TopCount with ties, and the -----------
+    // ---- calculated-member family around them -----------------------------
+
+    // Shape #19: SEMI-ADDITIVE measure — the warehouse-cube closing
+    // balance: LAST over the time hierarchy (each customer's latest
+    // order), then SUM over the customer dimension. The non-additive
+    // time step is a per-key window top-1, not a self-join.
+    QDef.common("foodmart_semiadd_closing",
+      """SELECT n_name AS c0,
+        |  CAST(SUM(last_price) AS DOUBLE) AS m0
+        |FROM (
+        |  SELECT o_custkey, last_price FROM (
+        |    SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS last_price,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) w
+        |  WHERE rn = 1) lasto
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name"""),
+
+    // Shape #20: semi-additive AVERAGE over time of per-period sums —
+    // average monthly sales per priority (AVG over the time hierarchy of
+    // a SUM over everything else; derived as decimal-sum / count so both
+    // engines divide once, in IEEE doubles).
+    QDef.common("foodmart_semiadd_avg_period",
+      """SELECT c0, CAST(SUM(m) AS DOUBLE) / COUNT(*) AS m0 FROM (
+        |  SELECT o_orderpriority AS c0,
+        |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders
+        |  GROUP BY o_orderpriority, EXTRACT(YEAR FROM o_orderdate),
+        |    EXTRACT(MONTH FROM o_orderdate)) per_month
+        |GROUP BY c0"""),
+
+    // Shape #21: MULTI-HIERARCHY drilldown — the calendar hierarchy
+    // (year, quarter) crossed with a second hierarchy over the same time
+    // dimension (fiscal half), the MDX two-hierarchies-of-one-dimension
+    // axis shape.
+    QDef.common("foodmart_multi_hierarchy",
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS c0,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS c1,
+        |  CASE WHEN EXTRACT(QUARTER FROM o_orderdate) <= 2 THEN 'H1'
+        |       ELSE 'H2' END AS c2,
+        |  COUNT(*) AS m0,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM orders
+        |GROUP BY EXTRACT(YEAR FROM o_orderdate), EXTRACT(QUARTER FROM o_orderdate),
+        |  CASE WHEN EXTRACT(QUARTER FROM o_orderdate) <= 2 THEN 'H1' ELSE 'H2' END"""),
+
+    // Shape #22: geographic × product multi-hierarchy drill — two levels
+    // of each hierarchy on one axis (region > nation crossed with
+    // type > brand), the deepest FoodMart drill layout.
+    QDef.common("foodmart_multi_hierarchy_geo",
+      """SELECT r_name AS c0, n_name AS c1, p_type AS c2, p_brand AS c3,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m0
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size < 10
+        |GROUP BY r_name, n_name, p_type, p_brand"""),
+
+    // Shape #23: TopCount WITH TIES — RANK (not row_number) against the
+    // measure, keeping every member tied at the cutoff (the MDX
+    // TopCount + HeadTies refinement the first-tranche topcount lacks).
+    QDef.common("foodmart_topcount_ties",
+      """SELECT c0, m0 FROM (
+        |  SELECT p_type AS c0, COUNT(*) AS m0,
+        |    RANK() OVER (ORDER BY COUNT(*) DESC) AS rk
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_type) t
+        |WHERE rk <= 5
+        |ORDER BY m0 DESC, c0"""),
+
+    // Shape #24: BottomCount with a non-empty floor — the weakest members
+    // that still have fact rows (MDX BottomCount's NON EMPTY companion).
+    QDef.common("foodmart_bottomcount",
+      """SELECT n_name AS c0, COUNT(*) AS m0
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY m0 ASC, c0 LIMIT 5"""),
+
+    // Shape #25: YTD running sum (MDX Sum(YTD(), measure)) — cumulative
+    // within each year over the month level, one window over the monthly
+    // rollup.
+    QDef.common("foodmart_ytd_running",
+      """SELECT y AS c0, mo AS c1, CAST(m AS DOUBLE) AS m0,
+        |  CAST(SUM(m) OVER (PARTITION BY y ORDER BY mo) AS DOUBLE) AS ytd
+        |FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders
+        |  GROUP BY EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)) t"""),
+
+    // Shape #26: member RANK as a reported column (MDX Rank(member, set))
+    // — every member carries its position under the measure order.
+    QDef.common("foodmart_member_rank",
+      """SELECT n_name AS c0,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m0,
+        |  RANK() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC) AS rk
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name"""),
+
+    // Shape #27: percent-of-parent in a two-level hierarchy — each
+    // nation's share within its region (MDX member / member.Parent), the
+    // parent total as a partition window, no second scan.
+    QDef.common("foodmart_pct_of_parent",
+      """SELECT c0, c1, CAST(m AS DOUBLE) AS m0,
+        |  CAST(m AS DOUBLE) / CAST(SUM(m) OVER (PARTITION BY c0) AS DOUBLE) AS pct
+        |FROM (
+        |  SELECT r_name AS c0, n_name AS c1,
+        |    SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS m
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name) t"""),
+
+    // Shape #28: Filter(...).Count — per parent, how many children clear
+    // a measure threshold (MDX Count(Filter(children, measure > X))).
+    QDef.common("foodmart_filter_count",
+      """SELECT c0, COUNT(*) AS n_big FROM (
+        |  SELECT p_type AS c0, p_brand AS c1,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS m
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_type, p_brand
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 500) big
+        |GROUP BY c0"""),
+
+    // Shape #29: MEDIAN measure (MDX Median) — continuous percentile per
+    // member; both engines interpolate over the same sorted values.
+    QDef.common("foodmart_median_measure",
+      """SELECT l_returnflag AS c0,
+        |  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) AS m0
+        |FROM lineitem
+        |GROUP BY l_returnflag"""),
+
+    // Shape #30: two fact grains joined at a dimension — sales vs
+    // returned per nation with a derived return-rate (the Sales-vs-
+    // Warehouse virtual-cube ratio member; LEFT JOIN keeps nations with
+    // no returns).
+    QDef.common("foodmart_two_fact_ratio",
+      """SELECT a.c0, CAST(a.m AS DOUBLE) AS sales,
+        |  CAST(COALESCE(b.m, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS returned,
+        |  CAST(COALESCE(b.m, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(a.m AS DOUBLE) AS return_rate
+        |FROM (
+        |  SELECT n_name AS c0, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS m
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name) a
+        |LEFT JOIN (
+        |  SELECT n_name AS c0, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS m
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY n_name) b ON a.c0 = b.c0"""),
+
+    // Shape #31: crossjoin with NON EMPTY OFF — the full dimension
+    // product survives even where no fact rows exist (all regions × all
+    // priorities, zeros filled), the axis shape the inner-join tranche-1
+    // crossjoin cannot produce.
+    QDef.common("foodmart_allmembers_crossjoin",
+      """SELECT r_name AS c0, pr AS c1,
+        |  COALESCE(m0, 0) AS m0
+        |FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderpriority AS pr FROM orders) p
+        |LEFT JOIN (
+        |  SELECT r_regionkey AS rk2, o_orderpriority AS pr2, COUNT(*) AS m0
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region r2 ON n_regionkey = r2.r_regionkey
+        |  WHERE o_orderstatus = 'P'
+        |  GROUP BY r_regionkey, o_orderpriority) f
+        |ON r_regionkey = rk2 AND pr = pr2""")
   )
 }

@@ -26,12 +26,17 @@ class TpchCycleSpec extends AnyFunSuite {
   private val mustCycle = Set(
     "agg_cube", "agg_distinct_filter", "agg_group_id", "agg_grouping_fn",
     "agg_grouping_sets", "agg_rollup", "agg_tpch_q1", "fn_extract_time",
-    "foodmart_banding", "foodmart_distinct_customers", "foodmart_drilldown",
-    "foodmart_having", "foodmart_in_list", "foodmart_members_vs_other",
-    "foodmart_multi_distinct", "foodmart_multi_measure",
-    "foodmart_nonempty_crossjoin", "foodmart_share_of_total",
-    "foodmart_star_5way", "foodmart_topcount", "foodmart_topcount_detail",
-    "foodmart_virtual_cube", "join_anti", "join_full_outer",
+    "foodmart_allmembers_crossjoin", "foodmart_banding",
+    "foodmart_bottomcount", "foodmart_distinct_customers",
+    "foodmart_drilldown", "foodmart_filter_count", "foodmart_having",
+    "foodmart_in_list", "foodmart_member_rank", "foodmart_members_vs_other",
+    "foodmart_multi_distinct", "foodmart_multi_hierarchy_geo",
+    "foodmart_multi_measure", "foodmart_nonempty_crossjoin",
+    "foodmart_pct_of_parent", "foodmart_semiadd_closing",
+    "foodmart_share_of_total", "foodmart_star_5way", "foodmart_topcount",
+    "foodmart_topcount_detail", "foodmart_topcount_ties",
+    "foodmart_two_fact_ratio", "foodmart_virtual_cube", "join_anti",
+    "join_full_outer",
     "join_inner_multiway", "join_left_outer", "join_semi", "join_theta_nl",
     "lateral_posexplode", "match_recognize_agg_define",
     "match_recognize_reluctant", "match_recognize_running_measures",

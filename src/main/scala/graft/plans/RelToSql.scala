@@ -182,6 +182,20 @@ object RelToSql {
     override def limitClause(limit: Option[Long], offset: Option[Long]): String =
       offset.map(n => s" OFFSET $n ROWS").getOrElse("") +
         limit.map(n => s" FETCH NEXT $n ROWS ONLY").getOrElse("")
+    // exact micros via day-time interval decomposition: timestamp
+    // subtraction yields INTERVAL DAY(9) TO SECOND(6), and SECOND carries
+    // the fractional part — so the fold is exact to the microsecond
+    // (closing the r7 partial: Oracle has no epoch accessor, but the
+    // arithmetic IS expressible)
+    override def unixMicros(ts: String): String = {
+      val d = s"($ts - TIMESTAMP '1970-01-01 00:00:00')"
+      s"CAST(EXTRACT(DAY FROM $d) * 86400000000 + " +
+        s"EXTRACT(HOUR FROM $d) * 3600000000 + " +
+        s"EXTRACT(MINUTE FROM $d) * 60000000 + " +
+        s"EXTRACT(SECOND FROM $d) * 1000000 AS NUMBER(19))"
+    }
+    override def microsToTimestamp(us: String): String =
+      s"(TIMESTAMP '1970-01-01 00:00:00' + NUMTODSINTERVAL(($us) / 1000000, 'SECOND'))"
   }
 
   /** SQL Server rendering (reference: sql/dialect/MssqlSqlDialect.java —
@@ -201,6 +215,13 @@ object RelToSql {
     }
     override def unixMicros(ts: String): String =
       s"DATEDIFF_BIG(MICROSECOND, '1970-01-01', $ts)"
+    // exact inverse: whole seconds through DATEADD(SECOND) (int-ranged
+    // until 2038 — T-SQL DATEADD takes an INT count), micros remainder
+    // through DATEADD(MICROSECOND); '/' and '%' on T-SQL ints are already
+    // integral
+    override def microsToTimestamp(us: String): String =
+      s"DATEADD(MICROSECOND, ($us) % 1000000, " +
+        s"DATEADD(SECOND, ($us) / 1000000, CAST('1970-01-01' AS DATETIME2(6))))"
     override def orderLimit(orderBy: Option[String],
         limit: Option[Long], offset: Option[Long]): String =
       if (limit.isEmpty && offset.isEmpty)
@@ -291,6 +312,67 @@ object RelToSql {
     }
     override def unixMicros(ts: String): String =
       s"toUnixTimestamp64Micro(toDateTime64($ts, 6))"
+  }
+
+  /** Redshift rendering (reference: sql/dialect/RedshiftSqlDialect.java —
+    * double-quoted identifiers, LIMIT-style fetch [unparseOffsetFetch →
+    * unparseFetchUsingLimit]). Redshift is ParAccel-Postgres: Postgres
+    * type renames and integral '/', unbounded VARCHAR as VARCHAR(MAX),
+    * exact epoch micros via DATEDIFF(MICROSECOND) from the epoch. */
+  object Redshift extends Dialect {
+    val name = "redshift"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def typeName(dt: DataType): String = dt match {
+      case ByteType => "SMALLINT"
+      case DoubleType => "DOUBLE PRECISION"
+      case StringType => "VARCHAR(MAX)"
+      case other => super.typeName(other)
+    }
+    override def intDivide(a: String, b: String): String = s"($a / $b)"
+    override def microsToTimestamp(us: String): String =
+      s"DATEADD(MICROSECOND, ($us) % 1000000, " +
+        s"DATEADD(SECOND, ($us) / 1000000, TIMESTAMP '1970-01-01 00:00:00'))"
+    override def unixMicros(ts: String): String =
+      s"DATEDIFF(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', $ts)"
+  }
+
+  /** Teradata rendering (reference: sql/dialect/TeradataSqlDialect.java —
+    * double-quoted identifiers, ANSI OFFSET/FETCH kept from the base
+    * unparser). Teradata-language requirements on top: BYTEINT (no
+    * TINYINT), FLOAT for doubles, '**'-free arithmetic, integral '/' on
+    * integers, and no sub-second epoch accessor — unixMicros stays a
+    * documented partial like MySQL/Hive. */
+  object Teradata extends Dialect {
+    val name = "teradata"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def typeName(dt: DataType): String = dt match {
+      case ByteType => "BYTEINT"
+      case FloatType | DoubleType => "FLOAT"
+      case other => super.typeName(other)
+    }
+    override def limitClause(limit: Option[Long], offset: Option[Long]): String =
+      offset.map(n => s" OFFSET $n ROWS").getOrElse("") +
+        limit.map(n => s" FETCH NEXT $n ROWS ONLY").getOrElse("")
+    override def intDivide(a: String, b: String): String = s"($a / $b)"
+  }
+
+  /** Snowflake rendering (reference: sql/dialect/SnowflakeSqlDialect.java
+    * — double-quoted identifiers, upper-casing unquoted; base unparser
+    * otherwise). Snowflake-language type spellings (NUMBER(38,0) family
+    * collapses integer widths; STRING; TIMESTAMP_NTZ) and its exact
+    * epoch accessors: DATE_PART(EPOCH_MICROSECOND) both ways. */
+  object Snowflake extends Dialect {
+    val name = "snowflake"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def typeName(dt: DataType): String = dt match {
+      case StringType => "STRING"
+      case TimestampNTZType => "TIMESTAMP_NTZ"
+      case other => super.typeName(other)
+    }
+    override def microsToTimestamp(us: String): String =
+      s"TO_TIMESTAMP_NTZ($us, 6)"
+    override def unixMicros(ts: String): String =
+      s"DATE_PART(EPOCH_MICROSECOND, $ts)"
   }
 
   private def unsupported(what: String) =

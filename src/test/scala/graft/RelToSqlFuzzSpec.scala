@@ -163,7 +163,8 @@ class RelToSqlFuzzSpec extends AnyFunSuite {
       // never casts to BOOLEAN, so even Oracle renders every case)
       Seq(RelToSql.Ansi, RelToSql.Postgres, RelToSql.MySql, RelToSql.Oracle,
         RelToSql.Mssql, RelToSql.BigQuery, RelToSql.Hive, RelToSql.Presto,
-        RelToSql.ClickHouse).foreach { d =>
+        RelToSql.ClickHouse, RelToSql.Redshift, RelToSql.Teradata,
+        RelToSql.Snowflake).foreach { d =>
         val text = RelToSql.convert(df, d)
         assert(text.startsWith("SELECT"), s"case $i/${d.name}: $text")
       }

@@ -282,6 +282,105 @@ class RelToSqlSpec extends AnyFunSuite {
     assert(sql.contains("`c_name`"), sql)
   }
 
+  test("Redshift dialect: VARCHAR(MAX), LIMIT fetch, DATEDIFF micros") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(col("c_name").cast("string").as("s"),
+        col("c_acctbal").cast("double").as("d"))
+    val sql = RelToSql.convert(c, RelToSql.Redshift)
+    assert(sql.contains("VARCHAR(MAX)"), sql)
+    assert(sql.contains("DOUBLE PRECISION"), sql)
+    // LIMIT-style fetch (reference RedshiftSqlDialect.java
+    // unparseOffsetFetch -> unparseFetchUsingLimit)
+    val lim = Tables.t(spark, sfDir, "nation")
+      .orderBy(col("n_nationkey")).offset(5).limit(10)
+    val limSql = RelToSql.convert(lim, RelToSql.Redshift)
+    assert(limSql.contains("LIMIT 10 OFFSET 5"), limSql)
+    // exact epoch micros both directions
+    val ts = Tables.t(spark, sfDir, "events")
+      .select(unix_micros(col("ts")).as("us"))
+    val tsSql = RelToSql.convert(ts, RelToSql.Redshift)
+    assert(tsSql.contains("DATEDIFF(MICROSECOND"), tsSql)
+    val inv = Tables.t(spark, sfDir, "orders")
+      .select(timestamp_micros(col("o_orderkey") * 1000000L).as("t"))
+    val invSql = RelToSql.convert(inv, RelToSql.Redshift)
+    assert(invSql.contains("DATEADD(MICROSECOND"), invSql)
+  }
+
+  test("Teradata dialect: BYTEINT/FLOAT casts, ANSI OFFSET/FETCH, micros partial") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("byte").as("b"),
+        col("c_acctbal").cast("double").as("d"))
+    val sql = RelToSql.convert(c, RelToSql.Teradata)
+    assert(sql.contains("AS BYTEINT"), sql)
+    assert(sql.contains("AS FLOAT"), sql)
+    val lim = Tables.t(spark, sfDir, "nation")
+      .orderBy(col("n_nationkey")).offset(3).limit(7)
+    val limSql = RelToSql.convert(lim, RelToSql.Teradata)
+    assert(limSql.contains("OFFSET 3 ROWS FETCH NEXT 7 ROWS ONLY"), limSql)
+    assert(!limSql.contains("LIMIT"), limSql)
+    // no sub-second epoch accessor: documented partial like MySQL/Hive
+    val ts = Tables.t(spark, sfDir, "events")
+      .select(unix_micros(col("ts")).as("us"))
+    intercept[UnsupportedOperationException] {
+      RelToSql.convert(ts, RelToSql.Teradata)
+    }
+  }
+
+  test("Snowflake dialect: STRING/TIMESTAMP_NTZ, EPOCH_MICROSECOND both ways") {
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(col("c_name").cast("string").as("s"))
+    val sql = RelToSql.convert(c, RelToSql.Snowflake)
+    assert(sql.contains("AS STRING"), sql)
+    val ts = Tables.t(spark, sfDir, "events")
+      .select(unix_micros(col("ts")).as("us"))
+    val tsSql = RelToSql.convert(ts, RelToSql.Snowflake)
+    assert(tsSql.contains("DATE_PART(EPOCH_MICROSECOND"), tsSql)
+    val inv = Tables.t(spark, sfDir, "orders")
+      .select(timestamp_micros(col("o_orderkey") * 1000000L).as("t"))
+    val invSql = RelToSql.convert(inv, RelToSql.Snowflake)
+    assert(invSql.contains("TO_TIMESTAMP_NTZ("), invSql)
+  }
+
+  test("Oracle/MSSQL exact-micros partials closed: interval fold + DATEADD") {
+    val ts = Tables.t(spark, sfDir, "events")
+      .select(unix_micros(col("ts")).as("us"))
+    val oSql = RelToSql.convert(ts, RelToSql.Oracle)
+    assert(oSql.contains("EXTRACT(SECOND FROM") && oSql.contains("* 1000000"), oSql)
+    assert(oSql.contains("AS NUMBER(19)"), oSql)
+    val inv = Tables.t(spark, sfDir, "orders")
+      .select(timestamp_micros(col("o_orderkey") * 1000000L).as("t"))
+    val oInv = RelToSql.convert(inv, RelToSql.Oracle)
+    assert(oInv.contains("NUMTODSINTERVAL("), oInv)
+    val mInv = RelToSql.convert(inv, RelToSql.Mssql)
+    assert(mInv.contains("DATEADD(MICROSECOND") && mInv.contains("DATETIME2(6)"), mInv)
+  }
+
+  // the r7 ask: extend the cycle gate's corpus to the new dialects — every
+  // Spark-convertible registry query must also either render in each new
+  // dialect or reject with the converter's documented partial-by-design
+  // message (never any other failure)
+  test("new dialects render-or-reject the full Spark-convertible corpus") {
+    Tables.registerAll(spark, sfDir)
+    val convertible = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      if (df.isStreaming) None
+      else try { RelToSql.convert(df, RelToSql.Spark); Some(q -> df) }
+      catch { case _: UnsupportedOperationException => None }
+    }
+    assert(convertible.size >= 100, s"corpus shrank: ${convertible.size}")
+    for ((q, df) <- convertible;
+         d <- Seq(RelToSql.Redshift, RelToSql.Teradata, RelToSql.Snowflake)) {
+      try {
+        val text = RelToSql.convert(df, d)
+        assert(text.startsWith("SELECT"), s"$q/${d.name}: $text")
+      } catch {
+        case e: UnsupportedOperationException =>
+          assert(e.getMessage.startsWith("rel2sql: unsupported"),
+            s"$q/${d.name}: unexpected failure ${e.getMessage}")
+      }
+    }
+  }
+
   test("temp-view plans convert (View unwrapping)") {
     Tables.registerAll(spark, sfDir)
     roundTrip(spark.table("nation")

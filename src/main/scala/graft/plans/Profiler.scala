@@ -121,6 +121,71 @@ object Profiler {
         .unionAll(uniqueKeys(orders, Seq("o_orderkey", "o_custkey")))
     },
 
+    // Lattice growth from an observed workload (reference:
+    // materialize/LatticeSuggester.java): three star queries over the
+    // lineitem fact merge into ONE lattice (evolve), whose structure and
+    // measured tile cardinalities are the output. The oracle replays the
+    // expected structure verbatim and recomputes every tile count over
+    // the same snowflake join — a drifted suggester (wrong arm, wrong
+    // dim, wrong orientation) hash-mismatches.
+    graft.QDef.sql("profile_lattice",
+      """WITH j AS (
+        |  SELECT c_mktsegment, o_orderpriority, p_brand
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN customer ON o_custkey = c_custkey)
+        |SELECT 'root' AS item, 'lineitem' AS detail, CAST(NULL AS BIGINT) AS nrows
+        |UNION ALL SELECT 'step', 'lineitem->orders [l_orderkey=o_orderkey]', NULL
+        |UNION ALL SELECT 'step', 'lineitem->part [l_partkey=p_partkey]', NULL
+        |UNION ALL SELECT 'step', 'orders->customer [o_custkey=c_custkey]', NULL
+        |UNION ALL SELECT 'dim', 'customer.c_mktsegment', NULL
+        |UNION ALL SELECT 'dim', 'orders.o_orderpriority', NULL
+        |UNION ALL SELECT 'dim', 'part.p_brand', NULL
+        |UNION ALL SELECT 'measure', 'COUNT(*)', NULL
+        |UNION ALL SELECT 'measure', 'SUM(lineitem.l_extendedprice)', NULL
+        |UNION ALL SELECT 'measure', 'SUM(lineitem.l_quantity)', NULL
+        |UNION ALL SELECT 'tile', 'c_mktsegment',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT c_mktsegment FROM j) x)
+        |UNION ALL SELECT 'tile', 'o_orderpriority',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority FROM j) x)
+        |UNION ALL SELECT 'tile', 'p_brand',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT p_brand FROM j) x)
+        |UNION ALL SELECT 'tile', 'c_mktsegment,o_orderpriority',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT c_mktsegment, o_orderpriority FROM j) x)
+        |UNION ALL SELECT 'tile', 'c_mktsegment,p_brand',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT c_mktsegment, p_brand FROM j) x)
+        |UNION ALL SELECT 'tile', 'o_orderpriority,p_brand',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority, p_brand FROM j) x)""") { (s, dir) =>
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+      val li = graft.Tables.t(s, dir, "lineitem")
+      val ord = graft.Tables.t(s, dir, "orders")
+      val prt = graft.Tables.t(s, dir, "part")
+      val cst = graft.Tables.t(s, dir, "customer")
+      // the observed workload: three star queries rooted at lineitem
+      val q1 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(fsum(col("l_quantity")).as("m"))
+      val q2 = li.join(prt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(fcount(flit(1)).as("m"))
+      val q3 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cst, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"), col("c_mktsegment"))
+        .agg(fsum(col("l_extendedprice")).as("m"))
+      val sg = new LatticeSuggester.Suggester()
+      Seq(q1, q2, q3).foreach(sg.addQuery)
+      val lat = sg.latticeSet.head
+      val structure: Seq[(String, String, Option[Long])] =
+        Seq(("root", lat.root, None)) ++
+          lat.steps.map(st => ("step", st.toString, None)) ++
+          lat.dims.toSeq.sorted.map(d => ("dim", d, None)) ++
+          lat.measures.toSeq.map(_.toString).sorted.map(m => ("measure", m, None))
+      val tiles = LatticeSuggester
+        .suggestTiles(s, dir, lat, rowBudget = 100000L, maxDims = 2)
+        .map { case (ss, n) => ("tile", ss.mkString(","), Some(n)) }
+      import s.implicits._
+      (structure ++ tiles).toDF("item", "detail", "nrows")
+    },
+
     graft.QDef.sql("profile_columns",
       """SELECT 'l_returnflag' AS column, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,

@@ -38,7 +38,7 @@ class TpchCycleSpec extends AnyFunSuite {
     "foodmart_two_fact_ratio", "foodmart_virtual_cube", "join_anti",
     "join_full_outer",
     "join_inner_multiway", "join_left_outer", "join_semi", "join_theta_nl",
-    "lateral_posexplode", "match_recognize_agg_define",
+    "lateral_posexplode", "match_recognize_agg_define", "profile_lattice",
     "match_recognize_reluctant", "match_recognize_running_measures",
     "match_recognize_sql", "match_recognize_within", "profile_fds",
     "refdis_implicit_date_literal", "refdis_join_on_filter_full",

@@ -61,10 +61,60 @@ object MatcherHammer {
           if (max != -1 && max < min) min else max,
           greedy = r.nextBoolean())
     }
+  /** WITHIN × SKIP differential oracle: horizon-limited matching must
+    * equal matching over the EXPLICIT region slice [i, h(i)) at every
+    * anchor — "rows past the horizon are invisible to the attempt" is the
+    * contract, and slice-matching is itself validated against the regex
+    * reference by the base property. The AFTER MATCH advance (including
+    * both SQL:2016 runtime errors) is re-implemented here independently
+    * of the engine's `advance`. Returns Left(error) like the engine. */
+  def refWithinSkip(rows: IndexedSeq[Row], p: Pat, ords: IndexedSeq[Long],
+      w: Long, skip: MatchRecognize.Skip)
+      : Either[String, List[IndexedSeq[(Row, String)]]] = {
+    val out = List.newBuilder[IndexedSeq[(Row, String)]]
+    var i = 0
+    while (i < rows.length) {
+      var h = i
+      while (h < rows.length && ords(h) <= ords(i) + w) h += 1
+      val slice = rows.slice(i, h)
+      val anchored = MatchRecognize.findMatches(slice, p, defines)
+        .headOption.filter(m => m.head._1 eq slice(0))
+      anchored match {
+        case Some(m) =>
+          out += m
+          val end = i + m.size
+          val syms = m.map(_._2)
+          skip match {
+            case MatchRecognize.Skip.PastLastRow => i = end
+            case MatchRecognize.Skip.ToNextRow => i += 1
+            case MatchRecognize.Skip.ToFirst(v, ms) =>
+              val js = (0 until m.size).filter { j =>
+                val s0 = syms(j).stripPrefix("~")
+                s0.equalsIgnoreCase(v) || ms.exists(_.equalsIgnoreCase(s0))
+              }
+              if (js.isEmpty) return Left("sql2016-skip-error")
+              if (js.head == 0) return Left("sql2016-skip-error")
+              i = i + js.head
+            case MatchRecognize.Skip.ToLast(v, ms) =>
+              val js = (0 until m.size).filter { j =>
+                val s0 = syms(j).stripPrefix("~")
+                s0.equalsIgnoreCase(v) || ms.exists(_.equalsIgnoreCase(s0))
+              }
+              if (js.isEmpty) return Left("sql2016-skip-error")
+              if (js.last == 0) return Left("sql2016-skip-error")
+              i = i + js.last
+          }
+        case None => i += 1
+      }
+    }
+    Right(out.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val r = new Random(12345)
     var bad = 0
-    for (iter <- 1 to 2000000) {
+    val iters = args.headOption.map(_.toInt).getOrElse(2000000)
+    for (iter <- 1 to iters) {
       val p = genPat(r, 3)
       val n = r.nextInt(13)
       val s = (1 to n).map(_ => "abc"(r.nextInt(3))).mkString
@@ -147,7 +197,52 @@ object MatcherHammer {
           if (bad <= 5) println(s"STREAM-SKIPVAR MISMATCH skip=$sk pat=$p s='$s' cut=$cut got=$streamO want=$batchO")
         }
       }
-      if (iter % 500000 == 0) println(s"$iter iters, $bad bad")
+      // WITHIN × SKIP (r7 ask #8): horizon-limited matching under ALL
+      // FOUR skip modes against the slice-differential oracle, with
+      // non-uniform ord gaps so the horizon cut is a real time bound,
+      // not an index offset
+      if (s.nonEmpty) {
+        val ords: IndexedSeq[Long] = {
+          var t = 0L
+          s.map { _ => t += r.nextInt(3); t }.toIndexedSeq
+        }
+        val w = r.nextInt(5).toLong
+        val ordOf: Row => Long = row => ords(rows.indexWhere(_ eq row))
+        val skips: Seq[MatchRecognize.Skip] = Seq(
+          MatchRecognize.Skip.PastLastRow, MatchRecognize.Skip.ToNextRow,
+          MatchRecognize.Skip.ToFirst(tv), MatchRecognize.Skip.ToLast(tv))
+        for (sk <- skips) {
+          val gotO = outcome(MatchRecognize
+            .findMatches(rows, p, defines, sk, within = Some(w), ordOf = ordOf)
+            .map(_.map(_._2)))
+          val wantO = refWithinSkip(rows, p, ords, w, sk) match {
+            case Left(e) => Left(e)
+            case Right(ms) => Right(ms.map(_.map(_._2)))
+          }
+          if (gotO != wantO) {
+            bad += 1
+            if (bad <= 5) println(
+              s"WITHIN-SKIP MISMATCH skip=$sk w=$w pat=$p s='$s' ords=$ords got=$gotO want=$wantO")
+          }
+          // streaming split × WITHIN × skip: stream + batch-of-carried
+          // must equal batch (outcome-compared, errors included)
+          val streamO = outcome {
+            val (m1, retain1) = MatchRecognize.findMatchesStreaming(
+              rows.take(cut), p, defines, sk, within = Some(w),
+              ordOf = ordOf)
+            val carried = rows.take(cut).drop(retain1) ++ rows.drop(cut)
+            val m2 = MatchRecognize.findMatches(carried, p, defines, sk,
+              within = Some(w), ordOf = ordOf)
+            (m1 ++ m2).map(_.map(_._2))
+          }
+          if (streamO != gotO) {
+            bad += 1
+            if (bad <= 5) println(
+              s"WITHIN-SKIP STREAM MISMATCH skip=$sk w=$w pat=$p s='$s' cut=$cut got=$streamO want=$gotO")
+          }
+        }
+      }
+      if (iter % math.max(1, iters / 4) == 0) println(s"$iter iters, $bad bad")
       if (bad > 5) sys.exit(1)
     }
     println(s"done, $bad bad")

@@ -165,6 +165,57 @@ object MatcherProps extends Properties("MatchRecognize.matcher") {
         (m1.map(_.map(_._2)) ++ m2.map(_.map(_._2))) == batch
     }
 
+  /** WITHIN × SKIP (all four modes, r7 ask #8): horizon-limited matching
+    * equals the slice-differential oracle (rows past the horizon are
+    * invisible), with the SQL:2016 advance rules — including both runtime
+    * errors — re-implemented independently in MatcherHammer.refWithinSkip.
+    * Ords carry non-uniform gaps so the horizon is a real time bound. */
+  property("WITHIN x all four SKIP modes equals the slice oracle") =
+    forAll(genPat(3), genInput, Gen.choose(0, 4),
+      Gen.listOfN(16, Gen.choose(0, 2))) { (p: Pat, s: String, w: Int, gaps: List[Int]) =>
+      s.isEmpty || {
+        val rows = MatcherHammer.rowsOf(s)
+        val ords: IndexedSeq[Long] =
+          gaps.take(s.length).padTo(s.length, 1).scanLeft(0L)(_ + _).tail.toIndexedSeq
+        val ordOf: Row => Long = row => ords(rows.indexWhere(_ eq row))
+        def symsOf(q: Pat): Seq[String] = q match {
+          case Pat.Sym(nm) => Seq(nm)
+          case Pat.Cat(ps) => ps.flatMap(symsOf)
+          case Pat.Alt(ps) => ps.flatMap(symsOf)
+          case rep: Pat.Rep => symsOf(rep.p)
+          case Pat.Excl(inner) => symsOf(inner)
+        }
+        val tv = symsOf(p).head
+        def outcome(f: => Seq[Seq[String]]): Either[String, Seq[Seq[String]]] =
+          try Right(f) catch { case _: IllegalStateException => Left("sql2016-skip-error") }
+        Seq[MatchRecognize.Skip](MatchRecognize.Skip.PastLastRow,
+          MatchRecognize.Skip.ToNextRow, MatchRecognize.Skip.ToFirst(tv),
+          MatchRecognize.Skip.ToLast(tv)).forall { sk =>
+          val gotO = outcome(MatchRecognize.findMatches(rows, p,
+            MatcherHammer.defines, sk, within = Some(w.toLong), ordOf = ordOf)
+            .map(_.map(_._2)))
+          val wantO = MatcherHammer.refWithinSkip(rows, p, ords, w.toLong, sk) match {
+            case Left(e) => Left(e)
+            case Right(ms) => Right(ms.map(_.map(_._2)))
+          }
+          val streamOk = {
+            val cut = s.length / 2
+            val streamO = outcome {
+              val (m1, retain1) = MatchRecognize.findMatchesStreaming(
+                rows.take(cut), p, MatcherHammer.defines, sk,
+                within = Some(w.toLong), ordOf = ordOf)
+              val carried = rows.take(cut).drop(retain1) ++ rows.drop(cut)
+              val m2 = MatchRecognize.findMatches(carried, p,
+                MatcherHammer.defines, sk, within = Some(w.toLong), ordOf = ordOf)
+              (m1 ++ m2).map(_.map(_._2))
+            }
+            streamO == gotO
+          }
+          gotO == wantO && streamOk
+        }
+      }
+    }
+
   property("streaming split at any boundary emits the same matches") =
     forAll(genPat(2), genInput, Gen.choose(0, 12)) { (p: Pat, s: String, cutRaw: Int) =>
       val cut = math.min(cutRaw, s.length)

@@ -160,13 +160,19 @@ object Bench {
       d.name -> med
     }
     val total = results.flatMap(_._2).sum
-    // Full map → file (survives any stdout truncation); headline → stdout.
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (renderFull(total, results, sfDir) + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
-    }
+    // Full map → BENCH_FULL.json, headline line → BENCH.json (and stdout).
+    // The driver's tail capture keeps sbt's "[success] Total time" trailer
+    // AFTER the stdout JSON line, so its last-line parse records null
+    // (BENCH_r04-r07); the files are the authoritative record either way
+    // (README "Benchmarks").
+    def writeFile(name: String, content: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(name),
+        (content + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name write failed: ${e.getMessage}")
+      }
+    writeFile("BENCH_FULL.json", renderFull(total, results, sfDir))
+    writeFile("BENCH.json", renderLine(total, results, sfDir))
     // Stop BEFORE printing so shutdown log noise precedes the JSON line and
     // the ~2000-char stdout tail the consumer keeps always ends with it.
     spark.stop()

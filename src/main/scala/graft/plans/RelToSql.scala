@@ -69,6 +69,13 @@ object RelToSql {
     def orderLimit(orderBy: Option[String],
         limit: Option[Long], offset: Option[Long]): String =
       orderBy.map(" ORDER BY " + _).getOrElse("") + limitClause(limit, offset)
+    /** Full limited-block surface: (SELECT-list prefix, tail clause).
+      * Dialects whose row limit lives in the SELECT list (Sybase `SELECT
+      * TOP (n) START AT m`, reference SybaseSqlDialect.unparseTopN)
+      * override the prefix; everyone else keeps the tail-clause form. */
+    def limitSurface(orderBy: Option[String],
+        limit: Option[Long], offset: Option[Long]): (String, String) =
+      ("", orderLimit(orderBy, limit, offset))
     /** Set-operation keyword with its quantifier (BigQuery requires the
       * DISTINCT spelled out). */
     def setOpKeyword(op: String, isAll: Boolean): String =
@@ -375,6 +382,111 @@ object RelToSql {
       s"DATE_PART(EPOCH_MICROSECOND, $ts)"
   }
 
+  /** DB2 rendering (reference: sql/dialect/Db2SqlDialect.java —
+    * hasImplicitTableAlias=false [this converter aliases every subquery
+    * anyway], supportsCharSet=false, singular interval qualifiers [ours
+    * are singular already]). DB2-language requirements: SMALLINT for
+    * TINYINT, ANSI OFFSET/FETCH from the base unparser. */
+  object Db2 extends Dialect {
+    val name = "db2"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def typeName(dt: DataType): String = dt match {
+      case ByteType => "SMALLINT"
+      case other => super.typeName(other)
+    }
+    override def limitClause(limit: Option[Long], offset: Option[Long]): String =
+      offset.map(n => s" OFFSET $n ROWS").getOrElse("") +
+        limit.map(n => s" FETCH FIRST $n ROWS ONLY").getOrElse("")
+  }
+
+  /** Vertica rendering (reference: sql/dialect/VerticaSqlDialect.java —
+    * double-quoted identifiers, unchanged casing). Vertica-language type
+    * collapse: every integer width is INT (64-bit), both float widths are
+    * FLOAT; '//' is its integer division. */
+  object Vertica extends Dialect {
+    val name = "vertica"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def typeName(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "INT"
+      case FloatType | DoubleType => "FLOAT"
+      case other => super.typeName(other)
+    }
+  }
+
+  /** Phoenix rendering (reference: sql/dialect/PhoenixSqlDialect.java —
+    * double-quoted identifiers, base unparser otherwise; Phoenix speaks
+    * ANSI types and LIMIT/OFFSET). */
+  object Phoenix extends Dialect {
+    val name = "phoenix"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+  }
+
+  /** Netezza rendering (reference: sql/dialect/NetezzaSqlDialect.java —
+    * double-quoted identifiers). Netezza is Postgres-derived: BYTEINT,
+    * DOUBLE PRECISION, integral '/' on integers, LIMIT/OFFSET. */
+  object Netezza extends Dialect {
+    val name = "netezza"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def typeName(dt: DataType): String = dt match {
+      case ByteType => "BYTEINT"
+      case DoubleType => "DOUBLE PRECISION"
+      case other => super.typeName(other)
+    }
+    override def intDivide(a: String, b: String): String = s"($a / $b)"
+  }
+
+  /** H2 rendering (reference: sql/dialect/H2SqlDialect.java —
+    * double-quoted identifiers, base unparser; H2 is ANSI throughout). */
+  object H2 extends Dialect {
+    val name = "h2"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+  }
+
+  /** Derby rendering (reference: sql/dialect/DerbySqlDialect.java — base
+    * unparser). Derby has no LIMIT keyword: ANSI OFFSET … ROWS / FETCH
+    * NEXT … ROWS ONLY, and no '||'-free concat quirks. */
+  object Derby extends Dialect {
+    val name = "derby"
+    def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+    override def limitClause(limit: Option[Long], offset: Option[Long]): String =
+      offset.map(n => s" OFFSET $n ROWS").getOrElse("") +
+        limit.map(n => s" FETCH NEXT $n ROWS ONLY").getOrElse("")
+  }
+
+  /** Sybase ASE rendering (reference: sql/dialect/SybaseSqlDialect.java —
+    * unparseOffsetFetch is a NO-OP and unparseTopN emits `TOP (n) START
+    * AT m` into the SELECT list; there is no tail-clause row limit).
+    * START AT is 1-based, so OFFSET o becomes START AT o+1; an OFFSET
+    * with no LIMIT has no TOP form and rejects partial-by-design. */
+  object Sybase extends Dialect {
+    val name = "sybase"
+    def quote(id: String): String = "[" + id.replace("]", "]]") + "]"
+    override def concat(a: String, b: String): String = s"($a + $b)"
+    override def limitSurface(orderBy: Option[String],
+        limit: Option[Long], offset: Option[Long]): (String, String) =
+      limit match {
+        case Some(l) =>
+          val top = s"TOP ($l)" +
+            offset.map(o => s" START AT ${o + 1}").getOrElse("")
+          (top + " ", orderBy.map(" ORDER BY " + _).getOrElse(""))
+        case None if offset.isDefined =>
+          throw unsupported("OFFSET without LIMIT in Sybase (no TOP form)")
+        case None => ("", orderBy.map(" ORDER BY " + _).getOrElse(""))
+      }
+  }
+
+  /** Informix rendering (reference: sql/dialect/InformixSqlDialect.java —
+    * EMPTY_CONTEXT with NO identifier quote string: plain identifiers
+    * render BARE; only names that are not plain lowercase identifiers
+    * (e.g. an unaliased expression column) fall back to ANSI quoting,
+    * which Informix accepts in DELIMIDENT mode). */
+  object Informix extends Dialect {
+    val name = "informix"
+    def quote(id: String): String =
+      if (id.matches("[a-z_][a-z0-9_]*")) id
+      else "\"" + id.replace("\"", "\"\"") + "\""
+  }
+
   private def unsupported(what: String) =
     new UnsupportedOperationException(s"rel2sql: unsupported $what")
 
@@ -429,6 +541,13 @@ object RelToSql {
 
     private def selectAll(child: LogicalPlan, suffix: String): String =
       s"SELECT * FROM ${from(child)}$suffix"
+
+    /** A sorted/limited block through the dialect's limit surface. */
+    private def limited(child: LogicalPlan, orderBy: Option[String],
+        limit: Option[Long], offset: Option[Long]): String = {
+      val (prefix, tail) = d.limitSurface(orderBy, limit, offset)
+      s"SELECT $prefix* FROM ${from(child)}$tail"
+    }
 
     private val cteDefs = mutable.Map.empty[Long, LogicalPlan]
 
@@ -574,7 +693,7 @@ object RelToSql {
 
       case Sort(order, true, child, _) =>
         val o = order.map(sortOrder).mkString(", ")
-        selectAll(child, d.orderLimit(Some(o), None, None))
+        limited(child, Some(o), None, None)
 
       case GlobalLimit(IntegerLiteral(n), LocalLimit(IntegerLiteral(_), child)) =>
         child match {
@@ -582,20 +701,19 @@ object RelToSql {
           // would let the outer block drop the inner ordering)
           case Sort(order, true, grand, _) =>
             val o = order.map(sortOrder).mkString(", ")
-            selectAll(grand, d.orderLimit(Some(o), Some(n.toLong), None))
+            limited(grand, Some(o), Some(n.toLong), None)
           case Offset(IntegerLiteral(off), Sort(order, true, grand, _)) =>
             val o = order.map(sortOrder).mkString(", ")
-            selectAll(grand,
-              d.orderLimit(Some(o), Some(n.toLong), Some(off.toLong)))
-          case _ => selectAll(child, d.orderLimit(None, Some(n.toLong), None))
+            limited(grand, Some(o), Some(n.toLong), Some(off.toLong))
+          case _ => limited(child, None, Some(n.toLong), None)
         }
 
       case Offset(IntegerLiteral(n), child) =>
         child match {
           case Sort(order, true, grand, _) =>
             val o = order.map(sortOrder).mkString(", ")
-            selectAll(grand, d.orderLimit(Some(o), None, Some(n.toLong)))
-          case _ => selectAll(child, d.orderLimit(None, None, Some(n.toLong)))
+            limited(grand, Some(o), None, Some(n.toLong))
+          case _ => limited(child, None, None, Some(n.toLong))
         }
 
       case Distinct(child) =>

@@ -157,16 +157,28 @@ class RelToSqlFuzzSpec extends AnyFunSuite {
       val spk = try RelToSql.convert(df, RelToSql.Spark) catch {
         case e: Throwable => fail(s"case $i: Spark rendering threw ${e.getMessage}")
       }
-      // every other dialect must also render without throwing (Ansi's
-      // executable subset is gated against DuckDB by rel2sql_roundtrip;
-      // here we pin totality over the whole shape space — the grammar
-      // never casts to BOOLEAN, so even Oracle renders every case)
+      // every other dialect must also render — or reject with the
+      // converter's documented partial-by-design message, never any
+      // other failure (Ansi's executable subset is gated against DuckDB
+      // by rel2sql_roundtrip; the grammar never casts to BOOLEAN, so
+      // even Oracle renders every case — the only legal rejection in
+      // this shape space is Sybase's LIMIT-less OFFSET, which has no
+      // TOP form)
       Seq(RelToSql.Ansi, RelToSql.Postgres, RelToSql.MySql, RelToSql.Oracle,
         RelToSql.Mssql, RelToSql.BigQuery, RelToSql.Hive, RelToSql.Presto,
         RelToSql.ClickHouse, RelToSql.Redshift, RelToSql.Teradata,
-        RelToSql.Snowflake).foreach { d =>
-        val text = RelToSql.convert(df, d)
-        assert(text.startsWith("SELECT"), s"case $i/${d.name}: $text")
+        RelToSql.Snowflake, RelToSql.Db2, RelToSql.Vertica, RelToSql.Phoenix,
+        RelToSql.Netezza, RelToSql.H2, RelToSql.Derby, RelToSql.Sybase,
+        RelToSql.Informix).foreach { d =>
+        try {
+          val text = RelToSql.convert(df, d)
+          assert(text.startsWith("SELECT"), s"case $i/${d.name}: $text")
+        } catch {
+          case e: UnsupportedOperationException =>
+            assert(e.getMessage.startsWith("rel2sql: unsupported") &&
+              (d eq RelToSql.Sybase),
+              s"case $i/${d.name}: unexpected rejection ${e.getMessage}")
+        }
       }
       val direct = rows(df)
       val rerun = try rows(spark.sql(spk)) catch {

@@ -341,6 +341,39 @@ class RelToSqlSpec extends AnyFunSuite {
     assert(invSql.contains("TO_TIMESTAMP_NTZ("), invSql)
   }
 
+  test("thin-dialect tail: Db2, Vertica, Netezza, Derby, Sybase TOP, Informix bare") {
+    val lim = Tables.t(spark, sfDir, "nation")
+      .orderBy(col("n_nationkey")).offset(3).limit(7)
+    // DB2/Derby: ANSI OFFSET/FETCH, FIRST vs NEXT keyword
+    assert(RelToSql.convert(lim, RelToSql.Db2)
+      .contains("OFFSET 3 ROWS FETCH FIRST 7 ROWS ONLY"))
+    assert(RelToSql.convert(lim, RelToSql.Derby)
+      .contains("OFFSET 3 ROWS FETCH NEXT 7 ROWS ONLY"))
+    // Sybase: select-list TOP with 1-based START AT, never a tail clause
+    val syb = RelToSql.convert(lim, RelToSql.Sybase)
+    assert(syb.contains("SELECT TOP (7) START AT 4 *"), syb)
+    assert(!syb.contains("OFFSET") && !syb.contains("LIMIT"), syb)
+    // Sybase bare OFFSET: no TOP form -> documented partial
+    intercept[UnsupportedOperationException] {
+      RelToSql.convert(Tables.t(spark, sfDir, "nation").offset(3), RelToSql.Sybase)
+    }
+    // type collapses
+    val c = Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("byte").as("b"),
+        col("c_acctbal").cast("double").as("d"))
+    assert(RelToSql.convert(c, RelToSql.Vertica).contains("AS INT"))
+    assert(RelToSql.convert(c, RelToSql.Vertica).contains("AS FLOAT"))
+    assert(RelToSql.convert(c, RelToSql.Netezza).contains("AS BYTEINT"))
+    assert(RelToSql.convert(c, RelToSql.Db2).contains("AS SMALLINT"))
+    // Informix: plain identifiers render bare
+    val inf = RelToSql.convert(
+      Tables.t(spark, sfDir, "nation").select(col("n_name")), RelToSql.Informix)
+    assert(inf.contains("n_name") && !inf.contains("\"n_name\""), inf)
+    // H2/Phoenix: ANSI base renderings parse as SELECT text
+    assert(RelToSql.convert(lim, RelToSql.H2).startsWith("SELECT"))
+    assert(RelToSql.convert(lim, RelToSql.Phoenix).startsWith("SELECT"))
+  }
+
   test("Oracle/MSSQL exact-micros partials closed: interval fold + DATEADD") {
     val ts = Tables.t(spark, sfDir, "events")
       .select(unix_micros(col("ts")).as("us"))
@@ -369,7 +402,9 @@ class RelToSqlSpec extends AnyFunSuite {
     }
     assert(convertible.size >= 100, s"corpus shrank: ${convertible.size}")
     for ((q, df) <- convertible;
-         d <- Seq(RelToSql.Redshift, RelToSql.Teradata, RelToSql.Snowflake)) {
+         d <- Seq(RelToSql.Redshift, RelToSql.Teradata, RelToSql.Snowflake,
+           RelToSql.Db2, RelToSql.Vertica, RelToSql.Phoenix, RelToSql.Netezza,
+           RelToSql.H2, RelToSql.Derby, RelToSql.Sybase, RelToSql.Informix)) {
       try {
         val text = RelToSql.convert(df, d)
         assert(text.startsWith("SELECT"), s"$q/${d.name}: $text")

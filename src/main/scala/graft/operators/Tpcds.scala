@@ -417,6 +417,92 @@ object Tpcds {
         |  AND EXISTS (
         |    SELECT 1 FROM lineitem lr
         |    WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'R')
-        |GROUP BY o_orderpriority""")
+        |GROUP BY o_orderpriority"""),
+
+    // q14 iceberg shape: per-channel item cells kept only above the
+    // cross-channel average computed over the UNION ALL of all slices
+    // (the scalar threshold broadcasts; no channel is scanned twice for
+    // the threshold — one union, one average).
+    QDef.common("tpcds_s_iceberg",
+      """WITH cells AS (
+        |  SELECT l_returnflag AS channel, l_partkey AS item,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS rev
+        |  FROM lineitem GROUP BY l_returnflag, l_partkey),
+        |threshold AS (
+        |  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_rev FROM cells)
+        |SELECT channel, item, CAST(rev AS DOUBLE) AS rev
+        |FROM cells, threshold
+        |WHERE CAST(rev AS DOUBLE) > 2.0 * avg_rev
+        |ORDER BY channel, item"""),
+
+    // q23 shape: frequent items (sold in many distinct orders) ∩ best
+    // customers (top spenders) — two filtered CTEs semi-joining the fact,
+    // then one scalar total over the doubly-restricted slice.
+    QDef.common("tpcds_s_freqbest",
+      """WITH freq_items AS (
+        |  SELECT l_partkey FROM lineitem
+        |  GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) > 3),
+        |best_cust AS (
+        |  SELECT o_custkey FROM orders
+        |  GROUP BY o_custkey
+        |  HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 500000),
+        |restricted AS (
+        |  SELECT l_extendedprice FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey IN (SELECT l_partkey FROM freq_items)
+        |    AND o_custkey IN (SELECT o_custkey FROM best_cust))
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM restricted"""),
+
+    // q78 shape: per (customer, item) cells present in the primary
+    // channel but ABSENT from the returns slice — an anti join between
+    // two aggregates of the same fact at the same grain.
+    QDef.common("tpcds_s_missingchannel",
+      """WITH sold AS (
+        |  SELECT o_custkey AS cust, l_partkey AS item,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, l_partkey),
+        |returned AS (
+        |  SELECT o_custkey AS cust, l_partkey AS item
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey, l_partkey)
+        |SELECT s.cust, s.item, CAST(s.rev AS DOUBLE) AS rev
+        |FROM sold s LEFT JOIN returned r
+        |  ON s.cust = r.cust AND s.item = r.item
+        |WHERE r.cust IS NULL AND CAST(s.rev AS DOUBLE) > 150000
+        |ORDER BY s.cust, s.item"""),
+
+    // q10/q35 shape: demographic counts over customers qualified by an
+    // OR of EXISTS across channels AND a further required channel — the
+    // existence-OR structure existschain's AND chain cannot produce.
+    QDef.common("tpcds_s_orexists",
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderstatus = 'F')
+        |  AND (EXISTS (
+        |      SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+        |        AND o2.o_orderpriority = '1-URGENT')
+        |    OR EXISTS (
+        |      SELECT 1 FROM orders o3 WHERE o3.o_custkey = c.c_custkey
+        |        AND o3.o_orderpriority = '2-HIGH'))
+        |GROUP BY c_mktsegment
+        |ORDER BY seg"""),
+
+    // q90 shape: the ratio of two scalar counts over disjoint slices of
+    // one fact (am/pm ratio) — two scalar aggregates cross-joined into a
+    // single-row division.
+    QDef.common("tpcds_s_sliceratio",
+      """SELECT CAST(early.n AS DOUBLE) / CAST(late.n AS DOUBLE) AS ratio
+        |FROM (
+        |  SELECT COUNT(*) AS n FROM orders
+        |  WHERE EXTRACT(MONTH FROM o_orderdate) <= 6) early
+        |CROSS JOIN (
+        |  SELECT COUNT(*) AS n FROM orders
+        |  WHERE EXTRACT(MONTH FROM o_orderdate) > 6) late""")
   )
 }

@@ -56,6 +56,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hive-partitioned parquet: partition pruning reaches the scan") {
+    // At 100 TB, directory-level pruning is the difference between
+    // scanning one partition and scanning the lake: a filter on the
+    // partition column must land in the scan's PartitionFilters (pruned
+    // BEFORE any file is opened), never as a post-scan Filter.
+    val dir = fresh("partitioned")
+    Tables.t(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .where(col("yr") === 1996)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val formatted = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.matches("(?s).*PartitionFilters: \\[[^\\]]*1996[^\\]]*\\].*"),
+      s"partition filter not pushed:\n$formatted")
+    // column pruning holds too: the read schema carries only the two
+    // referenced data columns
+    assert(formatted.matches("(?s).*ReadSchema: [^\\n]*o_orderkey[^\\n]*o_totalprice.*")
+      && !formatted.matches("(?s).*ReadSchema: [^\\n]*o_orderdate.*"),
+      s"read schema not pruned:\n$formatted")
+    // and the pruned read returns exactly the partition's rows
+    val want = Tables.t(spark, sfDir, "orders")
+      .where(year(col("o_orderdate")) === 1996).count()
+    assert(pruned.count() == want)
+  }
+
   test("bucketed tables: equi-join on the bucket key plans with no shuffle") {
     import graft.sources.Bucketing
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")

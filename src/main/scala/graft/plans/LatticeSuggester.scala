@@ -153,12 +153,20 @@ object LatticeSuggester {
             case other => s"expr:${other.sql}"
           }
           val dims = a.groupingExpressions.map(ref).toSet
+          // measure args look THROUGH casts: the engine's determinism
+          // contract routes sums via decimal casts, and the measure's
+          // identity is the underlying column (the reference's BaseColRef),
+          // not the re-aggregation-safe cast around it
+          def mref(e: Expression): String = e match {
+            case c: Cast => mref(c.child)
+            case other => ref(other)
+          }
           val measures = a.aggregateExpressions.flatMap(_.collect {
             case ae: AggregateExpression =>
               Measure(ae.aggregateFunction.prettyName.toUpperCase,
                 ae.isDistinct,
                 ae.aggregateFunction.children.filter(_.dataType != org.apache.spark.sql.types.NullType)
-                  .map(ref) match { case Nil => Seq("*"); case xs => xs })
+                  .map(mref) match { case Nil => Seq("*"); case xs => xs })
           }).toSet
           val lat = Lattice(root, steps, dims, measures)
           val grown = byRoot.get(root) match {
@@ -197,4 +205,47 @@ object LatticeSuggester {
       rowBudget: Long, maxDims: Int = 2): Seq[(Seq[String], Long)] =
     Profiler.suggestTiles(joinedFrame(spark, sfDir, lattice),
       tileDims(lattice), rowBudget, maxDims)
+
+  /** The whole advisory loop in one call — the reference's
+    * workload → LatticeSuggester → tile → MaterializationService chain:
+    * observe the workload, grow lattices, measure tiles, and MATERIALIZE
+    * the widest affordable tile per lattice (re-aggregable SUM/COUNT
+    * measures over the observed measure columns) so the MV rewriter
+    * starts answering matching rollups from it. Returns the created MV
+    * names. Tiles store BARE decimal sums + counts (exact under
+    * re-aggregation, per the MV contract).
+    *
+    * Scale: one cardinality pass + one tile write per lattice; every
+    * later matching query replaces its fact-scan star join with one tile
+    * scan — at 100 TB that is the entire point of the lattice machinery.
+    */
+  def adviseAndMaterialize(spark: SparkSession, sfDir: String,
+      workload: Seq[DataFrame], rowBudget: Long, pathPrefix: String,
+      maxDims: Int = 2): Seq[String] = {
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+    val sg = new Suggester()
+    workload.foreach(sg.addQuery)
+    sg.latticeSet.flatMap { lat =>
+      val tiles = suggestTiles(spark, sfDir, lat, rowBudget, maxDims)
+      tiles.headOption.map { case (dims, _) =>
+        // measured SUM args that are plain lattice columns become exact
+        // decimal sums in the tile; COUNT(*) is always included
+        val sumCols = lat.measures.toSeq
+          .filter(m => m.fn == "SUM" && !m.distinct)
+          .flatMap(_.args.filterNot(a => a == "*" || a.startsWith("expr:")))
+          .distinct.sorted
+        val aggs = sumCols.map(a =>
+          fsum(col(a.split('.').last)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+            .as(s"sum_${a.split('.').last}")) :+
+          fcount(flit(1)).as("cnt")
+        val name = s"lattice_${lat.root}_${dims.mkString("_")}"
+        val tileDef = joinedFrame(spark, sfDir, lat)
+          .groupBy(dims.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        MaterializedViews.create(spark, name, tileDef, s"$pathPrefix/$name")
+        name
+      }
+    }
+  }
 }

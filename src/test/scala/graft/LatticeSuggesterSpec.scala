@@ -73,6 +73,25 @@ class LatticeSuggesterSpec extends AnyFunSuite {
     assert(LatticeSuggester.tileDims(l.get) == Seq("o_orderpriority"))
   }
 
+  test("adviseAndMaterialize: one call observes, grows, tiles and registers MVs") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    def workloadQ() = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast(DecimalType(28, 4))).as("sum_l_quantity"),
+        count(lit(1)).as("cnt"))
+    val names = LatticeSuggester.adviseAndMaterialize(spark, sfDir,
+      Seq(workloadQ()), rowBudget = 1000L, pathPrefix = "/tmp/graft_mv/advise")
+    assert(names == Seq("lattice_lineitem_o_orderpriority"), names.toString)
+    // the SAME workload query re-arrives: the advisor's tile answers it
+    val user = workloadQ()
+    val physical = user.queryExecution.executedPlan.toString
+    assert(physical.contains("lattice_lineitem_o_orderpriority"),
+      s"advised tile not scanned:\n$physical")
+    assert(!physical.contains("lineitem.parquet"), "fact table still scanned")
+    names.foreach(MaterializedViews.drop)
+  }
+
   test("suggested tile materializes and the MV rewriter answers from it") {
     val sg = new LatticeSuggester.Suggester()
     sg.addQuery(li.join(ord, col("l_orderkey") === col("o_orderkey"))

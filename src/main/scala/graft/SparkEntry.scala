@@ -21,6 +21,7 @@ object SparkEntry {
       operators.RefDisabled.defs ++
       operators.Geo.defs ++ operators.SchemaOnRead.defs ++
       operators.Periods.defs ++ operators.Sequences.defs ++
+      operators.TableModify.defs ++
       plans.Profiler.defs ++ plans.RelToSqlDemo.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++

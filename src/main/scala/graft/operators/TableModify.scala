@@ -152,4 +152,45 @@ object TableModify {
     merged.write.mode(SaveMode.Overwrite).parquet(staged)
     swapIn(spark, staged, targetDir)
   }
+
+  /** The full DML lifecycle as an ORACLE-VERIFIED query: copy the nation
+    * fixture to a scratch table, DELETE a key slice, UPDATE a region's
+    * names, MERGE a shifted-key source (matched rows marked, unmatched
+    * inserted), and return the final table. Every invocation rebuilds
+    * from the fixture, so the result is a pure function of the input —
+    * the DuckDB oracle replays the identical algebra (delete = filter,
+    * update = projection, merge = left-join CASE + anti-join insert). */
+  val defs: Seq[graft.QDef] = Seq(
+    graft.QDef.sql("modify_lifecycle",
+      """WITH del AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 3),
+        |upd AS (SELECT n_nationkey,
+        |  CASE WHEN n_regionkey = 2 THEN n_name || '_U' ELSE n_name END AS n_name,
+        |  n_regionkey FROM del),
+        |src AS (SELECT n_nationkey * 2 AS n_nationkey, 'SRC_' || n_name AS n_name,
+        |  n_regionkey FROM nation WHERE n_nationkey BETWEEN 8 AND 15),
+        |matched AS (
+        |  SELECT t.n_nationkey,
+        |    CASE WHEN s.n_nationkey IS NOT NULL THEN 'MERGED' ELSE t.n_name END AS n_name,
+        |    t.n_regionkey
+        |  FROM upd t LEFT JOIN src s ON t.n_nationkey = s.n_nationkey),
+        |ins AS (
+        |  SELECT s.n_nationkey, s.n_name, s.n_regionkey
+        |  FROM src s LEFT JOIN upd t ON s.n_nationkey = t.n_nationkey
+        |  WHERE t.n_nationkey IS NULL)
+        |SELECT * FROM matched UNION ALL SELECT * FROM ins""") { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, concat, lit, upper => _}
+      val work = "/tmp/graft_modify/lifecycle_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val nation = graft.Tables.t(s, dir, "nation")
+      nation.write.mode(SaveMode.Overwrite).parquet(work)
+      delete(s, work, col("n_nationkey") % 7 === 3)
+      update(s, work, col("n_regionkey") === 2,
+        Map("n_name" -> concat(col("n_name"), lit("_U"))))
+      val src = nation.where(col("n_nationkey").between(8, 15))
+        .select((col("n_nationkey") * 2).as("n_nationkey"),
+          concat(lit("SRC_"), col("n_name")).as("n_name"),
+          col("n_regionkey"))
+      merge(s, work, src, "n_nationkey", Map("n_name" -> lit("MERGED")))
+      s.read.parquet(work)
+    })
 }

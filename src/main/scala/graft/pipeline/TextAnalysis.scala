@@ -45,6 +45,31 @@ object TextAnalysis {
         array_max(transform(ws, w => length(w))).as("max_token_len"))
     },
 
+    // ---- BPE-style pre-tokenizer counts -----------------------------------
+    // Token counting at the granularity an LLM tokenizer sees: the GPT-2
+    // pre-tokenizer regex family (contraction suffixes, space-prefixed
+    // letter/digit runs, punctuation runs, whitespace) minus the trailing
+    // lookahead (RE2 has no lookahead; Java and RE2 agree leftmost-first
+    // on this alternation). pieces/word is the fertility proxy used for
+    // token-budget planning. One codegen'd projection, no explode.
+    QDef.sql("text_bpe_tokens",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS n_bpe_pieces,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS fertility
+        |FROM documents""") { (s, dir) =>
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+      val pieces = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        pieces.as("n_bpe_pieces"),
+        (pieces.cast("double") / size(split(col("text"), " "))).as("fertility"))
+    },
+
     // ---- Character-entropy quality signal ---------------------------------
     // Shannon entropy of the per-document character distribution — the
     // classic cheap detector for degenerate text (repeated chars, binary

@@ -356,6 +356,81 @@ object Similarity {
             .cast("double") / (col("na") * col("nb"))).as("qcos"))
       val wQ = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vid"))
       scored.withColumn("rk", row_number().over(wQ)).where(col("rk") <= 10)
+    },
+
+    // ---- PRODUCT QUANTIZATION + ADC top-k (the deep-compression path) -----
+    // PQ(m=8, 16 codewords): each vector's 8 subvectors encode as the
+    // nearest codeword (codebook = the first 16 corpus vectors'
+    // subvectors — deterministic, exactly like sim_ann_ivf's fixed
+    // centroids; production trains them with k-means, the plan shape is
+    // identical). A query never touches the corpus floats: its 8×16
+    // distance LUT (tiny — broadcast) joins the corpus CODES (1 byte per
+    // subspace at scale, a 32× memory cut) and ADC distance is the
+    // LUT-sum. Determinism: subspace L2² folds are sequential (identical
+    // IEEE streams both engines); LUT entries round to 9 decimals then
+    // decimal-sum, so the 8-way ADC sum is order-independent.
+    QDef.sql("sim_pq_adc_topk",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, j, v[(j*8+1):(j*8+8)] AS sv
+        |  FROM v, LATERAL (SELECT unnest(range(0, 8)) AS j) g),
+        |cb AS (SELECT j, vec_id AS k, sv AS cv FROM sub WHERE vec_id < 16),
+        |cand AS (
+        |  SELECT s.vec_id, s.j, c.k,
+        |    list_reduce(list_transform(list_zip(s.sv, c.cv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y) AS d2
+        |  FROM sub s JOIN cb c ON s.j = c.j),
+        |codes AS (
+        |  SELECT vec_id, j, k AS code FROM (
+        |    SELECT vec_id, j, k,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |lut AS (
+        |  SELECT s.vec_id AS qid, s.j AS lj, c.k AS lk,
+        |    CAST(round(list_reduce(list_transform(list_zip(s.sv, c.cv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y), 9)
+        |      AS DECIMAL(28,12)) AS qd
+        |  FROM sub s JOIN cb c ON s.j = c.j
+        |  WHERE s.vec_id BETWEEN 16 AND 25),
+        |adc AS (
+        |  SELECT qid, vec_id AS vid, CAST(SUM(qd) AS DOUBLE) AS adc_d2
+        |  FROM codes JOIN lut ON lj = j AND lk = code
+        |  WHERE vec_id <> qid
+        |  GROUP BY qid, vec_id)
+        |SELECT qid, vid, adc_d2, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vid) AS rk
+        |  FROM adc) WHERE rk <= 10""") { (s, dir) =>
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val sub = v
+        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"), col("v"))
+        .select(col("vec_id"), col("j"), expr("slice(v, j*8+1, 8)").as("sv"))
+      val cb = sub.where(col("vec_id") < 16)
+        .select(col("j").as("cj"), col("vec_id").as("k"), col("sv").as("cv"))
+      def l2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      val cand = sub.join(broadcast(cb), col("j") === col("cj"))
+        .withColumn("d2", l2(col("sv"), col("cv")))
+      val wCode = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("d2"), col("k"))
+      val codes = cand.withColumn("rn", row_number().over(wCode))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("j"), col("k").as("code"))
+      val lut = sub.where(col("vec_id").between(16, 25))
+        .join(broadcast(cb), col("j") === col("cj"))
+        .select(col("vec_id").as("qid"), col("j").as("lj"), col("k").as("lk"),
+          round(l2(col("sv"), col("cv")), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("qd"))
+      val adc = codes
+        .join(broadcast(lut), col("lj") === col("j") && col("lk") === col("code"))
+        .where(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("qd")).cast("double").as("adc_d2"))
+        .select(col("qid"), col("vec_id").as("vid"), col("adc_d2"))
+      val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vid"))
+      adc.withColumn("rk", row_number().over(wAdc)).where(col("rk") <= 10)
     }
   )
 }

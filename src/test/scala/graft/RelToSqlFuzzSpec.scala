@@ -141,6 +141,17 @@ class RelToSqlFuzzSpec extends AnyFunSuite {
         val ordered = df.orderBy(df.columns.toSeq.map(col): _*)
           .offset(rnd.nextInt(10))
         if (rnd.nextBoolean()) ordered.limit(rnd.nextInt(15) + 1) else ordered
+      case 7 => // inline VALUES (LocalRelation): standalone or joined in
+        val sess = spark
+        import sess.implicits._
+        val n = rnd.nextInt(4) + 1
+        val inline = (0 until n)
+          .map(i => (i, rnd.nextInt(50), s"tag_${rnd.nextInt(5)}"))
+          .toDF("vk", "vnum", "vtag")
+        if (rnd.nextBoolean()) inline
+        else table("region")
+          .join(inline, col("r_regionkey") === col("vk"),
+            pick(Seq("inner", "left")))
       case _ => chain()
     }
   }

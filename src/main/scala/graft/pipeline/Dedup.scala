@@ -216,6 +216,65 @@ object Dedup {
       a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), (dot / (col("na") * col("nb"))).as("cosim"))
         .where(col("cosim") >= 0.3)
+    },
+
+    // ---- Exact duplicated-span detection (substring dedup) ----------------
+    // The span-level counterpart of document dedup (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better": repeated
+    // ≥k-token substrings ACROSS documents are memorization fuel even when
+    // no two documents are near-dups). Exact suffix arrays don't
+    // distribute; the standard cluster-scale approximation is the one
+    // here: every overlapping word-8-gram occurrence, keyed by gram, a
+    // gram is "duplicated" if it appears in ≥2 distinct documents, and a
+    // token is duplicated if any duplicated gram covers it — per-doc
+    // coverage is the union of [i, i+7] intervals, reported as a fraction
+    // so downstream filters can drop or trim spans.
+    // Scale shape: ONE shuffle keyed on the 64-bit gram hash computes
+    // cross-doc multiplicity (partial counts map-side); the occurrence
+    // relation re-derives from the same scan (no materialized gram
+    // strings — WordGramHashes longs only), the covering explode runs
+    // ONLY on duplicated occurrences (~2% of grams here), and the final
+    // per-doc rollup shuffles on doc_id. Nothing is quadratic in corpus
+    // size; memory per task is bounded by gram-partition width.
+    // The oracle replays the identical algebra on gram STRINGS —
+    // hash-vs-string equality diverges only on 2^-64 collisions, and only
+    // counts reach the output (text_repetition's documented contract).
+    QDef.sql("dedup_span_exact",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i, list_aggregate(ws[i:i+7], 'string_agg', ' ') AS g
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) r),
+        |dup AS (SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+        |cover AS (
+        |  SELECT doc_id, count(DISTINCT i) AS n_dup_grams, count(DISTINCT p) AS dup_tokens
+        |  FROM (SELECT o.doc_id, o.i, unnest(range(o.i, o.i + 8)) AS p
+        |        FROM occ o JOIN dup USING (g))
+        |  GROUP BY doc_id)
+        |SELECT w.doc_id, len(ws) AS n_tokens,
+        |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(dup_tokens, 0) AS dup_tokens,
+        |  CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(ws) AS dup_token_frac
+        |FROM w LEFT JOIN cover USING (doc_id)""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val occ = docs.select(col("doc_id"),
+          posexplode(graft.functions.WordGramHashes.word_gram_hashes_all(col("text"), 8)))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+      val dup = occ.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1).select(col("g"))
+      val cover = occ.join(dup, "g")
+        .select(col("doc_id"), col("i"),
+          explode(sequence(col("i"), col("i") + 7)).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("i")).as("n_dup_grams"),
+          countDistinct(col("p")).as("dup_tokens"))
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .join(cover, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_grams"), lit(0)).cast("long").as("n_dup_grams"),
+          coalesce(col("dup_tokens"), lit(0)).as("dup_tokens"),
+          (coalesce(col("dup_tokens"), lit(0)).cast("double") / col("n_tokens"))
+            .as("dup_token_frac"))
     }
   )
 

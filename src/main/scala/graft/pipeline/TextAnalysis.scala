@@ -16,6 +16,12 @@ object TextAnalysis {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.t(s, dir, n)
 
   private val enStop = Seq("the", "a", "of", "and", "is")
+
+  /** PII patterns, restricted to the Java-regex ∩ RE2 subset so the Spark
+    * implementation and the DuckDB oracle see identical languages. */
+  private val piiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val piiIp = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val piiPhone = """\b\d{3}-\d{3}-\d{4}\b"""
   private val langMarkers = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "fr" -> Seq("le", "la", "les", "et", "une"),
@@ -383,6 +389,71 @@ object TextAnalysis {
         col("doc_id"),
         aggregate(codes, lit(0L),
           (h, c) => (h * 31 + c) % 1000000007L).as("fp"))
+    },
+
+    // ---- PII detection + redaction ----------------------------------------
+    // The scrub pass every training corpus runs before anything else:
+    // detect and mask emails / IPv4 addresses / phone numbers. The fixture
+    // text is synthetic word-salad with no organic PII, so the query first
+    // plants deterministic surrogates derived from doc_id (emails on
+    // doc_id%3=0, IPs on %4=0, phones on %5=0 — overlapping residues give
+    // multi-type docs and %60 gaps give clean docs), then detects and
+    // redacts them — the redacted text itself is part of the hash, so the
+    // oracle pins the full replacement semantics, not just counts.
+    // Patterns stay in the Java-regex ∩ RE2 subset (char classes, bounded
+    // repetition, \b, \d — no lookaround), so Spark's codegen'd
+    // regexp_replace and DuckDB's RE2 agree byte-for-byte; DuckDB needs
+    // the explicit 'g' flag to match Spark's replace-all default.
+    // Scale shape: pure single-pass projection, zero shuffle, all
+    // WholeStageCodegen — at 100 TB this runs at scan speed.
+    QDef.sql("text_pii_redact",
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail'
+        |           || (doc_id % 7) || '.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256) || '.0.'
+        |           || (doc_id % 100) || ' net' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |           || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |      AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '$piiEmail')) AS n_email,
+        |  len(regexp_extract_all(t, '$piiIp')) AS n_ip,
+        |  len(regexp_extract_all(t, '$piiPhone')) AS n_phone,
+        |  len(regexp_extract_all(t, '$piiEmail')) + len(regexp_extract_all(t, '$piiIp'))
+        |    + len(regexp_extract_all(t, '$piiPhone')) = 0 AS pii_free,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '$piiEmail', '<EMAIL>', 'g'), '$piiIp', '<IP>', 'g'),
+        |    '$piiPhone', '<PHONE>', 'g') AS redacted
+        |FROM aug""") { (s, dir) =>
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@mail"),
+            (col("doc_id") % 7).cast("string"), lit(".com"))).otherwise(""),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+            (col("doc_id") % 100).cast("string"), lit(" net"))).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(""))
+      def cnt(c: Column, re: String): Column =
+        size(regexp_extract_all(c, lit(re), lit(0)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          cnt(col("t"), piiEmail).as("n_email"),
+          cnt(col("t"), piiIp).as("n_ip"),
+          cnt(col("t"), piiPhone).as("n_phone"),
+          (cnt(col("t"), piiEmail) + cnt(col("t"), piiIp)
+            + cnt(col("t"), piiPhone) === 0).as("pii_free"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), piiEmail, "<EMAIL>"),
+              piiIp, "<IP>"),
+            piiPhone, "<PHONE>").as("redacted"))
     }
   )
 }

@@ -151,6 +151,44 @@ object StreamOps {
       t(s, dir, "events").groupBy(col("user_id"))
         .agg(countDistinct(col("event_type")).as("n_types"),
           min(col("event_id")).as("first_event"))
+    },
+
+    // ---- Stream-STREAM interval join (batch-verified) ---------------------
+    // The reference documents stream-to-stream joins as requiring a
+    // monotonic bound on both sides (site/_docs/stream.md "Joining streams"
+    // — "window of one hour"); Structured Streaming realizes exactly that
+    // contract: two watermarked streams, an equi-key plus a time-interval
+    // condition bounding retained state. Here: each click attributed to
+    // the SAME user's purchases within the following hour. The batch twin
+    // is the identical interval join; StreamingSpec replays both sides
+    // through readStream with watermarks and asserts stream==batch.
+    // Scale shape: one shuffle on user_id for both sides; state per key is
+    // bounded by the watermark horizon (1h), not the stream length —
+    // the property that lets this run forever on a real cluster.
+    QDef.sql("stream_stream_join_batch",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour'""") { (s, dir) =>
+      streamStreamJoin(
+        t(s, dir, "events").where(col("event_type") === "click"),
+        t(s, dir, "events").where(col("event_type") === "purchase"))
     }
   )
+
+  /** The join body shared by the batch twin and StreamingSpec's two-stream
+    * replay: equi-key on user_id + one-hour interval bound. */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("c_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("p_ts"))
+    c.join(p, Seq("user_id"))
+      .where(col("p_ts") >= col("c_ts")
+        && col("p_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
 }

@@ -259,15 +259,24 @@ object Dedup {
       val occ = docs.select(col("doc_id"),
           posexplode(graft.functions.WordGramHashes.word_gram_hashes_all(col("text"), 8)))
         .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+      // "≥2 distinct docs" as min≠max — a plain partial+final aggregate,
+      // no distinct-rewrite Expand doubling the shuffled gram rows
       val dup = occ.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .where(col("nd") > 1).select(col("g"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .where(col("lo") =!= col("hi")).select(col("g"))
+      // (doc_id, i) is unique in occ (one gram per start), and the join
+      // key is unique in dup, so coverage needs no distinct aggregates:
+      // level 1 dedups covered positions, counting the p=i row that each
+      // occurrence contributes exactly once; level 2 rolls up per doc.
+      // Two tight codegen'd hash aggregations, zero Expand.
       val cover = occ.join(dup, "g")
         .select(col("doc_id"), col("i"),
           explode(sequence(col("i"), col("i") + 7)).as("p"))
+        .groupBy(col("doc_id"), col("p"))
+        .agg(sum(when(col("p") === col("i"), 1L).otherwise(0L)).as("starts"))
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("i")).as("n_dup_grams"),
-          countDistinct(col("p")).as("dup_tokens"))
+        .agg(sum(col("starts")).as("n_dup_grams"),
+          count(lit(1)).as("dup_tokens"))
       docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
         .join(cover, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.{QDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -216,6 +217,74 @@ object Dedup {
       a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), (dot / (col("na") * col("nb"))).as("cosim"))
         .where(col("cosim") >= 0.3)
+    },
+
+    // ---- Semantic dedup via geometric clustering (SemDeDup) ---------------
+    // Abbas et al. 2023 ("SemDeDup"): embed, k-means-cluster, and prune
+    // near-duplicate PAIRS ONLY WITHIN EACH CLUSTER — the pairwise work
+    // collapses from O(N²) to Σ|cluster|², and no label column is needed
+    // (unlike dedup_embedding_cosine's given blocking key, this is the
+    // realistic shape: the geometry itself provides the blocking). Fixed
+    // seed centroids (vec_id < 16, the sim_ann_ivf_topk quantizer — the
+    // deterministic stand-in for trained centroids; Similarity.ivfTrain
+    // supplies Lloyd-trained ones in production) assign each vector by one
+    // broadcast join; the within-cluster self-join shuffles on cid; each
+    // dropped vector reports its best keeper (highest cosine, smaller id
+    // keeps). Output: one row per drop decision.
+    QDef.sql("dedup_semantic",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM v WHERE vec_id < 16
+        |), assigned AS (
+        |  SELECT vid, cid, v, nrm FROM (
+        |    SELECT c.vec_id AS vid, ce.cid, c.v, c.nrm,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_reduce(list_transform(list_zip(c.v, ce.cv), p -> p[1]*p[2]), (x, y) -> x + y)
+        |          / (c.nrm * ce.cnrm) DESC, ce.cid) AS rk
+        |    FROM v c, cents ce
+        |  ) WHERE rk = 1
+        |), pairs AS (
+        |  SELECT a.cid, a.vid AS keep_id, b.vid AS drop_id,
+        |    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]), (x, y) -> x + y)
+        |      / (a.nrm * b.nrm) AS cosim
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vid < b.vid
+        |)
+        |SELECT cid, drop_id, keep_id, cosim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY drop_id
+        |    ORDER BY cosim DESC, keep_id) AS rk
+        |  FROM pairs WHERE cosim >= 0.35
+        |) WHERE rk = 1""") { (s, dir) =>
+      import graft.functions.DotProduct.dot_product
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy((dot_product(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc,
+          col("cid"))
+      val assigned = e.repartition(s.sparkContext.defaultParallelism)
+        .join(broadcast(cents))
+        .withColumn("rk", row_number().over(wAssign))
+        .where(col("rk") === 1)
+        .select(col("vec_id").as("vid"), col("cid"), col("v"), col("nrm"))
+      val a = assigned.select(col("cid"), col("vid").as("keep_id"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("cid"), col("vid").as("drop_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cid"))
+        .where(col("keep_id") < col("drop_id"))
+        .select(col("cid"), col("keep_id"), col("drop_id"),
+          (dot_product(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosim"))
+        .where(col("cosim") >= 0.35)
+      val wBest = Window.partitionBy(col("drop_id"))
+        .orderBy(col("cosim").desc, col("keep_id"))
+      pairs.withColumn("rk", row_number().over(wBest)).where(col("rk") === 1)
+        .select(col("cid"), col("drop_id"), col("keep_id"), col("cosim"))
     },
 
     // ---- Exact duplicated-span detection (substring dedup) ----------------

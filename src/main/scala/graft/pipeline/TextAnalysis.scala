@@ -2,7 +2,9 @@ package graft.pipeline
 
 import graft.{QDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for corpus curation: token statistics, quality
   * scoring, language identification, and document fingerprinting.
@@ -389,6 +391,75 @@ object TextAnalysis {
         col("doc_id"),
         aggregate(codes, lit(0L),
           (h, c) => (h * 31 + c) % 1000000007L).as("fp"))
+    },
+
+    // ---- Temperature-based source mixing ----------------------------------
+    // Derive the training mixture FROM the corpus counts — the
+    // temperature-sampling formula (multilingual-LM data-balancing:
+    // p_s ∝ c_s^α upweights small sources; α=1 is proportional, α=0
+    // uniform). α is fixed at 0.5 so the power is sqrt — IEEE-exact and
+    // identical on both engines, unlike pow's last-ulp skew; each sqrt is
+    // rounded to 9 decimals and the normalizing sum runs in DECIMAL, so
+    // shares are order-independent under any partitioning (the
+    // text_char_entropy determinism pattern). Complements text_mix_quota /
+    // text_mix_epochs, which APPLY given weights; this op computes them.
+    // Scale shape: one count aggregate, then arithmetic over |sources|
+    // rows — the unpartitioned window runs on the tiny aggregate, never
+    // the corpus.
+    QDef.sql("text_mix_temperature",
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (SELECT source, n_docs,
+        |        CAST(round(sqrt(n_docs), 9) AS DECIMAL(18,9)) AS sq FROM s)
+        |SELECT source, n_docs,
+        |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS raw_share,
+        |  CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE) AS temp_share,
+        |  (CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE))
+        |    / (CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()) AS boost
+        |FROM t""") { (s, dir) =>
+      val w = Window.partitionBy()
+      val base = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("sq", round(sqrt(col("n_docs")), 9).cast(DecimalType(18, 9)))
+      val rawShare = col("n_docs").cast("double") / sum(col("n_docs")).over(w)
+      val tempShare = col("sq").cast("double") / sum(col("sq")).over(w).cast("double")
+      base.select(col("source"), col("n_docs"),
+        rawShare.as("raw_share"), tempShare.as("temp_share"),
+        (tempShare / rawShare).as("boost"))
+    },
+
+    // ---- Token-window chunking (context-length preparation) ---------------
+    // Split every document into overlapping token windows — the step that
+    // turns raw documents into embedding/training inputs bounded by a
+    // model's context length. Chunk size 64, stride 48 (16-token overlap so
+    // no boundary sentence is seen by zero chunks); the final chunk is the
+    // natural remainder. Each chunk carries its token count and the same
+    // rolling fingerprint text_fingerprint uses, so downstream exact-dedup
+    // can run at CHUNK granularity. Scale shape: one explode of ~n/stride
+    // rows per doc, no shuffle at all — chunking is a scan-speed
+    // projection however large the corpus.
+    QDef.sql("text_chunks",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST((i - 1) / 48 AS BIGINT) AS chunk_idx,
+        |    ws[i:least(i + 63, len(ws))] AS cs
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1, 48)) AS i) r)
+        |SELECT doc_id, chunk_idx, len(cs) AS n_chunk_tokens,
+        |  list_reduce(
+        |    list_transform(cs, t -> CAST(len(t)*131 + ascii(t) AS BIGINT)),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS chunk_fp
+        |FROM c""") { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), size(ws), lit(48)),
+            start => slice(ws, start, lit(64)))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("cs"))
+      val codes = transform(col("cs"), w2 => (length(w2) * 131 + ascii(w2)).cast("long"))
+      chunks.select(col("doc_id"), col("chunk_idx"),
+        size(col("cs")).as("n_chunk_tokens"),
+        aggregate(codes, lit(0L), (h, c) => (h * 31 + c) % 1000000007L).as("chunk_fp"))
     },
 
     // ---- PII detection + redaction ----------------------------------------

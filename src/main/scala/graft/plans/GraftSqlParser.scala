@@ -11,9 +11,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Recognizes the restricted MATCH_RECOGNIZE form (see
   * [[MatchRecognizeSql]]), CREATE/DROP MATERIALIZED VIEW DDL (see
   * [[MaterializedViewSql]]), `FOR SYSTEM_TIME AS OF` over
-  * system-versioned tables (see [[SystemTimeSql]]), and sequence DDL +
-  * NEXT/CURRENT VALUE FOR (see [[SequenceSql]]) and lowers them onto
-  * the native operators;
+  * system-versioned tables (see [[SystemTimeSql]]), sequence DDL +
+  * NEXT/CURRENT VALUE FOR (see [[SequenceSql]]), and CREATE TABLE with
+  * DEFAULT-expression / VIRTUAL generated columns (see [[TableDdlSql]])
+  * and lowers them onto the native operators;
   * every other statement goes to Spark's own parser verbatim. This mirrors
   * how the reference extends its grammar
   * (reference: core/src/main/codegen/templates/Parser.jj MatchRecognizeOpt;
@@ -29,6 +30,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       .orElse(MatchRecognizeSql.tryParseEmbedded(spark, delegate, sqlText))
       .orElse(SystemTimeSql.tryParse(spark, delegate, sqlText))
       .orElse(SequenceSql.tryParse(spark, delegate, sqlText))
+      .orElse(TableDdlSql.tryParse(spark, delegate, sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -37,6 +39,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       .orElse(MatchRecognizeSql.tryParseEmbedded(spark, delegate, sqlText))
       .orElse(SystemTimeSql.tryParse(spark, delegate, sqlText))
       .orElse(SequenceSql.tryParse(spark, delegate, sqlText))
+      .orElse(TableDdlSql.tryParse(spark, delegate, sqlText))
       .getOrElse(delegate.parseQuery(sqlText))
 
   override def parseExpression(sqlText: String): Expression =

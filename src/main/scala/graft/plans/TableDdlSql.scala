@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** CREATE TABLE with DEFAULT-expression and VIRTUAL generated columns —
+  * the server module's table DDL surface
+  * (reference: server/src/main/java/org/apache/calcite/sql/ddl/
+  * SqlCreateTable.java — its InitializerExpressionFactory lowers DEFAULT
+  * and VIRTUAL column strategies; behavior pinned by
+  * server/src/test/resources/sql/table.iq: expression DEFAULTs may
+  * reference other inserted columns (`j int default i + 2`), VIRTUAL
+  * columns are computed at read time and REJECT inserts
+  * ("Cannot INSERT into generated column 'J'"), IF NOT EXISTS is a no-op
+  * that keeps the original column set).
+  *
+  * Spark's own DEFAULT support requires constant-foldable expressions and
+  * has no VIRTUAL columns outside Delta, so the gap is filled the same
+  * way as the other server DDL: the injected parser intercepts ONLY the
+  * forms Spark cannot express (a column list containing VIRTUAL or any
+  * DEFAULT) plus INSERT/DROP on tables it created; everything else —
+  * including plain CREATE TABLE — falls through to Spark untouched.
+  *
+  * Storage is session-scoped copy-on-write like [[graft.operators.TableModify]]:
+  * base (stored) columns live in a union-grown DataFrame; the table is
+  * exposed as a temp view PROJECTING the virtual columns, so every read
+  * path (SQL, DataFrame, rel2sql) sees them computed — the same shape as
+  * the reference's EnumerableCalc over the scan in table.iq's !plan. At
+  * scale the same design writes base columns to parquet and computes
+  * virtual columns in the scan projection: generated columns cost zero
+  * storage and one codegen'd expression per read.
+  */
+object TableDdlSql {
+
+  final case class ColDef(name: String, dataType: String, notNull: Boolean,
+      default: Option[String], virtual: Option[String])
+  final case class TableDef(name: String, cols: Seq[ColDef], var data: DataFrame)
+
+  /** (session, lowercased name) → definition; session-keyed like
+    * Engine.Tables so suites never see each other's tables, swept on
+    * access when a session has stopped. */
+  private val tables = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), TableDef]()
+
+  private def sweep(): Unit = {
+    val it = tables.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+  }
+
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*\((.+)\)\s*;?\s*$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z_0-9]*)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.+?);?\s*$""".r
+
+  /** One column definition:
+    *   name type [NOT NULL] [DEFAULT expr | AS (expr) VIRTUAL] */
+  private val ColRe =
+    """(?is)^\s*([A-Za-z_][A-Za-z_0-9]*)\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*(NOT\s+NULL\s*)?(?:DEFAULT\s+(.+?)\s*|AS\s*\((.+)\)\s*VIRTUAL\s*)?$""".r
+
+  /** Split a column list on commas at paren depth 0. */
+  private def splitCols(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    for (i <- s.indices) s(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseCols(colsText: String): Option[Seq[ColDef]] = {
+    val parsed = splitCols(colsText).map {
+      case ColRe(name, tpe, notNull, default, virtual) =>
+        Some(ColDef(name, tpe, notNull != null,
+          Option(default).map(_.trim), Option(virtual).map(_.trim)))
+      case _ => None
+    }
+    if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
+  }
+
+  def lookup(spark: SparkSession, name: String): Option[TableDef] = {
+    sweep()
+    Option(tables.get((spark, name.toLowerCase)))
+  }
+
+  def tryParse(spark: SparkSession, delegate: ParserInterface,
+      sqlText: String): Option[LogicalPlan] = sqlText match {
+
+    case CreateRe(ifNotExists, name, colsText) =>
+      parseCols(colsText) match {
+        // intercept only what Spark cannot express: VIRTUAL or DEFAULT
+        case Some(cols) if cols.exists(c => c.default.isDefined || c.virtual.isDefined) =>
+          sweep()
+          val key = (spark, name.toLowerCase)
+          if (tables.containsKey(key)) {
+            if (ifNotExists == null)
+              throw new IllegalArgumentException(s"Table '$name' already exists")
+            // IF NOT EXISTS: keep the ORIGINAL definition (table.iq: no K)
+          } else {
+            val stored = cols.filter(_.virtual.isEmpty)
+            val empty = spark.sql(
+              stored.map(c => s"CAST(NULL AS ${c.dataType}) AS ${c.name}")
+                .mkString("SELECT ", ", ", " WHERE 1 = 0"))
+            val td = TableDef(name, cols, empty)
+            tables.put(key, td)
+            registerView(spark, td)
+          }
+          Some(delegate.parsePlan(s"SELECT 'created' AS status, '$name' AS table_name"))
+        case _ => None // plain CREATE TABLE — Spark's own DDL handles it
+      }
+
+    case DropRe(ifExists, name) =>
+      sweep()
+      val removed = tables.remove((spark, name.toLowerCase))
+      if (removed != null) {
+        spark.catalog.dropTempView(name)
+        Some(delegate.parsePlan(s"SELECT 'dropped' AS status, '$name' AS table_name"))
+      } else None // not ours — Spark's DROP TABLE (its IF EXISTS no-op, its error)
+
+    case InsertRe(name, colList, valuesText) if lookup(spark, name).isDefined =>
+      val td = lookup(spark, name).get
+      val provided: Seq[String] = Option(colList) match {
+        case Some(cl) => splitCols(cl).map(_.trim)
+        // positional INSERT targets the FULL declared column list —
+        // virtual columns included, which is exactly what table.iq rejects
+        case None => td.cols.map(_.name)
+      }
+      provided.find(p => td.cols.exists(c =>
+          c.name.equalsIgnoreCase(p) && c.virtual.isDefined)).foreach { p =>
+        throw new IllegalArgumentException(
+          s"Cannot INSERT into generated column '${p.toUpperCase}'")
+      }
+      provided.find(p => !td.cols.exists(_.name.equalsIgnoreCase(p))).foreach { p =>
+        throw new IllegalArgumentException(s"Unknown target column '$p'")
+      }
+      // evaluate the VALUES rows with the provided names in scope, then
+      // complete each stored column: provided → itself; DEFAULT expr →
+      // evaluated WITH the provided columns visible (table.iq: i + 2);
+      // otherwise typed NULL
+      val src = spark.sql(s"SELECT * FROM (VALUES $valuesText) AS v(${provided.mkString(", ")})")
+      val stored = td.cols.filter(_.virtual.isEmpty)
+      val completed = src.selectExpr(stored.map { c =>
+        if (provided.exists(_.equalsIgnoreCase(c.name)))
+          s"CAST(${c.name} AS ${c.dataType}) AS ${c.name}"
+        else c.default match {
+          case Some(d) => s"CAST(($d) AS ${c.dataType}) AS ${c.name}"
+          case None => s"CAST(NULL AS ${c.dataType}) AS ${c.name}"
+        }
+      }: _*)
+      val n = completed.count()
+      td.data = td.data.unionByName(completed)
+      registerView(spark, td)
+      Some(delegate.parsePlan(s"SELECT CAST($n AS BIGINT) AS rows_modified"))
+
+    case _ => None
+  }
+
+  /** Expose the table as a temp view projecting virtual columns in
+    * declared order — the reference's Calc-over-scan read shape. */
+  private def registerView(spark: SparkSession, td: TableDef): Unit = {
+    val projected = td.data.selectExpr(td.cols.map { c =>
+      c.virtual match {
+        case Some(v) => s"CAST(($v) AS ${c.dataType}) AS ${c.name}"
+        case None => c.name
+      }
+    }: _*)
+    projected.createOrReplaceTempView(td.name)
+  }
+}

@@ -416,6 +416,61 @@ object FoodMart {
         |  JOIN region r2 ON n_regionkey = r2.r_regionkey
         |  WHERE o_orderstatus = 'P'
         |  GROUP BY r_regionkey, o_orderpriority) f
-        |ON r_regionkey = rk2 AND pr = pr2""")
+        |ON r_regionkey = rk2 AND pr = pr2"""),
+
+    // Shape #32: tuple slicer — the MDX WHERE clause with a SET of
+    // member tuples ({(Q1 1996, EUROPE), (Q2 1996, ASIA)}): row-value IN
+    // over composite tuples, the sub-cube restriction no single-column
+    // filter expresses.
+    QDef.common("foodmart_tuple_slicer",
+      """SELECT p_type AS c0,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m0
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE (CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT), r_name)
+        |      IN ((1, 'EUROPE'), (2, 'ASIA'))
+        |  AND EXTRACT(YEAR FROM o_orderdate) = 1996
+        |GROUP BY p_type"""),
+
+    // Shape #33: aggregate of a named set — MDX's Aggregate(TopCount(...))
+    // calculated member: the top-5 nations by revenue become ONE combined
+    // member, reported beside the all-nations total and its share.
+    QDef.common("foodmart_topcount_aggregate",
+      """WITH by_nation AS (
+        |  SELECT n_name, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |ranked AS (
+        |  SELECT n_name, rev,
+        |    ROW_NUMBER() OVER (ORDER BY rev DESC, n_name) AS rk
+        |  FROM by_nation)
+        |SELECT CAST(SUM(CASE WHEN rk <= 5 THEN rev END) AS DOUBLE) AS top5_rev,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_rev,
+        |  CAST(SUM(CASE WHEN rk <= 5 THEN rev END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE) AS top5_share
+        |FROM ranked"""),
+
+    // Shape #34: DRILLTHROUGH — the detail rows behind one aggregate
+    // cell (year 1996 × EUROPE × returnflag R), the MDX DRILLTHROUGH
+    // statement's relational form: same slicers, base-grain output,
+    // deterministic order + fetch.
+    QDef.common("foodmart_drillthrough",
+      """SELECT l_orderkey AS c0, l_linenumber AS c1, n_name AS c2,
+        |  l_quantity AS m0, l_extendedprice AS m1
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND l_returnflag = 'R'
+        |  AND EXTRACT(YEAR FROM o_orderdate) = 1996
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 50""")
   )
 }

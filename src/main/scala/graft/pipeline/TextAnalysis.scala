@@ -393,6 +393,43 @@ object TextAnalysis {
           (h, c) => (h * 31 + c) % 1000000007L).as("fp"))
     },
 
+    // ---- End-to-end curation funnel ---------------------------------------
+    // The whole curation pass as ONE dual-engine statement — what a
+    // pipeline owner actually monitors: per-language survivor counts
+    // through exact dedup (md5 keeper, dedup_exact's rule), a quality
+    // screen (token count + mean word length, the text_quality core), and
+    // per-language quota sampling on the deterministic doc_id draw
+    // (text_mix_quota's rule). Flags compose monotonically, so the row
+    // counts form the retention funnel raw ⊇ dedup ⊇ quality ⊇ final.
+    // Scale shape: one digest aggregate (shuffle 1), a semi-join back on
+    // doc_id (shuffle 2, or broadcast when the keeper set is small per
+    // AQE), flag arithmetic row-local, final rollup on lang — the fact
+    // table is never scanned twice.
+    QDef.common("pipeline_curation_funnel",
+      """WITH keeper AS (
+        |  SELECT MIN(doc_id) AS kid FROM documents GROUP BY md5(text)
+        |),
+        |flags AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN doc_id IN (SELECT kid FROM keeper) THEN 1 ELSE 0 END AS keep_dedup,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
+        |          AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |              / (length(text) - length(replace(text, ' ', '')) + 1)
+        |              BETWEEN 3 AND 10
+        |         THEN 1 ELSE 0 END AS q_ok,
+        |    CASE WHEN doc_id % 10 <
+        |           CASE lang WHEN 'en' THEN 10 WHEN 'fr' THEN 8
+        |                     WHEN 'de' THEN 8 ELSE 5 END
+        |         THEN 1 ELSE 0 END AS quota_ok
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_raw,
+        |  CAST(SUM(keep_dedup) AS BIGINT) AS n_dedup,
+        |  CAST(SUM(keep_dedup * q_ok) AS BIGINT) AS n_quality,
+        |  CAST(SUM(keep_dedup * q_ok * quota_ok) AS BIGINT) AS n_final,
+        |  CAST(SUM(keep_dedup * q_ok * quota_ok) AS DOUBLE) / COUNT(*) AS retention
+        |FROM flags GROUP BY lang"""),
+
     // ---- Temperature-based source mixing ----------------------------------
     // Derive the training mixture FROM the corpus counts — the
     // temperature-sampling formula (multilingual-LM data-balancing:

@@ -158,4 +158,66 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(repartitioned.sortBy(_._1).toSeq == packed.sortBy(_._1).toSeq)
   }
+
+  test("chunking covers every token exactly: stride partition + overlap bound") {
+    val rows = SparkEntry.queries("text_chunks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val tokens = Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = tokens(doc)
+      // chunk count = number of stride starts <= n
+      assert(cs.length == (n + 47) / 48, s"doc $doc: ${cs.length} chunks for $n tokens")
+      // indices contiguous from 0; chunk i spans exactly
+      // [48i+1, min(48i+64, n)] — the windows tile the doc completely
+      assert(cs.map(_._2).sorted.toSeq == (0L until cs.length).toSeq)
+      cs.sortBy(_._2).zipWithIndex.foreach { case ((_, _, sz), i) =>
+        assert(sz == math.min(64, n - 48 * i),
+          s"doc $doc chunk $i size $sz of $n tokens")
+      }
+    }
+  }
+
+  test("PII redaction is idempotent and leaves no pattern behind") {
+    val out = SparkEntry.queries("text_pii_redact")(spark, sfDir)
+    val redacted = out.select("redacted").collect().map(_.getString(0))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b".r
+    redacted.foreach { t =>
+      assert(emailRe.findFirstIn(t).isEmpty, s"email survived: $t")
+      assert(ipRe.findFirstIn(t).isEmpty)
+      assert(phoneRe.findFirstIn(t).isEmpty)
+    }
+    // counts found what was planted (doc_id residues at sf0.001 => 100 docs)
+    val sums = out.selectExpr("sum(n_email)", "sum(n_ip)", "sum(n_phone)")
+      .collect().head
+    assert(sums.getLong(0) > 0 && sums.getLong(1) > 0 && sums.getLong(2) > 0)
+  }
+
+  test("span dedup: fractions bounded, zero rows iff no shared 8-gram") {
+    val rows = SparkEntry.queries("dedup_span_exact")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, grams, covered, frac) =>
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(covered <= n)
+      // each duplicated gram covers 8 tokens, overlaps only shrink the union
+      assert(covered <= grams * 8)
+      assert(grams == 0 || covered >= 8, "a duplicated gram covers at least 8 tokens")
+    }
+    assert(rows.exists(_._3 > 0), "fixture plants near-dups; expected signal")
+  }
+
+  test("semantic dedup drops are cluster-local and above threshold") {
+    val drops = SparkEntry.queries("dedup_semantic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    drops.foreach { case (_, dropId, keepId, cosim) =>
+      assert(cosim >= 0.35)
+      assert(keepId < dropId, "the smaller id keeps")
+    }
+    // one decision per dropped vector
+    assert(drops.map(_._2).distinct.length == drops.length)
+  }
 }

@@ -69,7 +69,7 @@ object ColumnOrigins {
       .toDF("out_col", "origin_table", "origin_column", "derived")
   }
 
-  private def leafName(lr: LogicalRelation): String =
+  private[plans] def leafName(lr: LogicalRelation): String =
     lr.catalogTable.map(_.identifier.table).getOrElse {
       lr.relation match {
         case fs: HadoopFsRelation =>

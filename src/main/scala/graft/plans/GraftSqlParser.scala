@@ -31,6 +31,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       .orElse(SystemTimeSql.tryParse(spark, delegate, sqlText))
       .orElse(SequenceSql.tryParse(spark, delegate, sqlText))
       .orElse(TableDdlSql.tryParse(spark, delegate, sqlText))
+      .orElse(ExtendSql.tryParse(spark, delegate, sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -40,6 +41,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       .orElse(SystemTimeSql.tryParse(spark, delegate, sqlText))
       .orElse(SequenceSql.tryParse(spark, delegate, sqlText))
       .orElse(TableDdlSql.tryParse(spark, delegate, sqlText))
+      .orElse(ExtendSql.tryParse(spark, delegate, sqlText))
       .getOrElse(delegate.parseQuery(sqlText))
 
   override def parseExpression(sqlText: String): Expression =

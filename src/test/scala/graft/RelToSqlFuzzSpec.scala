@@ -154,6 +154,34 @@ class RelToSqlFuzzSpec extends AnyFunSuite {
             pick(Seq("inner", "left")))
       case _ => chain()
     }
+
+    /** Shapes whose rendering is legitimately partial across the dialect
+      * tail (RexSubQuery forms, GROUPING SETS text): Spark must render
+      * and re-execute; other dialects render or documented-reject. */
+    def advancedPlan(): DataFrame = rnd.nextInt(4) match {
+      case 0 => // correlated EXISTS (RexSubQuery rendering)
+        spark.sql(
+          s"""SELECT n_nationkey, n_name FROM nation
+             |WHERE EXISTS (SELECT 1 FROM supplier
+             |              WHERE s_nationkey = n_nationkey
+             |                AND s_acctbal >= ${rnd.nextInt(1000)})""".stripMargin)
+      case 1 => // IN subquery
+        spark.sql(
+          s"""SELECT n_nationkey, n_name FROM nation
+             |WHERE n_regionkey IN (SELECT r_regionkey FROM region
+             |                      WHERE r_regionkey >= ${rnd.nextInt(4)})""".stripMargin)
+      case 2 => // correlated scalar subquery in the select list
+        spark.sql(
+          """SELECT r_name,
+            |  (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey) AS cnt
+            |FROM region""".stripMargin)
+      case 3 => // ROLLUP / CUBE (Expand inversion to GROUPING SETS text)
+        val s = pick(Seq(srcs.head, srcs(2), srcs(3)))
+        val k1 = col(pick(s.keys)); val k2 = col(pick(s.strs))
+        val grouped = if (rnd.nextBoolean()) table(s.name).rollup(k1, k2)
+          else table(s.name).cube(k1, k2)
+        grouped.agg(count(lit(1)).as("cnt"))
+    }
   }
 
   private def rows(df: DataFrame): Seq[String] =
@@ -200,5 +228,48 @@ class RelToSqlFuzzSpec extends AnyFunSuite {
     }
     // the grammar must actually exercise data, not vacuous empty results
     assert(nonEmpty > CASES / 2, s"only $nonEmpty/$CASES cases returned rows")
+  }
+
+  test("subquery and grouping-set shapes cycle in Spark; tail dialects render or documented-reject") {
+    Tables.registerAll(spark, sfDir)
+    val allDialects = Seq(RelToSql.Ansi, RelToSql.Postgres, RelToSql.MySql,
+      RelToSql.Oracle, RelToSql.Mssql, RelToSql.BigQuery, RelToSql.Hive,
+      RelToSql.Presto, RelToSql.ClickHouse, RelToSql.Redshift,
+      RelToSql.Teradata, RelToSql.Snowflake, RelToSql.Db2, RelToSql.Vertica,
+      RelToSql.Phoenix, RelToSql.Netezza, RelToSql.H2, RelToSql.Derby,
+      RelToSql.Sybase, RelToSql.Informix)
+    var nonEmpty = 0
+    (1 to 40).foreach { i =>
+      val g = new Gen(0xBEEFL + i * 104729L)
+      val df = g.advancedPlan()
+      val spk = try RelToSql.convert(df, RelToSql.Spark) catch {
+        case e: UnsupportedOperationException =>
+          assert(e.getMessage.startsWith("rel2sql: unsupported"),
+            s"adv case $i: non-documented Spark rejection ${e.getMessage}")
+          null
+        case e: Throwable => fail(s"adv case $i: Spark rendering threw ${e.getMessage}")
+      }
+      allDialects.foreach { d =>
+        try {
+          val text = RelToSql.convert(df, d)
+          assert(text.startsWith("SELECT"), s"adv case $i/${d.name}: $text")
+        } catch {
+          case e: UnsupportedOperationException =>
+            assert(e.getMessage.startsWith("rel2sql: unsupported"),
+              s"adv case $i/${d.name}: non-documented rejection ${e.getMessage}")
+        }
+      }
+      if (spk != null) {
+        val direct = rows(df)
+        val rerun = try rows(spark.sql(spk)) catch {
+          case e: Throwable =>
+            fail(s"adv case $i: regenerated SQL failed to execute:\n$spk\n${e.getMessage}")
+        }
+        assert(direct == rerun,
+          s"adv case $i diverged (${direct.size} vs ${rerun.size} rows):\n$spk")
+        if (direct.nonEmpty) nonEmpty += 1
+      }
+    }
+    assert(nonEmpty > 10, s"only $nonEmpty advanced cases cycled with rows")
   }
 }

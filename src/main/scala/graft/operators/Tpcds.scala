@@ -503,6 +503,71 @@ object Tpcds {
         |  WHERE EXTRACT(MONTH FROM o_orderdate) <= 6) early
         |CROSS JOIN (
         |  SELECT COUNT(*) AS n FROM orders
-        |  WHERE EXTRACT(MONTH FROM o_orderdate) > 6) late""")
+        |  WHERE EXTRACT(MONTH FROM o_orderdate) > 6) late"""),
+
+    // q39 shape: statistical volatility pairing — per (item, month)
+    // demand stats, keep coefficient-of-variation outliers, then
+    // SELF-JOIN consecutive months so each row carries both months'
+    // volatility (the "inventory instability across adjacent periods"
+    // structure). Stats go through decimal power sums like fn_agg_stats.
+    QDef.common("tpcds_s_volatility",
+      """WITH m AS (
+        |  SELECT l_partkey AS item, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS ss
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |  GROUP BY l_partkey, EXTRACT(MONTH FROM o_orderdate)
+        |), v AS (
+        |  SELECT item, mo,
+        |    sqrt(greatest((ss - s * s / n) / n, 0)) / (s / n) AS cov
+        |  FROM m WHERE n >= 2 AND s > 0
+        |)
+        |SELECT a.item, a.mo AS mo1, a.cov AS cov1, b.mo AS mo2, b.cov AS cov2
+        |FROM v a JOIN v b ON a.item = b.item AND b.mo = a.mo + 1
+        |WHERE a.cov > 0.5 AND b.cov > 0.5
+        |ORDER BY a.item, a.mo"""),
+
+    // q93 shape: sales NET OF RETURNS — the fact left-joined to its
+    // returns slice at line grain, quantity reduced where a return
+    // matched, then re-aggregated per customer (the "effective sales"
+    // two-grain structure; returnflag plays store_returns).
+    QDef.common("tpcds_s_netreturns",
+      """SELECT o_custkey AS cust,
+        |  CAST(SUM(CAST(CASE WHEN r.l_orderkey IS NOT NULL
+        |                     THEN s.l_quantity - r.ret_qty
+        |                     ELSE s.l_quantity END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS net_qty
+        |FROM lineitem s
+        |JOIN orders ON s.l_orderkey = o_orderkey
+        |LEFT JOIN (
+        |  SELECT l_orderkey, l_linenumber, l_quantity AS ret_qty
+        |  FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
+        |GROUP BY o_custkey
+        |HAVING CAST(SUM(CAST(CASE WHEN r.l_orderkey IS NOT NULL
+        |                          THEN s.l_quantity - r.ret_qty
+        |                          ELSE s.l_quantity END AS DECIMAL(18,2))) AS DOUBLE) > 500
+        |ORDER BY cust"""),
+
+    // q16 shape: distinct-count of qualified orders — EXISTS a second
+    // supplier on the same order (ships from another "warehouse") AND
+    // NOT EXISTS a returned line; COUNT(DISTINCT) + the EXISTS/NOT
+    // EXISTS pair over the same fact at different correlations.
+    QDef.common("tpcds_s_multiwarehouse",
+      """SELECT o_orderpriority AS pri,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l1 JOIN lineitem l2
+        |      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+        |    WHERE l1.l_orderkey = o.o_orderkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem lr
+        |    WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY pri""")
   )
 }

@@ -30,6 +30,44 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "los", "las", "es", "y"))
 
+  /** Bloom-filter twin of `text_contamination` — the 100 TB screen.
+    *
+    * The exact screen broadcasts the holdout's DISTINCT gram set; real
+    * eval suites push that to GBs, while a Bloom filter is a fixed ~MB
+    * whatever the holdout size. This builds the filter with Spark's own
+    * BloomFilterAggregate (the machinery behind runtime row-level
+    * filters — exchanged as bytes, probed by the codegen'd
+    * BloomFilterMightContain, zero UDFs), probes every corpus gram hash,
+    * and reports per-doc hit counts. One-sided error by construction:
+    * the SAME 64-bit gram hashes feed build and probe, so
+    * bloom_hits ≥ exact hits per document (no false negatives) and the
+    * overshoot rate is the filter's configured fpp — the soundness
+    * contract PipelineSpec pins against the oracle-verified exact op. */
+  def contaminationBloom(docs: DataFrame,
+      numBits: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val gramsAll = docs.select(col("doc_id"),
+      explode(graft.functions.WordGramHashes.word_gram_hashes(col("text"), 8)).as("g"))
+    val holdout = gramsAll.where(col("doc_id") % 50 === 0)
+    val estItems = Literal(200000L)
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(col("g")),
+        estItems, Literal(numBits)).toAggregateExpression())
+    val bloomBytes = holdout.agg(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probed = GraftBridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(col("g"))))
+    gramsAll.where(col("doc_id") % 50 =!= 0)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(probed, 1L).otherwise(0L)).as("bloom_hits"),
+        count(lit(1)).as("n_grams"))
+      .where(col("bloom_hits") > 0)
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- Token statistics --------------------------------------------------

@@ -210,6 +210,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(_._3 > 0), "fixture plants near-dups; expected signal")
   }
 
+  test("bloom contamination screen: no false negatives vs the exact oracle op") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val exact = SparkEntry.queries("text_contamination")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = graft.pipeline.TextAnalysis.contaminationBloom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bloomHits = bloom.map(t => t._1 -> t._2).toMap
+    // one-sided error: every exact hit is a bloom hit (same gram hashes
+    // feed build and probe — a Bloom filter cannot miss an inserted key)
+    exact.filter(_._2 > 0).foreach { case (d, h) =>
+      assert(bloomHits.getOrElse(d, 0L) >= h,
+        s"doc $d: bloom ${bloomHits.getOrElse(d, 0L)} < exact $h")
+    }
+    // ...and the overshoot (false positives) stays near the configured
+    // fpp: bounded by 2% of all probed grams
+    val probes = bloom.map(_._3).sum
+    val overshoot = bloom.map(t => t._2 - exact.getOrElse(t._1, 0L)).sum
+    assert(probes > 0 && overshoot <= math.max(2L, probes / 50),
+      s"overshoot $overshoot of $probes probes")
+  }
+
   test("semantic dedup drops are cluster-local and above threshold") {
     val drops = SparkEntry.queries("dedup_semantic")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -24,6 +24,15 @@ object TextAnalysis {
   private val piiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val piiIp = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
   private val piiPhone = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  /** The text_pii_redact replacement chain as a reusable Column —
+    * email, then IP, then phone (order is part of the contract). */
+  def redactPiiColumn(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmail, "<EMAIL>"),
+        piiIp, "<IP>"),
+      piiPhone, "<PHONE>")
   private val langMarkers = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "fr" -> Seq("le", "la", "les", "et", "une"),

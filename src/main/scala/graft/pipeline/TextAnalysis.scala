@@ -604,11 +604,7 @@ object TextAnalysis {
           cnt(col("t"), piiPhone).as("n_phone"),
           (cnt(col("t"), piiEmail) + cnt(col("t"), piiIp)
             + cnt(col("t"), piiPhone) === 0).as("pii_free"),
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("t"), piiEmail, "<EMAIL>"),
-              piiIp, "<IP>"),
-            piiPhone, "<PHONE>").as("redacted"))
+          redactPiiColumn(col("t")).as("redacted"))
     }
   )
 }

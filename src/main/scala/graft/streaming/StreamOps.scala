@@ -64,6 +64,26 @@ object StreamOps {
     shaped.select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
   }
 
+  /** documents as an unbounded stream — the curation-ingest shape: new
+    * corpus shards arrive continuously and the screening pipeline
+    * (quality, PII, quota, stateful dedup) runs as they land. Same
+    * file-source replay mechanism as [[readEventsStream]]. */
+  def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_docstream_" + math.abs(sfDir.hashCode).toString)
+    if (!Files.exists(streamDir)) {
+      Files.createDirectories(streamDir)
+      Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"), Paths.get(sfDir, "documents.parquet"))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   /** Tumbling-window aggregation (streaming shape; also used in batch). */
   def tumblingAgg(events: DataFrame, width: String): DataFrame =
     events

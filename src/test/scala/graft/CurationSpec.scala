@@ -41,6 +41,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("the curation screen runs on a STREAM: screened ids equal batch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val stream = graft.streaming.StreamOps.readDocumentsStream(spark, sfDir)
+    // stateless screen stages compose on the unbounded source unchanged;
+    // stateful exact-dedup becomes dropDuplicates on the digest
+    val screened = Curation.quotaSample(
+        Curation.qualityScreen(Curation.redactPii(stream)))
+      .dropDuplicates("text")
+      .select("doc_id")
+    val q = screened.writeStream.format("memory").queryName("t_curate")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+    val got = spark.table("t_curate").collect().map(_.getLong(0)).toSet
+    val want = Curation.quotaSample(Curation.qualityScreen(
+        Curation.redactPii(docs))).dropDuplicates("text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // fixture texts are unique, so any dedup keeper choice yields the
+    // same id set — streaming and batch must agree exactly
+    assert(got == want && got.nonEmpty)
+  }
+
   test("config changes move the knobs: stricter quality keeps fewer docs") {
     val lax = Curation.qualityScreen(docs, Curation.Config(minTokens = 10)).count()
     val strict = Curation.qualityScreen(docs, Curation.Config(minTokens = 60)).count()

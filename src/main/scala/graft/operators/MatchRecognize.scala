@@ -98,6 +98,19 @@ object MatchRecognize {
       * itself (None here: the caller already holds it). */
     def prevRow(n: Int): Option[Row] =
       if (n <= 0 || end - n < 0) None else Some(rows(end - n))
+    /** The row `n` positions AFTER the candidate in PARTITION order —
+      * SQL:2016 NEXT(col, n) physical lookahead (SqlStdOperatorTable
+      * NEXT :1750; a navigation the reference's enumerable engine never
+      * executes). Sets [[touchedEnd]] when the buffer ends first: in
+      * batch that simply means "no such row" (NULL semantics), while the
+      * streaming matcher must hold the attempt back — the value could
+      * arrive with the next micro-batch. */
+    def nextRow(n: Int): Option[Row] =
+      if (n <= 0) None
+      else if (end + n >= rows.length) { touchedEnd = true; None }
+      else Some(rows(end + n))
+    /** True once navigation reached past the buffered rows. */
+    private[MatchRecognize] var touchedEnd: Boolean = false
     /** Rows the variable has matched so far, in match order (exclusion
       * markers stripped — `{- -}` affects output, not aggregation). */
     def rowsOf(v: String): IndexedSeq[Row] = {
@@ -174,9 +187,14 @@ object MatchRecognize {
           // a pattern variable with no DEFINE matches any row (SQL:2016
           // §R020; the reference's undefined symbols — e.g. the leading S
           // in match.iq's PATTERN (S UP) — behave the same way)
-          defines.getOrElse(name, alwaysTrueCtx)(
-              rows(pos), prev, new Partial(rows, syms, start, pos), name) &&
-            { syms(pos) = if (exclDepth > 0) "~" + name else name; k(pos + 1) }
+          val part = new Partial(rows, syms, start, pos)
+          val ok = defines.getOrElse(name, alwaysTrueCtx)(
+            rows(pos), prev, part, name)
+          // NEXT() ran off the buffer: the decision could change once
+          // more rows arrive — streaming holds the attempt back exactly
+          // like a path that ran off the end
+          if (part.touchedEnd) hitEnd = true
+          ok && { syms(pos) = if (exclDepth > 0) "~" + name else name; k(pos + 1) }
         }
       case Pat.Cat(ps) =>
         def cat(i: Int, q: Int): Boolean =

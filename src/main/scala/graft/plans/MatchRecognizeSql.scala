@@ -515,7 +515,7 @@ object MatchRecognizeSql {
     }
 
   private val NeedsCtx =
-    """(?is)SUM\s*\(|COUNT\s*\(|CHAR_LENGTH\s*\(|\w\s*\.\s*\w|\+|PREV\s*\(\s*\w+\s*,""".r
+    """(?is)SUM\s*\(|COUNT\s*\(|CHAR_LENGTH\s*\(|\w\s*\.\s*\w|\+|PREV\s*\(\s*\w+\s*,|NEXT\s*\(""".r
 
   /** `col op PREV(col, n)` — explicit-offset navigation (SqlStdOperatorTable
     * PREV's two-arg form). Offset 1 is the plain-Define path; n > 1 needs
@@ -531,6 +531,15 @@ object MatchRecognizeSql {
   private val TermVarPrev =
     ("""(?is)\s*(\w+)\s*\.\s*(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*""" +
       """PREV\s*\(\s*(\w+)\s*\.\s*(\w+)\s*(?:,\s*(\d+))?\s*\)\s*""").r
+
+  /** `col op NEXT(col [, n])` — SQL:2016 physical LOOKAHEAD navigation
+    * (SqlStdOperatorTable NEXT:1750; the reference parses it but its
+    * enumerable engine never executes it). Batch: the row n past the
+    * candidate, NULL semantics past the partition end. Streaming: a
+    * NEXT that runs off the buffer holds the attempt open until the
+    * row arrives (Partial.touchedEnd → hitEnd). */
+  private val TermNextN =
+    """(?is)\s*(\w+)\s*(=|<>|!=|<=|>=|<|>)\s*NEXT\s*\(\s*(\w+)\s*(?:,\s*(\d+))?\s*\)\s*""".r
 
   /** One DEFINE body → simple predicate (Left) when every conjunct fits
     * the plain comparison grammar, context-aware (Right) when any
@@ -560,6 +569,11 @@ object MatchRecognizeSql {
             (r: Row, _: Option[Row], part: MatchRecognize.Partial, _: String) =>
               part.prevRow(n).exists(pr =>
                 cmp(op, r.getAs[Any](lcol), pr.getAs[Any](pcol)))
+          case TermNextN(lcol, op, ncol, nStr) =>
+            val n = Option(nStr).map(_.toInt).getOrElse(1)
+            (r: Row, _: Option[Row], part: MatchRecognize.Partial, _: String) =>
+              part.nextRow(n).exists(nr =>
+                cmp(op, r.getAs[Any](lcol), nr.getAs[Any](ncol)))
           case _ => parseAdditiveTerm(c)
         }
       }

@@ -115,6 +115,56 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L), (1L, 5L)), got.toString)
   }
 
+  test("NEXT(col [, n]) lookahead navigation in DEFINE") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (1L, 3L, 6.0),
+      (1L, 4L, 2.0), (1L, 5L, 7.0)).toDF("g", "seq", "value")
+    // peaks: strictly above the FOLLOWING row; the last row has no next
+    // (NULL semantics → no match), exactly the lead() formulation
+    val peaks = graft.plans.MatchRecognizeSql.dataframe(df, "g", "seq", None,
+      "FIRST(seq) AS s0", "PK", "PK AS value > NEXT(value)")
+      .collect().map(_.getAs[Long]("s0")).toSeq
+    assert(peaks == Seq(1L, 3L), peaks.toString)
+    // explicit offset: below the value TWO rows ahead
+    val rises = graft.plans.MatchRecognizeSql.dataframe(df, "g", "seq", None,
+      "FIRST(seq) AS s0", "U", "U AS value < NEXT(value, 2)")
+      .collect().map(_.getAs[Long]("s0")).toSeq
+    assert(rises == Seq(1L, 3L), rises.toString)
+  }
+
+  test("NEXT holds the streaming attempt open until the lookahead row arrives") {
+    import graft.operators.MatchRecognize
+    import graft.plans.MatchRecognizeSql
+    val defs = MatchRecognizeSql.parseDefineBody("value > NEXT(value)")
+      .toOption.get
+    def row(seq: Long, v: Double): Row = Row(1L, seq, v)
+    // schema-tagged rows for getAs("value")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def gr(seq: Long, v: Double): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](1L, seq, v), schema)
+    val all = IndexedSeq(gr(1, 5.0), gr(2, 3.0), gr(3, 6.0))
+    // with only the first row buffered, the peak at seq=1 CANNOT be
+    // decided (its NEXT row is missing): everything is retained
+    val (none, retain1) = MatchRecognize.findMatchesStreaming(
+      all.take(1), MatchRecognize.Pat.Sym("PK"), Map.empty,
+      ctxDefines = Map("PK" -> defs))
+    assert(none.isEmpty && retain1 == 0)
+    // once the second row arrives the peak emits and releases
+    val (m2, _) = MatchRecognize.findMatchesStreaming(
+      all.take(2), MatchRecognize.Pat.Sym("PK"), Map.empty,
+      ctxDefines = Map("PK" -> defs))
+    assert(m2.map(_.head._1.getAs[Long]("seq")) == Seq(1L))
+    // full buffer equals the batch matcher
+    val batch = MatchRecognize.findMatches(
+      all, MatchRecognize.Pat.Sym("PK"), Map.empty,
+      ctxDefines = Map("PK" -> defs))
+    assert(batch.map(_.head._1.getAs[Long]("seq")) == Seq(1L))
+  }
+
   test("MIN/MAX/AVG running aggregates in DEFINE") {
     import spark.implicits._
     val avg = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 9.0),

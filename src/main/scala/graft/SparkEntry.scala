@@ -23,7 +23,7 @@ object SparkEntry {
       operators.Periods.defs ++ operators.Sequences.defs ++
       operators.TableModify.defs ++
       plans.Profiler.defs ++ plans.RelToSqlDemo.defs ++
-      plans.ColumnOrigins.defs ++
+      plans.ColumnOrigins.defs ++ plans.SqlAdvisor.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++
       pipeline.Packing.defs ++

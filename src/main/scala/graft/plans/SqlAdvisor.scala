@@ -146,4 +146,23 @@ object SqlAdvisor {
   private def catalogTables(spark: SparkSession): Map[String, String] =
     spark.catalog.listTables().collect()
       .map(t => t.name.toLowerCase -> t.name).toMap
+
+  /** Registry wiring: completions for a fixed caret case, pinned by a
+    * VALUES oracle (the SqlAdvisorTest fixed-expectation shape) — caret
+    * after `l_` in the select list of a lineitem query yields exactly
+    * that table's columns, alphabetical. */
+  val defs: Seq[graft.QDef] = Seq(
+    graft.QDef.sql("profile_sql_advisor",
+      """SELECT * FROM (VALUES
+        |  ('COLUMN', 'l_discount'), ('COLUMN', 'l_extendedprice'),
+        |  ('COLUMN', 'l_linenumber'), ('COLUMN', 'l_linestatus'),
+        |  ('COLUMN', 'l_orderkey'), ('COLUMN', 'l_partkey'),
+        |  ('COLUMN', 'l_quantity'), ('COLUMN', 'l_returnflag'),
+        |  ('COLUMN', 'l_shipdate'), ('COLUMN', 'l_suppkey'),
+        |  ('COLUMN', 'l_tax')) AS t(kind, name)""") { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      val hints = complete(s, "SELECT l_ FROM lineitem", 9)
+      import s.implicits._
+      hints.map(h => (h.kind, h.name)).toDF("kind", "name")
+    })
 }

@@ -40,7 +40,8 @@ class TpchCycleSpec extends AnyFunSuite {
     "join_full_outer",
     "join_inner_multiway", "join_left_outer", "join_semi", "join_theta_nl",
     "lateral_posexplode", "match_recognize_agg_define", "profile_lattice",
-    "profile_column_origins", "stream_stream_join_batch",
+    "profile_column_origins", "profile_sql_advisor",
+    "stream_stream_join_batch",
     "match_recognize_reluctant", "match_recognize_running_measures",
     "match_recognize_sql", "match_recognize_within", "profile_fds",
     "refdis_implicit_date_literal", "refdis_join_on_filter_full",

@@ -12,9 +12,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * [[MatchRecognizeSql]]), CREATE/DROP MATERIALIZED VIEW DDL (see
   * [[MaterializedViewSql]]), `FOR SYSTEM_TIME AS OF` over
   * system-versioned tables (see [[SystemTimeSql]]), sequence DDL +
-  * NEXT/CURRENT VALUE FOR (see [[SequenceSql]]), and CREATE TABLE with
-  * DEFAULT-expression / VIRTUAL generated columns (see [[TableDdlSql]])
-  * and lowers them onto the native operators;
+  * NEXT/CURRENT VALUE FOR (see [[SequenceSql]]), CREATE TABLE with
+  * DEFAULT-expression / VIRTUAL generated columns (see [[TableDdlSql]]),
+  * and the `FROM t EXTEND (...)` schema-on-query clause (see
+  * [[ExtendSql]]) and lowers them onto the native operators;
   * every other statement goes to Spark's own parser verbatim. This mirrors
   * how the reference extends its grammar
   * (reference: core/src/main/codegen/templates/Parser.jj MatchRecognizeOpt;

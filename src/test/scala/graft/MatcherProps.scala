@@ -229,4 +229,56 @@ object MatcherProps extends Properties("MatchRecognize.matcher") {
       val m2 = MatchRecognize.findMatches(carried, p, defines)
       (m1.map(_.map(_._2)) ++ m2.map(_.map(_._2))) == batch
     }
+
+  // ---- NEXT lookahead navigation ------------------------------------------
+
+  private val idxSchema = StructType(Seq(
+    StructField("v", StringType),
+    StructField("idx", org.apache.spark.sql.types.IntegerType)))
+  private def idxRowsOf(s: String): IndexedSeq[Row] =
+    s.zipWithIndex.map { case (c, i) =>
+      new GenericRowWithSchema(Array(c.toString, i), idxSchema): Row
+    }.toIndexedSeq
+  private def spansOf(ms: Seq[IndexedSeq[(Row, String)]]): Seq[(Int, Int)] =
+    ms.map(m => (m.head._1.getAs[Int]("idx"), m.last._1.getAs[Int]("idx") + 1))
+
+  /** NEXT evaluated lazily inside the matcher must equal the same
+    * condition precomputed as a plain per-row column — the lookahead
+    * differential (there is no regex oracle for lookahead-defined
+    * symbols, so the precomputation IS the reference). */
+  property("NEXT(col, n) equals its precomputed-column twin") =
+    forAll(genInput, Gen.choose(1, 3)) { (s: String, n: Int) =>
+      val rows = idxRowsOf(s)
+      val pat = Pat.Rep(Pat.Sym("N"), 1, -1)
+      val nextCtx: Map[String, MatchRecognize.DefineCtx] = Map(
+        "N" -> ((_, _, part, _) =>
+          part.nextRow(n).exists(_.getAs[String]("v") == "a")))
+      val got = spansOf(MatchRecognize.findMatches(
+        rows, pat, Map.empty, ctxDefines = nextCtx))
+      // twin: mark each position whose n-ahead char is 'a', plain define
+      val marked = s.indices.map(i => if (i + n < s.length && s(i + n) == 'a') 'n' else 'x')
+      val twinRows = idxRowsOf(marked.mkString)
+      val twin = spansOf(MatchRecognize.findMatches(twinRows, pat,
+        Map("N" -> ((r, _) => r.getAs[String]("v") == "n"))))
+      got == twin
+    }
+
+  property("streaming split with NEXT lookahead emits the same matches") =
+    forAll(genInput, Gen.choose(0, 12), Gen.choose(1, 3)) {
+      (s: String, cutRaw: Int, n: Int) =>
+        val cut = math.min(cutRaw, s.length)
+        val rows = idxRowsOf(s)
+        val pat = Pat.Rep(Pat.Sym("N"), 1, -1)
+        val nextCtx: Map[String, MatchRecognize.DefineCtx] = Map(
+          "N" -> ((_, _, part, _) =>
+            part.nextRow(n).exists(_.getAs[String]("v") == "a")))
+        val batch = spansOf(MatchRecognize.findMatches(
+          rows, pat, Map.empty, ctxDefines = nextCtx))
+        val (m1, retain1) = MatchRecognize.findMatchesStreaming(
+          rows.take(cut), pat, Map.empty, ctxDefines = nextCtx)
+        val carried = rows.take(cut).drop(retain1) ++ rows.drop(cut)
+        val m2 = MatchRecognize.findMatches(
+          carried, pat, Map.empty, ctxDefines = nextCtx)
+        (spansOf(m1) ++ spansOf(m2)) == batch
+    }
 }

@@ -56,6 +56,8 @@ object TableDdlSql {
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z_0-9]*)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.+?);?\s*$""".r
+  private val InsertSelRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z_0-9]*)\s*(?:\(([^)]*)\)\s*)?(SELECT\b.+?);?\s*$""".r
 
   /** One column definition:
     *   name type [NOT NULL] [DEFAULT expr | AS (expr) VIRTUAL] */
@@ -126,41 +128,57 @@ object TableDdlSql {
       } else None // not ours — Spark's DROP TABLE (its IF EXISTS no-op, its error)
 
     case InsertRe(name, colList, valuesText) if lookup(spark, name).isDefined =>
-      val td = lookup(spark, name).get
-      val provided: Seq[String] = Option(colList) match {
-        case Some(cl) => splitCols(cl).map(_.trim)
-        // positional INSERT targets the FULL declared column list —
-        // virtual columns included, which is exactly what table.iq rejects
-        case None => td.cols.map(_.name)
-      }
-      provided.find(p => td.cols.exists(c =>
-          c.name.equalsIgnoreCase(p) && c.virtual.isDefined)).foreach { p =>
-        throw new IllegalArgumentException(
-          s"Cannot INSERT into generated column '${p.toUpperCase}'")
-      }
-      provided.find(p => !td.cols.exists(_.name.equalsIgnoreCase(p))).foreach { p =>
-        throw new IllegalArgumentException(s"Unknown target column '$p'")
-      }
-      // evaluate the VALUES rows with the provided names in scope, then
-      // complete each stored column: provided → itself; DEFAULT expr →
-      // evaluated WITH the provided columns visible (table.iq: i + 2);
-      // otherwise typed NULL
-      val src = spark.sql(s"SELECT * FROM (VALUES $valuesText) AS v(${provided.mkString(", ")})")
-      val stored = td.cols.filter(_.virtual.isEmpty)
-      val completed = src.selectExpr(stored.map { c =>
-        if (provided.exists(_.equalsIgnoreCase(c.name)))
-          s"CAST(${c.name} AS ${c.dataType}) AS ${c.name}"
-        else c.default match {
-          case Some(d) => s"CAST(($d) AS ${c.dataType}) AS ${c.name}"
-          case None => s"CAST(NULL AS ${c.dataType}) AS ${c.name}"
-        }
-      }: _*)
-      val n = completed.count()
-      td.data = td.data.unionByName(completed)
-      registerView(spark, td)
-      Some(delegate.parsePlan(s"SELECT CAST($n AS BIGINT) AS rows_modified"))
+      // evaluate the VALUES rows with the provided names in scope
+      Some(insertFrom(spark, delegate, lookup(spark, name).get, colList,
+        provided => spark.sql(
+          s"SELECT * FROM (VALUES $valuesText) AS v(${provided.mkString(", ")})")))
+
+    case InsertSelRe(name, colList, selectText) if lookup(spark, name).isDefined =>
+      // INSERT ... SELECT: the query's output binds POSITIONALLY to the
+      // target list (ANSI), then completes through the same default/
+      // virtual machinery as VALUES
+      Some(insertFrom(spark, delegate, lookup(spark, name).get, colList,
+        provided => spark.sql(selectText).toDF(provided: _*)))
 
     case _ => None
+  }
+
+  /** Shared INSERT path: validate the target list (generated columns
+    * reject, unknown columns reject), bind the source rows to it, then
+    * complete each stored column — provided → itself, DEFAULT expr →
+    * evaluated WITH the provided columns visible (table.iq: i + 2),
+    * otherwise typed NULL. */
+  private def insertFrom(spark: SparkSession, delegate: ParserInterface,
+      td: TableDef, colList: String,
+      source: Seq[String] => DataFrame): LogicalPlan = {
+    val provided: Seq[String] = Option(colList) match {
+      case Some(cl) => splitCols(cl).map(_.trim)
+      // positional INSERT targets the FULL declared column list —
+      // virtual columns included, which is exactly what table.iq rejects
+      case None => td.cols.map(_.name)
+    }
+    provided.find(p => td.cols.exists(c =>
+        c.name.equalsIgnoreCase(p) && c.virtual.isDefined)).foreach { p =>
+      throw new IllegalArgumentException(
+        s"Cannot INSERT into generated column '${p.toUpperCase}'")
+    }
+    provided.find(p => !td.cols.exists(_.name.equalsIgnoreCase(p))).foreach { p =>
+      throw new IllegalArgumentException(s"Unknown target column '$p'")
+    }
+    val src = source(provided)
+    val stored = td.cols.filter(_.virtual.isEmpty)
+    val completed = src.selectExpr(stored.map { c =>
+      if (provided.exists(_.equalsIgnoreCase(c.name)))
+        s"CAST(${c.name} AS ${c.dataType}) AS ${c.name}"
+      else c.default match {
+        case Some(d) => s"CAST(($d) AS ${c.dataType}) AS ${c.name}"
+        case None => s"CAST(NULL AS ${c.dataType}) AS ${c.name}"
+      }
+    }: _*)
+    val n = completed.count()
+    td.data = td.data.unionByName(completed)
+    registerView(spark, td)
+    delegate.parsePlan(s"SELECT CAST($n AS BIGINT) AS rows_modified")
   }
 
   /** Expose the table as a temp view projecting virtual columns in

@@ -82,6 +82,24 @@ class TableDdlSpec extends AnyFunSuite {
     sql("drop table tplain")
   }
 
+  test("INSERT ... SELECT binds positionally and fills defaults") {
+    Tables.registerAll(spark, sfDir)
+    sql("create table tsel (rk int, rname string, tag int default rk * 2)")
+    val n = sql(
+      "insert into tsel (rk, rname) select r_regionkey, r_name from region order by r_regionkey")
+      .collect().head.getLong(0)
+    assert(n == Tables.t(spark, sfDir, "region").count())
+    val rows2 = rows("select rk, tag from tsel order by rk")
+    assert(rows2.forall { case Seq(rk: Int, tag: Int) => tag == rk * 2 })
+    // generated-column targets reject for SELECT sources too
+    sql("drop table tsel")
+    sql("create table tselv (i int, j int as (i + 1) virtual)")
+    val e = intercept[IllegalArgumentException](
+      sql("insert into tselv select r_regionkey, r_regionkey from region"))
+    assert(e.getMessage == "Cannot INSERT into generated column 'J'")
+    sql("drop table tselv")
+  }
+
   test("multi-row VALUES insert reports the modified-row count") {
     sql("create table tm (i int, j int default i * 10)")
     val n = sql("insert into tm (i) values (1), (2), (3)").collect()

@@ -103,6 +103,31 @@ object ModelFile {
           spark, vName, spark.sql(sql), s"$mvDir/$vName")
         mats += vName
       }
+      // lattices (reference model/JsonLattice.java: a star-join SQL plus
+      // declared TILES — each tile is a materialized aggregate over the
+      // star's dimensions, exactly what the MV rewriter then serves;
+      // Lattice.java:93 builds the same structures from this element).
+      for (lat <- list(schema, "lattices")) {
+        val lName = str(lat, "name").getOrElse(
+          throw new IllegalArgumentException("lattice needs a name"))
+        val starSql = str(lat, "sql").getOrElse(
+          throw new IllegalArgumentException(s"lattice '$lName' needs sql"))
+        val star = spark.sql(starSql)
+        graft.plans.MaterializedViews.install(spark)
+        for ((tile, i) <- list(lat, "tiles").zipWithIndex) {
+          val dims = Option(tile.get("dimensions"))
+            .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
+            .getOrElse(throw new IllegalArgumentException(
+              s"lattice '$lName' tile $i needs dimensions"))
+          val tName = s"${lName}_tile_${dims.mkString("_")}"
+          val tileDf = star.groupBy(dims.map(org.apache.spark.sql.functions.col): _*)
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
+          graft.plans.MaterializedViews.create(
+            spark, tName, tileDf, s"$mvDir/$tName")
+          mats += tName
+        }
+      }
     }
     val default = str(root, "defaultSchema")
     default.foreach(d => spark.catalog.setCurrentDatabase(d))

@@ -89,6 +89,47 @@ class ModelFileSpec extends AnyFunSuite {
     } finally ModelFile.unmount(spark, m)
   }
 
+  test("lattices declare tiles the rewriter serves (JsonLattice shape)") {
+    val model = write("graft_model_lat.json",
+      s"""{
+         |  "schemas": [ {
+         |    "name": "LAT",
+         |    "tables": [
+         |      { "name": "nation", "type": "custom",
+         |        "operand": { "path": "$sfDir/nation.parquet" } },
+         |      { "name": "region", "type": "custom",
+         |        "operand": { "path": "$sfDir/region.parquet" } }
+         |    ],
+         |    "lattices": [ {
+         |      "name": "geo",
+         |      "sql": [ "SELECT n_name, r_name FROM LAT.nation",
+         |               "JOIN LAT.region ON n_regionkey = r_regionkey" ],
+         |      "tiles": [ { "dimensions": [ "r_name" ] },
+         |                 { "dimensions": [ "n_name", "r_name" ] } ]
+         |    } ]
+         |  } ]
+         |}""".stripMargin)
+    val m = ModelFile.mount(spark, model)
+    try {
+      assert(m.materializations ==
+        Seq("geo_tile_r_name", "geo_tile_n_name_r_name"))
+      // the coarse rollup is answered from the r_name tile: the 2-table
+      // star join disappears from the optimized plan
+      val q = spark.sql(
+        """SELECT r_name, count(*) AS n FROM LAT.nation
+          |JOIN LAT.region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("lat.nation"), opt)
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = spark.table("LAT.nation")
+        .join(spark.table("LAT.region"),
+          org.apache.spark.sql.functions.expr("n_regionkey = r_regionkey"))
+        .groupBy("r_name").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want)
+    } finally ModelFile.unmount(spark, m)
+  }
+
   test("materializations register tiles the MV rewriter answers from") {
     val model = write("graft_model_mv.json",
       s"""{

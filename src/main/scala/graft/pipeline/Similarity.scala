@@ -154,6 +154,40 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
     },
 
+    // ---- Range (radius) search: everything within cosine >= τ -------------
+    // The top-k complement: retrieval by SIMILARITY FLOOR instead of
+    // count — RAG context harvesting ("all chunks at least this related")
+    // and duplicate sweeps use exactly this shape. Result size varies per
+    // query, so no window/rank at all: one broadcast of the queries, one
+    // corpus scan, a codegen'd dot + threshold filter — strictly cheaper
+    // than top-k (no per-query ordering state).
+    QDef.sql("sim_range_search",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT qid, vid, cosim FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2]), (x, y) -> x + y)
+        |      / (q.nrm * c.nrm) AS cosim
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |) WHERE cosim >= 0.25""") { (s, dir) =>
+      val cpus = s.sparkContext.defaultParallelism
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
+      val corpus = e.repartition(cpus)
+        .select(col("vec_id").as("vid"), col("v").as("vc"), col("nrm").as("nv"))
+      val dot = graft.functions.DotProduct.dot_product(col("vq"), col("vc"))
+      broadcast(q).join(corpus, col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"), (dot / (col("nq") * col("nv"))).as("cosim"))
+        .where(col("cosim") >= 0.25)
+    },
+
     // ---- Hyperplane-LSH bucketing (exact, engine-independent) -------------
     QDef.sql("sim_lsh_buckets",
       """WITH v AS (

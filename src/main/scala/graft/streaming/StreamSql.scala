@@ -24,8 +24,9 @@ object StreamSql {
 
   private val Shell = """(?is)^\s*SELECT\s+STREAM\b(.*)""".r
 
-  /** Tables with a streaming twin (the fixture's StreamableTable set). */
-  val streamable: Set[String] = Set("events")
+  /** Tables with a streaming twin (the fixture's StreamableTable set):
+    * the event stream and the corpus-ingest documents stream. */
+  val streamable: Set[String] = Set("events", "documents")
 
   /** Additional streamable tables — the analogue of registering a
     * StreamableTable in the reference's model schema
@@ -96,10 +97,11 @@ object StreamSql {
         // named after any existing view would otherwise leave the twin
         // permanently shadowing it, defeating registerAll's memo).
         val shadowed: Map[String, Option[DataFrame]] =
-          (extraStreamables.keySet + "events").iterator.map { n =>
+          (extraStreamables.keySet ++ streamable).iterator.map { n =>
             n -> (try Some(spark.table(n)) catch { case _: Exception => None })
           }.toMap
         StreamOps.readEventsStream(spark, sfDir).createOrReplaceTempView("events")
+        StreamOps.readDocumentsStream(spark, sfDir).createOrReplaceTempView("documents")
         extraStreamables.foreach { case (n, mk) =>
           mk(spark).createOrReplaceTempView(n)
         }

@@ -366,6 +366,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("SELECT STREAM over documents resolves the corpus-ingest twin") {
+    val body = """SELECT lang, count(*) AS n
+                 |FROM documents GROUP BY lang""".stripMargin
+    val streamed = Engine.sqlStream(spark, sfDir,
+      "SELECT STREAM " + body.stripPrefix("SELECT "))
+    assert(streamed.isStreaming)
+    val got = runToCompletion(streamed, "t_docs_stream", OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = Engine.sql(spark, sfDir, body)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == want)
+    // ...and the batch view is restored afterwards (no permanent shadow)
+    assert(!Engine.sql(spark, sfDir, "SELECT count(*) FROM documents").isStreaming)
+  }
+
   test("SELECT STREAM TUMBLE syntax (reference grouped windows) lowers to window()") {
     // the reference's TUMBLE/TUMBLE_START grouped-window SQL
     // (SqlStdOperatorTable TUMBLE; site/_docs/stream.md examples)

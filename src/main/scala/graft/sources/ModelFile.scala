@@ -41,6 +41,15 @@ object ModelFile {
       views: Seq[String], materializations: Seq[String],
       defaultSchema: Option[String])
 
+  /** Model-mountable function classes → their session-registered SQL
+    * names (the JsonFunction className contract). */
+  private val functionClassNames: Map[String, String] = Map(
+    "graft.functions.DotProduct" -> "dot_product",
+    "graft.functions.IntersectSizeSorted" -> "intersect_size_sorted",
+    "graft.functions.WeightedAvg" -> "weighted_avg",
+    "graft.functions.ShingleHashes" -> "shingle_hashes",
+    "graft.functions.HyperplaneBits" -> "hyperplane_bits")
+
   private def mapper(path: String): ObjectMapper =
     if (path.endsWith(".yaml") || path.endsWith(".yml"))
       new ObjectMapper(new YAMLFactory) else new ObjectMapper
@@ -102,6 +111,29 @@ object ModelFile {
         graft.plans.MaterializedViews.create(
           spark, vName, spark.sql(sql), s"$mvDir/$vName")
         mats += vName
+      }
+      // functions (reference model/JsonFunction.java → ModelHandler
+      // addFunctions: a schema mounts scalar functions by class name —
+      // how the reference's geo pack reaches SQL). The graft expression
+      // pack is session-registered already, so a model function is an
+      // ALIAS: the declared className resolves to its registered builder
+      // and re-registers under the model's name.
+      for (fn <- list(schema, "functions")) {
+        val fName = str(fn, "name").getOrElse(
+          throw new IllegalArgumentException("function needs a name"))
+        val className = str(fn, "className").getOrElse(
+          throw new IllegalArgumentException(s"function '$fName' needs className"))
+        val underlying = functionClassNames.getOrElse(className,
+          throw new IllegalArgumentException(
+            s"unknown function class '$className' — known: ${functionClassNames.keys.mkString(", ")}"))
+        val reg = spark.sessionState.functionRegistry
+        val builder = reg.lookupFunctionBuilder(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(underlying)).getOrElse(
+          throw new IllegalStateException(s"'$underlying' not registered in this session"))
+        reg.registerFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(fName),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(className, fName),
+          builder)
       }
       // lattices (reference model/JsonLattice.java: a star-join SQL plus
       // declared TILES — each tile is a materialized aggregate over the

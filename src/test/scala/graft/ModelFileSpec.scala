@@ -89,6 +89,32 @@ class ModelFileSpec extends AnyFunSuite {
     } finally ModelFile.unmount(spark, m)
   }
 
+  test("functions element aliases the graft pack by class name (addFunctions)") {
+    val model = write("graft_model_fn.json",
+      s"""{
+         |  "schemas": [ {
+         |    "name": "FNS",
+         |    "functions": [
+         |      { "name": "model_dot", "className": "graft.functions.DotProduct" }
+         |    ]
+         |  } ]
+         |}""".stripMargin)
+    val m = ModelFile.mount(spark, model)
+    try {
+      val got = spark.sql(
+        "SELECT model_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(got == 11.0)
+      // unknown class names reject with the known list
+      val bad = write("graft_model_fn_bad.json",
+        """{ "schemas": [ { "name": "FNS2", "functions": [
+          |  { "name": "nope", "className": "com.example.Missing" } ] } ] }""".stripMargin)
+      val e = intercept[IllegalArgumentException](ModelFile.mount(spark, bad))
+      assert(e.getMessage.contains("unknown function class"))
+      spark.sql("DROP DATABASE IF EXISTS FNS2 CASCADE")
+    } finally ModelFile.unmount(spark, m)
+  }
+
   test("lattices declare tiles the rewriter serves (JsonLattice shape)") {
     val model = write("graft_model_lat.json",
       s"""{

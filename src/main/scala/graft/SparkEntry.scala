@@ -24,6 +24,7 @@ object SparkEntry {
       operators.TableModify.defs ++
       plans.Profiler.defs ++ plans.RelToSqlDemo.defs ++
       plans.ColumnOrigins.defs ++ plans.SqlAdvisor.defs ++
+      plans.PlanMetadata.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++ pipeline.Multimodal.defs ++
       pipeline.Packing.defs ++

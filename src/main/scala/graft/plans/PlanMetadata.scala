@@ -91,6 +91,25 @@ object PlanMetadata {
     case _ => false // unknown — conservative
   }
 
+  /** Registry wiring: the pulled-up predicate set of a filtered scan,
+    * pinned against a VALUES oracle — the RelMetadataTest
+    * getPulledUpPredicates fixed-expectation shape (constraint
+    * propagation must keep yielding exactly the filter conjuncts plus
+    * their implied non-null facts). */
+  val defs: Seq[graft.QDef] = Seq(
+    graft.QDef.sql("profile_plan_predicates",
+      """SELECT * FROM (VALUES
+        |  ('(l_quantity > 10.0D)'), ('(l_quantity IS NOT NULL)'),
+        |  ('(l_returnflag = ''R'')'), ('(l_returnflag IS NOT NULL)'))
+        |  AS t(predicate)""") { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val preds = pulledUpPredicates(
+        graft.Tables.t(s, dir, "lineitem")
+          .where(col("l_quantity") > 10 && col("l_returnflag") === "R"))
+      import s.implicits._
+      preds.toDF("predicate")
+    })
+
   /** Referenced base columns per leaf table — the column set a pruned
     * scan must read (ReadSchema reasoning at plan level): every attribute
     * any operator above references, join keys and filter columns

@@ -41,6 +41,7 @@ class TpchCycleSpec extends AnyFunSuite {
     "join_inner_multiway", "join_left_outer", "join_semi", "join_theta_nl",
     "lateral_posexplode", "match_recognize_agg_define", "profile_lattice",
     "profile_column_origins", "profile_sql_advisor",
+    "profile_plan_predicates",
     "stream_stream_join_batch",
     "match_recognize_reluctant", "match_recognize_running_measures",
     "match_recognize_sql", "match_recognize_within", "profile_fds",

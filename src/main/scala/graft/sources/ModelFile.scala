@@ -39,7 +39,7 @@ object ModelFile {
 
   final case class Mounted(schemas: Seq[String], tables: Seq[String],
       views: Seq[String], materializations: Seq[String],
-      defaultSchema: Option[String])
+      defaultSchema: Option[String], functions: Seq[String] = Seq.empty)
 
   /** Model-mountable function classes → their session-registered SQL
     * names (the JsonFunction className contract). */
@@ -75,6 +75,7 @@ object ModelFile {
     val tables = Seq.newBuilder[String]
     val views = Seq.newBuilder[String]
     val mats = Seq.newBuilder[String]
+    val fns = Seq.newBuilder[String]
 
     for (schema <- list(root, "schemas")) {
       val sName = str(schema, "name").getOrElse(
@@ -134,6 +135,7 @@ object ModelFile {
           org.apache.spark.sql.catalyst.FunctionIdentifier(fName),
           new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(className, fName),
           builder)
+        fns += fName
       }
       // lattices (reference model/JsonLattice.java: a star-join SQL plus
       // declared TILES — each tile is a materialized aggregate over the
@@ -164,13 +166,16 @@ object ModelFile {
     val default = str(root, "defaultSchema")
     default.foreach(d => spark.catalog.setCurrentDatabase(d))
     Mounted(schemas.result(), tables.result(), views.result(),
-      mats.result(), default)
+      mats.result(), default, fns.result())
   }
 
   /** Drop everything a model mounted (databases cascade; tiles are
     * unregistered from the rewriter). */
   def unmount(spark: SparkSession, mounted: Mounted): Unit = {
     mounted.materializations.foreach(graft.plans.MaterializedViews.drop)
+    mounted.functions.foreach(f =>
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
     if (mounted.defaultSchema.isDefined)
       spark.catalog.setCurrentDatabase("default")
     mounted.schemas.foreach(s =>

@@ -456,6 +456,29 @@ object FoodMart {
         |    / CAST(SUM(rev) AS DOUBLE) AS top5_share
         |FROM ranked"""),
 
+    // Shape #34b: VISUAL TOTALS — the parent member's total recomputed
+    // over only the SELECTED children (MDX VisualTotals: picking three
+    // nations makes each region's "total" the sum of just those), child
+    // rows union'd with the recomputed parent rows.
+    QDef.common("foodmart_visual_totals",
+      """WITH sel AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  WHERE n_name IN ('NATION_2', 'NATION_7', 'NATION_11', 'NATION_16', 'NATION_21')
+        |), child AS (
+        |  SELECT r_name AS c0, n_name AS c1,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m0
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN sel ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name
+        |)
+        |SELECT c0, c1, m0 FROM child
+        |UNION ALL
+        |SELECT c0, '*VISUAL_TOTAL*' AS c1,
+        |  CAST(SUM(CAST(m0 AS DECIMAL(18,2))) AS DOUBLE) AS m0
+        |FROM child GROUP BY c0"""),
+
     // Shape #34: DRILLTHROUGH — the detail rows behind one aggregate
     // cell (year 1996 × EUROPE × returnflag R), the MDX DRILLTHROUGH
     // statement's relational form: same slicers, base-grain output,

@@ -35,7 +35,7 @@ class TpchCycleSpec extends AnyFunSuite {
     "foodmart_pct_of_parent", "foodmart_semiadd_closing",
     "foodmart_share_of_total", "foodmart_star_5way", "foodmart_topcount",
     "foodmart_topcount_detail", "foodmart_topcount_ties",
-    "foodmart_topcount_aggregate",
+    "foodmart_topcount_aggregate", "foodmart_visual_totals",
     "foodmart_two_fact_ratio", "foodmart_virtual_cube", "join_anti",
     "join_full_outer",
     "join_inner_multiway", "join_left_outer", "join_semi", "join_theta_nl",

@@ -65,6 +65,38 @@ object AsOf {
         buildCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** Nearest-within-tolerance join: each probe row pairs with the build
+    * row of smallest |probeTime − buildTime| among same-key rows inside
+    * ±toleranceUs, ties broken by `tieBreak`; unmatched probes survive
+    * with nulls. One equi-key bounded-interval join + one rank per probe
+    * row (`probeId` must uniquely identify probe rows). */
+  def nearestJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeId: Column,
+      probeKey: Column,
+      buildKey: Column,
+      probeTime: Column,
+      buildTime: Column,
+      toleranceUs: Long,
+      buildIdCol: String,
+      tieBreak: Column): DataFrame = {
+    val p = probe.select(probeId.as("__pid"), probeKey.as("__pk"),
+      unix_micros(probeTime).as("__pt"),
+      struct(probe.columns.map(probe(_)): _*).as("__p"))
+    val b = build.select(buildKey.as("__bk"), unix_micros(buildTime).as("__bt"),
+      build(buildIdCol).as("b_" + buildIdCol))
+    val joined = p.join(b,
+      col("__pk") === col("__bk") &&
+        abs(col("__bt") - col("__pt")) <= toleranceUs, "left")
+      .withColumn("gap_us", abs(col("__bt") - col("__pt")))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("gap_us").asc_nulls_last, tieBreak.asc_nulls_last)
+    joined.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
+      .select(col("__p.*"),
+        col("b_" + buildIdCol).as("near_" + buildIdCol), col("gap_us"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- As-of join: each purchase gets the user's latest prior click -----
@@ -88,6 +120,42 @@ object AsOf {
         probeTime = col("ts"), buildTime = col("ts"),
         buildCols = Seq("event_id", "value"),
         tieBreak = col("event_id"))
+    },
+
+    // ---- Nearest join: closest event either direction within tolerance ----
+    // The "nearest" as-of variant (pandas merge_asof direction='nearest'):
+    // each purchase pairs with the user's click of SMALLEST |time gap|
+    // within ±30 minutes — sensor alignment and attribution both want
+    // this, and it is NOT expressible as the carry-forward union trick
+    // (future rows compete with past rows). Scale shape: an equi-key +
+    // bounded-interval join (state per key bounded by the tolerance,
+    // exactly the stream-stream join contract) then ONE rank per probe
+    // row on (|gap|, tie) — no lateral per-row rescan of the build side.
+    QDef.sql("asof_join_nearest",
+      """SELECT p.event_id, p.user_id,
+        |       c.event_id AS near_event_id, c.gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id,
+        |    CAST(abs(date_diff('microsecond', p.ts, e.ts)) AS BIGINT) AS gap_us
+        |  FROM events e
+        |  WHERE e.user_id = p.user_id AND e.event_type = 'click'
+        |    AND e.ts BETWEEN p.ts - INTERVAL '30 minutes'
+        |                 AND p.ts + INTERVAL '30 minutes'
+        |  ORDER BY gap_us, e.event_id LIMIT 1
+        |) c ON TRUE""") { (s, dir) =>
+      val ev = Tables.t(s, dir, "events")
+      nearestJoin(
+        probe = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        build = ev.where(col("event_type") === "click"),
+        probeId = col("event_id"),
+        probeKey = col("user_id"), buildKey = col("user_id"),
+        probeTime = col("ts"), buildTime = col("ts"),
+        toleranceUs = 30L * 60 * 1000000,
+        buildIdCol = "event_id", tieBreak = col("b_event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("near_event_id"), col("gap_us"))
     },
 
     // ---- Snapshot: table state FOR SYSTEM_TIME AS OF a cutoff -------------

@@ -226,6 +226,51 @@ object TextAnalysis {
           .when(col("h_de") >= col("h_es"), "de").otherwise("es"))
     },
 
+    // ---- Language-ID evaluation (confusion matrix) -------------------------
+    // The classifier-eval harness IN the engine: text_langid's prediction
+    // against the corpus's ground-truth lang as an (actual, predicted, n)
+    // confusion matrix — note the fixture carries languages the 4-class
+    // marker model cannot name (zh), so the matrix shows real
+    // out-of-vocabulary confusion, exactly what a pipeline owner monitors
+    // before trusting a quota stage keyed on predicted language.
+    // One projection + one aggregate; no shuffle beyond the rollup.
+    QDef.sql("text_langid_eval",
+      """WITH hits AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','is'], w))) AS h_en,
+        |    len(list_filter(string_split(text,' '), w -> list_contains(['le','la','les','et','une'], w))) AS h_fr,
+        |    len(list_filter(string_split(text,' '), w -> list_contains(['der','die','das','und','ist'], w))) AS h_de,
+        |    len(list_filter(string_split(text,' '), w -> list_contains(['el','los','las','es','y'], w))) AS h_es
+        |  FROM documents
+        |), pred AS (
+        |  SELECT lang AS actual,
+        |    CASE WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+        |         WHEN h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+        |         WHEN h_de >= h_es THEN 'de' ELSE 'es' END AS predicted
+        |  FROM hits)
+        |SELECT actual, predicted, COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    / SUM(COUNT(*)) OVER (PARTITION BY actual) AS frac_of_actual
+        |FROM pred GROUP BY actual, predicted""") { (s, dir) =>
+      val ws = split(col("text"), " ")
+      def hitsOf(markers: Seq[String]) = size(filter(ws, w => w.isin(markers: _*)))
+      val pred = t(s, dir, "documents").select(
+          col("lang").as("actual"),
+          hitsOf(langMarkers(0)._2).as("h_en"),
+          hitsOf(langMarkers(1)._2).as("h_fr"),
+          hitsOf(langMarkers(2)._2).as("h_de"),
+          hitsOf(langMarkers(3)._2).as("h_es"))
+        .withColumn("predicted",
+          when(col("h_en") >= col("h_fr") && col("h_en") >= col("h_de") && col("h_en") >= col("h_es"), "en")
+            .when(col("h_fr") >= col("h_de") && col("h_fr") >= col("h_es"), "fr")
+            .when(col("h_de") >= col("h_es"), "de").otherwise("es"))
+      val counts = pred.groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("actual"))
+      counts.select(col("actual"), col("predicted"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(w)).as("frac_of_actual"))
+    },
+
     // ---- Repetition metrics (Gopher-style quality rules) -------------------
     // Per-document repetition statistics of the kind large-corpus filters
     // gate on: the fraction of tokens covered by the single most frequent

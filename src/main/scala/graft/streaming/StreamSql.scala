@@ -2,6 +2,10 @@ package graft.streaming
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, SessionWindow, TimeWindow}
+import org.apache.spark.sql.catalyst.expressions.TruncTimestamp
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.types.{DateType, StructType, TimestampNTZType, TimestampType}
 
 /** `SELECT STREAM` front end — the reference's streaming SQL surface.
   *
@@ -116,8 +120,48 @@ object StreamSql {
             "SELECT STREAM requires a streamable table in FROM " +
               s"(streamable: ${(streamable ++ extraStreamables.keySet).mkString(", ")})" +
               " — the reference rejects this as 'Cannot convert table to stream'")
+        validateMonotonicAggregation(df)
         df
       case _ =>
         throw new IllegalArgumentException("not a SELECT STREAM query")
     }
+
+  /** The reference validator's streaming-aggregation rule
+    * (site/_docs/stream.md:185-264, enforced by
+    * SqlValidatorImpl/StreamTest): a GROUP BY over a stream must contain
+    * at least one monotonic or time-windowed expression, otherwise the
+    * aggregate can never emit (its groups stay open forever) and state is
+    * unbounded. Spark would silently accept such a query and run it as
+    * unbounded-state complete-mode; we reject it up front with the
+    * reference's error shape instead.
+    *
+    * Monotonic here = derived from event time: a timestamp/date-typed
+    * grouping key (`rowtime`, `FLOOR(rowtime TO HOUR)` → date_trunc,
+    * `CAST(rowtime AS DATE)`), or a grouped-window struct
+    * (window()/session_window(), whose start/end fields are timestamps).
+    */
+  private[graft] def validateMonotonicAggregation(df: DataFrame): Unit = {
+    def isTimeType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case st: StructType =>
+        // the window/session_window grouping struct: start/end timestamps
+        st.fields.exists(f => isTimeType(f.dataType))
+      case _ => false
+    }
+    def monotonic(e: Expression): Boolean =
+      isTimeType(e.dataType) || e.exists {
+        case _: TimeWindow | _: SessionWindow | _: TruncTimestamp => true
+        case other => isTimeType(other.dataType)
+      }
+    df.queryExecution.analyzed.foreach {
+      case agg: Aggregate if agg.child.isStreaming &&
+          !agg.groupingExpressions.exists(monotonic) =>
+        throw new IllegalArgumentException(
+          "Streaming aggregation requires at least one monotonic expression " +
+            "in GROUP BY clause — group on the event-time column, " +
+            "FLOOR(rowtime TO unit), or TUMBLE/HOP/SESSION " +
+            "(reference: site/_docs/stream.md 'Aggregation and windows on streams')")
+      case _ => ()
+    }
+  }
 }

@@ -106,6 +106,35 @@ class StreamGoldenSpec extends AnyFunSuite {
     assert(got.head == ("2015-02-15 10:15:00.0", "paint"))
   }
 
+  test("StreamTest.testStreamGroupByRejected — non-monotonic GROUP BY raises") {
+    setup
+    // the reference validator: "Streaming aggregation requires at least one
+    // monotonic expression in GROUP BY clause" (stream.md:185-264) — a
+    // product-only grouping never closes its groups, so state is unbounded
+    val ex = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        "SELECT STREAM product, count(*) AS c FROM orders_s GROUP BY product")
+    }
+    assert(ex.getMessage.contains("monotonic expression"))
+    // a global aggregate over a stream is the degenerate case of the same
+    // defect (no grouping key can ever be monotonic)
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir, "SELECT STREAM count(*) AS c FROM orders_s")
+    }
+    assert(ex2.getMessage.contains("monotonic expression"))
+    // ... while every monotonic shape is accepted: raw rowtime, FLOOR-TO
+    // (via date_trunc), TUMBLE, SESSION, and CAST(rowtime AS DATE)
+    for (q <- Seq(
+      "SELECT STREAM rowtime, count(*) AS c FROM orders_s GROUP BY rowtime",
+      "SELECT STREAM floor(rowtime TO hour) AS h, count(*) AS c FROM orders_s GROUP BY floor(rowtime TO hour)",
+      "SELECT STREAM TUMBLE_START(rowtime, INTERVAL '1' HOUR) AS ws, count(*) AS c " +
+        "FROM orders_s GROUP BY TUMBLE(rowtime, INTERVAL '1' HOUR)",
+      "SELECT STREAM count(*) AS c FROM orders_s GROUP BY SESSION(rowtime, INTERVAL '30' MINUTE)",
+      "SELECT STREAM CAST(rowtime AS DATE) AS d, product, count(*) AS c " +
+        "FROM orders_s GROUP BY CAST(rowtime AS DATE), product"))
+      assert(StreamSql.sql(spark, sfDir, q).isStreaming, s"should accept: $q")
+  }
+
   test("streaming twins restore every shadowed batch view, not just events (r6 ADVICE)") {
     setup
     Tables.registerAll(spark, sfDir)

@@ -367,16 +367,27 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("SELECT STREAM over documents resolves the corpus-ingest twin") {
-    val body = """SELECT lang, count(*) AS n
-                 |FROM documents GROUP BY lang""".stripMargin
+    // a screening projection (documents carry no event time, so an
+    // aggregate here would be rejected by the monotonicity validator —
+    // exactly the reference's rule; the ingest screen is append-shaped)
+    val body = """SELECT doc_id, lang
+                 |FROM documents WHERE n_chars > 500""".stripMargin
     val streamed = Engine.sqlStream(spark, sfDir,
       "SELECT STREAM " + body.stripPrefix("SELECT "))
     assert(streamed.isStreaming)
-    val got = runToCompletion(streamed, "t_docs_stream", OutputMode.Complete())
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = runToCompletion(streamed, "t_docs_stream", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val want = Engine.sql(spark, sfDir, body)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got.nonEmpty && got == want)
+    // a lang-only rollup of the unbounded ingest is the reference's
+    // canonical rejection (stream.md: "GROUP BY clause must contain at
+    // least one monotonic expression")
+    val ex = intercept[IllegalArgumentException] {
+      Engine.sqlStream(spark, sfDir,
+        "SELECT STREAM lang, count(*) AS n FROM documents GROUP BY lang")
+    }
+    assert(ex.getMessage.contains("monotonic expression"))
     // ...and the batch view is restored afterwards (no permanent shadow)
     assert(!Engine.sql(spark, sfDir, "SELECT count(*) FROM documents").isStreaming)
   }

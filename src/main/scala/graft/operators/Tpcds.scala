@@ -475,6 +475,23 @@ object Tpcds {
         |WHERE r.cust IS NULL AND CAST(s.rev AS DOUBLE) > 150000
         |ORDER BY s.cust, s.item"""),
 
+    // The single-scan rewrite of tpcds_s_missingchannel (r8 verdict #5):
+    // both CTEs aggregate the same fact join at the same (cust, item)
+    // grain, so the anti join collapses into conditional aggregation —
+    // one scan, one Exchange, HAVING carries the "no returned row" and
+    // revenue predicates. The two-CTE text above stays as the q78
+    // structure carrier; TpcdsTwinSpec pins both hash-equal. This is the
+    // teaching example for "two aggregates of one fact at one grain =
+    // one scan": at 100 TB the second lineitem⋈orders pass is pure waste.
+    QDef.common("tpcds_s_missingchannel_1scan",
+      """SELECT o_custkey AS cust, l_partkey AS item,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey, l_partkey
+        |HAVING MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 0
+        |  AND CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) > 150000
+        |ORDER BY cust, item"""),
+
     // q10/q35 shape: demographic counts over customers qualified by an
     // OR of EXISTS across channels AND a further required channel — the
     // existence-OR structure existschain's AND chain cannot produce.

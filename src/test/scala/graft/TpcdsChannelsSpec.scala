@@ -27,4 +27,32 @@ class TpcdsChannelsSpec extends AnyFunSuite {
       _.output.exists(_.name == "l_extendedprice"))
     assert(scans == 1, s"expected one lineitem scan, found $scans:\n$plan")
   }
+
+  // --- tpcds_s_missingchannel vs its single-scan conditional-agg twin ----
+
+  test("missingchannel twin: conditional aggregation matches the anti-join form") {
+    val twoCte = SparkEntry.queries("tpcds_s_missingchannel")(spark, sfDir)
+    val oneScan = SparkEntry.queries("tpcds_s_missingchannel_1scan")(spark, sfDir)
+    val a = twoCte.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = oneScan.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("missingchannel twin: one fact scan instead of two") {
+    def factScans(name: String): Int =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.collectLeaves()
+        .count(_.output.exists(_.name == "l_extendedprice"))
+    // leaves carrying l_returnflag also count — the two-CTE form reads
+    // lineitem once for revenue and once for the returns slice
+    def lineitemScans(name: String): Int =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.collectLeaves()
+        .count(_.output.exists(n => n.name == "l_extendedprice" || n.name == "l_returnflag"))
+    assert(lineitemScans("tpcds_s_missingchannel") == 2)
+    assert(lineitemScans("tpcds_s_missingchannel_1scan") == 1)
+    assert(factScans("tpcds_s_missingchannel_1scan") == 1)
+  }
 }

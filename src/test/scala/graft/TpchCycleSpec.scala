@@ -60,6 +60,7 @@ class TpchCycleSpec extends AnyFunSuite {
     "tpcds_s_dategap", "tpcds_s_dualrank", "tpcds_s_equalshare",
     "tpcds_s_existschain", "tpcds_s_freqbest", "tpcds_s_iceberg",
     "tpcds_s_intersect", "tpcds_s_lochierarchy", "tpcds_s_missingchannel",
+    "tpcds_s_missingchannel_1scan",
     "tpcds_s_orexists", "tpcds_s_netreturns", "tpcds_s_multiwarehouse",
     "tpcds_s_movingdev", "tpcds_s_multicount", "tpcds_s_orderband",
     "tpcds_s_quantitystats", "tpcds_s_returnavg", "tpcds_s_rolluptopk",

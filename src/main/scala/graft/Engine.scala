@@ -168,6 +168,7 @@ object Tables {
     // raw table its scan actually reads, not the view
     eventsRaw(spark, sfDir).createOrReplaceTempView("events_raw")
     c.registeredDir = sfDir
+    plans.SqlAdvisor.invalidate(spark)
   }
 
   /** Force the next [[registerAll]] to re-register: call after dropping

@@ -58,6 +58,7 @@ object ExtendSql {
         val extended = extend(spark, base, parsed.flatten)
         val view = s"${table}_extend_${math.abs(sqlText.hashCode)}"
         extended.createOrReplaceTempView(view)
+        SqlAdvisor.invalidate(spark)
         Some(delegate.parsePlan(pre + view + post))
       }
     case _ => None

@@ -57,6 +57,7 @@ object MaterializedViewSql {
         MaterializedViews.create(spark, name, df, tilePath(spark, name))
         MaterializedViews.install(spark)
         spark.read.parquet(tilePath(spark, name)).createOrReplaceTempView(name)
+        SqlAdvisor.invalidate(spark)
         Some(delegate.parsePlan(
           s"SELECT 'created' AS status, '$name' AS materialized_view"))
       }
@@ -68,6 +69,7 @@ object MaterializedViewSql {
         throw new IllegalStateException(s"Materialized view '$name' not found")
       MaterializedViews.drop(name)
       spark.catalog.dropTempView(name)
+      SqlAdvisor.invalidate(spark)
       // CREATE rejects fixture names, but an MV created through the API
       // (MaterializedViews.create) could have reused one — re-register on
       // the next query instead of leaving the fixture view missing

@@ -55,6 +55,31 @@ object SqlAdvisor {
 
   private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
+  /** Session-scoped catalog memo (r8 verdict #6): a completion endpoint
+    * is called per keystroke, and `spark.catalog.listTables().collect()`
+    * per call would hammer the catalog for metadata that only changes on
+    * DDL. The memo caches the table list and per-table column lists until
+    * [[invalidate]] — which every graft path that alters the temp-view
+    * namespace calls (TableDdlSql CREATE/DROP, materialized-view DDL,
+    * EXTEND view registration, Engine.registerAll). WeakHashMap keys keep
+    * dropped sessions collectable (the Engine.Tables cache pattern). */
+  private final class Memo {
+    @volatile var tables: Map[String, String] = _
+    val columns = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  }
+  private val memos = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Memo])
+  private def memoOf(spark: SparkSession): Memo = {
+    val m = memos.get(spark)
+    if (m != null) m else { val fresh = new Memo; memos.put(spark, fresh); fresh }
+  }
+  /** Count of ACTUAL catalog round-trips (listTables/listColumns), for
+    * the memo's effectiveness spec. */
+  private[graft] val catalogFetches = new java.util.concurrent.atomic.AtomicLong
+  /** Drop the session's memo — call after any DDL that changes the
+    * visible table set or a table's columns. */
+  def invalidate(spark: SparkSession): Unit = memos.remove(spark)
+
   /** Completion hints for `sql` with the caret at `offset` (0-based,
     * may sit mid-identifier; everything from the identifier start to the
     * caret is the prefix being typed). Deterministic order:
@@ -77,7 +102,10 @@ object SqlAdvisor {
     val tables = catalogTables(spark)
     def cols(table: String): Seq[String] =
       if (tables.contains(table.toLowerCase))
-        spark.catalog.listColumns(table).collect().map(_.name).toSeq
+        memoOf(spark).columns.getOrElseUpdate(table.toLowerCase, {
+          catalogFetches.incrementAndGet()
+          spark.catalog.listColumns(table).collect().map(_.name).toSeq
+        })
       else Seq.empty
     def matches(s: String): Boolean = s.toLowerCase.startsWith(word.toLowerCase)
 
@@ -142,10 +170,17 @@ object SqlAdvisor {
       .forall(kw => head.lastIndexOf(kw) < lastFrom)
   }
 
-  /** lowercased name → name for catalog-visible tables and temp views. */
-  private def catalogTables(spark: SparkSession): Map[String, String] =
-    spark.catalog.listTables().collect()
-      .map(t => t.name.toLowerCase -> t.name).toMap
+  /** lowercased name → name for catalog-visible tables and temp views,
+    * memoized per session until [[invalidate]]. */
+  private def catalogTables(spark: SparkSession): Map[String, String] = {
+    val m = memoOf(spark)
+    if (m.tables == null) {
+      catalogFetches.incrementAndGet()
+      m.tables = spark.catalog.listTables().collect()
+        .map(t => t.name.toLowerCase -> t.name).toMap
+    }
+    m.tables
+  }
 
   /** Registry wiring: completions for a fixed caret case, pinned by a
     * VALUES oracle (the SqlAdvisorTest fixed-expectation shape) — caret

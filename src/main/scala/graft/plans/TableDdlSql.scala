@@ -124,6 +124,7 @@ object TableDdlSql {
       val removed = tables.remove((spark, name.toLowerCase))
       if (removed != null) {
         spark.catalog.dropTempView(name)
+        SqlAdvisor.invalidate(spark)
         Some(delegate.parsePlan(s"SELECT 'dropped' AS status, '$name' AS table_name"))
       } else None // not ours — Spark's DROP TABLE (its IF EXISTS no-op, its error)
 
@@ -191,5 +192,6 @@ object TableDdlSql {
       }
     }: _*)
     projected.createOrReplaceTempView(td.name)
+    SqlAdvisor.invalidate(spark)
   }
 }

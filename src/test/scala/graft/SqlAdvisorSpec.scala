@@ -72,4 +72,34 @@ class SqlAdvisorSpec extends AnyFunSuite {
     assert(SqlAdvisor.isValid(spark, "SELECT 1"))
     assert(!SqlAdvisor.isValid(spark, "SELECT 1 +"))
   }
+
+  test("catalog memo: repeated completions cost zero catalog calls (r8 verdict #6)") {
+    Tables.registerAll(spark, sfDir)
+    // warm the memo (first call after registerAll's invalidate fetches)
+    SqlAdvisor.complete(spark, "SELECT l_ FROM lineitem", 9)
+    val before = SqlAdvisor.catalogFetches.get()
+    // a keystroke burst: 50 completions across table list, qualified and
+    // unqualified column positions — all served from the session memo
+    for (_ <- 1 to 50) {
+      SqlAdvisor.complete(spark, "SELECT l_ FROM lineitem", 9)
+      SqlAdvisor.complete(spark, "SELECT * FROM ord", 17)
+      SqlAdvisor.complete(spark, "SELECT o.o_order FROM orders o", 16)
+    }
+    assert(SqlAdvisor.catalogFetches.get() == before,
+      "memoized completions must not touch the catalog")
+    // DDL through the injected parser invalidates: the new table appears
+    // and exactly the re-fetch happens, not one fetch per completion
+    Engine.sql(spark, sfDir,
+      "CREATE TABLE advisor_memo_t (k INT, v INT DEFAULT 7)")
+    try {
+      val h = SqlAdvisor.complete(spark, "SELECT * FROM advisor_mem", 25)
+      assert(h.exists(_.name == "advisor_memo_t"),
+        s"post-DDL completion must see the new table, got $h")
+      val afterDdl = SqlAdvisor.catalogFetches.get()
+      assert(afterDdl > before)
+      SqlAdvisor.complete(spark, "SELECT * FROM advisor_mem", 25)
+      assert(SqlAdvisor.catalogFetches.get() == afterDdl,
+        "second post-DDL completion must hit the refreshed memo")
+    } finally Engine.sql(spark, sfDir, "DROP TABLE advisor_memo_t")
+  }
 }

@@ -50,6 +50,118 @@ object Profiler {
       s"stack(${cols.size}, $stackArgs) AS (column, n, nulls, ndv, min_s, max_s)")
   }
 
+  /** Sketch-mode profile (reference: profile/ProfilerImpl.java — the
+    * HLL-sketched profiler behind the lattice suggester, vs the exact
+    * [[profile]]): NDV via HLL++ (`approx_count_distinct`, default
+    * rsd 0.05), nulls/min/max in the SAME aggregate. Because the sketch
+    * is a regular (non-distinct) aggregate, the whole profile is ONE
+    * codegen'd partial+final HashAggregate pass with no Expand and no
+    * sort-aggregate fallback — the exact profiler needs two jobs to avoid
+    * that (see [[profile]]'s scaladoc); at 100 TB the sketch mode halves
+    * the scans and its state is a fixed few KB per column instead of a
+    * distinct hash table. Accuracy contract (the fn_agg_approx pattern):
+    * ndv lands within 15% = 3σ of exact at the default rsd; min/max/null
+    * counts are exact (they cost nothing extra in the same pass). */
+  def profileSketch(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        approx_count_distinct(v, rsd).as(s"${c}__ndv"),
+        min(v).cast("string").as(s"${c}__min"),
+        max(v).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column, n, nulls, ndv, min_s, max_s)")
+  }
+
+  /** One measured column combination (reference: profile/Profiler.java
+    * Distribution — the combination, its cardinality, and whether the
+    * profiler found it worth keeping). */
+  final case class ComboStat(cols: Seq[String], expected: Long, actual: Long,
+      surprise: Double, retained: Boolean)
+
+  /** Surprise-pruned combination profiling — the reference's
+    * ProfilerImpl exploration (profile/ProfilerImpl.java: HLL sketches
+    * per space, `surprise()` = |expected−actual| / (expected+actual),
+    * a surprise threshold deciding which spaces are retained and
+    * expanded). Exact combination profiling is quadratic-to-exponential
+    * in the column count; this bounds it three ways, which is what makes
+    * wide-table profiling feasible at 100 TB:
+    *
+    *   1. *Apriori expansion*: a k-combination is a candidate only if
+    *      every (k−1)-subset was retained (surprising) — unsurprising
+    *      (≈independent) combinations are derivable from their parts, so
+    *      their supersets are estimated, never measured;
+    *   2. *surprise threshold*: actual ≈ independence-expected means the
+    *      combination carries no new information — measured once, then
+    *      dropped from the frontier;
+    *   3. *per-level budget*: at most `comboBudget` candidates measured
+    *      per level (deterministic column order), the SurpriseQueue's
+    *      hard bound.
+    *
+    * Each level's survivors are measured in ONE aggregation pass (all
+    * candidates as parallel `approx_count_distinct(struct(...))`
+    * aggregates — a single scan per level, ≤ maxDims scans total).
+    * Expected cardinality of a candidate is the tightest split bound:
+    * min over (k−1)-subsets s of actual(s) · ndv(remaining), capped by
+    * the row count. Singletons are always retained (ProfilerImpl seeds
+    * the queue with them); their `expected` is the row count. */
+  def profileCombos(df: DataFrame, cols: Seq[String], maxDims: Int = 3,
+      surpriseThreshold: Double = 0.2, comboBudget: Int = 64,
+      rsd: Double = 0.05): Seq[ComboStat] = {
+    require(cols.nonEmpty && maxDims >= 1)
+    val baseAggs = count(lit(1)).as("__n") +:
+      cols.map(c => approx_count_distinct(col(c), rsd).as(c))
+    val base = df.agg(baseAggs.head, baseAggs.tail: _*).head()
+    val rowCount = base.getLong(0)
+    val singleNdv: Map[String, Long] =
+      cols.zipWithIndex.map { case (c, i) => c -> base.getLong(i + 1) }.toMap
+
+    val out = scala.collection.mutable.ListBuffer.empty[ComboStat]
+    def surprise(e: Long, a: Long): Double =
+      if (e + a == 0) 0.0 else math.abs(e.toDouble - a.toDouble) / (e.toDouble + a.toDouble)
+    cols.foreach { c =>
+      out += ComboStat(Seq(c), rowCount, singleNdv(c),
+        surprise(rowCount, singleNdv(c)), retained = true)
+    }
+    val actualOf = scala.collection.mutable.Map[Seq[String], Long](
+      cols.map(c => Seq(c) -> singleNdv(c)): _*)
+    var retainedPrev: Set[Seq[String]] = cols.map(Seq(_)).toSet
+
+    for (k <- 2 to maxDims if retainedPrev.nonEmpty) {
+      val candidates = cols.combinations(k)
+        .filter(c => c.combinations(k - 1).forall(retainedPrev.contains))
+        .take(comboBudget).toSeq
+      if (candidates.nonEmpty) {
+        val aggs = candidates.zipWithIndex.map { case (c, i) =>
+          approx_count_distinct(struct(c.map(col): _*), rsd).as(s"c$i")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val level = candidates.zipWithIndex.map { case (c, i) =>
+          val actual = row.getLong(i)
+          actualOf(c) = actual
+          val expected = c.combinations(k - 1).map { s =>
+            val rest = c.diff(s).head
+            val sub = actualOf.getOrElse(s, rowCount)
+            val prod = sub.toDouble * singleNdv(rest).toDouble
+            math.min(rowCount.toDouble, prod).toLong
+          }.min
+          val sp = surprise(expected, actual)
+          ComboStat(c, expected, actual, sp, sp >= surpriseThreshold)
+        }
+        out ++= level
+        retainedPrev = level.filter(_.retained).map(_.cols).toSet
+      } else retainedPrev = Set.empty
+    }
+    out.toList
+  }
+
   /** Lattice-style tile advisor (reference: materialize/Lattice.java +
     * profile/ProfilerImpl — profile-driven aggregate-tile suggestion):
     * measures the TRUE grouped cardinality of every dimension subset up to
@@ -206,6 +318,56 @@ object Profiler {
         |FROM lineitem""") { (s, dir) =>
       profile(graft.Tables.t(s, dir, "lineitem"),
         Seq("l_returnflag", "l_quantity", "l_orderkey"))
+    },
+
+    // Sketch-mode profile vs its exact twin (the fn_agg_approx oracle
+    // pattern): both engines run their own HLL sketch and the compared
+    // output carries the EXACT stats plus a within-3σ flag, hash-exact
+    // while still executing the sketch path on both sides. Spark's
+    // sketch profile is the one-pass/no-Expand plan ProfilerSpec pins.
+    graft.QDef.sql("profile_columns_sketch",
+      """SELECT 'l_returnflag' AS column, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  COUNT(DISTINCT l_returnflag) AS ndv_exact,
+        |  abs(CAST(approx_count_distinct(l_returnflag) AS DOUBLE)
+        |      - COUNT(DISTINCT l_returnflag)) <= 0.15 * COUNT(DISTINCT l_returnflag)
+        |    AS ndv_within_tol,
+        |  CAST(MIN(l_returnflag) AS VARCHAR) AS min_s, CAST(MAX(l_returnflag) AS VARCHAR) AS max_s
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_quantity),
+        |  abs(CAST(approx_count_distinct(l_quantity) AS DOUBLE)
+        |      - COUNT(DISTINCT l_quantity)) <= 0.15 * COUNT(DISTINCT l_quantity),
+        |  CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_orderkey', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_orderkey),
+        |  abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+        |      - COUNT(DISTINCT l_orderkey)) <= 0.15 * COUNT(DISTINCT l_orderkey),
+        |  CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_partkey),
+        |  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+        |      - COUNT(DISTINCT l_partkey)) <= 0.15 * COUNT(DISTINCT l_partkey),
+        |  CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+        |FROM lineitem""") { (s, dir) =>
+      val cs = Seq("l_returnflag", "l_quantity", "l_orderkey", "l_partkey")
+      val li = graft.Tables.t(s, dir, "lineitem")
+      val sketch = profileSketch(li, cs)
+        .select(col("column"), col("ndv").as("ndv_sketch"))
+      profile(li, cs).join(sketch, "column")
+        .select(col("column"), col("n"), col("nulls"),
+          col("ndv").as("ndv_exact"),
+          (abs(col("ndv_sketch").cast(DoubleType) - col("ndv"))
+            <= lit(0.15) * col("ndv")).as("ndv_within_tol"),
+          col("min_s"), col("max_s"))
     }
   )
 }

@@ -305,6 +305,256 @@ object PolyClip {
       new GenericArrayData(parts.map(p => new GenericArrayData(p._2): Any))))
   }
 
+  // ---- concave lift: convex decomposition (r8 verdict #4) ------------------
+  // Simple concave polygons are decomposed into convex parts (ear-clipping
+  // triangulation + Hertel–Mehlhorn diagonal removal) and the convex
+  // kernels above run per part. Exactness discipline is preserved because
+  // every derived set is kept as DISJOINT convex pieces:
+  //   intersection — part×part convex clips (pieces of disjoint parts are
+  //                  disjoint);
+  //   union        — each part minus everything already covered (iterated
+  //                  convex difference, each piece convex);
+  //   buffer       — Minkowski distributes over union, so buffer(P) is the
+  //                  union of the parts' exact convex Minkowski sums,
+  //                  disjointified the same way.
+  // Shoelace areas of the pieces therefore SUM to the true area — the
+  // inclusion-exclusion identities geo_concave pins.
+
+  private val Eps = 1e-12
+
+  /** All turns left-or-straight on a CCW ring → convex. */
+  def isConvexRing(xs: Array[Double], ys: Array[Double]): Boolean = {
+    val n = xs.length
+    if (n < 4) return true
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n; val k = (i + 2) % n
+      val cr = (xs(j) - xs(i)) * (ys(k) - ys(j)) - (ys(j) - ys(i)) * (xs(k) - xs(j))
+      if (cr < -1e-9) return false
+      i += 1
+    }
+    true
+  }
+
+  private def triArea2(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Double = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  /** CLOSED-triangle containment: a remaining vertex ON the candidate
+    * ear's boundary must block the ear too — a reflex vertex exactly on
+    * the ear diagonal (the L-shape whose notch corner lies on the
+    * bbox diagonal) would otherwise admit a diagonal that exits the
+    * polygon through the notch. Conservative: a touching-but-valid ear
+    * is skipped and a later ear is clipped instead (two ears always
+    * exist). */
+  private def pointInTriClosed(px: Double, py: Double, ax: Double, ay: Double,
+      bx: Double, by: Double, cx: Double, cy: Double): Boolean =
+    triArea2(ax, ay, bx, by, px, py) >= -Eps &&
+      triArea2(bx, by, cx, cy, px, py) >= -Eps &&
+      triArea2(cx, cy, ax, ay, px, py) >= -Eps
+
+  /** Ear-clipping triangulation of a simple CCW ring → index triples.
+    * O(n²), deterministic (first ear in ring order each round). */
+  private def earClipIdx(xs: Array[Double], ys: Array[Double]): Array[Array[Int]] = {
+    val n = xs.length
+    val idx = collection.mutable.ArrayBuffer.range(0, n)
+    val tris = collection.mutable.ArrayBuffer[Array[Int]]()
+    while (idx.length > 3) {
+      var p = 0
+      var clipped = false
+      while (p < idx.length && !clipped) {
+        val i0 = idx((p + idx.length - 1) % idx.length)
+        val i1 = idx(p)
+        val i2 = idx((p + 1) % idx.length)
+        if (triArea2(xs(i0), ys(i0), xs(i1), ys(i1), xs(i2), ys(i2)) > Eps) {
+          var ok = true
+          var q = 0
+          while (q < idx.length && ok) {
+            val iv = idx(q)
+            if (iv != i0 && iv != i1 && iv != i2 &&
+                pointInTriClosed(xs(iv), ys(iv),
+                  xs(i0), ys(i0), xs(i1), ys(i1), xs(i2), ys(i2))) ok = false
+            q += 1
+          }
+          if (ok) { tris += Array(i0, i1, i2); idx.remove(p); clipped = true }
+        }
+        p += 1
+      }
+      if (!clipped) throw new IllegalStateException(
+        "st_*: ear clipping found no ear (self-intersecting or degenerate ring)")
+    }
+    tris += Array(idx(0), idx(1), idx(2))
+    tris.toArray
+  }
+
+  /** Decompose a simple polygon into convex parts: already-convex rings
+    * pass through; otherwise ear-clip, then greedily remove inessential
+    * diagonals (Hertel–Mehlhorn — at most 4× the optimal part count). */
+  def decomposeConvex(xs0: Array[Double], ys0: Array[Double])
+      : Array[(Array[Double], Array[Double])] = {
+    val (xs, ys) = ccw(xs0, ys0)
+    if (isConvexRing(xs, ys)) return Array((xs, ys))
+    var parts: Vector[Vector[Int]] = earClipIdx(xs, ys).map(_.toVector).toVector
+    def convexRing(ring: Vector[Int]): Boolean =
+      isConvexRing(ring.map(xs).toArray, ring.map(ys).toArray)
+    def sharedEdge(p: Vector[Int], q: Vector[Int]): Option[(Int, Int)] = {
+      val qEdges = q.indices.map(i => (q(i), q((i + 1) % q.size))).toSet
+      p.indices.iterator.map(i => (p(i), p((i + 1) % p.size)))
+        .find { case (u, v) => qEdges.contains((v, u)) }
+    }
+    def rotateTo(ring: Vector[Int], v: Int): Vector[Int] = {
+      val k = ring.indexOf(v); ring.drop(k) ++ ring.take(k)
+    }
+    var merged = true
+    while (merged) {
+      merged = false
+      val candidate = (for {
+        pi <- parts.indices.iterator
+        qi <- (pi + 1 until parts.size).iterator
+        (u, v) <- sharedEdge(parts(pi), parts(qi)).iterator
+        m = rotateTo(parts(pi), v) ++
+          rotateTo(parts(qi), u).drop(1).dropRight(1)
+        if convexRing(m)
+      } yield (pi, qi, m)).nextOption()
+      candidate.foreach { case (pi, qi, m) =>
+        parts = parts.zipWithIndex
+          .collect { case (r, i) if i != pi && i != qi => r } :+ m
+        merged = true
+      }
+    }
+    parts.map(r => (r.map(xs).toArray, r.map(ys).toArray)).toArray
+  }
+
+  /** Clip a convex CCW ring against ONE half-plane: keepLeft keeps the
+    * side left of the directed line (x1,y1)→(x2,y2), else the right side.
+    * Boundary points are kept on both sides (pieces may share edges —
+    * zero-area overlap, exact for area arithmetic). */
+  private def clipHalf(xs: Array[Double], ys: Array[Double], x1: Double,
+      y1: Double, x2: Double, y2: Double, keepLeft: Boolean)
+      : (Array[Double], Array[Double]) = {
+    val n = xs.length
+    val rx = collection.mutable.ArrayBuffer[Double]()
+    val ry = collection.mutable.ArrayBuffer[Double]()
+    def side(px: Double, py: Double): Double = {
+      val s = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+      if (keepLeft) s else -s
+    }
+    var i = 0
+    while (i < n) {
+      val px = xs((i + n - 1) % n); val py = ys((i + n - 1) % n)
+      val qx = xs(i); val qy = ys(i)
+      val sp = side(px, py); val sq = side(qx, qy)
+      def addInter(): Unit = {
+        val t = sp / (sp - sq)
+        rx += px + t * (qx - px); ry += py + t * (qy - py)
+      }
+      if (sq >= 0) {
+        if (sp < 0) addInter()
+        rx += qx; ry += qy
+      } else if (sp > 0) addInter() // sp == 0: the crossing IS p, already emitted
+      i += 1
+    }
+    dedupeRing(rx.toArray, ry.toArray)
+  }
+
+  /** Drop consecutive-duplicate vertices (and a last==first duplicate).
+    * Duplicates are harmless for shoelace areas but create zero-length
+    * edges, which a later half-plane clip would treat as "everything on
+    * both sides" — the double-count this guards against. */
+  private def dedupeRing(xs: Array[Double], ys: Array[Double])
+      : (Array[Double], Array[Double]) = {
+    val n = xs.length
+    if (n == 0) return (xs, ys)
+    val rx = collection.mutable.ArrayBuffer[Double]()
+    val ry = collection.mutable.ArrayBuffer[Double]()
+    var i = 0
+    while (i < n) {
+      val j = (i + n - 1) % n
+      if (i == 0 || math.abs(xs(i) - xs(j)) > Eps || math.abs(ys(i) - ys(j)) > Eps) {
+        rx += xs(i); ry += ys(i)
+      }
+      i += 1
+    }
+    // last == first wrap-around duplicate
+    if (rx.length > 1 && math.abs(rx.last - rx.head) <= Eps &&
+        math.abs(ry.last - ry.head) <= Eps) { rx.remove(rx.length - 1); ry.remove(ry.length - 1) }
+    (rx.toArray, ry.toArray)
+  }
+
+  /** Subject \ clip (both convex) as DISJOINT convex pieces: walk the
+    * clip's edges; at each, split the remaining region into the piece
+    * outside the edge (emitted) and the piece inside (carried on). */
+  def convexDiff(sx0: Array[Double], sy0: Array[Double],
+      cx0: Array[Double], cy0: Array[Double]): Array[(Array[Double], Array[Double])] = {
+    val (sx, sy) = ccw(sx0, sy0)
+    val (cx, cy) = ccw(cx0, cy0)
+    val out = collection.mutable.ArrayBuffer[(Array[Double], Array[Double])]()
+    var remX = sx; var remY = sy
+    var i = 0
+    val m = cx.length
+    while (i < m && remX.length >= 3) {
+      val x1 = cx(i); val y1 = cy(i)
+      val x2 = cx((i + 1) % m); val y2 = cy((i + 1) % m)
+      if (math.abs(x2 - x1) <= Eps && math.abs(y2 - y1) <= Eps) {
+        i += 1 // zero-length clip edge: no half-plane, skip
+      } else {
+      val (ox, oy) = clipHalf(remX, remY, x1, y1, x2, y2, keepLeft = false)
+      if (ox.length >= 3 && math.abs(signedArea2(ox, oy)) > Eps) out += ((ox, oy))
+      val (nx, ny) = clipHalf(remX, remY, x1, y1, x2, y2, keepLeft = true)
+      remX = nx; remY = ny
+      i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Union of convex parts as DISJOINT convex pieces: each part is
+    * reduced by everything already emitted (iterated convex difference),
+    * so piece areas sum to the true union area. */
+  def unionDisjoint(parts: Array[(Array[Double], Array[Double])])
+      : Array[(Array[Double], Array[Double])] = {
+    val out = collection.mutable.ArrayBuffer[(Array[Double], Array[Double])]()
+    for ((px, py) <- parts) {
+      var frags = List((px, py))
+      for ((qx, qy) <- out.toList)
+        frags = frags.flatMap { case (fx, fy) => convexDiff(fx, fy, qx, qy).toList }
+      out ++= frags.filter { case (fx, fy) =>
+        fx.length >= 3 && math.abs(signedArea2(fx, fy)) > Eps }
+    }
+    out.toArray
+  }
+
+  private def partsRow(parts: Array[(Array[Double], Array[Double])]): InternalRow =
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(parts.map(p => new GenericArrayData(p._1): Any)),
+      new GenericArrayData(parts.map(p => new GenericArrayData(p._2): Any))))
+
+  /** Intersection accepting concave operands: decompose both, clip every
+    * part pair (Sutherland–Hodgman — both sides convex), keep the
+    * positive-area pieces. Pieces of disjoint parts are disjoint. */
+  def concaveClipRow(ax: ArrayData, ay: ArrayData, bx: ArrayData, by: ArrayData): InternalRow = {
+    val pa = decomposeConvex(toArr(ax), toArr(ay))
+    val pb = decomposeConvex(toArr(bx), toArr(by))
+    val parts = for {
+      (sxp, syp) <- pa
+      (cxp, cyp) <- pb
+      (rx, ry) = clip(sxp, syp, cxp, cyp)
+      if rx.length >= 3 && math.abs(signedArea2(rx, ry)) > Eps
+    } yield (rx, ry)
+    partsRow(parts)
+  }
+
+  /** Union accepting concave operands: decompose both and disjointify. */
+  def concaveUnionRow(ax: ArrayData, ay: ArrayData, bx: ArrayData, by: ArrayData): InternalRow =
+    partsRow(unionDisjoint(
+      decomposeConvex(toArr(ax), toArr(ay)) ++ decomposeConvex(toArr(bx), toArr(by))))
+
+  /** Buffer accepting concave polygons: Minkowski sums distribute over
+    * union, so the buffer is the disjointified union of the parts' exact
+    * convex Minkowski 32-gon sums. */
+  def concaveBufferRow(xs: ArrayData, ys: ArrayData, r: Double): InternalRow =
+    partsRow(unionDisjoint(
+      decomposeConvex(toArr(xs), toArr(ys)).map { case (px, py) => minkowski32(px, py, r) }))
+
   // ---- column-level API ----------------------------------------------------
 
   import org.apache.spark.sql.GraftBridge
@@ -325,6 +575,15 @@ object PolyClip {
   def st_buffer_ring(xs: Column, ys: Column, r: Column, line: Boolean): Column =
     GraftBridge.column(PolyBuffer(GraftBridge.expression(xs), GraftBridge.expression(ys),
       GraftBridge.expression(r), line))
+  def st_intersection_parts(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    GraftBridge.column(ConcaveClip(GraftBridge.expression(ax), GraftBridge.expression(ay),
+      GraftBridge.expression(bx), GraftBridge.expression(by)))
+  def st_union_parts(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    GraftBridge.column(ConcaveUnion(GraftBridge.expression(ax), GraftBridge.expression(ay),
+      GraftBridge.expression(bx), GraftBridge.expression(by)))
+  def st_buffer_parts(xs: Column, ys: Column, r: Column): Column =
+    GraftBridge.column(ConcaveBuffer(GraftBridge.expression(xs), GraftBridge.expression(ys),
+      GraftBridge.expression(r)))
 }
 
 /** Sutherland–Hodgman intersection: (subject xs, ys, convex clip xs, ys) →
@@ -365,6 +624,66 @@ case class PolyUnion(first: Expression, second: Expression,
       s"${ev.value} = graft.functions.PolyClip.unionRow($a, $b, $c, $d);")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
+/** Concave-accepting intersection: decompose-and-clip → disjoint parts. */
+case class ConcaveClip(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType.isInstanceOf[ArrayType])) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_intersection_parts expects four array<double>")
+  override def dataType: DataType = PolyClip.partsSchema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_intersection_parts"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PolyClip.concaveClipRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.PolyClip.concaveClipRow($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
+/** Concave-accepting union: decompose both sides, disjointify. */
+case class ConcaveUnion(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType.isInstanceOf[ArrayType])) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_union_parts expects four array<double>")
+  override def dataType: DataType = PolyClip.partsSchema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_union_parts"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PolyClip.concaveUnionRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.PolyClip.concaveUnionRow($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
+/** Concave-accepting polygon buffer: per-part Minkowski sums, disjointified. */
+case class ConcaveBuffer(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (_: ArrayType, _: ArrayType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "st_buffer_parts expects (array<double>, array<double>, double)")
+    }
+  override def dataType: DataType = PolyClip.partsSchema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_buffer_parts"
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    PolyClip.concaveBufferRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.PolyClip.concaveBufferRow($a, $b, $c);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(f, s, t)
 }
 
 /** Buffer: line=true strokes segments into capsules; line=false is the

@@ -457,6 +457,40 @@ object Geo {
       element_at(b.getField("pys"), 1).as("ys"))
   }
 
+  /** ST_Intersection accepting SIMPLE CONCAVE polygons (either side):
+    * ear-clip + Hertel–Mehlhorn convex decomposition, Sutherland–Hodgman
+    * per part pair; the result's parts are DISJOINT, so [[stAreaMulti]]
+    * is the exact intersection area. */
+  def stIntersectionConcave(a: Column, b: Column): Column = {
+    val r = graft.functions.PolyClip.st_intersection_parts(
+      a.getField("xs"), a.getField("ys"), b.getField("xs"), b.getField("ys"))
+    struct(lit("MULTIPOLYGON").as("kind"),
+      zip_with(r.getField("pxs"), r.getField("pys"),
+        (x, y) => struct(x.as("xs"), y.as("ys"))).as("parts"))
+  }
+
+  /** ST_Union accepting SIMPLE CONCAVE polygons: both sides decomposed,
+    * then disjointified by iterated convex difference — part areas sum
+    * to the exact union area (no inclusion-exclusion residue). */
+  def stUnionConcave(a: Column, b: Column): Column = {
+    val r = graft.functions.PolyClip.st_union_parts(
+      a.getField("xs"), a.getField("ys"), b.getField("xs"), b.getField("ys"))
+    struct(lit("MULTIPOLYGON").as("kind"),
+      zip_with(r.getField("pxs"), r.getField("pys"),
+        (x, y) => struct(x.as("xs"), y.as("ys"))).as("parts"))
+  }
+
+  /** ST_Buffer accepting a SIMPLE CONCAVE polygon: Minkowski sums
+    * distribute over union, so the buffer is the disjointified union of
+    * each convex part's exact 32-gon Minkowski sum. */
+  def stBufferConcave(poly: Column, r: Column): Column = {
+    val b = graft.functions.PolyClip.st_buffer_parts(
+      poly.getField("xs"), poly.getField("ys"), r.cast("double"))
+    struct(lit("MULTIPOLYGON").as("kind"),
+      zip_with(b.getField("pxs"), b.getField("pys"),
+        (x, y) => struct(x.as("xs"), y.as("ys"))).as("parts"))
+  }
+
   /** OGC SFS type code (reference: GeoFunctions.Type enum). */
   def stGeometryTypeCode(g: Column): Column =
     when(g.getField("kind") === "POINT", 1)
@@ -874,6 +908,80 @@ object Geo {
         stContains(buf, stPoint(lit(0.0), lit(0.0))).as("contains_corner"),
         stIntersects(buf, stPoint(col("w") + 2, lit(-2.0))).as("intersects_far"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // Concave lift (r8 verdict #4): an L-shaped (reflex-corner) operand
+    // through ST_Intersection / ST_Union / ST_Buffer. The engine
+    // ear-clips + Hertel–Mehlhorn-merges the L into convex parts and runs
+    // the convex kernels per part, keeping every result as DISJOINT
+    // pieces — so part areas SUM exactly, and the oracle is pure
+    // inclusion-exclusion arithmetic over axis-aligned rectangles:
+    //   inter  = overlap(B, bbox) − overlap(B, notch)   (closed form)
+    //   union  = area(L) + area(B) − inter              (closed form)
+    //   buffer = |buf(L)| vs |buf(R1)|+|buf(R2)|−|buf(R1)∩buf(R2)|
+    //            (Minkowski distributes over union; the two convex buffer
+    //            areas are closed-form, the overlap runs through the
+    //            already-oracled convex clip kernel) — pinned as a 1e-9
+    //            boolean, the geo_buffer_poly contract style.
+    // notch_parts = 0 is the concavity witness: the probe rectangle sits
+    // inside L's envelope but wholly in the notch — a convex-hull
+    // approximation would return a nonempty intersection.
+    QDef.sql("geo_concave",
+      """SELECT n_nationkey,
+        |  round(ia, 6) AS inter_area,
+        |  round(w * cy + cx * (h - cy) + 9.0 - ia, 6) AS union_area,
+        |  0 AS notch_parts, TRUE AS buf_ie_ok
+        |FROM (
+        |  SELECT n_nationkey, w, h, cx, cy,
+        |    greatest(least(w, bx0 + 3) - greatest(0.0, bx0), 0)
+        |      * greatest(least(h, by0 + 3) - greatest(0.0, by0), 0)
+        |    - greatest(least(w, bx0 + 3) - greatest(cx, bx0), 0)
+        |      * greatest(least(h, by0 + 3) - greatest(cy, by0), 0) AS ia
+        |  FROM (
+        |    SELECT n_nationkey,
+        |      CAST(4 + n_nationkey % 3 AS DOUBLE) AS w,
+        |      CAST(4 + n_nationkey % 2 AS DOUBLE) AS h,
+        |      CAST(1 + n_nationkey % 2 AS DOUBLE) AS cx,
+        |      CAST(1 + (n_nationkey * 2) % 3 AS DOUBLE) AS cy,
+        |      CAST(n_nationkey * 5 % 7 AS DOUBLE) / 2 - 0.75 AS bx0,
+        |      CAST(n_nationkey * 3 % 5 AS DOUBLE) / 2 - 0.75 AS by0
+        |    FROM nation))
+        |ORDER BY n_nationkey""") { (s, dir) =>
+      val key = col("n_nationkey")
+      val base = t(s, dir, "nation").select(key,
+        (key % 3 + 4).cast("double").as("w"),
+        (key % 2 + 4).cast("double").as("h"),
+        (key % 2 + 1).cast("double").as("cx"),
+        ((key * 2) % 3 + 1).cast("double").as("cy"),
+        ((key * 5 % 7).cast("double") / 2 - 0.75).as("bx0"),
+        ((key * 3 % 5).cast("double") / 2 - 0.75).as("by0"))
+      val zero = lit(0.0)
+      def rect(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+        struct(lit("POLYGON").as("kind"),
+          array(x0, x1, x1, x0).as("xs"), array(y0, y0, y1, y1).as("ys"))
+      // CCW L-shape: [0,w]×[0,h] minus the top-right notch [cx,w]×[cy,h]
+      val L = struct(lit("POLYGON").as("kind"),
+        array(zero, col("w"), col("w"), col("cx"), col("cx"), zero).as("xs"),
+        array(zero, zero, col("cy"), col("cy"), col("h"), col("h")).as("ys"))
+      val B = rect(col("bx0"), col("by0"), col("bx0") + 3, col("by0") + 3)
+      val probe = rect(col("cx") + 0.25, col("cy") + 0.25,
+        col("w") - 0.25, col("h") - 0.25)
+      val r = 0.5
+      val ring = lit(16.0 * r * r * math.sin(math.Pi / 16))
+      val a1c = col("w") * col("cy") + lit(2 * r) * (col("w") + col("cy")) + ring
+      val a2c = col("cx") * (col("h") - col("cy")) +
+        lit(2 * r) * (col("cx") + col("h") - col("cy")) + ring
+      val bufOverlap = stArea(stIntersectionPoly(
+        stBufferPolygon(rect(zero, zero, col("w"), col("cy")), lit(r)),
+        stBufferPolygon(rect(zero, col("cy"), col("cx"), col("h")), lit(r))))
+      base
+        .withColumn("buf_area", stAreaMulti(stBufferConcave(L, lit(r))))
+        .select(key,
+          round(stAreaMulti(stIntersectionConcave(L, B)), 6).as("inter_area"),
+          round(stAreaMulti(stUnionConcave(L, B)), 6).as("union_area"),
+          stNumGeometries(stIntersectionConcave(L, probe)).as("notch_parts"),
+          (abs(col("buf_area") - (a1c + a2c - bufOverlap)) < 1e-9).as("buf_ie_ok"))
+        .orderBy(key)
     }
   )
 }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.PolyClip
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concave-lift kernels (r8 verdict #4): ear-clipping + Hertel–Mehlhorn
+  * decomposition, iterated convex difference, disjoint union — the
+  * exactness discipline is that piece areas SUM to the true area, pinned
+  * here against shoelace/inclusion-exclusion closed forms. */
+class GeoConcaveSpec extends AnyFunSuite {
+
+  private def area(p: (Array[Double], Array[Double])): Double = {
+    val (px, py) = p; var s = 0.0
+    for (i <- px.indices) { val j = (i + 1) % px.length; s += px(i) * py(j) - px(j) * py(i) }
+    s / 2
+  }
+  private def shoelace(xs: Array[Double], ys: Array[Double]): Double =
+    math.abs(area((xs, ys)))
+
+  // L = [0,w]×[0,h] minus the top-right notch [cx,w]×[cy,h]
+  private def lShape(w: Double, h: Double, cx: Double, cy: Double) =
+    (Array(0.0, w, w, cx, cx, 0), Array(0.0, 0, cy, cy, h, h))
+
+  test("decomposition: convex parts, positive CCW areas, exact cover") {
+    for ((w, h, cx, cy) <- Seq((4.0, 4.0, 1.0, 1.0), (6.0, 4.0, 1.0, 2.0),
+        (4.0, 5.0, 2.0, 1.0), (5.0, 4.0, 1.0, 3.0), (6.0, 5.0, 2.0, 2.0))) {
+      val (xs, ys) = lShape(w, h, cx, cy)
+      val parts = PolyClip.decomposeConvex(xs, ys)
+      assert(parts.forall { case (px, py) => PolyClip.isConvexRing(px, py) })
+      assert(parts.forall(p => area(p) > 0), "parts must be CCW positive-area")
+      val want = w * cy + cx * (h - cy)
+      assert(math.abs(parts.map(area).sum - want) < 1e-9)
+      // no part may reach into the notch
+      val notchCx = (cx + w) / 2; val notchCy = (cy + h) / 2
+      assert(!parts.exists { case (px, py) => PolyClip.pointIn(px, py, notchCx, notchCy) })
+    }
+  }
+
+  test("regression: reflex vertex ON the candidate ear diagonal (w=h, cx+cy spans)") {
+    // L(5,5,2,3): the notch corner (2,3) lies exactly on the bbox diagonal
+    // x+y=5 — a strict-interior ear test admits a diagonal that exits
+    // through the notch and the 'decomposition' degenerates into signed
+    // cancellation (r9 bug, caught by geo_concave rows 1/7/13/19)
+    val (xs, ys) = lShape(5, 5, 2, 3)
+    val parts = PolyClip.decomposeConvex(xs, ys)
+    assert(parts.forall(p => area(p) > 0))
+    assert(math.abs(parts.map(area).sum - 19.0) < 1e-9)
+    assert(!parts.exists { case (px, py) => PolyClip.pointIn(px, py, 4.0, 4.5) })
+  }
+
+  test("convexDiff: disjoint pieces, exact difference area") {
+    val s = (Array(0.0, 2, 2, 0), Array(0.0, 0, 2, 2))
+    val c = (Array(1.0, 3, 3, 1), Array(1.0, 1, 3, 3))
+    val d = PolyClip.convexDiff(s._1, s._2, c._1, c._2)
+    assert(math.abs(d.map(area).sum - 3.0) < 1e-12)
+    // disjoint clip → whole subject back; containment → empty
+    val far = (Array(10.0, 11, 11, 10), Array(0.0, 0, 1, 1))
+    assert(math.abs(PolyClip.convexDiff(s._1, s._2, far._1, far._2).map(area).sum - 4.0) < 1e-12)
+    val big = (Array(-1.0, 5, 5, -1), Array(-1.0, -1, 5, 5))
+    assert(PolyClip.convexDiff(s._1, s._2, big._1, big._2).isEmpty)
+  }
+
+  test("regression: duplicate ring vertices must not double-count in unionDisjoint") {
+    // a ring with a repeated vertex has a zero-length edge; treating it
+    // as a half-plane keeps everything on 'both sides' and convexDiff
+    // emits the whole region twice (r9 bug: +2.8125 on every union row)
+    val dup = (Array(0.0, 2, 2, 2, 0), Array(0.0, 0, 0, 2, 2)) // (2,0) twice
+    val other = (Array(1.0, 3, 3, 1), Array(1.0, 1, 3, 3))
+    val u = PolyClip.unionDisjoint(Array(dup, other))
+    assert(math.abs(u.map(area).sum - 7.0) < 1e-12)
+  }
+
+  test("non-axis-aligned dart: intersection + union satisfy inclusion-exclusion") {
+    // dart with reflex vertex (4,2): area = shoelace
+    val dart = (Array(0.0, 4, 8, 4), Array(0.0, 2, 0, 6))
+    val dartArea = shoelace(dart._1, dart._2)
+    val box = (Array(2.25, 6.25, 6.25, 2.25), Array(0.75, 0.75, 3.75, 3.75))
+    val boxArea = 4.0 * 3.0
+    val parts = PolyClip.decomposeConvex(dart._1, dart._2)
+    assert(math.abs(parts.map(area).sum - dartArea) < 1e-9)
+    val inter = parts.flatMap { case (px, py) =>
+      val r = PolyClip.clip(px, py, box._1, box._2)
+      if (r._1.length >= 3) Some(math.abs(area(r))) else None
+    }.sum
+    val union = PolyClip.unionDisjoint(parts :+ box).map(area).sum
+    assert(math.abs(union - (dartArea + boxArea - inter)) < 1e-9)
+    assert(inter > 0 && inter < boxArea)
+  }
+
+  test("concave buffer: Minkowski distributes over the decomposition") {
+    // buffer(L) as disjoint pieces must equal the two-rectangle
+    // inclusion-exclusion: |buf(R1)| + |buf(R2)| − |buf(R1) ∩ buf(R2)|,
+    // with the convex buffer areas closed-form (w·h + 2r(w+h) + 32-gon)
+    val r = 0.5
+    val ring32 = 16.0 * r * r * math.sin(math.Pi / 16)
+    for ((w, h, cx, cy) <- Seq((4.0, 4.0, 1.0, 1.0), (5.0, 5.0, 2.0, 3.0))) {
+      val (xs, ys) = lShape(w, h, cx, cy)
+      val bufParts = PolyClip.decomposeConvex(xs, ys)
+        .map { case (px, py) => PolyClip.minkowski32(px, py, r) }
+      val bufArea = PolyClip.unionDisjoint(bufParts).map(area).sum
+      val a1 = w * cy + 2 * r * (w + cy) + ring32
+      val a2 = cx * (h - cy) + 2 * r * (cx + h - cy) + ring32
+      val b1 = PolyClip.minkowski32(Array(0.0, w, w, 0), Array(0.0, 0, cy, cy), r)
+      val b2 = PolyClip.minkowski32(Array(0.0, cx, cx, 0), Array(cy, cy, h, h), r)
+      val overlap = math.abs(area(PolyClip.clip(b1._1, b1._2, b2._1, b2._2)))
+      assert(math.abs(bufArea - (a1 + a2 - overlap)) < 1e-9,
+        s"L($w,$h,$cx,$cy): $bufArea vs ${a1 + a2 - overlap}")
+    }
+  }
+}

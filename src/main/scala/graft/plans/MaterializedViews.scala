@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, Or, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -156,16 +156,29 @@ object MaterializedViews {
     case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) => c
   }
 
-  /** Try to answer `q` by re-aggregating a registered aggregate tile. */
+  /** Try to answer `q` by re-aggregating a registered aggregate tile.
+    *
+    * COMPOSED with filter residual (the reference's SubstitutionVisitor
+    * composes unify rules in one pass, SubstitutionVisitor.java:120): the
+    * query child and MV child may carry DIFFERENT filters, as long as the
+    * MV's conjuncts are each present in or implied by the query's
+    * (disjunctive splitting included) and the residual conjuncts are
+    * expressible over the tile's GROUPING columns — a residual over
+    * grouping expressions is constant within each tile group, so filtering
+    * tile rows before re-aggregation is exact. */
   private def rollup(spark: SparkSession, q: Aggregate): Option[LogicalPlan] =
     registry.iterator.filterNot(_.stale).flatMap { entry =>
       entry.optimized match {
-        case Aggregate(_, am, childM, _)
-            if stripPrune(q.child).canonicalized == stripPrune(childM).canonicalized =>
+        case Aggregate(_, am, childM, _) =>
+          def peel(p: LogicalPlan): (Seq[Expression], LogicalPlan) = p match {
+            case Filter(c, ch) => (Conjuncts.split(c), ch)
+            case other => (Seq.empty, other)
+          }
+          val (qConj, baseQ) = peel(stripPrune(q.child))
+          val (mConj, baseM) = peel(stripPrune(childM))
+          if (baseQ.canonicalized != baseM.canonicalized) None else {
           val scan = spark.read.parquet(entry.path).queryExecution.analyzed
           val tile = scan.output // positionally matches the MV output `am`
-          val baseQ = stripPrune(q.child)
-          val baseM = stripPrune(childM)
           def cq(e: Expression) = canonExpr(e, baseQ)
           def cm(e: Expression) = canonExpr(e, baseM)
           // MV output index by canonical grouping expression / agg call
@@ -237,11 +250,47 @@ object MaterializedViews {
             }
           }
 
+          // predicate coverage: every MV conjunct must appear in (or be
+          // implied by) the query's conjuncts — else the tile is missing
+          // rows the query needs
+          val mCanon = mConj.map(cm)
+          val qCanonConj = qConj.map(cq)
+          val covered = mCanon.forall(mc =>
+            qCanonConj.contains(mc) ||
+              qCanonConj.exists(qc => impliesPred(qc, mc)))
+          val hasSubquery = qConj.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+
+          // map a residual conjunct onto tile columns: replace maximal
+          // subtrees matching an MV grouping expression with the tile
+          // attribute; any surviving base attribute means the predicate
+          // needs finer-than-tile data — not answerable
+          def mapPredicate(c: Expression): Option[Expression] = {
+            def rec(e: Expression): Option[Expression] =
+              mGroup.get(cq(e)).map(i => tile(i): Expression).orElse(e match {
+                case _: Attribute => None
+                case _ if e.children.isEmpty => Some(e)
+                case _ =>
+                  val kids = e.children.map(rec)
+                  if (kids.forall(_.isDefined)) Some(e.withNewChildren(kids.map(_.get)))
+                  else None
+              })
+            rec(c)
+          }
+          val residual = qConj.zip(qCanonConj).collect {
+            case (c, canon) if !mCanon.contains(canon) => mapPredicate(c)
+          }
+
           val groups = q.groupingExpressions.map(g => mGroup.get(cq(g)))
           val outs = q.aggregateExpressions.map(mapOutput)
-          if (groups.forall(_.isDefined) && outs.forall(_.isDefined))
-            Some(Aggregate(groups.map(i => tile(i.get)), outs.map(_.get), scan))
-          else None
+          if (!hasSubquery && covered && residual.forall(_.isDefined) &&
+              groups.forall(_.isDefined) && outs.forall(_.isDefined)) {
+            val child: LogicalPlan =
+              if (residual.isEmpty) scan
+              else Filter(residual.map(_.get).reduce(And), scan)
+            Some(Aggregate(groups.map(i => tile(i.get)), outs.map(_.get), child))
+          } else None
+          }
         case _ => None
       }
     }.nextOption()
@@ -300,6 +349,22 @@ object MaterializedViews {
         }
       case _ => false
     }
+  private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
+    case Or(a, b) => splitDisjuncts(a) ++ splitDisjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** q ⇒ m with DISJUNCTIVE splitting (the reference SubstitutionVisitor's
+    * splitFilter over OR forms): every disjunct of q must imply some
+    * disjunct of m — so `x < 5 OR x = 7` is answerable from a tile
+    * filtered to `x < 10 OR x = 7`. Sound because each q-disjunct lands
+    * inside one m-disjunct, hence inside m; the full q conjunct stays in
+    * the residual. */
+  private def impliesPred(q: Expression, m: Expression): Boolean = {
+    val md = splitDisjuncts(m)
+    splitDisjuncts(q).forall(dq => md.exists(dm => dq == dm || implies(dq, dm)))
+  }
+
   private def filterResidual(spark: SparkSession, f: Filter): Option[LogicalPlan] =
     registry.iterator.filterNot(_.stale).flatMap { entry =>
       entry.optimized match {
@@ -319,7 +384,7 @@ object MaterializedViews {
           // x > 15 is answerable from a tile filtered to x > 10). Implied-
           // but-not-equal conjuncts stay in the residual via qConj \ mSet.
           val covered = mSet.forall(mc =>
-            qCanon.contains(mc) || qCanon.exists(qc => implies(qc, mc)))
+            qCanon.contains(mc) || qCanon.exists(qc => impliesPred(qc, mc)))
           if (hasSubquery || !covered) None
           else {
             val scan = spark.read.parquet(entry.path).queryExecution.analyzed

@@ -152,6 +152,88 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedViews.drop("mv_rng")
   }
 
+  test("disjunctive splitting: x<5 OR x=7 answered from the x<10 OR x=7 tile (r8 #7)") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    def mvDef() = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") < 10 || col("l_quantity") === 17)
+    def q() = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") < 5 || col("l_quantity") === 17)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+    val want = q().collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    MaterializedViews.create(spark, "mv_or", mvDef(), "/tmp/graft_mv/or_tile")
+    val physical = q().queryExecution.executedPlan.toString
+    assert(physical.contains("or_tile"), s"tile not scanned:\n$physical")
+    assert(!physical.contains("lineitem.parquet"), s"fact still scanned:\n$physical")
+    assert(q().collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet == want)
+    // a query disjunct OUTSIDE the tile's OR (x=30 ∉ x<10 ∨ x=17) must NOT unify
+    val miss = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") < 5 || col("l_quantity") === 30)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+    assert(!miss.queryExecution.executedPlan.toString.contains("or_tile"),
+      "uncovered disjunct must keep the fact scan")
+    MaterializedViews.drop("mv_or")
+  }
+
+  test("rollup COMPOSED with filter residual: filtered coarser query over unfiltered tile (r8 #7)") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    def mvDef() = Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("sum_qty_raw"),
+        count(lit(1)).as("cnt"))
+    // the query filters on a GROUPING column and rolls up to a coarser key:
+    // the reference's SubstitutionVisitor composes FilterToFilter with
+    // AggregateToAggregate in one unification; previously this shape fell
+    // back to the fact scan because the aggregate children differ by the
+    // Filter node
+    def q() = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_returnflag") =!= "R")
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+    val want = q().collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    MaterializedViews.create(spark, "mv_rf", mvDef(), "/tmp/graft_mv/rf_tile")
+    val physical = q().queryExecution.executedPlan.toString
+    assert(physical.contains("rf_tile"), s"tile not scanned:\n$physical")
+    assert(!physical.contains("lineitem.parquet"), s"fact still scanned:\n$physical")
+    assert(q().collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet == want)
+    // a filter on a NON-grouping column needs finer-than-tile data
+    val miss = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_discount") > 0.05)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    assert(!miss.queryExecution.executedPlan.toString.contains("rf_tile"),
+      "non-grouping residual must keep the fact scan")
+    MaterializedViews.drop("mv_rf")
+  }
+
+  test("rollup over a FILTERED tile: query filter implies the tile filter (r8 #7)") {
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    // tile: per-(flag,status) aggregates over quantity > 10 rows only
+    def mvDef() = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+    // wrong: query over quantity > 5 includes rows the tile lacks
+    def tooWide() = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") > 5)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    // right: the exact same predicate rolls up fine
+    def samePred() = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val wantSame = samePred().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    MaterializedViews.create(spark, "mv_ft", mvDef(), "/tmp/graft_mv/ft_tile")
+    assert(!tooWide().queryExecution.executedPlan.toString.contains("ft_tile"),
+      "tile filtered narrower than the query must not answer it")
+    val physical = samePred().queryExecution.executedPlan.toString
+    assert(physical.contains("ft_tile"), s"tile not scanned:\n$physical")
+    assert(samePred().collect().map(r => (r.getString(0), r.getLong(1))).toSet == wantSame)
+    MaterializedViews.drop("mv_ft")
+  }
+
   test("rollup of COUNT over an empty tile yields 0, not null (global agg)") {
     MaterializedViews.clear()
     MaterializedViews.install(spark)

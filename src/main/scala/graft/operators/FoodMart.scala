@@ -494,6 +494,208 @@ object FoodMart {
         |WHERE r_name = 'EUROPE' AND l_returnflag = 'R'
         |  AND EXTRACT(YEAR FROM o_orderdate) = 1996
         |ORDER BY l_orderkey, l_linenumber
-        |LIMIT 50""")
+        |LIMIT 50"""),
+
+    // ---- tranche 4 (r8 verdict #2): named-set algebra, Descendants,
+    // ---- ParallelPeriod across hierarchy edges, correlated ranks -------
+
+    // Shape #35: named-set UNION — two named sets of product members
+    // ([High Volume] by a fact screen, [Premium] by an attribute screen)
+    // unioned into one set, measures over the combined membership (MDX
+    // Union(set1, set2) named-set algebra; FoodMartQuerySet's named-set
+    // queries). The member screens are one fact aggregate + one dimension
+    // scan; the membership probe is a semi-join.
+    QDef.common("foodmart_namedset_union",
+      """WITH high_volume AS (
+        |  SELECT l_partkey AS pk FROM lineitem GROUP BY l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 900),
+        |premium AS (
+        |  SELECT p_partkey AS pk FROM part WHERE p_retailprice > 990),
+        |named_set AS (SELECT pk FROM high_volume UNION SELECT pk FROM premium)
+        |SELECT p_brand AS c0, COUNT(*) AS m0,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_partkey IN (SELECT pk FROM named_set)
+        |GROUP BY p_brand"""),
+
+    // Shape #36: named-set EXCEPT — [High Volume] minus [Premium]
+    // (MDX Except(set1, set2)): high-turnover products that are NOT
+    // premium-priced.
+    QDef.common("foodmart_namedset_except",
+      """WITH high_volume AS (
+        |  SELECT l_partkey AS pk FROM lineitem GROUP BY l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 900),
+        |premium AS (
+        |  SELECT p_partkey AS pk FROM part WHERE p_retailprice > 990),
+        |named_set AS (SELECT pk FROM high_volume EXCEPT SELECT pk FROM premium)
+        |SELECT p_type AS c0, COUNT(*) AS m0,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_partkey IN (SELECT pk FROM named_set)
+        |GROUP BY p_type"""),
+
+    // Shape #37: named-set INTERSECT — members in BOTH screens (MDX
+    // Intersect(set1, set2)); the 44-member set at sf0.01 keeps the probe
+    // side broadcastable at any scale (membership shrinks as screens
+    // tighten).
+    QDef.common("foodmart_namedset_intersect",
+      """WITH high_volume AS (
+        |  SELECT l_partkey AS pk FROM lineitem GROUP BY l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 900),
+        |premium AS (
+        |  SELECT p_partkey AS pk FROM part WHERE p_retailprice > 990),
+        |named_set AS (SELECT pk FROM high_volume INTERSECT SELECT pk FROM premium)
+        |SELECT p_brand AS c0, COUNT(*) AS m0,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_partkey IN (SELECT pk FROM named_set)
+        |GROUP BY p_brand"""),
+
+    // Shape #38: Generate(region set, TopCount(nations, 1)) — for every
+    // region, its top nation by revenue becomes a member of the generated
+    // set; measures then roll up over exactly those members (the MDX
+    // Generate named-set builder). Deterministic: rank ties break on name.
+    QDef.common("foodmart_namedset_generate",
+      """WITH per_nation AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |generated AS (
+        |  SELECT r_name, n_name FROM (
+        |    SELECT r_name, n_name,
+        |      RANK() OVER (PARTITION BY r_name ORDER BY m DESC, n_name) AS rk
+        |    FROM per_nation) t WHERE rk = 1)
+        |SELECT g.r_name AS c0, g.n_name AS c1,
+        |  COUNT(DISTINCT o_custkey) AS m0,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN generated g ON nation.n_name = g.n_name
+        |GROUP BY g.r_name, g.n_name"""),
+
+    // Shape #39: Descendants([Geography].[EUROPE], [Nation]) — all
+    // members one level below a named member, with measures (MDX
+    // Descendants at an explicit depth).
+    QDef.common("foodmart_descendants_depth",
+      """SELECT r_name AS c0, n_name AS c1,
+        |  COUNT(*) AS m0,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY r_name, n_name"""),
+
+    // Shape #40: Descendants(..., , LEAVES) — the leaf members under a
+    // named ancestor (suppliers under EUROPE), detail attributes carried,
+    // deterministic unique order + fetch (the leaf set is large; MDX
+    // clients always page it).
+    QDef.common("foodmart_descendants_leaves",
+      """SELECT n_name AS c0, s_suppkey AS c1,
+        |  CAST(s_acctbal AS DOUBLE) AS m0
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |ORDER BY n_name, s_suppkey
+        |LIMIT 40"""),
+
+    // Shape #41: ParallelPeriod([Time].[Quarter], 1) ACROSS the year
+    // edge — Q1's parallel period is the PREVIOUS YEAR's Q4, which the
+    // CASE-split form (foodmart_parallel_period) cannot express; a lag
+    // over the composite (year, quarter) order walks the hierarchy edge.
+    QDef.common("foodmart_parallel_period_quarter_edge",
+      """WITH q AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |    CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, q, CAST(m AS DOUBLE) AS cur,
+        |  CAST(LAG(m) OVER (ORDER BY y, q) AS DOUBLE) AS prior_period
+        |FROM q"""),
+
+    // Shape #42: ParallelPeriod([Time].[Year], 1) at MONTH grain — the
+    // same month one year back (lag along the month's own series, the
+    // other hierarchy-edge traversal: partition by the child level, step
+    // the parent level).
+    QDef.common("foodmart_parallel_period_month_year",
+      """WITH m AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, mo, n, CAST(rev AS DOUBLE) AS cur,
+        |  CAST(LAG(rev) OVER (PARTITION BY mo ORDER BY y) AS DOUBLE)
+        |    AS same_month_prior_year
+        |FROM m"""),
+
+    // Shape #43: growth vs the parallel period — the calculated member
+    // (cur - prior) / prior with the standard first-period NULL and a
+    // NULLIF division guard; operands stay decimal-exact until one final
+    // double division.
+    QDef.common("foodmart_period_growth_pct",
+      """WITH q AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |    CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, q, CAST(m AS DOUBLE) AS cur,
+        |  CAST(m - LAG(m) OVER (ORDER BY y, q) AS DOUBLE)
+        |    / NULLIF(CAST(LAG(m) OVER (ORDER BY y, q) AS DOUBLE), 0.0)
+        |    AS growth
+        |FROM q"""),
+
+    // Shape #44: correlated rank across TWO hierarchies — each
+    // (region, priority) cell ranked within its region (geography
+    // hierarchy) AND within its priority (order hierarchy); MDX RANK over
+    // two axes of one tuple (FoodMartQuerySet's correlated-rank family).
+    QDef.common("foodmart_corr_rank",
+      """WITH cell AS (
+        |  SELECT r_name, o_orderpriority AS pri,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, o_orderpriority)
+        |SELECT r_name AS c0, pri AS c1, CAST(m AS DOUBLE) AS m0,
+        |  RANK() OVER (PARTITION BY r_name ORDER BY m DESC, pri) AS rk_in_region,
+        |  RANK() OVER (PARTITION BY pri ORDER BY m DESC, r_name) AS rk_in_priority
+        |FROM cell"""),
+
+    // Shape #45: member rank vs parent rank — a nation's rank inside its
+    // region, the same nation's global rank, and the region's own rank,
+    // side by side (the MDX Rank(member, set) correlated against
+    // Rank(member.Parent, parents)).
+    QDef.common("foodmart_rank_vs_parent_rank",
+      """WITH nat AS (
+        |  SELECT r_name, n_name, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS m
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |reg AS (
+        |  SELECT r_name, RANK() OVER (ORDER BY SUM(m) DESC, r_name) AS rk_region
+        |  FROM nat GROUP BY r_name)
+        |SELECT n.r_name AS c0, n.n_name AS c1,
+        |  RANK() OVER (PARTITION BY n.r_name ORDER BY n.m DESC, n.n_name)
+        |    AS rk_in_region,
+        |  RANK() OVER (ORDER BY n.m DESC, n.n_name) AS rk_global,
+        |  r.rk_region
+        |FROM nat n JOIN reg r ON n.r_name = r.r_name"""),
+
+    // Shape #46: Hierarchize — parents emitted above their children in
+    // one result (region subtotal rows + nation child rows), the MDX
+    // Hierarchize(set) axis order realized as GROUPING SETS with a level
+    // indicator.
+    QDef.common("foodmart_hierarchize",
+      """SELECT r_name AS c0, n_name AS c1,
+        |  CAST(GROUPING(n_name) AS INT) AS lvl,
+        |  COUNT(*) AS m0,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (r_name, n_name))""")
   )
 }

@@ -27,7 +27,12 @@ class TpchCycleSpec extends AnyFunSuite {
     "agg_cube", "agg_distinct_filter", "agg_group_id", "agg_grouping_fn",
     "agg_grouping_sets", "agg_rollup", "agg_tpch_q1", "fn_extract_time",
     "foodmart_allmembers_crossjoin", "foodmart_banding",
-    "foodmart_bottomcount", "foodmart_distinct_customers",
+    "foodmart_bottomcount", "foodmart_corr_rank",
+    "foodmart_descendants_depth", "foodmart_descendants_leaves",
+    "foodmart_distinct_customers",
+    "foodmart_hierarchize", "foodmart_namedset_except",
+    "foodmart_namedset_generate", "foodmart_namedset_intersect",
+    "foodmart_namedset_union", "foodmart_rank_vs_parent_rank",
     "foodmart_drilldown", "foodmart_filter_count", "foodmart_having",
     "foodmart_in_list", "foodmart_member_rank", "foodmart_members_vs_other",
     "foodmart_multi_distinct", "foodmart_multi_hierarchy_geo",

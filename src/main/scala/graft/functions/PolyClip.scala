@@ -393,7 +393,13 @@ object PolyClip {
       : Array[(Array[Double], Array[Double])] = {
     val (xs, ys) = ccw(xs0, ys0)
     if (isConvexRing(xs, ys)) return Array((xs, ys))
-    var parts: Vector[Vector[Int]] = earClipIdx(xs, ys).map(_.toVector).toVector
+    // drop zero-area triangles: collinear input vertices can leave a
+    // degenerate final triple once the real area is covered; it covers
+    // nothing, and a zero-length edge would corrupt later half-plane math
+    var parts: Vector[Vector[Int]] = earClipIdx(xs, ys).iterator
+      .filter(t => math.abs(triArea2(xs(t(0)), ys(t(0)), xs(t(1)), ys(t(1)),
+        xs(t(2)), ys(t(2)))) > Eps)
+      .map(_.toVector).toVector
     def convexRing(ring: Vector[Int]): Boolean =
       isConvexRing(ring.map(xs).toArray, ring.map(ys).toArray)
     def sharedEdge(p: Vector[Int], q: Vector[Int]): Option[(Int, Int)] = {

@@ -200,11 +200,18 @@ object LatticeSuggester {
     lattice.dims.toSeq.filterNot(_.startsWith("expr:")).map(_.split('.').last).sorted
 
   /** Suggest tiles for a grown lattice: true grouped cardinality of every
-    * dim subset (one pass, Profiler.suggestTiles), affordable ones only. */
+    * dim subset (one pass, Profiler.suggestTiles), affordable ones only.
+    * `approx = true` switches to the HLL advisor
+    * (Profiler.suggestTilesApprox) — one Expand-free pass, the form that
+    * survives wide dimension sets; the reference's ProfilerImpl is the
+    * sketched path for exactly this reason. */
   def suggestTiles(spark: SparkSession, sfDir: String, lattice: Lattice,
-      rowBudget: Long, maxDims: Int = 2): Seq[(Seq[String], Long)] =
-    Profiler.suggestTiles(joinedFrame(spark, sfDir, lattice),
-      tileDims(lattice), rowBudget, maxDims)
+      rowBudget: Long, maxDims: Int = 2,
+      approx: Boolean = false): Seq[(Seq[String], Long)] = {
+    val df = joinedFrame(spark, sfDir, lattice)
+    if (approx) Profiler.suggestTilesApprox(df, tileDims(lattice), rowBudget, maxDims)
+    else Profiler.suggestTiles(df, tileDims(lattice), rowBudget, maxDims)
+  }
 
   /** The whole advisory loop in one call — the reference's
     * workload → LatticeSuggester → tile → MaterializationService chain:
@@ -221,12 +228,12 @@ object LatticeSuggester {
     */
   def adviseAndMaterialize(spark: SparkSession, sfDir: String,
       workload: Seq[DataFrame], rowBudget: Long, pathPrefix: String,
-      maxDims: Int = 2): Seq[String] = {
+      maxDims: Int = 2, approx: Boolean = false): Seq[String] = {
     import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
     val sg = new Suggester()
     workload.foreach(sg.addQuery)
     sg.latticeSet.flatMap { lat =>
-      val tiles = suggestTiles(spark, sfDir, lat, rowBudget, maxDims)
+      val tiles = suggestTiles(spark, sfDir, lat, rowBudget, maxDims, approx)
       tiles.headOption.map { case (dims, _) =>
         // measured SUM args that are plain lattice columns become exact
         // decimal sums in the tile; COUNT(*) is always included

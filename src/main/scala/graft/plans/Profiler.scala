@@ -184,6 +184,31 @@ object Profiler {
       .sortBy { case (ss, n) => (-ss.size, n) } // widest affordable first
   }
 
+  /** Sketch variant of [[suggestTiles]] (the ProfilerImpl HLL path the
+    * lattice advisor inherits): every subset's grouped cardinality via
+    * `approx_count_distinct(struct(...))` — a REGULAR aggregate, so the
+    * whole advisory is one codegen'd pass with no Expand and a fixed
+    * few-KB sketch per subset, where the exact form Expands every input
+    * row once per subset (subsets+1 copies through the shuffle). At
+    * 100 TB with tens of dimensions the exact form is infeasible and
+    * this is the one that runs. Advisory contract: counts carry the HLL
+    * 3σ=15% band, so tiles within that band of `rowBudget` may be
+    * admitted/rejected differently than by the exact advisor — fine for
+    * an advisor (the tile itself is built exactly either way). */
+  def suggestTilesApprox(df: DataFrame, dims: Seq[String], rowBudget: Long,
+      maxDims: Int = 2, rsd: Double = 0.05): Seq[(Seq[String], Long)] = {
+    val subsets: Seq[Seq[String]] =
+      (1 to maxDims).flatMap(k => dims.combinations(k).toSeq)
+    val aggs = subsets.zipWithIndex.map { case (ss, i) =>
+      approx_count_distinct(struct(ss.map(col): _*), rsd).as(s"s$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    subsets.zipWithIndex
+      .map { case (ss, i) => (ss, row.getLong(i)) }
+      .filter(_._2 <= rowBudget)
+      .sortBy { case (ss, n) => (-ss.size, n) }
+  }
+
   /** Functional-dependency check a → b: does every value of `a` map to at
     * most one value of `b`? (reference: profile/Profiler.java
     * FunctionalDependency; RelMdColumnUniqueness uses the same facts.)

@@ -87,6 +87,51 @@ class GeoConcaveSpec extends AnyFunSuite {
     assert(inter > 0 && inter < boxArea)
   }
 
+  test("fuzz: random staircase polygons decompose exactly (seeded)") {
+    // rectilinear 'staircase' rings: x walks right in random integer
+    // steps while y alternates up/down — simple, concave at every inner
+    // corner, closed by a top edge. 60 shapes, seeded.
+    val rnd = new scala.util.Random(20260814)
+    for (_ <- 1 to 60) {
+      val steps = 2 + rnd.nextInt(4)
+      // top boundary staircase over a flat bottom
+      val topXs = scala.collection.mutable.ArrayBuffer[Double]()
+      val topYs = scala.collection.mutable.ArrayBuffer[Double]()
+      var cx = 0.0
+      topXs += cx
+      var cy = 1.0 + rnd.nextInt(3)
+      topYs += cy
+      for (_ <- 1 to steps) {
+        cx += 1 + rnd.nextInt(3)
+        topXs += cx; topYs += cy          // run right
+        cy = 1.0 + rnd.nextInt(3)
+        topXs += cx; topYs += cy          // step up/down
+      }
+      cx += 1 + rnd.nextInt(3)
+      topXs += cx; topYs += cy            // final run
+      // drop zero-height steps (consecutive equal y would duplicate points)
+      val ring = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      ring += ((0.0, 0.0)); ring += ((cx, 0.0)) // bottom edge right→... CCW: bottom L→R
+      // walk the top boundary right→left to close CCW
+      val top = topXs.zip(topYs).toSeq
+      ring ++= top.reverse
+      // dedupe consecutive duplicates
+      val clean = ring.foldLeft(Vector.empty[(Double, Double)]) {
+        case (acc, p) if acc.nonEmpty && acc.last == p => acc
+        case (acc, p) => acc :+ p
+      }
+      val rxs = clean.map(_._1).toArray
+      val rys = clean.map(_._2).toArray
+      val want = shoelace(rxs, rys)
+      val parts = PolyClip.decomposeConvex(rxs, rys)
+      assert(parts.forall { case (px, py) => PolyClip.isConvexRing(px, py) })
+      assert(parts.forall(p => area(p) > 0),
+        s"negative part in ${clean.mkString(" ")}")
+      assert(math.abs(parts.map(area).sum - want) < 1e-9,
+        s"area mismatch for ${clean.mkString(" ")}")
+    }
+  }
+
   test("concave buffer: Minkowski distributes over the decomposition") {
     // buffer(L) as disjoint pieces must equal the two-rectangle
     // inclusion-exclusion: |buf(R1)| + |buf(R2)| − |buf(R1) ∩ buf(R2)|,

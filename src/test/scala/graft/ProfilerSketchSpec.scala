@@ -45,6 +45,47 @@ class ProfilerSketchSpec extends AnyFunSuite {
       .optimizedPlan.collectLeaves().size == 2)
   }
 
+  test("sketch tile advisor: same decisions as exact, one Expand-free pass") {
+    val dims = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+    val budget = 5000L
+    val exact = Profiler.suggestTiles(li, dims, budget, maxDims = 2)
+    val approx = Profiler.suggestTilesApprox(li, dims, budget, maxDims = 2)
+    // at fixture cardinalities (far from the budget boundary and inside
+    // HLL's sparse-exact regime for the small subsets) both advisors
+    // admit the same tiles in the same widest-affordable-first order
+    assert(approx.map(_._1) == exact.map(_._1))
+    for (((_, ae), (_, ee)) <- approx.zip(exact))
+      assert(math.abs(ae.toDouble - ee) <= 0.15 * ee + 1)
+    // the plan property that motivates the sketch path: no Expand
+    import org.apache.spark.sql.functions.{approx_count_distinct, struct, col, countDistinct}
+    val sketchPlan = li.agg(
+      approx_count_distinct(struct(col("l_returnflag"), col("l_shipdate"))),
+      approx_count_distinct(struct(col("l_linestatus"), col("l_shipdate"))))
+      .queryExecution.executedPlan.toString
+    assert(!sketchPlan.contains("Expand"))
+    val exactPlan = li.agg(
+      countDistinct(struct(col("l_returnflag"), col("l_shipdate"))),
+      countDistinct(struct(col("l_linestatus"), col("l_shipdate"))))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "multi-distinct exact advisory should show the Expand the sketch avoids")
+  }
+
+  test("lattice advisor inherits the sketch path (approx = true)") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val sg = new graft.plans.LatticeSuggester.Suggester()
+    val ord = Tables.t(spark, sfDir, "orders")
+    sg.addQuery(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("m"), count(lit(1)).as("n")))
+    val lat = sg.latticeSet.head
+    val exact = graft.plans.LatticeSuggester
+      .suggestTiles(spark, sfDir, lat, rowBudget = 100000L)
+    val approx = graft.plans.LatticeSuggester
+      .suggestTiles(spark, sfDir, lat, rowBudget = 100000L, approx = true)
+    assert(approx.map(_._1) == exact.map(_._1))
+  }
+
   test("combination exploration: Apriori + surprise pruning bounds the lattice") {
     val stats = Profiler.profileCombos(li, cols, maxDims = 3,
       surpriseThreshold = 0.2, comboBudget = 64)

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, SessionWindow, TimeWindow}
 import org.apache.spark.sql.catalyst.expressions.TruncTimestamp
-import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
 import org.apache.spark.sql.types.{DateType, StructType, TimestampNTZType, TimestampType}
 
 /** `SELECT STREAM` front end — the reference's streaming SQL surface.
@@ -161,6 +161,16 @@ object StreamSql {
             "in GROUP BY clause — group on the event-time column, " +
             "FLOOR(rowtime TO unit), or TUMBLE/HOP/SESSION " +
             "(reference: site/_docs/stream.md 'Aggregation and windows on streams')")
+      // the reference's sorting rule (stream.md 'Sorting'): a stream can
+      // only be emitted in an order whose LEADING key is monotonic —
+      // ORDER BY units on an unbounded stream can never emit its first row
+      case srt: Sort if srt.child.isStreaming &&
+          !srt.order.headOption.map(_.child).exists(monotonic) =>
+        throw new IllegalArgumentException(
+          "Streaming ORDER BY must start with a monotonic expression " +
+            "(the event-time column or an expression derived from it) — " +
+            "a stream cannot be sorted on an unbounded key " +
+            "(reference: site/_docs/stream.md 'Sorting streams')")
       case _ => ()
     }
   }

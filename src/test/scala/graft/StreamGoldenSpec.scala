@@ -135,6 +135,23 @@ class StreamGoldenSpec extends AnyFunSuite {
       assert(StreamSql.sql(spark, sfDir, q).isStreaming, s"should accept: $q")
   }
 
+  test("StreamTest sorting rule — ORDER BY on a stream must lead with rowtime") {
+    setup
+    // stream.md 'Sorting streams': ORDER BY units can never emit row one
+    val ex = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        "SELECT STREAM rowtime, product, units FROM orders_s ORDER BY units")
+    }
+    assert(ex.getMessage.contains("monotonic"))
+    // ... while a monotonic leading key analyzes fine (rowtime, or a
+    // derived FLOOR-TO bucket; secondary keys are unrestricted)
+    for (q <- Seq(
+      "SELECT STREAM rowtime, product FROM orders_s ORDER BY rowtime",
+      "SELECT STREAM rowtime, product, units FROM orders_s " +
+        "ORDER BY floor(rowtime TO hour), units DESC"))
+      assert(StreamSql.sql(spark, sfDir, q).isStreaming, s"should accept: $q")
+  }
+
   test("streaming twins restore every shadowed batch view, not just events (r6 ADVICE)") {
     setup
     Tables.registerAll(spark, sfDir)

@@ -696,6 +696,138 @@ object FoodMart {
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS m1
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY GROUPING SETS ((r_name), (r_name, n_name))""")
+        |GROUP BY GROUPING SETS ((r_name), (r_name, n_name))"""),
+
+    // ---- tranche 5: cumulative-share sets, exact-moment regression,
+    // ---- LastPeriods, tuple-filtered shares ----------------------------
+
+    // Shape #47: TopPercent(brands, 60%, revenue) — the smallest leading
+    // set (by descending measure) whose cumulative share reaches 60%,
+    // crossing member included (MDX TopPercent semantics: members whose
+    // cumulative-share-BEFORE-them is still under the cut). Cumulative
+    // sums stay decimal-exact; the only doubles are display casts. The
+    // unpartitioned windows run over the |brands|-row aggregate, never
+    // the fact.
+    QDef.common("foodmart_toppercent",
+      """WITH m AS (
+        |  SELECT p_brand AS c0,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |r AS (
+        |  SELECT c0, rev,
+        |    SUM(rev) OVER (ORDER BY rev DESC, c0
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(rev) OVER () AS tot
+        |  FROM m)
+        |SELECT c0, CAST(rev AS DOUBLE) AS m0,
+        |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |FROM r WHERE cum - rev < 0.6 * tot"""),
+
+    // Shape #48: TopSum(nations, 500000, acctbal) — leading members until
+    // the running sum first reaches an absolute threshold.
+    QDef.common("foodmart_topsum",
+      """WITH m AS (
+        |  SELECT n_name AS c0,
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |r AS (
+        |  SELECT c0, bal,
+        |    SUM(bal) OVER (ORDER BY bal DESC, c0
+        |                   ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m)
+        |SELECT c0, CAST(bal AS DOUBLE) AS m0, CAST(cum AS DOUBLE) AS running
+        |FROM r WHERE cum - bal < 500000"""),
+
+    // Shape #49: BottomPercent(brands, 25%, quantity) — the trailing set
+    // (ascending) whose cumulative share stays within the bottom quarter.
+    QDef.common("foodmart_bottompercent",
+      """WITH m AS (
+        |  SELECT p_brand AS c0,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |r AS (
+        |  SELECT c0, qty,
+        |    SUM(qty) OVER (ORDER BY qty ASC, c0
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(qty) OVER () AS tot
+        |  FROM m)
+        |SELECT c0, CAST(qty AS DOUBLE) AS m0,
+        |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |FROM r WHERE cum - qty < 0.25 * tot"""),
+
+    // Shape #50: LinRegSlope/Intercept/R2 (the MDX linear-regression
+    // functions) from DECIMAL-EXACT moments: every sum is decimal
+    // (order-independent, identical across engines); the regression
+    // arithmetic then runs in double over identical operands — the
+    // fn_agg stats-decomposition discipline, so the result is hash-exact
+    // without trusting either engine's native regr_* double accumulation.
+    QDef.common("foodmart_regression",
+      """WITH mo AS (
+        |  SELECT l_returnflag AS c0, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT c0, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+        |FROM mo"""),
+
+    // Shape #51: LastPeriods(3) aggregation — each quarter carries the
+    // trailing three-quarter rolling total (the MDX LastPeriods set fed
+    // to Aggregate), a ROWS frame over the quarter series.
+    QDef.common("foodmart_lastperiods",
+      """WITH q AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |    CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, q, CAST(m AS DOUBLE) AS cur,
+        |  CAST(SUM(m) OVER (ORDER BY y, q
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_3q
+        |FROM q"""),
+
+    // Shape #52: CrossJoin members filtered on the TUPLE's measure, with
+    // share-of-parent computed over the UNFILTERED parent (MDX Filter on
+    // a crossjoin displays a subset but shares keep the full denominator
+    // — the window runs in the subquery, the screen applies outside).
+    QDef.common("foodmart_tuple_filter_share",
+      """WITH cell AS (
+        |  SELECT n_name AS c0, o_orderpriority AS c1,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m, COUNT(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, o_orderpriority),
+        |shared AS (
+        |  SELECT c0, c1, m, cnt,
+        |    CAST(m AS DOUBLE)
+        |      / CAST(SUM(m) OVER (PARTITION BY c0) AS DOUBLE) AS share_in_nation
+        |  FROM cell)
+        |SELECT c0, c1, CAST(m AS DOUBLE) AS m0, cnt, share_in_nation
+        |FROM shared WHERE cnt >= 20""")
   )
 }

@@ -27,7 +27,9 @@ class TpchCycleSpec extends AnyFunSuite {
     "agg_cube", "agg_distinct_filter", "agg_group_id", "agg_grouping_fn",
     "agg_grouping_sets", "agg_rollup", "agg_tpch_q1", "fn_extract_time",
     "foodmart_allmembers_crossjoin", "foodmart_banding",
-    "foodmart_bottomcount", "foodmart_corr_rank",
+    "foodmart_bottomcount", "foodmart_bottompercent", "foodmart_corr_rank",
+    "foodmart_regression", "foodmart_toppercent", "foodmart_topsum",
+    "foodmart_tuple_filter_share",
     "foodmart_descendants_depth", "foodmart_descendants_leaves",
     "foodmart_distinct_customers",
     "foodmart_hierarchize", "foodmart_namedset_except",

@@ -209,6 +209,63 @@ object Profiler {
       .sortBy { case (ss, n) => (-ss.size, n) }
   }
 
+  /** Sketch-screened functional-dependency discovery over ALL ordered
+    * column pairs (reference: ProfilerImpl emits FunctionalDependency and
+    * Unique from its sketched distributions — ndv(a,b) = ndv(a) means
+    * a determines b, ndv(a) = rowCount means a is a key). Exact
+    * discovery over p columns needs p·(p−1) grouped passes; this runs
+    * ONE sketch pass (singles + pairs, no Expand), screens candidate
+    * FDs inside a generous HLL band, and exact-confirms only the
+    * survivors with [[functionalDeps]] — at 100 TB the screen is the
+    * difference between p² fact scans and one, and a non-candidate is
+    * already refuted by the sketch alone (actual ≫ ndv(a) cannot be
+    * HLL noise at 3σ of both sketches). Returns (fd, holds) for every
+    * ordered pair, plus (unique:c, holds) per column. */
+  def discoverFds(df: DataFrame, cols: Seq[String], rsd: Double = 0.05)
+      : Seq[(String, Boolean)] = {
+    val baseAggs = count(lit(1)).as("__n") +:
+      (cols.map(c => approx_count_distinct(col(c), rsd).as(s"s_$c")) ++
+        cols.combinations(2).toSeq.flatMap { pair =>
+          Seq(approx_count_distinct(struct(pair.map(col): _*), rsd)
+            .as(s"p_${pair.head}__${pair(1)}"))
+        })
+    val row = df.agg(baseAggs.head, baseAggs.tail: _*).head()
+    def get(name: String): Long = row.getLong(row.fieldIndex(name))
+    val n = get("__n")
+    val band = 3 * rsd // each estimate carries ~3σ = 15%; two estimates compound
+    def close(a: Long, b: Long): Boolean =
+      math.abs(a.toDouble - b) <= 2 * band * math.max(a.toDouble, b)
+    val pairs = for {
+      a <- cols; b <- cols if a != b
+    } yield {
+      val pairNdv = get(if (cols.indexOf(a) < cols.indexOf(b)) s"p_${a}__$b" else s"p_${b}__$a")
+      (a, b, close(pairNdv, get(s"s_$a")))
+    }
+    val candidates = pairs.collect { case (a, b, true) => (a, b) }
+    val confirmed: Map[(String, String), Boolean] =
+      if (candidates.isEmpty) Map.empty
+      else functionalDeps(df, candidates).collect()
+        .map(r => {
+          val Array(a, b) = r.getString(0).split("->")
+          (a, b) -> r.getBoolean(1)
+        }).toMap
+    val fds = pairs.map { case (a, b, cand) =>
+      s"$a->$b" -> (cand && confirmed.getOrElse((a, b), false))
+    }
+    // unique keys: sketch-screen against the row count, exact-confirm
+    // survivors (the band is far too generous to DECLARE uniqueness —
+    // a 90%-distinct column sits inside it — but tight enough that a
+    // true key always screens in)
+    val uniqueCands = cols.filter(c => close(get(s"s_$c"), n))
+    val uniqueConfirmed: Map[String, Boolean] =
+      if (uniqueCands.isEmpty) Map.empty
+      else uniqueKeys(df, uniqueCands).collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val uniques = cols.map(c =>
+      s"unique:$c" -> uniqueConfirmed.getOrElse(s"unique:$c", false))
+    fds ++ uniques
+  }
+
   /** Functional-dependency check a → b: does every value of `a` map to at
     * most one value of `b`? (reference: profile/Profiler.java
     * FunctionalDependency; RelMdColumnUniqueness uses the same facts.)

@@ -86,6 +86,24 @@ class ProfilerSketchSpec extends AnyFunSuite {
     assert(approx.map(_._1) == exact.map(_._1))
   }
 
+  test("FD discovery: sketch screen + exact confirm equals exhaustive exact") {
+    val ord = Tables.t(spark, sfDir, "orders")
+    val fdCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val got = Profiler.discoverFds(ord, fdCols).toMap
+    // exhaustive exact truth over the same pairs
+    val allPairs = for { a <- fdCols; b <- fdCols if a != b } yield (a, b)
+    val wantFd = Profiler.functionalDeps(ord, allPairs).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val wantUq = Profiler.uniqueKeys(ord, fdCols).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for ((k, v) <- wantFd) assert(got(k) == v, s"$k: got ${got(k)}, want $v")
+    for ((k, v) <- wantUq) assert(got(k) == v, s"$k: got ${got(k)}, want $v")
+    // sanity on the fixture's known structure
+    assert(got("o_orderkey->o_custkey"), "the key determines everything")
+    assert(!got("o_custkey->o_orderstatus"))
+    assert(got("unique:o_orderkey") && !got("unique:o_custkey"))
+  }
+
   test("combination exploration: Apriori + surprise pruning bounds the lattice") {
     val stats = Profiler.profileCombos(li, cols, maxDims = 3,
       surpriseThreshold = 0.2, comboBudget = 64)

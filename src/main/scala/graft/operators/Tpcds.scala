@@ -492,6 +492,56 @@ object Tpcds {
         |  AND CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) > 150000
         |ORDER BY cust, item"""),
 
+    // q54 shape: point-in-time cohort segmentation — customers who bought
+    // a target slice (month × product type), their revenue over the
+    // FOLLOWING three months, bucketed into revenue bands, count per
+    // band. One cohort semi-join (the cohort set is small → broadcast),
+    // one date-bounded fact pass, the banding on the per-customer
+    // aggregate.
+    QDef.common("tpcds_s_segmentbands",
+      """WITH target_cust AS (
+        |  SELECT DISTINCT o_custkey AS ck
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |    AND EXTRACT(MONTH FROM o_orderdate) = 3
+        |    AND p_type = 'PROMO'),
+        |cohort_rev AS (
+        |  SELECT o_custkey AS ck,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  WHERE o_custkey IN (SELECT ck FROM target_cust)
+        |    AND o_orderdate >= DATE '1996-04-01'
+        |    AND o_orderdate < DATE '1996-07-01'
+        |  GROUP BY o_custkey)
+        |SELECT CAST(FLOOR(CAST(rev AS DOUBLE) / 50000) AS INT) AS band,
+        |  COUNT(*) AS n
+        |FROM cohort_rev GROUP BY 1"""),
+
+    // q89 shape: deviation-from-mean screen — per (brand, month) quantity
+    // vs the brand's monthly mean; keep cells deviating more than 10%.
+    // The mean is SUM/COUNT windows evaluated in double over
+    // decimal-exact operands (no decimal division — engine scale rules
+    // differ); the window partitions by brand over the small aggregate.
+    QDef.common("tpcds_s_meandev",
+      """WITH cell AS (
+        |  SELECT p_brand,
+        |    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+        |  GROUP BY p_brand, EXTRACT(MONTH FROM o_orderdate)),
+        |w AS (
+        |  SELECT p_brand, m, s,
+        |    CAST(SUM(s) OVER (PARTITION BY p_brand) AS DOUBLE)
+        |      / CAST(COUNT(*) OVER (PARTITION BY p_brand) AS DOUBLE) AS brand_avg
+        |  FROM cell)
+        |SELECT p_brand, m, CAST(s AS DOUBLE) AS qty, brand_avg
+        |FROM w
+        |WHERE brand_avg > 0
+        |  AND ABS(CAST(s AS DOUBLE) - brand_avg) / brand_avg > 0.1"""),
+
     // q10/q35 shape: demographic counts over customers qualified by an
     // OR of EXISTS across channels AND a further required channel — the
     // existence-OR structure existschain's AND chain cannot produce.

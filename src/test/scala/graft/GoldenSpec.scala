@@ -297,6 +297,80 @@ class GoldenSpec extends AnyFunSuite {
       Set("Adam", "Eve", "Grace", "Wilma"))
   }
 
+  test("join.iq:150-290 — USING joins, CUBE over a join, arithmetic join chains") {
+    scott.createOrReplaceTempView("s_emp")
+    scottDept.createOrReplaceTempView("s_dept")
+    // distinct (dept.deptno, emp.deptno) through USING — both qualified
+    // references stay addressable (join.iq golden: exactly the 3 matched)
+    val pairs = spark.sql(
+      """select distinct d.deptno as dd, e.deptno as ed
+        |from s_emp e join s_dept d using (deptno)""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((10, 10), (20, 20), (30, 30)))
+    // CUBE over the join's two (equal) key columns — the 10-row golden:
+    // 3 matched pairs, each side's subtotals, and the grand total
+    val cube = spark.sql(
+      """select e.deptno as e, d.deptno as d
+        |from s_emp e join s_dept d using (deptno)
+        |group by cube(e.deptno, d.deptno)""".stripMargin)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(cube == Set(
+      (Some(10), Some(10)), (Some(20), Some(20)), (Some(30), Some(30)),
+      (Some(10), None), (Some(20), None), (Some(30), None),
+      (None, Some(10)), (None, Some(20)), (None, Some(30)), (None, None)))
+    // three-way self join with an ARITHMETIC condition
+    // (emp1.deptno + emp2.deptno = emp3.deptno + 10) — join.iq's 9-row golden
+    val tri = spark.sql(
+      """select distinct emp1.deptno, emp3.ename
+        |from s_emp emp1 join s_emp emp2 on emp1.deptno = emp2.deptno
+        |join s_emp emp3 on emp1.deptno + emp2.deptno = emp3.deptno + 10"""
+        .stripMargin).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(tri == Set(
+      (10, "CLARK"), (10, "KING"), (10, "MILLER"),
+      (20, "ALLEN"), (20, "BLAKE"), (20, "JAMES"),
+      (20, "MARTIN"), (20, "TURNER"), (20, "WARD")))
+    // theta product: e.deptno + 10 = d.deptno * 2 — (10,10)×3 and (30,20)×6
+    val theta = spark.sql(
+      """select e.deptno as ed, d.deptno as dd
+        |from s_dept d, s_emp e where e.deptno + 10 = d.deptno * 2"""
+        .stripMargin).collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(theta.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map((10, 10) -> 3, (30, 20) -> 6))
+    // VALUES join USING (join.iq's inline-relation golden)
+    val v = spark.sql(
+      """select * from (values (100, 'Bill', 1), (200, 'Eric', 1),
+        |  (150, 'Sebastian', 3)) as e(empid, name, deptno)
+        |join (values (1, 'LeaderShip'), (2, 'TestGroup'),
+        |  (3, 'Development')) as d(deptno, name) using (deptno)"""
+        .stripMargin).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(v == Set((1, 100, "Bill", "LeaderShip"),
+      (1, 200, "Eric", "LeaderShip"), (3, 150, "Sebastian", "Development")))
+    // left join USING wrapped in subqueries, ordered + limited
+    val first = spark.sql(
+      """select empno from (select * from s_emp) e left join
+        |  (select * from s_dept) d using (deptno)
+        |order by empno limit 5""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    assert(first == Seq(7369, 7499, 7521, 7566, 7654))
+  }
+
+  test("scalar.iq:150-216 — LIMIT inside scalar subqueries") {
+    scott.createOrReplaceTempView("s_emp")
+    scottDept.createOrReplaceTempView("s_dept")
+    // uncorrelated ordered LIMIT 1: the same scalar for every outer row
+    val one = spark.sql(
+      """select deptno, (select empno from s_emp order by empno limit 1) as x
+        |from s_dept""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(one == Map(10 -> 7369, 20 -> 7369, 30 -> 7369, 40 -> 7369))
+    // LIMIT 0: an empty scalar subquery is NULL for every row
+    val zero = spark.sql(
+      """select deptno, (select empno from s_emp limit 0) as x from s_dept"""
+        .stripMargin).collect().map(r => Option(r.get(1)))
+    assert(zero.length == 4 && zero.forall(_.isEmpty))
+  }
+
   test("struct.iq:17-28 — DISTINCT over ROW-typed values") {
     val got = spark.sql(
       """select distinct * from (values

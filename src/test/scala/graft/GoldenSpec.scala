@@ -371,6 +371,45 @@ class GoldenSpec extends AnyFunSuite {
     assert(zero.length == 4 && zero.forall(_.isEmpty))
   }
 
+  test("blank.iq — DDL-created tables, correlated IN, NOT-IN with NULL keys") {
+    def sql(q: String) = spark.sql(q)
+    for (t <- Seq("blank_foo", "blank_t1", "blank_t2"))
+      sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      sql("CREATE TABLE blank_foo (i INT NOT NULL, j INT) USING parquet")
+      sql("INSERT INTO blank_foo VALUES (1, 0)")
+      sql("INSERT INTO blank_foo VALUES (0, 2)")
+      assert(sql("SELECT * FROM blank_foo").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet == Set((1, 0), (0, 2)))
+      // correlated IN with an INEQUALITY correlation (blank.iq:27-35)
+      assert(sql(
+        """SELECT * FROM blank_foo f WHERE i IN (
+          |  SELECT j FROM blank_foo WHERE i > f.i)""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((0, 2)))
+      sql("CREATE TABLE blank_t1 (i INT, j INT) USING parquet")
+      sql("CREATE TABLE blank_t2 (i INT, j INT) USING parquet")
+      sql("INSERT INTO blank_t1 VALUES (1, 2), (1, 3)")
+      sql("INSERT INTO blank_t2 VALUES (NULL, 1), (2, 1)")
+      // correlated NOT IN whose inner NULL key blocks every proof
+      assert(sql(
+        """SELECT i, j FROM blank_t1 WHERE blank_t1.j NOT IN (
+          |  SELECT i FROM blank_t2 WHERE blank_t1.i = blank_t2.j)"""
+          .stripMargin).count() == 0)
+      // uncorrelated NOT IN with a NULL key: UNKNOWN everywhere -> 0 rows
+      assert(sql(
+        "SELECT * FROM blank_t1 WHERE j NOT IN (SELECT i FROM blank_t2)")
+        .count() == 0)
+      // ... but an OR branch can still rescue rows (blank.iq:116-126)
+      assert(sql(
+        """SELECT * FROM blank_t1
+          |WHERE j NOT IN (SELECT i FROM blank_t2) OR i = 1""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+        Set((1, 2), (1, 3)))
+    } finally
+      for (t <- Seq("blank_foo", "blank_t1", "blank_t2"))
+        sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("struct.iq:17-28 — DISTINCT over ROW-typed values") {
     val got = spark.sql(
       """select distinct * from (values

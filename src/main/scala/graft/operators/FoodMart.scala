@@ -811,6 +811,99 @@ object FoodMart {
         |    AS trailing_3q
         |FROM q"""),
 
+    // Shape #53: Head(set, 3) ∪ Tail(set, 2) — the leading and trailing
+    // members of a measure-ordered set in one result, each row labelled
+    // with its end (MDX Head/Tail set navigation).
+    QDef.common("foodmart_set_head_tail",
+      """WITH m AS (
+        |  SELECT n_name AS c0,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |r AS (
+        |  SELECT c0, rev,
+        |    RANK() OVER (ORDER BY rev DESC, c0) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM m)
+        |SELECT c0, CAST(rev AS DOUBLE) AS m0,
+        |  CASE WHEN rk <= 3 THEN 'head' ELSE 'tail' END AS seg, rk
+        |FROM r WHERE rk <= 3 OR rk > n - 2"""),
+
+    // Shape #54: three-level ancestor shares — nation grain, share within
+    // region and region's share of all, with the TELESCOPING IDENTITY
+    // share_in_region × region_share = share_of_all pinned as a boolean
+    // (the MDX member/ancestor ratio chain; the identity makes the
+    // query self-validating on both engines).
+    QDef.common("foodmart_ancestor_3level",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS m
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |shares AS (
+        |  SELECT r_name, n_name, m,
+        |    CAST(m AS DOUBLE) / CAST(SUM(m) OVER (PARTITION BY r_name) AS DOUBLE)
+        |      AS share_in_region,
+        |    CAST(SUM(m) OVER (PARTITION BY r_name) AS DOUBLE)
+        |      / CAST(SUM(m) OVER () AS DOUBLE) AS region_share,
+        |    CAST(m AS DOUBLE) / CAST(SUM(m) OVER () AS DOUBLE) AS share_of_all
+        |  FROM nat)
+        |SELECT r_name AS c0, n_name AS c1, CAST(m AS DOUBLE) AS m0,
+        |  share_in_region, region_share, share_of_all,
+        |  ABS(share_in_region * region_share - share_of_all) < 1e-12 AS telescoped
+        |FROM shares"""),
+
+    // Shape #55: tuple TopCount — the top-10 (nation, priority) TUPLES of
+    // a crossjoin by the tuple measure (MDX TopCount over a CrossJoin,
+    // vs the single-dimension TopCounts above), deterministic tiebreak.
+    QDef.common("foodmart_order_crossjoin",
+      """WITH cell AS (
+        |  SELECT n_name AS c0, o_orderpriority AS c1,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, o_orderpriority)
+        |SELECT c0, c1, CAST(m AS DOUBLE) AS m0
+        |FROM cell
+        |ORDER BY m DESC, c0, c1
+        |LIMIT 10"""),
+
+    // Shape #56: TopCount + Aggregate(Except(...)) — the top members as
+    // rows plus everything else collapsed into one 'Other' member (the
+    // MDX report idiom combining a named top set with its complement's
+    // aggregate).
+    QDef.common("foodmart_except_remainder",
+      """WITH m AS (
+        |  SELECT n_name AS c0,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |r AS (
+        |  SELECT c0, rev, RANK() OVER (ORDER BY rev DESC, c0) AS rk FROM m)
+        |SELECT c0, CAST(rev AS DOUBLE) AS m0 FROM r WHERE rk <= 5
+        |UNION ALL
+        |SELECT 'Other' AS c0,
+        |  CAST(SUM(rev) AS DOUBLE) AS m0
+        |FROM r WHERE rk > 5"""),
+
+    // Shape #57: AVG(member.Children) — each region carries the average
+    // of its CHILD MEMBERS' sums (not the average of fact rows); the
+    // division runs in double over decimal-exact child sums.
+    QDef.common("foodmart_avg_of_children",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS m
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name AS c0, COUNT(*) AS n_children,
+        |  CAST(SUM(m) AS DOUBLE) AS total,
+        |  CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_child
+        |FROM nat GROUP BY r_name"""),
+
     // Shape #52: CrossJoin members filtered on the TUPLE's measure, with
     // share-of-parent computed over the UNFILTERED parent (MDX Filter on
     // a crossjoin displays a subset but shares keep the full denominator

@@ -27,7 +27,10 @@ class TpchCycleSpec extends AnyFunSuite {
     "agg_cube", "agg_distinct_filter", "agg_group_id", "agg_grouping_fn",
     "agg_grouping_sets", "agg_rollup", "agg_tpch_q1", "fn_extract_time",
     "foodmart_allmembers_crossjoin", "foodmart_banding",
+    "foodmart_ancestor_3level", "foodmart_avg_of_children",
     "foodmart_bottomcount", "foodmart_bottompercent", "foodmart_corr_rank",
+    "foodmart_except_remainder", "foodmart_order_crossjoin",
+    "foodmart_set_head_tail",
     "foodmart_regression", "foodmart_toppercent", "foodmart_topsum",
     "foodmart_tuple_filter_share",
     "foodmart_descendants_depth", "foodmart_descendants_leaves",

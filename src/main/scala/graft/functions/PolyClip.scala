@@ -561,6 +561,23 @@ object PolyClip {
     partsRow(unionDisjoint(
       decomposeConvex(toArr(xs), toArr(ys)).map { case (px, py) => minkowski32(px, py, r) }))
 
+  /** Set difference A \ B accepting concave operands: decompose both,
+    * subtract every convex part of B from every part of A (iterated
+    * convex difference — pieces stay convex and disjoint). This is also
+    * the HOLE primitive: a polygon with holes is exactly
+    * difference(outer, hole₁) \ hole₂ \ …, and every derived set
+    * (area, further clips, Minkowski buffers) runs over the resulting
+    * disjoint parts unchanged. */
+  def concaveDiffRow(ax: ArrayData, ay: ArrayData, bx: ArrayData, by: ArrayData): InternalRow = {
+    val pb = decomposeConvex(toArr(bx), toArr(by))
+    val parts = decomposeConvex(toArr(ax), toArr(ay)).toList.flatMap { p =>
+      pb.foldLeft(List(p)) { (frags, h) =>
+        frags.flatMap { case (fx, fy) => convexDiff(fx, fy, h._1, h._2).toList }
+      }
+    }.filter { case (fx, fy) => fx.length >= 3 && math.abs(signedArea2(fx, fy)) > Eps }
+    partsRow(parts.toArray)
+  }
+
   // ---- column-level API ----------------------------------------------------
 
   import org.apache.spark.sql.GraftBridge
@@ -590,6 +607,9 @@ object PolyClip {
   def st_buffer_parts(xs: Column, ys: Column, r: Column): Column =
     GraftBridge.column(ConcaveBuffer(GraftBridge.expression(xs), GraftBridge.expression(ys),
       GraftBridge.expression(r)))
+  def st_difference_parts(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    GraftBridge.column(ConcaveDifference(GraftBridge.expression(ax), GraftBridge.expression(ay),
+      GraftBridge.expression(bx), GraftBridge.expression(by)))
 }
 
 /** Sutherland–Hodgman intersection: (subject xs, ys, convex clip xs, ys) →
@@ -666,6 +686,25 @@ case class ConcaveUnion(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
       s"${ev.value} = graft.functions.PolyClip.concaveUnionRow($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
+/** Concave-accepting set difference A \ B → disjoint convex parts. */
+case class ConcaveDifference(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType.isInstanceOf[ArrayType])) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_difference_parts expects four array<double>")
+  override def dataType: DataType = PolyClip.partsSchema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_difference_parts"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PolyClip.concaveDiffRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.PolyClip.concaveDiffRow($a, $b, $c, $d);")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression = copy(f, s, t, q)
 }

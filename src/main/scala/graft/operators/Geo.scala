@@ -491,6 +491,37 @@ object Geo {
         (x, y) => struct(x.as("xs"), y.as("ys"))).as("parts"))
   }
 
+  /** ST_Difference A \ B (completes the clipping algebra — the
+    * reference's 1.21 GeoFunctions stops at Union/Intersection/Buffer but
+    * its ESRI backend carries OperatorDifference; PostGIS-standard op).
+    * Accepts SIMPLE CONCAVE operands; result parts are DISJOINT, so
+    * [[stAreaMulti]] is exact. Also the HOLE primitive: a polygon with
+    * holes is difference(outer, hole…), and every other op then runs
+    * over the resulting parts unchanged. */
+  def stDifferenceConcave(a: Column, b: Column): Column = {
+    val r = graft.functions.PolyClip.st_difference_parts(
+      a.getField("xs"), a.getField("ys"), b.getField("xs"), b.getField("ys"))
+    struct(lit("MULTIPOLYGON").as("kind"),
+      zip_with(r.getField("pxs"), r.getField("pys"),
+        (x, y) => struct(x.as("xs"), y.as("ys"))).as("parts"))
+  }
+
+  /** ST_SymDifference = (A \ B) ∪ (B \ A) — the two one-sided
+    * differences are disjoint by construction, so their parts concatenate
+    * without a union fold. */
+  def stSymDifferenceConcave(a: Column, b: Column): Column = {
+    val ab = graft.functions.PolyClip.st_difference_parts(
+      a.getField("xs"), a.getField("ys"), b.getField("xs"), b.getField("ys"))
+    val ba = graft.functions.PolyClip.st_difference_parts(
+      b.getField("xs"), b.getField("ys"), a.getField("xs"), a.getField("ys"))
+    struct(lit("MULTIPOLYGON").as("kind"),
+      concat(
+        zip_with(ab.getField("pxs"), ab.getField("pys"),
+          (x, y) => struct(x.as("xs"), y.as("ys"))),
+        zip_with(ba.getField("pxs"), ba.getField("pys"),
+          (x, y) => struct(x.as("xs"), y.as("ys")))).as("parts"))
+  }
+
   /** OGC SFS type code (reference: GeoFunctions.Type enum). */
   def stGeometryTypeCode(g: Column): Column =
     when(g.getField("kind") === "POINT", 1)
@@ -981,6 +1012,61 @@ object Geo {
           round(stAreaMulti(stUnionConcave(L, B)), 6).as("union_area"),
           stNumGeometries(stIntersectionConcave(L, probe)).as("notch_parts"),
           (abs(col("buf_area") - (a1c + a2c - bufOverlap)) < 1e-9).as("buf_ie_ok"))
+        .orderBy(key)
+    },
+
+    // ST_Difference / ST_SymDifference (the clipping algebra's closure;
+    // reference 1.21 GeoFunctions stops at Union/Intersection/Buffer, the
+    // ESRI backend it delegates to carries OperatorDifference). Same
+    // L-shape fixture as geo_concave, so the oracle is the same
+    // inclusion-exclusion arithmetic: |L\B| = |L| − |L∩B|,
+    // |LΔB| = |L| + |B| − 2|L∩B|; the DONUT row subtracts a strictly
+    // interior hole — |outer \ hole| = w·h − (w−2)(h−2) — the
+    // polygon-with-holes primitive (holed results stay disjoint parts,
+    // every other op runs over them unchanged).
+    QDef.sql("geo_difference",
+      """SELECT n_nationkey,
+        |  round(w * cy + cx * (h - cy) - ia, 6) AS diff_area,
+        |  round(w * cy + cx * (h - cy) + 9.0 - 2 * ia, 6) AS symdiff_area,
+        |  round(w * h - (w - 2) * (h - 2), 6) AS donut_area
+        |FROM (
+        |  SELECT n_nationkey, w, h, cx, cy,
+        |    greatest(least(w, bx0 + 3) - greatest(0.0, bx0), 0)
+        |      * greatest(least(h, by0 + 3) - greatest(0.0, by0), 0)
+        |    - greatest(least(w, bx0 + 3) - greatest(cx, bx0), 0)
+        |      * greatest(least(h, by0 + 3) - greatest(cy, by0), 0) AS ia
+        |  FROM (
+        |    SELECT n_nationkey,
+        |      CAST(4 + n_nationkey % 3 AS DOUBLE) AS w,
+        |      CAST(4 + n_nationkey % 2 AS DOUBLE) AS h,
+        |      CAST(1 + n_nationkey % 2 AS DOUBLE) AS cx,
+        |      CAST(1 + (n_nationkey * 2) % 3 AS DOUBLE) AS cy,
+        |      CAST(n_nationkey * 5 % 7 AS DOUBLE) / 2 - 0.75 AS bx0,
+        |      CAST(n_nationkey * 3 % 5 AS DOUBLE) / 2 - 0.75 AS by0
+        |    FROM nation))
+        |ORDER BY n_nationkey""") { (s, dir) =>
+      val key = col("n_nationkey")
+      val base = t(s, dir, "nation").select(key,
+        (key % 3 + 4).cast("double").as("w"),
+        (key % 2 + 4).cast("double").as("h"),
+        (key % 2 + 1).cast("double").as("cx"),
+        ((key * 2) % 3 + 1).cast("double").as("cy"),
+        ((key * 5 % 7).cast("double") / 2 - 0.75).as("bx0"),
+        ((key * 3 % 5).cast("double") / 2 - 0.75).as("by0"))
+      val zero = lit(0.0)
+      def rect(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+        struct(lit("POLYGON").as("kind"),
+          array(x0, x1, x1, x0).as("xs"), array(y0, y0, y1, y1).as("ys"))
+      val L = struct(lit("POLYGON").as("kind"),
+        array(zero, col("w"), col("w"), col("cx"), col("cx"), zero).as("xs"),
+        array(zero, zero, col("cy"), col("cy"), col("h"), col("h")).as("ys"))
+      val B = rect(col("bx0"), col("by0"), col("bx0") + 3, col("by0") + 3)
+      val outer = rect(zero, zero, col("w"), col("h"))
+      val hole = rect(lit(1.0), lit(1.0), col("w") - 1, col("h") - 1)
+      base.select(key,
+        round(stAreaMulti(stDifferenceConcave(L, B)), 6).as("diff_area"),
+        round(stAreaMulti(stSymDifferenceConcave(L, B)), 6).as("symdiff_area"),
+        round(stAreaMulti(stDifferenceConcave(outer, hole)), 6).as("donut_area"))
         .orderBy(key)
     }
   )

@@ -170,6 +170,38 @@ class GeoConcaveSpec extends AnyFunSuite {
     }
   }
 
+  test("difference: donut semantics — holes as first-class disjoint parts") {
+    // outer 6×6 minus centered 2×2 hole: area 32, the hole uncovered,
+    // the rim covered; a further clip over the holed parts is exact
+    val outer = (Array(0.0, 6, 6, 0), Array(0.0, 0, 6, 6))
+    val hole = (Array(2.0, 4, 4, 2), Array(2.0, 2, 4, 4))
+    val donut = PolyClip.decomposeConvex(outer._1, outer._2).toList.flatMap { p =>
+      PolyClip.decomposeConvex(hole._1, hole._2).foldLeft(List(p)) { (fs, h) =>
+        fs.flatMap(f => PolyClip.convexDiff(f._1, f._2, h._1, h._2).toList)
+      }
+    }
+    assert(math.abs(donut.map(area).sum - 32.0) < 1e-9)
+    assert(!donut.exists { case (px, py) => PolyClip.pointIn(px, py, 3.0, 3.0) },
+      "hole center must be uncovered")
+    assert(donut.exists { case (px, py) => PolyClip.pointIn(px, py, 1.0, 3.0) },
+      "rim must be covered")
+    // further intersection over the holed parts: clip each part against
+    // a band crossing the hole — area = band∩outer − band∩hole = 12 − 4
+    val band = (Array(1.5, 4.5, 4.5, 1.5), Array(0.0, 0, 6, 6))
+    val clipped = donut.map { case (px, py) =>
+      val r = PolyClip.clip(px, py, band._1, band._2)
+      if (r._1.length < 3) 0.0 else math.abs(area(r))
+    }.sum
+    assert(math.abs(clipped - (3.0 * 6 - 2.0 * 2)) < 1e-9)
+    // symmetric difference of two overlapping squares: both one-sided
+    // differences are disjoint; areas sum to |A|+|B|−2|A∩B|
+    val a = (Array(0.0, 4, 4, 0), Array(0.0, 0, 4, 4))
+    val b = (Array(2.0, 6, 6, 2), Array(2.0, 2, 6, 6))
+    val ab = PolyClip.convexDiff(a._1, a._2, b._1, b._2).map(p => math.abs(area(p))).sum
+    val ba = PolyClip.convexDiff(b._1, b._2, a._1, a._2).map(p => math.abs(area(p))).sum
+    assert(math.abs(ab + ba - (16 + 16 - 2 * 4)) < 1e-12)
+  }
+
   test("concave buffer: Minkowski distributes over the decomposition") {
     // buffer(L) as disjoint pieces must equal the two-rectangle
     // inclusion-exclusion: |buf(R1)| + |buf(R2)| − |buf(R1) ∩ buf(R2)|,

@@ -529,6 +529,19 @@ object PolyClip {
     out.toArray
   }
 
+  /** N-ary union over a COLLECTION of rings (reference:
+    * GeoFunctions.java:499 `ST_Union(geomCollection)`): decompose every
+    * ring (concave accepted), fold into disjoint convex pieces. */
+  def unionAllRow(pxs: ArrayData, pys: ArrayData): InternalRow = {
+    val n = pxs.numElements()
+    val rings = (0 until n).toArray.flatMap { i =>
+      val xs = pxs.getArray(i).toDoubleArray()
+      val ys = pys.getArray(i).toDoubleArray()
+      if (xs.length >= 3) decomposeConvex(xs, ys) else Array.empty[(Array[Double], Array[Double])]
+    }
+    partsRow(unionDisjoint(rings))
+  }
+
   private def partsRow(parts: Array[(Array[Double], Array[Double])]): InternalRow =
     new GenericInternalRow(Array[Any](
       new GenericArrayData(parts.map(p => new GenericArrayData(p._1): Any)),
@@ -610,6 +623,8 @@ object PolyClip {
   def st_difference_parts(ax: Column, ay: Column, bx: Column, by: Column): Column =
     GraftBridge.column(ConcaveDifference(GraftBridge.expression(ax), GraftBridge.expression(ay),
       GraftBridge.expression(bx), GraftBridge.expression(by)))
+  def st_union_all_parts(pxs: Column, pys: Column): Column =
+    GraftBridge.column(PolyUnionAll(GraftBridge.expression(pxs), GraftBridge.expression(pys)))
 }
 
 /** Sutherland–Hodgman intersection: (subject xs, ys, convex clip xs, ys) →
@@ -707,6 +722,24 @@ case class ConcaveDifference(first: Expression, second: Expression,
       s"${ev.value} = graft.functions.PolyClip.concaveDiffRow($a, $b, $c, $d);")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
+/** N-ary collection union → disjoint convex parts (GeoFunctions.java:499). */
+case class PolyUnionAll(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType.isInstanceOf[ArrayType])) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_union_all_parts expects two array<array<double>>")
+  override def dataType: DataType = PolyClip.partsSchema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_union_all_parts"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PolyClip.unionAllRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PolyClip.unionAllRow($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** Concave-accepting polygon buffer: per-part Minkowski sums, disjointified. */

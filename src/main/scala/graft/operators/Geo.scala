@@ -522,6 +522,20 @@ object Geo {
           (x, y) => struct(x.as("xs"), y.as("ys")))).as("parts"))
   }
 
+  /** ST_Union over a COLLECTION of polygons (reference:
+    * GeoFunctions.java:499 `ST_Union(geomCollection)` — the @SemiStrict
+    * n-ary form): every ring decomposed (concave accepted), folded into
+    * DISJOINT convex parts, so [[stAreaMulti]] is the exact union area.
+    * The aggregate idiom is `collect_list(geom)` → this. */
+  def stUnionCollection(gs: Column): Column = {
+    val r = graft.functions.PolyClip.st_union_all_parts(
+      transform(gs, g => g.getField("xs")),
+      transform(gs, g => g.getField("ys")))
+    struct(lit("MULTIPOLYGON").as("kind"),
+      zip_with(r.getField("pxs"), r.getField("pys"),
+        (x, y) => struct(x.as("xs"), y.as("ys"))).as("parts"))
+  }
+
   /** OGC SFS type code (reference: GeoFunctions.Type enum). */
   def stGeometryTypeCode(g: Column): Column =
     when(g.getField("kind") === "POINT", 1)
@@ -1067,6 +1081,47 @@ object Geo {
         round(stAreaMulti(stDifferenceConcave(L, B)), 6).as("diff_area"),
         round(stAreaMulti(stSymDifferenceConcave(L, B)), 6).as("symdiff_area"),
         round(stAreaMulti(stDifferenceConcave(outer, hole)), 6).as("donut_area"))
+        .orderBy(key)
+    },
+
+    // N-ary ST_Union over a geometry collection (GeoFunctions.java:499):
+    // three overlapping 4×4 squares per nation folded into disjoint
+    // parts; the oracle is the full 3-way inclusion-exclusion in closed
+    // form (pairwise axis-overlap products and the triple core). Quarter
+    // offsets keep R2/R3 off R1's integer edges; R2–R3 edge contact is
+    // fine (the difference fold is boundary-inclusive, not the walk).
+    QDef.sql("geo_union_collection",
+      """SELECT n_nationkey,
+        |  round(48.0
+        |    - greatest(4 - abs(0.0 - bx), 0) * greatest(4 - abs(0.0 - by), 0)
+        |    - greatest(4 - abs(0.0 - cx2), 0) * greatest(4 - abs(0.0 - cy2), 0)
+        |    - greatest(4 - abs(bx - cx2), 0) * greatest(4 - abs(by - cy2), 0)
+        |    + greatest(least(0.0, bx, cx2) + 4 - greatest(0.0, bx, cx2), 0)
+        |      * greatest(least(0.0, by, cy2) + 4 - greatest(0.0, by, cy2), 0), 6)
+        |    AS union_area
+        |FROM (
+        |  SELECT n_nationkey,
+        |    CAST(n_nationkey * 3 % 5 AS DOUBLE) / 2 - 0.25 AS bx,
+        |    CAST(n_nationkey * 7 % 5 AS DOUBLE) / 2 - 0.25 AS by,
+        |    CAST(n_nationkey * 2 % 7 AS DOUBLE) / 2 + 0.25 AS cx2,
+        |    CAST(n_nationkey * 5 % 7 AS DOUBLE) / 2 + 0.25 AS cy2
+        |  FROM nation)
+        |ORDER BY n_nationkey""") { (s, dir) =>
+      val key = col("n_nationkey")
+      val base = t(s, dir, "nation").select(key,
+        ((key * 3 % 5).cast("double") / 2 - 0.25).as("bx"),
+        ((key * 7 % 5).cast("double") / 2 - 0.25).as("by"),
+        ((key * 2 % 7).cast("double") / 2 + 0.25).as("cx2"),
+        ((key * 5 % 7).cast("double") / 2 + 0.25).as("cy2"))
+      val zero = lit(0.0)
+      def sq(x0: Column, y0: Column): Column =
+        struct(lit("POLYGON").as("kind"),
+          array(x0, x0 + 4, x0 + 4, x0).as("xs"),
+          array(y0, y0, y0 + 4, y0 + 4).as("ys"))
+      base.select(key,
+        round(stAreaMulti(stUnionCollection(array(
+          sq(zero, zero), sq(col("bx"), col("by")),
+          sq(col("cx2"), col("cy2"))))), 6).as("union_area"))
         .orderBy(key)
     }
   )

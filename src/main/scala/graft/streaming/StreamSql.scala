@@ -4,7 +4,8 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, SessionWindow, TimeWindow}
 import org.apache.spark.sql.catalyst.expressions.TruncTimestamp
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Sort}
 import org.apache.spark.sql.types.{DateType, StructType, TimestampNTZType, TimestampType}
 
 /** `SELECT STREAM` front end — the reference's streaming SQL surface.
@@ -171,6 +172,25 @@ object StreamSql {
             "(the event-time column or an expression derived from it) — " +
             "a stream cannot be sorted on an unbounded key " +
             "(reference: site/_docs/stream.md 'Sorting streams')")
+      // the joining rule (stream.md 'Joining streams': "a window of one
+      // hour" over both rowtimes): a STREAM-to-STREAM join must carry an
+      // INEQUALITY over event time bounding how far the sides can drift —
+      // without it, matching state is unbounded on both sides. Spark would
+      // reject this too, but only when the sink starts; surface the
+      // reference validator's decision at analysis instead.
+      case j: Join if j.left.isStreaming && j.right.isStreaming &&
+          !j.condition.exists(_.exists {
+            case _: EqualTo | _: EqualNullSafe => false
+            case cmp: BinaryComparison =>
+              cmp.children.exists(c => isTimeType(c.dataType))
+            case _ => false
+          }) =>
+        throw new IllegalArgumentException(
+          "Stream-to-stream join requires a time bound: an interval " +
+            "condition over the event-time columns (e.g. " +
+            "s1.rowtime BETWEEN s2.rowtime AND s2.rowtime + INTERVAL '1' HOUR) " +
+            "— unbounded state otherwise " +
+            "(reference: site/_docs/stream.md 'Joining streams')")
       case _ => ()
     }
   }

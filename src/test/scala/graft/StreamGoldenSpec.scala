@@ -152,6 +152,28 @@ class StreamGoldenSpec extends AnyFunSuite {
       assert(StreamSql.sql(spark, sfDir, q).isStreaming, s"should accept: $q")
   }
 
+  test("StreamTest joining rule — stream-stream join needs a time bound") {
+    setup
+    // equality-only stream-stream self join: unbounded state, rejected
+    val ex = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        """SELECT STREAM o1.id, o2.id FROM orders_s o1
+          |JOIN orders_s o2 ON o1.product = o2.product""".stripMargin)
+    }
+    assert(ex.getMessage.contains("time bound"))
+    // an interval condition over the rowtimes bounds the drift: accepted
+    val ok = StreamSql.sql(spark, sfDir,
+      """SELECT STREAM o1.id AS a, o2.id AS b FROM orders_s o1
+        |JOIN orders_s o2 ON o1.product = o2.product
+        | AND o2.rowtime >= o1.rowtime
+        | AND o2.rowtime < o1.rowtime + INTERVAL '1' HOUR""".stripMargin)
+    assert(ok.isStreaming)
+    // stream-to-TABLE joins are unrestricted (stream-static, bounded side)
+    assert(StreamSql.sql(spark, sfDir,
+      """SELECT STREAM o.id, p.supplier FROM orders_s o
+        |JOIN products_s p ON o.product = p.id""".stripMargin).isStreaming)
+  }
+
   test("streaming twins restore every shadowed batch view, not just events (r6 ADVICE)") {
     setup
     Tables.registerAll(spark, sfDir)

@@ -319,18 +319,54 @@ object PolyClip {
   //                  disjointified the same way.
   // Shoelace areas of the pieces therefore SUM to the true area — the
   // inclusion-exclusion identities geo_concave pins.
+  //
+  // Numeric contract (r9 ADVICE): classification and ear tests use a
+  // tolerance RELATIVE to the ring's extent (crossTol — cross products
+  // scale with extent²), so decomposition is magnitude-invariant from
+  // micro-degrees to projected meters (GeoConcaveSpec pins 1e-4/1/1e6).
+  // The clip kernels' linear-scale epsilons (vertex dedup, zero-length
+  // edges) remain absolute at 1e-12: callers feeding coordinates with
+  // |x|,|y| ≲ 1e7 (lon/lat, UTM meters) are within contract; beyond
+  // that, translate to a local origin first.
 
   private val Eps = 1e-12
+
+  /** Scale-relative tolerance for CROSS-PRODUCT (area-like) comparisons
+    * (r9 ADVICE): cross products grow with the square of the ring's
+    * linear extent, so a fixed 1e-9/1e-12 threshold misclassifies both
+    * directions — a genuinely reflex turn on a micro-polygon slips under
+    * an absolute epsilon (silently convex → wrong area from the convex
+    * kernels), and numerically-collinear turns on projected-meter rings
+    * tower over it. Tolerance = Eps · extent², floored at Eps so unit
+    * fixtures keep their historical behavior. Linear-scale comparisons
+    * (vertex dedup, zero-length edges) still use the absolute Eps; their
+    * contract is coordinates of magnitude ≲ 1e6 (lon/lat or local meters),
+    * documented on the concave entry points. */
+  private def crossTol(xs: Array[Double], ys: Array[Double]): Double = {
+    var lo = Double.MaxValue; var hi = -Double.MaxValue
+    var i = 0
+    while (i < xs.length) {
+      if (xs(i) < lo) lo = xs(i); if (xs(i) > hi) hi = xs(i)
+      if (ys(i) < lo) lo = ys(i); if (ys(i) > hi) hi = ys(i)
+      i += 1
+    }
+    val extent = hi - lo
+    math.max(Eps, Eps * extent * extent)
+  }
 
   /** All turns left-or-straight on a CCW ring → convex. */
   def isConvexRing(xs: Array[Double], ys: Array[Double]): Boolean = {
     val n = xs.length
     if (n < 4) return true
+    // floor at the historical 1e-9 so near-collinear turns on unit-scale
+    // rings keep classifying convex (the decompose path would reject them
+    // as ear-less); the relative term takes over once extent² > 1e3
+    val tol = math.max(1e-9, crossTol(xs, ys))
     var i = 0
     while (i < n) {
       val j = (i + 1) % n; val k = (i + 2) % n
       val cr = (xs(j) - xs(i)) * (ys(k) - ys(j)) - (ys(j) - ys(i)) * (xs(k) - xs(j))
-      if (cr < -1e-9) return false
+      if (cr < -tol) return false
       i += 1
     }
     true
@@ -347,15 +383,16 @@ object PolyClip {
     * is skipped and a later ear is clipped instead (two ears always
     * exist). */
   private def pointInTriClosed(px: Double, py: Double, ax: Double, ay: Double,
-      bx: Double, by: Double, cx: Double, cy: Double): Boolean =
-    triArea2(ax, ay, bx, by, px, py) >= -Eps &&
-      triArea2(bx, by, cx, cy, px, py) >= -Eps &&
-      triArea2(cx, cy, ax, ay, px, py) >= -Eps
+      bx: Double, by: Double, cx: Double, cy: Double, tol: Double): Boolean =
+    triArea2(ax, ay, bx, by, px, py) >= -tol &&
+      triArea2(bx, by, cx, cy, px, py) >= -tol &&
+      triArea2(cx, cy, ax, ay, px, py) >= -tol
 
   /** Ear-clipping triangulation of a simple CCW ring → index triples.
     * O(n²), deterministic (first ear in ring order each round). */
   private def earClipIdx(xs: Array[Double], ys: Array[Double]): Array[Array[Int]] = {
     val n = xs.length
+    val tol = crossTol(xs, ys)
     val idx = collection.mutable.ArrayBuffer.range(0, n)
     val tris = collection.mutable.ArrayBuffer[Array[Int]]()
     while (idx.length > 3) {
@@ -365,14 +402,14 @@ object PolyClip {
         val i0 = idx((p + idx.length - 1) % idx.length)
         val i1 = idx(p)
         val i2 = idx((p + 1) % idx.length)
-        if (triArea2(xs(i0), ys(i0), xs(i1), ys(i1), xs(i2), ys(i2)) > Eps) {
+        if (triArea2(xs(i0), ys(i0), xs(i1), ys(i1), xs(i2), ys(i2)) > tol) {
           var ok = true
           var q = 0
           while (q < idx.length && ok) {
             val iv = idx(q)
             if (iv != i0 && iv != i1 && iv != i2 &&
                 pointInTriClosed(xs(iv), ys(iv),
-                  xs(i0), ys(i0), xs(i1), ys(i1), xs(i2), ys(i2))) ok = false
+                  xs(i0), ys(i0), xs(i1), ys(i1), xs(i2), ys(i2), tol)) ok = false
             q += 1
           }
           if (ok) { tris += Array(i0, i1, i2); idx.remove(p); clipped = true }
@@ -396,9 +433,10 @@ object PolyClip {
     // drop zero-area triangles: collinear input vertices can leave a
     // degenerate final triple once the real area is covered; it covers
     // nothing, and a zero-length edge would corrupt later half-plane math
+    val tol = crossTol(xs, ys)
     var parts: Vector[Vector[Int]] = earClipIdx(xs, ys).iterator
       .filter(t => math.abs(triArea2(xs(t(0)), ys(t(0)), xs(t(1)), ys(t(1)),
-        xs(t(2)), ys(t(2)))) > Eps)
+        xs(t(2)), ys(t(2)))) > tol)
       .map(_.toVector).toVector
     def convexRing(ring: Vector[Int]): Boolean =
       isConvexRing(ring.map(xs).toArray, ring.map(ys).toArray)

@@ -217,9 +217,18 @@ object Profiler {
     * ONE sketch pass (singles + pairs, no Expand), screens candidate
     * FDs inside a generous HLL band, and exact-confirms only the
     * survivors with [[functionalDeps]] — at 100 TB the screen is the
-    * difference between p² fact scans and one, and a non-candidate is
-    * already refuted by the sketch alone (actual ≫ ndv(a) cannot be
-    * HLL noise at 3σ of both sketches). Returns (fd, holds) for every
+    * difference between p² fact scans and one.
+    *
+    * Probabilistic contract (r9 ADVICE): the screen can produce FALSE
+    * NEGATIVES. A sketch refutation means the two estimates deviate
+    * beyond a 3·(3·rsd) band — overwhelmingly a real violation, but
+    * with p² pairs tested an occasional true FD lands in the band's
+    * tail and is reported as not holding WITHOUT exact confirmation
+    * (at rsd=0.05 the band is ±45% relative, so the per-pair miss
+    * probability is ≪1e-6; it is never zero). False POSITIVES cannot
+    * happen: every screened-in candidate is exact-confirmed. Callers
+    * needing a guaranteed verdict for a specific pair should call
+    * [[functionalDeps]] on it directly. Returns (fd, holds) for every
     * ordered pair, plus (unique:c, holds) per column. */
   def discoverFds(df: DataFrame, cols: Seq[String], rsd: Double = 0.05)
       : Seq[(String, Boolean)] = {
@@ -232,9 +241,13 @@ object Profiler {
     val row = df.agg(baseAggs.head, baseAggs.tail: _*).head()
     def get(name: String): Long = row.getLong(row.fieldIndex(name))
     val n = get("__n")
-    val band = 3 * rsd // each estimate carries ~3σ = 15%; two estimates compound
+    // each estimate carries ~3σ = 3·rsd; two independent estimates
+    // compound, and screening IN an extra candidate costs only one cheap
+    // exact confirmation, so the band is widened to 3× (not 2×) to push
+    // the false-negative tail down (see the contract in the doc above)
+    val band = 3 * rsd
     def close(a: Long, b: Long): Boolean =
-      math.abs(a.toDouble - b) <= 2 * band * math.max(a.toDouble, b)
+      math.abs(a.toDouble - b) <= 3 * band * math.max(a.toDouble, b)
     val pairs = for {
       a <- cols; b <- cols if a != b
     } yield {

@@ -3,8 +3,8 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, SessionWindow, TimeWindow}
-import org.apache.spark.sql.catalyst.expressions.TruncTimestamp
-import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, GetStructField, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Sort}
 import org.apache.spark.sql.types.{DateType, StructType, TimestampNTZType, TimestampType}
 
@@ -149,11 +149,26 @@ object StreamSql {
         st.fields.exists(f => isTimeType(f.dataType))
       case _ => false
     }
-    def monotonic(e: Expression): Boolean =
-      isTimeType(e.dataType) || e.exists {
-        case _: TimeWindow | _: SessionWindow | _: TruncTimestamp => true
-        case other => isTimeType(other.dataType)
-      }
+    // Monotonic = derived from event time by an ORDER-PRESERVING function.
+    // This is a WHITELIST of known monotonic shapes, not "contains a
+    // time-typed subexpression": cyclic derivations such as
+    // EXTRACT(HOUR FROM rowtime) or dayofweek(rowtime) contain the event
+    // time but wrap around, which is exactly the unbounded-state condition
+    // the rule exists to reject (stream.md "Aggregation and windows").
+    // Accepted: the bare event-time column (or the window/session_window
+    // grouping struct Spark's TimeWindowing rule substitutes for it),
+    // date_trunc / FLOOR-TO over a monotonic input, a widening CAST to
+    // DATE/TIMESTAMP, struct-field access (window.start/.end), and
+    // aliases thereof.
+    def monotonic(e: Expression): Boolean = e match {
+      case a: Attribute => isTimeType(a.dataType)
+      case Alias(child, _) => monotonic(child)
+      case _: TimeWindow | _: SessionWindow => true
+      case t: TruncTimestamp => t.children.exists(monotonic)
+      case c: Cast if isTimeType(c.dataType) => monotonic(c.child)
+      case g: GetStructField => monotonic(g.child)
+      case _ => false
+    }
     df.queryExecution.analyzed.foreach {
       case agg: Aggregate if agg.child.isStreaming &&
           !agg.groupingExpressions.exists(monotonic) =>
@@ -165,29 +180,63 @@ object StreamSql {
       // the reference's sorting rule (stream.md 'Sorting'): a stream can
       // only be emitted in an order whose LEADING key is monotonic —
       // ORDER BY units on an unbounded stream can never emit its first row
+      // Direction matters too: ORDER BY rowtime DESC asks for the LAST
+      // event first, which an unbounded stream can never produce — only an
+      // ASCENDING leading key over a monotonic value can emit incrementally.
       case srt: Sort if srt.child.isStreaming &&
-          !srt.order.headOption.map(_.child).exists(monotonic) =>
+          !srt.order.headOption.exists(o =>
+            o.direction == Ascending && monotonic(o.child)) =>
         throw new IllegalArgumentException(
-          "Streaming ORDER BY must start with a monotonic expression " +
-            "(the event-time column or an expression derived from it) — " +
-            "a stream cannot be sorted on an unbounded key " +
-            "(reference: site/_docs/stream.md 'Sorting streams')")
+          "Streaming ORDER BY must start with an ASCENDING monotonic " +
+            "expression (the event-time column or an expression derived " +
+            "from it) — a stream cannot be sorted on an unbounded or " +
+            "descending key (reference: site/_docs/stream.md 'Sorting streams')")
       // the joining rule (stream.md 'Joining streams': "a window of one
       // hour" over both rowtimes): a STREAM-to-STREAM join must carry an
       // INEQUALITY over event time bounding how far the sides can drift —
       // without it, matching state is unbounded on both sides. Spark would
       // reject this too, but only when the sink starts; surface the
       // reference validator's decision at analysis instead.
-      case j: Join if j.left.isStreaming && j.right.isStreaming &&
-          !j.condition.exists(_.exists {
-            case _: EqualTo | _: EqualNullSafe => false
-            case cmp: BinaryComparison =>
-              cmp.children.exists(c => isTimeType(c.dataType))
-            case _ => false
-          }) =>
+      // A time bound must actually RELATE the two streams' event times —
+      // a comparison against a literal (rowtime > DATE '2020-01-01') or a
+      // same-side bound constrains nothing about their relative drift. We
+      // require inequalities whose two operands reference event-time
+      // columns from DIFFERENT join sides, in BOTH directions (an upper
+      // and a lower bound, the shape of the reference's BETWEEN example):
+      // one-sided drift still accumulates unbounded state on one side.
+      case j: Join if j.left.isStreaming && j.right.isStreaming && {
+        val leftOut = j.left.outputSet
+        val rightOut = j.right.outputSet
+        def timeSides(e: Expression): (Boolean, Boolean) = {
+          val refs = e.references.filter(a => isTimeType(a.dataType))
+          (refs.exists(leftOut.contains), refs.exists(rightOut.contains))
+        }
+        // collect which drift directions the condition bounds:
+        // "upper" = leftTime ≤ f(rightTime), "lower" = leftTime ≥ f(rightTime)
+        var upper, lower = false
+        j.condition.foreach(_.foreach {
+          case _: EqualTo | _: EqualNullSafe => ()
+          case cmp: BinaryComparison =>
+            val (ll, lr) = timeSides(cmp.left)
+            val (rl, rr) = timeSides(cmp.right)
+            val leftThenRight = ll && rr // left-side time op right-side time
+            val rightThenLeft = lr && rl
+            cmp match {
+              case _: LessThan | _: LessThanOrEqual =>
+                if (leftThenRight) upper = true
+                if (rightThenLeft) lower = true
+              case _: GreaterThan | _: GreaterThanOrEqual =>
+                if (leftThenRight) lower = true
+                if (rightThenLeft) upper = true
+              case _ => ()
+            }
+          case _ => ()
+        })
+        !(upper && lower)
+      } =>
         throw new IllegalArgumentException(
-          "Stream-to-stream join requires a time bound: an interval " +
-            "condition over the event-time columns (e.g. " +
+          "Stream-to-stream join requires a two-sided time bound: interval " +
+            "conditions relating the event-time columns of BOTH inputs (e.g. " +
             "s1.rowtime BETWEEN s2.rowtime AND s2.rowtime + INTERVAL '1' HOUR) " +
             "— unbounded state otherwise " +
             "(reference: site/_docs/stream.md 'Joining streams')")

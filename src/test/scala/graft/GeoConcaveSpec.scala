@@ -36,6 +36,32 @@ class GeoConcaveSpec extends AnyFunSuite {
     }
   }
 
+  test("scale-relative epsilon: projected-meter and micro-scale rings classify alike (r9 ADVICE)") {
+    // cross products scale with extent², so a FIXED threshold misreads
+    // rings far from unit scale. The same L-shape at three magnitudes must
+    // classify concave, decompose, and cover the scaled area exactly.
+    for (s <- Seq(1e-4, 1.0, 1e6)) {
+      val (xs0, ys0) = lShape(4, 4, 1, 1)
+      val xs = xs0.map(_ * s); val ys = ys0.map(_ * s)
+      assert(!PolyClip.isConvexRing(xs, ys), s"L-shape at scale $s must be concave")
+      val parts = PolyClip.decomposeConvex(xs, ys)
+      assert(parts.forall(p => area(p) > 0))
+      val want = 7.0 * s * s
+      assert(math.abs(parts.map(area).sum - want) <= 1e-9 * s * s,
+        s"area at scale $s")
+    }
+    // ...and a numerically-collinear "pentagon" (one vertex a relative
+    // 1e-14 INTO a square's bottom edge — rounding noise at meter scale)
+    // stays CONVEX: the absolute -1e-9 gate would have called its
+    // 1e-2-magnitude cross product reflex and sent an effectively-exact
+    // square down the decompose path
+    val s = 1e6
+    val xs = Array(0.0, 0.5 * s, s, s, 0.0)
+    val ys = Array(0.0, 1e-14 * s, 0.0, s, s)
+    assert(PolyClip.isConvexRing(xs, ys),
+      "numerically-collinear midpoint at meter scale must classify convex")
+  }
+
   test("regression: reflex vertex ON the candidate ear diagonal (w=h, cx+cy spans)") {
     // L(5,5,2,3): the notch corner (2,3) lies exactly on the bbox diagonal
     // x+y=5 — a strict-interior ear test admits a diagonal that exits

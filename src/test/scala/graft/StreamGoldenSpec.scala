@@ -122,6 +122,15 @@ class StreamGoldenSpec extends AnyFunSuite {
       StreamSql.sql(spark, sfDir, "SELECT STREAM count(*) AS c FROM orders_s")
     }
     assert(ex2.getMessage.contains("monotonic expression"))
+    // a CYCLIC derivation of event time is NOT monotonic (r9 ADVICE):
+    // EXTRACT(HOUR FROM rowtime) wraps around every day, so its groups
+    // reopen forever — "contains a time-typed subexpression" must not pass
+    val ex3 = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        "SELECT STREAM EXTRACT(HOUR FROM rowtime) AS h, count(*) AS c " +
+          "FROM orders_s GROUP BY EXTRACT(HOUR FROM rowtime)")
+    }
+    assert(ex3.getMessage.contains("monotonic expression"))
     // ... while every monotonic shape is accepted: raw rowtime, FLOOR-TO
     // (via date_trunc), TUMBLE, SESSION, and CAST(rowtime AS DATE)
     for (q <- Seq(
@@ -143,6 +152,13 @@ class StreamGoldenSpec extends AnyFunSuite {
         "SELECT STREAM rowtime, product, units FROM orders_s ORDER BY units")
     }
     assert(ex.getMessage.contains("monotonic"))
+    // DESCENDING event time is just as impossible — the first row of
+    // ORDER BY rowtime DESC is the stream's LAST event (r9 ADVICE)
+    val exDesc = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        "SELECT STREAM rowtime, product FROM orders_s ORDER BY rowtime DESC")
+    }
+    assert(exDesc.getMessage.contains("monotonic"))
     // ... while a monotonic leading key analyzes fine (rowtime, or a
     // derived FLOOR-TO bucket; secondary keys are unrestricted)
     for (q <- Seq(
@@ -161,6 +177,23 @@ class StreamGoldenSpec extends AnyFunSuite {
           |JOIN orders_s o2 ON o1.product = o2.product""".stripMargin)
     }
     assert(ex.getMessage.contains("time bound"))
+    // a comparison against a LITERAL is not a bound between the streams
+    // (r9 ADVICE): it has a time-typed operand but relates nothing
+    val exLit = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        """SELECT STREAM o1.id, o2.id FROM orders_s o1
+          |JOIN orders_s o2 ON o1.product = o2.product
+          | AND o1.rowtime > TIMESTAMP '2015-01-01 00:00:00'""".stripMargin)
+    }
+    assert(exLit.getMessage.contains("time bound"))
+    // a ONE-SIDED bound still lets the other side drift without limit
+    val exOne = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        """SELECT STREAM o1.id, o2.id FROM orders_s o1
+          |JOIN orders_s o2 ON o1.product = o2.product
+          | AND o2.rowtime >= o1.rowtime""".stripMargin)
+    }
+    assert(exOne.getMessage.contains("time bound"))
     // an interval condition over the rowtimes bounds the drift: accepted
     val ok = StreamSql.sql(spark, sfDir,
       """SELECT STREAM o1.id AS a, o2.id AS b FROM orders_s o1

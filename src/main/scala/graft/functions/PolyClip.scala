@@ -332,26 +332,44 @@ object PolyClip {
   private val Eps = 1e-12
 
   /** Scale-relative tolerance for CROSS-PRODUCT (area-like) comparisons
-    * (r9 ADVICE): cross products grow with the square of the ring's
-    * linear extent, so a fixed 1e-9/1e-12 threshold misclassifies both
-    * directions — a genuinely reflex turn on a micro-polygon slips under
-    * an absolute epsilon (silently convex → wrong area from the convex
-    * kernels), and numerically-collinear turns on projected-meter rings
-    * tower over it. Tolerance = Eps · extent², floored at Eps so unit
-    * fixtures keep their historical behavior. Linear-scale comparisons
-    * (vertex dedup, zero-length edges) still use the absolute Eps; their
-    * contract is coordinates of magnitude ≲ 1e6 (lon/lat or local meters),
-    * documented on the concave entry points. */
+    * (r9 ADVICE, refined r11): cross products grow with the square of the
+    * ring's LINEAR SIZE (its diameter), so a fixed 1e-9/1e-12 threshold
+    * misclassifies both directions — a genuinely reflex turn on a
+    * micro-polygon slips under an absolute epsilon (silently convex →
+    * wrong area from the convex kernels), and numerically-collinear turns
+    * on projected-meter rings tower over it.
+    *
+    * Two terms, both floored at Eps:
+    *  - size term: Eps · diam², where diam = max per-axis extent
+    *    (xmax−xmin vs ymax−ymin). Using the ring's diameter — NOT the
+    *    combined coordinate range — keeps a small ring far from the
+    *    origin (a 5 m footprint at UTM x≈7e5/y≈4e6) from inheriting a
+    *    tolerance that swamps its genuine ~25 m² cross products.
+    *  - roundoff term: 2⁻⁴⁸ · maxAbs², covering the floating-point error
+    *    of differencing coordinates with a large common offset (each
+    *    product in the cross is ≲ maxAbs² with relative error ~2⁻⁵²; a
+    *    16-ulp budget absorbs the handful of ops). At maxAbs = 1e6 this
+    *    is ≈ 3.6e-3 — far below a meter-scale ring's real cross products
+    *    but above the noise of catastrophic cancellation.
+    *
+    * Linear-scale comparisons (vertex dedup, zero-length edges) still use
+    * the absolute Eps; their contract is coordinates of magnitude ≲ 1e7
+    * (lon/lat, UTM meters), documented on the concave entry points. */
   private def crossTol(xs: Array[Double], ys: Array[Double]): Double = {
-    var lo = Double.MaxValue; var hi = -Double.MaxValue
+    var xLo = Double.MaxValue; var xHi = -Double.MaxValue
+    var yLo = Double.MaxValue; var yHi = -Double.MaxValue
+    var maxAbs = 0.0
     var i = 0
     while (i < xs.length) {
-      if (xs(i) < lo) lo = xs(i); if (xs(i) > hi) hi = xs(i)
-      if (ys(i) < lo) lo = ys(i); if (ys(i) > hi) hi = ys(i)
+      if (xs(i) < xLo) xLo = xs(i); if (xs(i) > xHi) xHi = xs(i)
+      if (ys(i) < yLo) yLo = ys(i); if (ys(i) > yHi) yHi = ys(i)
+      val ax = math.abs(xs(i)); if (ax > maxAbs) maxAbs = ax
+      val ay = math.abs(ys(i)); if (ay > maxAbs) maxAbs = ay
       i += 1
     }
-    val extent = hi - lo
-    math.max(Eps, Eps * extent * extent)
+    val diam = math.max(xHi - xLo, yHi - yLo)
+    val roundoff = maxAbs * maxAbs / 281474976710656.0 // 2^-48 · maxAbs²
+    math.max(Eps, math.max(Eps * diam * diam, roundoff))
   }
 
   /** All turns left-or-straight on a CCW ring → convex. */

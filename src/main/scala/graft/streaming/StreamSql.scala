@@ -4,7 +4,8 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, SessionWindow, TimeWindow}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, GetStructField, TruncTimestamp}
-import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, BinaryExpression, EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{And, Between, Subtract, SubtractDates, SubtractTimestamps}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Sort}
 import org.apache.spark.sql.types.{DateType, StructType, TimestampNTZType, TimestampType}
 
@@ -200,38 +201,109 @@ object StreamSql {
       // A time bound must actually RELATE the two streams' event times —
       // a comparison against a literal (rowtime > DATE '2020-01-01') or a
       // same-side bound constrains nothing about their relative drift. We
-      // require inequalities whose two operands reference event-time
-      // columns from DIFFERENT join sides, in BOTH directions (an upper
-      // and a lower bound, the shape of the reference's BETWEEN example):
-      // one-sided drift still accumulates unbounded state on one side.
+      // require bounds on the signed drift (leftTime − rightTime) in BOTH
+      // directions (an upper and a lower bound, the shape of the
+      // reference's BETWEEN example): one-sided drift still accumulates
+      // unbounded state on one side. Three accepted shapes (r10 ADVICE):
+      //  - operand-per-side: l.rowtime <= r.rowtime + INTERVAL '1' HOUR,
+      //    where each operand is the MONOTONIC event time of one side
+      //    plus optional time-free interval arithmetic (a raw time-typed
+      //    reference is not enough: EXTRACT(HOUR FROM rowtime) wraps
+      //    around and bounds nothing);
+      //  - difference-style: (r.rowtime − l.rowtime) BETWEEN INTERVAL '0'
+      //    SECOND AND INTERVAL '1' HOUR — the difference references both
+      //    sides, the comparand is time-free; </> bound the signed
+      //    difference above/below per its orientation;
+      //  - exact equality l.rowtime = r.rowtime (drift bounded to zero).
+      // Only CONJUNCTIVE positions count: an inequality under an OR
+      // branch guarantees nothing.
       case j: Join if j.left.isStreaming && j.right.isStreaming && {
         val leftOut = j.left.outputSet
         val rightOut = j.right.outputSet
-        def timeSides(e: Expression): (Boolean, Boolean) = {
-          val refs = e.references.filter(a => isTimeType(a.dataType))
-          (refs.exists(leftOut.contains), refs.exists(rightOut.contains))
+        // monotonic event time + interval arithmetic: monotonic(), or a
+        // binary op combining a monotonicArith with a reference-free
+        // (literal interval) operand — covers TimeAdd/DatetimeSub shapes
+        def monotonicArith(e: Expression): Boolean = monotonic(e) || (e match {
+          // the analyzer wraps interval arithmetic in casts:
+          // rowtime + INTERVAL '1' HOUR → cast(rowtime + iv AS timestamp)
+          case c: Cast if isTimeType(c.dataType) => monotonicArith(c.child)
+          case b: BinaryExpression =>
+            (monotonicArith(b.left) && b.right.references.isEmpty) ||
+              (monotonicArith(b.right) && b.left.references.isEmpty)
+          case _ => false
+        })
+        // Some(true)=rooted in LEFT side's event time, Some(false)=right
+        def sideOf(e: Expression): Option[Boolean] =
+          if (!monotonicArith(e)) None
+          else {
+            val l = e.references.exists(leftOut.contains)
+            val r = e.references.exists(rightOut.contains)
+            if (l && !r) Some(true) else if (r && !l) Some(false) else None
+          }
+        // a subtraction of one side's monotonic time from the other's:
+        // Some(true) = (leftTime − rightTime), Some(false) = reversed
+        def diffOrientation(e: Expression): Option[Boolean] = e match {
+          case c: Cast => diffOrientation(c.child)
+          case b @ (_: Subtract | _: SubtractTimestamps | _: SubtractDates) =>
+            val s = b.asInstanceOf[BinaryExpression]
+            (sideOf(s.left), sideOf(s.right)) match {
+              case (Some(true), Some(false)) => Some(true)
+              case (Some(false), Some(true)) => Some(false)
+              case _ => None
+            }
+          case _ => None
         }
-        // collect which drift directions the condition bounds:
-        // "upper" = leftTime ≤ f(rightTime), "lower" = leftTime ≥ f(rightTime)
+        // which drift directions the condition bounds:
+        // "upper" = (leftTime − rightTime) bounded above, "lower" = below
         var upper, lower = false
-        j.condition.foreach(_.foreach {
-          case _: EqualTo | _: EqualNullSafe => ()
+        def credit(orientation: Option[Boolean], boundsAbove: Boolean): Unit =
+          orientation.foreach { lMinusR =>
+            if (if (lMinusR) boundsAbove else !boundsAbove) upper = true
+            else lower = true
+          }
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conjuncts(l) ++ conjuncts(r)
+          // the analyzer keeps BETWEEN as a RuntimeReplaceable Between
+          // node (its replacement uses With/CommonExpressionRef, which
+          // hides the operand) — lower it to its two comparisons here
+          case b: Between =>
+            Seq(GreaterThanOrEqual(b.input, b.lower), LessThanOrEqual(b.input, b.upper))
+          case other => Seq(other)
+        }
+        j.condition.toSeq.flatMap(conjuncts).foreach {
           case cmp: BinaryComparison =>
-            val (ll, lr) = timeSides(cmp.left)
-            val (rl, rr) = timeSides(cmp.right)
-            val leftThenRight = ll && rr // left-side time op right-side time
-            val rightThenLeft = lr && rl
+            val lSide = sideOf(cmp.left); val rSide = sideOf(cmp.right)
+            val lFree = cmp.left.references.isEmpty
+            val rFree = cmp.right.references.isEmpty
             cmp match {
+              case _: EqualTo | _: EqualNullSafe =>
+                // cross-side equality, or (diff = interval): both bounds
+                if ((lSide == Some(true) && rSide == Some(false)) ||
+                    (lSide == Some(false) && rSide == Some(true)) ||
+                    (rFree && diffOrientation(cmp.left).isDefined) ||
+                    (lFree && diffOrientation(cmp.right).isDefined)) {
+                  upper = true; lower = true
+                }
               case _: LessThan | _: LessThanOrEqual =>
-                if (leftThenRight) upper = true
-                if (rightThenLeft) lower = true
+                (lSide, rSide) match {
+                  case (Some(true), Some(false)) => upper = true
+                  case (Some(false), Some(true)) => lower = true
+                  case _ =>
+                    if (rFree) credit(diffOrientation(cmp.left), boundsAbove = true)
+                    if (lFree) credit(diffOrientation(cmp.right), boundsAbove = false)
+                }
               case _: GreaterThan | _: GreaterThanOrEqual =>
-                if (leftThenRight) lower = true
-                if (rightThenLeft) upper = true
+                (lSide, rSide) match {
+                  case (Some(true), Some(false)) => lower = true
+                  case (Some(false), Some(true)) => upper = true
+                  case _ =>
+                    if (rFree) credit(diffOrientation(cmp.left), boundsAbove = false)
+                    if (lFree) credit(diffOrientation(cmp.right), boundsAbove = true)
+                }
               case _ => ()
             }
           case _ => ()
-        })
+        }
         !(upper && lower)
       } =>
         throw new IllegalArgumentException(

@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   *   - document text goes through a per-copy LETTER-SUBSTITUTION cipher:
   *     a bijection on characters is a bijection on trigram shingles, so
   *     every within-copy Jaccard similarity / minhash signature
-  *     relationship of sf0.1 is preserved EXACTLY, while cross-copy
-  *     trigram sets are disjoint (no manufactured near-dups, no exact
-  *     dups — the fixture contract). Length is preserved, so n_chars
-  *     stays valid and per-document work is identical to sf0.1;
+  *     relationship of sf0.1 is preserved EXACTLY, while no similarity
+  *     STRUCTURE is preserved across copies — distinct ciphers yield no
+  *     exact cross-copy duplicates and no manufactured near-dups
+  *     (incidental low-Jaccard trigram overlap between differently-
+  *     ciphered copies is possible but carries no structure). Length is
+  *     preserved, so n_chars stays valid and per-document work is
+  *     identical to sf0.1. The cipher family has 104 distinct members
+  *     (identity at k = 0), so docFactor is capped at 104 — beyond that,
+  *     reused ciphers would create exact cross-copy duplicates;
   *   - embeddings get a small deterministic per-copy jitter (hash-seeded,
   *     copy 0 pristine) so no two vectors are bit-identical.
   *
@@ -77,6 +82,19 @@ object ScaleUp {
     val tpchFactor = args.lift(2).map(_.toInt).getOrElse(10)
     val docFactor = args.lift(3).map(_.toInt).getOrElse(100)
     val spark = Engine.session("graft-scaleup")
+    run(spark, src, out, tpchFactor, docFactor)
+    spark.stop()
+    println(s"""{"scaleup":"done","out":"$out","tpchFactor":$tpchFactor,"docFactor":$docFactor}""")
+  }
+
+  /** Generate the derived-scale fixture set (spec-callable: does not own
+    * or stop the session). */
+  def run(spark: SparkSession, src: String, out: String,
+      tpchFactor: Int, docFactor: Int): Unit = {
+    require(docFactor <= 104,
+      s"docFactor $docFactor > 104: the substitution-cipher family has only " +
+        "104 distinct bijections; reusing one would create exact cross-copy " +
+        "duplicate texts, violating the fixture contract")
 
     def maxOf(name: String, c: String): Long =
       Tables.t(spark, src, name).agg(max(col(c))).head().getLong(0)
@@ -130,7 +148,11 @@ object ScaleUp {
     }, "events", 16)
 
     write(replicate("documents", docFactor) { (d, k) =>
-      d.withColumn("doc_id", shift("doc_id", docStride, k))
+      // copy 0 is the UNTOUCHED source (cipherTo(0) is the identity, but
+      // the source-suffix would not be — skip both so the contract
+      // "copy 0 = pristine sf0.1" holds column-for-column)
+      if (k == 0) d
+      else d.withColumn("doc_id", shift("doc_id", docStride, k))
         .withColumn("source", concat(col("source"), lit(s"_c$k")))
         .withColumn("text", translate(col("text"), cipherFrom, cipherTo(k)))
     }, "documents", 32)
@@ -144,8 +166,5 @@ object ScaleUp {
         .withColumn("label", col("label") + lit(k * 1000))
         .withColumn("embedding", jittered)
     }, "embeddings", 16)
-
-    spark.stop()
-    println(s"""{"scaleup":"done","out":"$out","tpchFactor":$tpchFactor,"docFactor":$docFactor}""")
   }
 }

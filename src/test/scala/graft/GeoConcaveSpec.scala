@@ -62,6 +62,37 @@ class GeoConcaveSpec extends AnyFunSuite {
       "numerically-collinear midpoint at meter scale must classify convex")
   }
 
+  test("offset-invariance: small ring at UTM-scale coordinates keeps its shape (r10 ADVICE)") {
+    // the tolerance must scale with the ring's DIAMETER, not the combined
+    // coordinate range: a 6×5 m footprint translated to UTM easting/northing
+    // (x≈7e5, y≈4e6) has genuine cross products ~tens of m², which a
+    // tol = Eps·(4e6)² ≈ 16 would swamp — reflex turns would classify
+    // convex and the convex kernels would return silently wrong areas.
+    for ((dx, dy) <- Seq((0.0, 0.0), (7e5, 4e6), (-7e5, 4e6))) {
+      val (xs0, ys0) = lShape(6, 5, 2, 2)
+      val xs = xs0.map(_ + dx); val ys = ys0.map(_ + dy)
+      assert(!PolyClip.isConvexRing(xs, ys),
+        s"6×5 m L-footprint at offset ($dx,$dy) must stay concave")
+      val parts = PolyClip.decomposeConvex(xs, ys)
+      assert(parts.forall { case (px, py) => PolyClip.isConvexRing(px, py) })
+      assert(parts.forall(p => area(p) > 0), "parts must be CCW positive-area")
+      // tolerance 1e-2: the test-side shoelace itself accumulates ~1e-3
+      // roundoff from |x·y| ≈ 2.8e12 products at this offset
+      val want = 6.0 * 2 + 2.0 * 3 // w·cy + cx·(h−cy) = 18
+      assert(math.abs(parts.map(area).sum - want) < 1e-2,
+        s"area at offset ($dx,$dy)")
+      assert(!parts.exists { case (px, py) =>
+        PolyClip.pointIn(px, py, 4.0 + dx, 3.5 + dy) }, "no part reaches the notch")
+    }
+    // ...while a genuinely near-collinear turn at the same offset (vertex
+    // a relative 1e-12 off a 6 m edge → cross ≈ 2e-11 m², below the
+    // roundoff floor 2⁻⁴⁸·(4e6)² ≈ 0.057) still classifies convex
+    val sq = (Array(0.0, 3, 6, 6, 0).map(_ + 7e5),
+              Array(0.0, 1e-11, 0, 5, 5).map(_ + 4e6))
+    assert(PolyClip.isConvexRing(sq._1, sq._2),
+      "roundoff-level wobble at UTM offset must classify convex")
+  }
+
   test("regression: reflex vertex ON the candidate ear diagonal (w=h, cx+cy spans)") {
     // L(5,5,2,3): the notch corner (2,3) lies exactly on the bbox diagonal
     // x+y=5 — a strict-interior ear test admits a diagonal that exits

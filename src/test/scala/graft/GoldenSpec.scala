@@ -439,9 +439,9 @@ class GoldenSpec extends AnyFunSuite {
     (7369, "SMITH", "CLERK", 800.0, None: Option[Double], 20, Some(7902), d("1980-12-17")),
     (7499, "ALLEN", "SALESMAN", 1600.0, Some(300.0), 30, Some(7698), d("1981-02-20")),
     (7521, "WARD", "SALESMAN", 1250.0, Some(500.0), 30, Some(7698), d("1981-02-22")),
-    (7566, "JONES", "MANAGER", 2975.0, None, 20, Some(7839), d("1981-04-02")),
+    (7566, "JONES", "MANAGER", 2975.0, None, 20, Some(7839), d("1981-02-04")),
     (7654, "MARTIN", "SALESMAN", 1250.0, Some(1400.0), 30, Some(7698), d("1981-09-28")),
-    (7698, "BLAKE", "MANAGER", 2850.0, None, 30, Some(7839), d("1981-05-01")),
+    (7698, "BLAKE", "MANAGER", 2850.0, None, 30, Some(7839), d("1981-01-05")),
     (7782, "CLARK", "MANAGER", 2450.0, None, 10, Some(7839), d("1981-06-09")),
     (7788, "SCOTT", "ANALYST", 3000.0, None, 20, Some(7566), d("1987-04-19")),
     (7839, "KING", "PRESIDENT", 5000.0, None, 10, None: Option[Int], d("1981-11-17")),

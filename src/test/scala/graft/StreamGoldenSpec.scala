@@ -201,6 +201,50 @@ class StreamGoldenSpec extends AnyFunSuite {
         | AND o2.rowtime >= o1.rowtime
         | AND o2.rowtime < o1.rowtime + INTERVAL '1' HOUR""".stripMargin)
     assert(ok.isStreaming)
+    // difference-style bounds (r10 ADVICE): both rowtimes on ONE operand,
+    // a literal interval on the other — legal bounded-state shape in both
+    // Spark and the reference; BETWEEN lowers to >= lit AND <= lit
+    val okDiff = StreamSql.sql(spark, sfDir,
+      """SELECT STREAM o1.id AS a, o2.id AS b FROM orders_s o1
+        |JOIN orders_s o2 ON o1.product = o2.product
+        | AND o2.rowtime - o1.rowtime BETWEEN INTERVAL '0' SECOND
+        |   AND INTERVAL '1' HOUR""".stripMargin)
+    assert(okDiff.isStreaming, "difference-style BETWEEN bound must be accepted")
+    // exact rowtime equality bounds drift to zero: accepted (r10 ADVICE)
+    val okEq = StreamSql.sql(spark, sfDir,
+      """SELECT STREAM o1.id AS a, o2.id AS b FROM orders_s o1
+        |JOIN orders_s o2 ON o1.product = o2.product
+        | AND o1.rowtime = o2.rowtime""".stripMargin)
+    assert(okEq.isStreaming, "cross-side rowtime equality must be accepted")
+    // two UPPER bounds on opposite orientations = bounded both ways
+    val okTwoUpper = StreamSql.sql(spark, sfDir,
+      """SELECT STREAM o1.id AS a, o2.id AS b FROM orders_s o1
+        |JOIN orders_s o2 ON o1.product = o2.product
+        | AND o2.rowtime - o1.rowtime <= INTERVAL '1' HOUR
+        | AND o1.rowtime - o2.rowtime <= INTERVAL '1' HOUR""".stripMargin)
+    assert(okTwoUpper.isStreaming, "opposite-orientation upper bounds must be accepted")
+    // non-monotonic wrappers are NOT bounds (r10 ADVICE): EXTRACT(HOUR)
+    // wraps around — the state needed is still unbounded
+    val exHour = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        """SELECT STREAM o1.id, o2.id FROM orders_s o1
+          |JOIN orders_s o2 ON o1.product = o2.product
+          | AND EXTRACT(HOUR FROM o1.rowtime)
+          |     BETWEEN EXTRACT(HOUR FROM o2.rowtime) - 1
+          |         AND EXTRACT(HOUR FROM o2.rowtime) + 1""".stripMargin)
+    }
+    assert(exHour.getMessage.contains("time bound"),
+      "cyclic EXTRACT(HOUR) derivation must not count as a bound")
+    // inequalities under an OR branch guarantee nothing: rejected
+    val exOr = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        """SELECT STREAM o1.id, o2.id FROM orders_s o1
+          |JOIN orders_s o2 ON o1.product = o2.product
+          | AND (o1.units > 5 OR (o2.rowtime >= o1.rowtime
+          |   AND o2.rowtime < o1.rowtime + INTERVAL '1' HOUR))""".stripMargin)
+    }
+    assert(exOr.getMessage.contains("time bound"),
+      "OR-nested time bounds must not be credited")
     // stream-to-TABLE joins are unrestricted (stream-static, bounded side)
     assert(StreamSql.sql(spark, sfDir,
       """SELECT STREAM o.id, p.supplier FROM orders_s o

@@ -647,6 +647,33 @@ object PolyClip {
     partsRow(parts.toArray)
   }
 
+  /** Polygon-with-holes → disjoint convex parts (the WKT
+    * `POLYGON ((outer), (hole), …)` value form): decompose the outer
+    * ring, then fold-subtract each hole ring (iterated convex
+    * difference — exactly the [[concaveDiffRow]] composition, n-ary).
+    * Ring orientation is normalized by decomposeConvex, so WKT's
+    * CW-hole convention needs no special-casing. */
+  def holesRow(ax: ArrayData, ay: ArrayData, hxs: ArrayData, hys: ArrayData): InternalRow = {
+    var parts = decomposeConvex(toArr(ax), toArr(ay)).toList
+    val n = hxs.numElements()
+    var i = 0
+    while (i < n) {
+      val hx = hxs.getArray(i).toDoubleArray()
+      val hy = hys.getArray(i).toDoubleArray()
+      if (hx.length >= 3) {
+        val ph = decomposeConvex(hx, hy)
+        parts = parts.flatMap { p =>
+          ph.foldLeft(List(p)) { (frags, h) =>
+            frags.flatMap { case (fx, fy) => convexDiff(fx, fy, h._1, h._2).toList }
+          }
+        }
+      }
+      i += 1
+    }
+    partsRow(parts.filter { case (fx, fy) =>
+      fx.length >= 3 && math.abs(signedArea2(fx, fy)) > Eps }.toArray)
+  }
+
   // ---- column-level API ----------------------------------------------------
 
   import org.apache.spark.sql.GraftBridge
@@ -681,6 +708,9 @@ object PolyClip {
       GraftBridge.expression(bx), GraftBridge.expression(by)))
   def st_union_all_parts(pxs: Column, pys: Column): Column =
     GraftBridge.column(PolyUnionAll(GraftBridge.expression(pxs), GraftBridge.expression(pys)))
+  def st_polygon_holes_parts(ax: Column, ay: Column, hxs: Column, hys: Column): Column =
+    GraftBridge.column(PolyWithHoles(GraftBridge.expression(ax), GraftBridge.expression(ay),
+      GraftBridge.expression(hxs), GraftBridge.expression(hys)))
 }
 
 /** Sutherland–Hodgman intersection: (subject xs, ys, convex clip xs, ys) →
@@ -776,6 +806,29 @@ case class ConcaveDifference(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
       s"${ev.value} = graft.functions.PolyClip.concaveDiffRow($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
+}
+
+/** Polygon with holes (outer ring, hole-ring collection) → disjoint
+  * convex parts; the value-level WKT `POLYGON ((outer), (hole), …)` form
+  * (reference: runtime/GeoFunctions.java ESRI-backed multi-ring
+  * polygons). */
+case class PolyWithHoles(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType.isInstanceOf[ArrayType])) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "st_polygon_holes_parts expects (array<double> ×2, array<array<double>> ×2)")
+  override def dataType: DataType = PolyClip.partsSchema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "st_polygon_holes_parts"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PolyClip.holesRow(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.PolyClip.holesRow($a, $b, $c, $d);")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression = copy(f, s, t, q)
 }

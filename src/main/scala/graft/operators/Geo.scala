@@ -81,6 +81,39 @@ object Geo {
       wktAxis(body, 0).as("xs"), wktAxis(body, 1).as("ys"))
   }
 
+  /** WKT polygon WITH HOLES (r10 VERDICT #5): `POLYGON ((outer), (hole),
+    * …)` parsed as ONE value — the first ring is the shell, the rest are
+    * holes, lowered onto the difference-composition (PolyClip.holesRow:
+    * decompose outer, fold-subtract each hole) so the result is the
+    * standard disjoint-convex-parts MULTIPOLYGON struct every other op
+    * (area, contains, clip, union, buffer) consumes unchanged. Ring
+    * orientation is normalized inside the kernel, so both OGC's CW-hole
+    * convention and CCW holes parse identically.
+    * Reference surface: runtime/GeoFunctions.java ESRI-backed multi-ring
+    * polygons. */
+  def stPolygonHolesFromText(wkt: Column): Column = {
+    val body = regexp_extract(wkt, """POLYGON ?\((.*)\)""", 1)
+    val rings = transform(split(body, """\), ?\("""),
+      p => regexp_replace(p, """[()]""", ""))
+    val outer = element_at(rings, 1)
+    val holes = slice(rings, lit(2), greatest(size(rings) - 1, lit(0)))
+    val r = graft.functions.PolyClip.st_polygon_holes_parts(
+      wktAxis(outer, 0), wktAxis(outer, 1),
+      transform(holes, h => wktAxis(h, 0)),
+      transform(holes, h => wktAxis(h, 1)))
+    struct(lit("MULTIPOLYGON").as("kind"),
+      zip_with(r.getField("pxs"), r.getField("pys"),
+        (x, y) => struct(x.as("xs"), y.as("ys"))).as("parts"))
+  }
+
+  /** Point containment over a disjoint-parts geometry (a point is inside
+    * a polygon-with-holes iff it is inside one of the disjoint pieces —
+    * holes are REMOVED regions, not flags). */
+  def stContainsMulti(g: Column, px: Column, py: Column): Column =
+    exists(g.getField("parts"), p =>
+      graft.functions.RayCastContains.st_contains_ring(
+        p.getField("xs"), p.getField("ys"), px, py))
+
   /** General ST_GeomFromText: dispatch on the WKT tag (reference
     * GeoFunctions ST_GeomFromText accepts any kind). */
   def stGeomFromText(wkt: Column): Column =
@@ -1081,6 +1114,74 @@ object Geo {
         round(stAreaMulti(stDifferenceConcave(L, B)), 6).as("diff_area"),
         round(stAreaMulti(stSymDifferenceConcave(L, B)), 6).as("symdiff_area"),
         round(stAreaMulti(stDifferenceConcave(outer, hole)), 6).as("donut_area"))
+        .orderBy(key)
+    },
+
+    // Polygons with holes as DIRECT WKT operands (r10 VERDICT #5):
+    // `POLYGON ((outer), (hole1), (hole2))` is parsed as one value by
+    // [[stPolygonHolesFromText]] and lowered onto the hole primitive
+    // (fold-subtract, disjoint parts). Fixture per nation: outer
+    // [0,w]×[0,h] (w = 4+n%3, h = 4+n%2), hole₁ = [1,2]² (unit square),
+    // hole₂ = [3,w−½]×[3,h−½] — strictly interior, mutually disjoint, so
+    // every checked quantity is closed-form inclusion-exclusion:
+    //   area   = w·h − 1 − (w−3.5)(h−3.5)
+    //   B = [½,3.5]²: B⊆outer, hole₁⊆B, B∩hole₂ = ¼ → inter = 9−1−¼
+    //   U = [−1,1.5]²: U∩donut = |U∩outer|−|U∩hole₁| = 2.25−0.25 = 2
+    //     → union = area + |U| − 2 = area + 4.25
+    //   containment: (0.5,0.5) in the ring, (1.5,1.5) in hole₁ (OUT),
+    //     (2.5,2.5) on the bridge between holes (IN).
+    QDef.sql("geo_holes",
+      """SELECT n_nationkey,
+        |  round(w * h - 1.0 - (w - 3.5) * (h - 3.5), 6) AS donut_area,
+        |  TRUE AS contains_ring_pt,
+        |  FALSE AS contains_hole_pt,
+        |  TRUE AS contains_bridge_pt,
+        |  CAST(7.75 AS DOUBLE) AS inter_area,
+        |  round(w * h - 1.0 - (w - 3.5) * (h - 3.5) + 4.25, 6) AS union_area
+        |FROM (
+        |  SELECT n_nationkey,
+        |    CAST(4 + n_nationkey % 3 AS DOUBLE) AS w,
+        |    CAST(4 + n_nationkey % 2 AS DOUBLE) AS h
+        |  FROM nation)
+        |ORDER BY n_nationkey""") { (s, dir) =>
+      val key = col("n_nationkey")
+      val base = t(s, dir, "nation").select(key,
+        (key % 3 + 4).cast("double").as("w"),
+        (key % 2 + 4).cast("double").as("h"))
+      // the WKT VALUE under test: shell + two holes in one literal
+      // (holes written CW per OGC; the parser normalizes orientation)
+      val wkt = format_string(
+        "POLYGON ((0 0, %s 0, %s %s, 0 %s), " +
+          "(1 1, 1 2, 2 2, 2 1), " +
+          "(3 3, 3 %s, %s %s, %s 3))",
+        col("w"), col("w"), col("h"), col("h"),
+        col("h") - 0.5, col("w") - 0.5, col("h") - 0.5, col("w") - 0.5)
+      val donut = stPolygonHolesFromText(wkt)
+      def rectRing(x0: Column, y0: Column, x1: Column, y1: Column) =
+        (array(x0, x1, x1, x0), array(y0, y0, y1, y1))
+      val (bx, by) = rectRing(lit(0.5), lit(0.5), lit(3.5), lit(3.5))
+      val (ux, uy) = rectRing(lit(-1.0), lit(-1.0), lit(1.5), lit(1.5))
+      // intersection with a convex probe: clip each disjoint part, SUM
+      val interArea = aggregate(
+        transform(donut.getField("parts"), p => stArea(
+          graft.functions.PolyClip.st_intersection_rings(
+            p.getField("xs"), p.getField("ys"), bx, by))),
+        lit(0.0), _ + _)
+      // union with a rect: n-ary disjointifying fold over parts + rect
+      val u = graft.functions.PolyClip.st_union_all_parts(
+        concat(transform(donut.getField("parts"), p => p.getField("xs")), array(ux)),
+        concat(transform(donut.getField("parts"), p => p.getField("ys")), array(uy)))
+      val unionArea = aggregate(
+        zip_with(u.getField("pxs"), u.getField("pys"),
+          (x, y) => stArea(struct(x.as("xs"), y.as("ys")))),
+        lit(0.0), _ + _)
+      base.select(key,
+        round(stAreaMulti(donut), 6).as("donut_area"),
+        stContainsMulti(donut, lit(0.5), lit(0.5)).as("contains_ring_pt"),
+        stContainsMulti(donut, lit(1.5), lit(1.5)).as("contains_hole_pt"),
+        stContainsMulti(donut, lit(2.5), lit(2.5)).as("contains_bridge_pt"),
+        round(interArea, 6).as("inter_area"),
+        round(unionArea, 6).as("union_area"))
         .orderBy(key)
     },
 

@@ -537,8 +537,12 @@ object Dedup {
     // Memoized per (docs instance, config): Tables.t hands back the same
     // DataFrame instance per table, so re-invocations (bench reps) reuse
     // ONE cached materialization instead of stacking a fresh copy each rep.
+    // hash-partitioned on doc_id (not round-robin): the verify joins key
+    // on doc_id, so the persisted partitioning is REUSED by both join
+    // sides — the heavy gram arrays never re-shuffle, only the pair list
+    // moves (the r11 scale run's plan audit)
     val mat = materialized(docs, s"minhash-$numHashes-$portable")(
-      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
         .where(length(col("text")) >= 3)
         .select(col("doc_id"), gramHashes.as("gs")))
     val g = mat.select(col("doc_id"), col("gs"))
@@ -626,9 +630,17 @@ object Dedup {
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
-    // exact verification on the candidate set (long-array intersections)
-    val withSets = cands
+    // exact verification on the candidate set (long-array intersections).
+    // MERGE hints (r11 scale run): the candidate-pair relation's size
+    // scales with the corpus' duplicate structure — Catalyst's static
+    // estimate after the Generate+distinct is tiny, so it would BROADCAST
+    // the pairs (collecting them all to the driver: >1 GiB at the
+    // sf1-equivalent scale, unbounded at 100 TB). Sort-merge keeps both
+    // joins fully distributed; g's persisted doc_id hash-partitioning is
+    // reused, so only the pair list and one gram array per row move.
+    val withSets = cands.hint("merge")
       .join(g.select(col("doc_id").as("id_a"), col("gs").as("gs_a")), "id_a")
+      .hint("merge")
       .join(g.select(col("doc_id").as("id_b"), col("gs").as("gs_b")), "id_b")
     withSets
       .select(col("id_a"), col("id_b"),

@@ -1,117 +1,23 @@
 package graft
 
-import graft.iq.Iq
-import org.scalatest.funsuite.AnyFunSuite
+import graft.iq.IqSuite
 
 /** Exhaustive port of the reference's agg.iq golden script (r10 VERDICT
   * #3): every `!ok` block of core/src/test/resources/sql/agg.iq either
   * EXECUTES against our engine on the same fixture data and reproduces
-  * the committed golden, or is SKIPPED with a one-line documented reason.
-  * The census test pins ported + skipped = total, so silently-dropped
-  * blocks cannot happen.
-  *
-  * Fixture datasets (reference: test/CalciteAssert.java POST schema at
-  * :812-872, the hsqldb scott database, StreamTest's ORDERS history for
-  * orinoco). Dialect adaptation happens per-block via `rewrites` (same
-  * semantics, Spark SQL spelling); blocks needing no rewrite run
-  * verbatim after the schema-qualifier strip.
+  * the committed golden, or is SKIPPED with a one-line documented reason;
+  * the census test pins ported + skipped + disabled = total. Fixtures,
+  * dialect rewrites, comparator: graft.iq (IqSuite/IqFixtures/Iq).
   */
-class AggIqSpec extends AnyFunSuite {
-  import SparkTestSession._
-
-  private val iqPath = "/root/reference/core/src/test/resources/sql/agg.iq"
-  private lazy val blocks = Iq.parse(iqPath)
-  private lazy val okBlocks = blocks.filter(_.directive == "ok")
-
-  // ---- fixtures ----------------------------------------------------------
-
-  private def view(name: String, sql: String): Unit =
-    spark.sql(sql).createOrReplaceTempView(name)
-
-  private def registerPost(): Unit = {
-    view("emp",
-      """SELECT * FROM VALUES
-        |  ('Jane', 10, 'F'), ('Bob', 10, 'M'), ('Eric', 20, 'M'),
-        |  ('Susan', 30, 'F'), ('Alice', 30, 'F'), ('Adam', 50, 'M'),
-        |  ('Eve', 50, 'F'), ('Grace', 60, 'F'),
-        |  ('Wilma', CAST(NULL AS INT), 'F')
-        |AS t(ename, deptno, gender)""".stripMargin)
-    view("dept",
-      """SELECT * FROM VALUES (10, 'Sales'), (20, 'Marketing'),
-        |  (30, 'Engineering'), (40, 'Empty') AS t(deptno, dname)""".stripMargin)
-    view("dept30", "SELECT * FROM dept WHERE deptno = 30")
-    view("emps",
-      """SELECT * FROM VALUES
-        |  (100, 'Fred',  10, CAST(NULL AS STRING), CAST(NULL AS STRING), 40, 25, TRUE, FALSE, DATE '1996-08-03'),
-        |  (110, 'Eric',  20, 'M', 'San Francisco', 3, 80, CAST(NULL AS BOOLEAN), FALSE, DATE '2001-01-01'),
-        |  (110, 'John',  40, 'M', 'Vancouver', 2, CAST(NULL AS INT), FALSE, TRUE, DATE '2002-05-03'),
-        |  (120, 'Wilma', 20, 'F', CAST(NULL AS STRING), 1, 5, CAST(NULL AS BOOLEAN), TRUE, DATE '2005-09-07'),
-        |  (130, 'Alice', 40, 'F', 'Vancouver', 2, CAST(NULL AS INT), FALSE, TRUE, DATE '2007-01-01')
-        |AS t(empno, name, deptno, gender, city, empid, age, slacker, manager, joinedat)""".stripMargin)
-  }
-
-  // NOTE: the reference runs scott on hsqldb, whose data differs from the
-  // classic Oracle script in two hiredates (JONES 1981-02-04, BLAKE
-  // 1981-01-05 — day/month swapped) — recovered from the full-row goldens
-  // in the reference's .iq files; agg.iq:2382 (MONTH(hiredate) grouping)
-  // pins them.
-  private def registerScott(): Unit = {
-    view("emp",
-      """SELECT empno, ename, job, mgr, hiredate,
-        |  CAST(sal AS DECIMAL(7,2)) AS sal, CAST(comm AS DECIMAL(7,2)) AS comm,
-        |  deptno
-        |FROM VALUES
-        |  (7369, 'SMITH',  'CLERK',     7902, DATE '1980-12-17',  800.00, CAST(NULL AS DECIMAL(7,2)), 20),
-        |  (7499, 'ALLEN',  'SALESMAN',  7698, DATE '1981-02-20', 1600.00,  300.00, 30),
-        |  (7521, 'WARD',   'SALESMAN',  7698, DATE '1981-02-22', 1250.00,  500.00, 30),
-        |  (7566, 'JONES',  'MANAGER',   7839, DATE '1981-02-04', 2975.00, CAST(NULL AS DECIMAL(7,2)), 20),
-        |  (7654, 'MARTIN', 'SALESMAN',  7698, DATE '1981-09-28', 1250.00, 1400.00, 30),
-        |  (7698, 'BLAKE',  'MANAGER',   7839, DATE '1981-01-05', 2850.00, CAST(NULL AS DECIMAL(7,2)), 30),
-        |  (7782, 'CLARK',  'MANAGER',   7839, DATE '1981-06-09', 2450.00, CAST(NULL AS DECIMAL(7,2)), 10),
-        |  (7788, 'SCOTT',  'ANALYST',   7566, DATE '1987-04-19', 3000.00, CAST(NULL AS DECIMAL(7,2)), 20),
-        |  (7839, 'KING',   'PRESIDENT', CAST(NULL AS INT), DATE '1981-11-17', 5000.00, CAST(NULL AS DECIMAL(7,2)), 10),
-        |  (7844, 'TURNER', 'SALESMAN',  7698, DATE '1981-09-08', 1500.00,    0.00, 30),
-        |  (7876, 'ADAMS',  'CLERK',     7788, DATE '1987-05-23', 1100.00, CAST(NULL AS DECIMAL(7,2)), 20),
-        |  (7900, 'JAMES',  'CLERK',     7698, DATE '1981-12-03',  950.00, CAST(NULL AS DECIMAL(7,2)), 30),
-        |  (7902, 'FORD',   'ANALYST',   7566, DATE '1981-12-03', 3000.00, CAST(NULL AS DECIMAL(7,2)), 20),
-        |  (7934, 'MILLER', 'CLERK',     7782, DATE '1982-01-23', 1300.00, CAST(NULL AS DECIMAL(7,2)), 10)
-        |AS t(empno, ename, job, mgr, hiredate, sal, comm, deptno)""".stripMargin)
-    view("dept",
-      """SELECT * FROM VALUES (10, 'ACCOUNTING'), (20, 'RESEARCH'),
-        |  (30, 'SALES'), (40, 'OPERATIONS') AS t(deptno, dname)""".stripMargin)
-  }
-
-  private def registerOrinoco(): Unit =
-    view("orders",
-      """SELECT * FROM VALUES
-        |  (TIMESTAMP '2015-02-15 10:15:00', 1, 'paint', 10),
-        |  (TIMESTAMP '2015-02-15 10:24:15', 2, 'paper', 5),
-        |  (TIMESTAMP '2015-02-15 10:24:45', 3, 'brush', 12),
-        |  (TIMESTAMP '2015-02-15 10:58:00', 4, 'paint', 3),
-        |  (TIMESTAMP '2015-02-15 11:10:00', 5, 'paint', 3)
-        |AS t(rowtime, id, product, units)""".stripMargin)
-
-  // scott and post both name their table `emp`/`dept`: re-register the
-  // right views when the dataset changes (cheap temp-view metadata op)
-  private var lastDataset = ""
-  private def register(dataset: String): Unit = {
-    if (dataset == lastDataset) return
-    dataset match {
-      case "post" => registerPost()
-      case "scott" | "jdbc_scott" => registerScott()
-      case "orinoco" => registerOrinoco()
-      case other => fail(s"unknown dataset $other")
-    }
-    lastDataset = dataset
-  }
-
-  // ---- per-block adaptations --------------------------------------------
+class AggIqSpec extends IqSuite {
+  val iqFile = "agg.iq"
+  val expectedTotal = 149
 
   /** Spark spelling for blocks whose SQL needs dialect adaptation —
     * semantics unchanged, golden still authoritative. Keyed on the
     * block's `!ok` line number in agg.iq. A `_ => "..."` entry replaces
     * the SQL wholesale (documented inline); a function entry patches it. */
-  private val rewrites: Map[Int, String => String] = Map(
+  val rewrites: Map[Int, String => String] = Map(
     // Calcite types stddev over INT as INT (truncating); Spark returns
     // double — the CAST reproduces the reference's result type
     160 -> (_ => "select cast(stddev_samp(deptno) as int) as s from emp"),
@@ -201,10 +107,10 @@ class AggIqSpec extends AnyFunSuite {
     // 2-hour FLOOR windows over the orinoco stream history: FLOOR..TO and
     // interval division spelled with date_trunc / unix epoch arithmetic
     2028 -> (_ => """select date_trunc('HOUR', rowtime) as rowtime, count(*) as c
-      from orders group by date_trunc('HOUR', rowtime)"""),
+      from iq_orders group by date_trunc('HOUR', rowtime)"""),
     2043 -> (_ => """select rowtime, count(*) as c from (
       select timestamp_seconds(floor(unix_timestamp(rowtime) / 7200) * 7200) as rowtime
-      from orders) group by rowtime"""),
+      from iq_orders) group by rowtime"""),
     // ANY_VALUE: the golden pins the reference enumerable engine's pick
     // (the last row per group = max empno in this table); MAX reproduces
     // it deterministically
@@ -254,7 +160,7 @@ class AggIqSpec extends AnyFunSuite {
 
   /** Blocks that cannot run on this engine, with the reason. Keyed on
     * the `!ok` line number. */
-  private val skips: Map[Int, String] = Map(
+  val skips: Map[Int, String] = Map(
     1341 -> ("golden pins count(*)=3 on the cube grand-total row — an " +
       "artifact of the reference's distinct-agg expansion; standard SQL " +
       "(and this engine) gives 14"),
@@ -264,48 +170,5 @@ class AggIqSpec extends AnyFunSuite {
       "user; session-specific context value")
   )
 
-  // ---- the tests ---------------------------------------------------------
-
-  /** Dialect-level rewrites applied to every block (these spellings are
-    * parse errors in Spark, so they cannot change a block that already
-    * runs verbatim):
-    *  - strip schema qualifiers (one flat temp-view namespace per dataset);
-    *  - double-quoted identifiers → backticks;
-    *  - COLLECT → collect_list / collect_set; its WITHIN GROUP ordering
-    *    drops (array cells compare order-insensitively in the harness);
-    *  - FUSION (multiset union) → flatten(collect_list(...)).
-    */
-  private def dialect(sql: String): String = sql
-    .replace("\"scott\".", "").replace("jdbc_scott.", "")
-    .replaceAll("\"([^\"]+)\"", "`$1`")
-    .replaceAll("(?is)\\bcollect\\(([^)]*)\\)\\s*within\\s+group\\s*\\([^)]*\\)",
-      "collect_list($1)")
-    .replaceAll("(?i)\\bcollect\\(\\s*distinct\\s+", "collect_set(")
-    .replaceAll("(?i)\\bcollect\\(", "collect_list(")
-    .replaceAll("(?i)\\bfusion\\(([^)]+)\\)", "flatten(collect_list($1))")
-
-  private def runBlock(b: Iq.Block): Unit = {
-    register(b.dataset)
-    val sql = rewrites.get(b.line).fold(dialect(b.sql))(f => f(dialect(b.sql)))
-    val df = spark.sql(sql)
-    Iq.assertMatches(s"agg.iq:${b.line}", df, b.expected)
-  }
-
-  for (b <- okBlocks if !b.disabled && !skips.contains(b.line))
-    test(s"agg.iq:${b.line}") { runBlock(b) }
-
-  test("census: every !ok block of agg.iq is ported or documented-skipped") {
-    val total = okBlocks.size
-    val disabled = okBlocks.count(_.disabled)
-    val skipped = okBlocks.count(b => !b.disabled && skips.contains(b.line))
-    val ported = okBlocks.count(b => !b.disabled && !skips.contains(b.line))
-    assert(ported + skipped + disabled == total)
-    assert(total == 149, s"agg.iq !ok block count changed: $total")
-    // every skip key must point at a real, enabled block
-    val lines = okBlocks.filterNot(_.disabled).map(_.line).toSet
-    val stale = skips.keySet.diff(lines)
-    assert(stale.isEmpty, s"stale skip entries: $stale")
-    info(s"agg.iq census: $total !ok blocks = $ported ported + " +
-      s"$skipped skipped + $disabled !if-disabled")
-  }
+  generateTests()
 }

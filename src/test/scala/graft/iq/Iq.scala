@@ -45,7 +45,13 @@ object Iq {
       val (sqlPart, outPart) =
         if (semi >= 0) (buf.take(semi + 1), buf.drop(semi + 1)) else (Vector(), buf)
       if (semi >= 0) {
-        currentSql = sqlPart.map(_._2).filterNot(_.startsWith("#"))
+        // only the LAST statement is the command: a `;`-terminated
+        // statement with no directive of its own (an authoring gap some
+        // reference files contain — e.g. sub-query.iq's first "Composite
+        // key" query) is never executed by quidem either
+        val prevSemi = sqlPart.lastIndexWhere(_._2.trim.endsWith(";"), semi - 1)
+        currentSql = sqlPart.drop(prevSemi + 1).map(_._2)
+          .filterNot(_.startsWith("#"))
           .mkString("\n").trim.stripSuffix(";")
       }
       val expected = outPart.map(_._2)
@@ -72,21 +78,45 @@ object Iq {
     blocks.result()
   }
 
-  /** Parse a mysql-format expected table into (headers, rows-of-cells).
-    * Null cells are empty strings. Returns None when the expected output
-    * is not a table (plan text, error message, bare "(0 rows)"). */
+  /** Parse an expected table in any of quidem's three output formats —
+    * mysql (`+---+` borders), psql (dashed underline), csv — into
+    * (headers, rows-of-cells). Null cells are empty strings. Returns None
+    * when the expected output is not a table (plan text, error message,
+    * bare "(0 rows)"). */
   def parseTable(expected: Seq[String]): Option[(Seq[String], Seq[Seq[String]])] = {
-    val borderIdx = expected.indexWhere(_.trim.startsWith("+-"))
-    if (borderIdx < 0 || borderIdx + 1 >= expected.length) return None
     def cells(s: String): Seq[String] = {
       val t = s.trim.stripPrefix("|").stripSuffix("|")
       t.split("\\|", -1).toSeq.map(_.trim)
     }
-    val header = cells(expected(borderIdx + 1))
-    val rows = expected.drop(borderIdx + 3)
-      .takeWhile(l => l.trim.startsWith("|"))
-      .map(cells)
-    Some((header, rows))
+    val borderIdx = expected.indexWhere(_.trim.startsWith("+-"))
+    if (borderIdx >= 0 && borderIdx + 1 < expected.length) {
+      // mysql: +---+ / | hdr | / +---+ / | rows | / +---+ / (n rows)
+      val header = cells(expected(borderIdx + 1))
+      val rows = expected.drop(borderIdx + 3)
+        .takeWhile(l => l.trim.startsWith("|"))
+        .map(cells)
+      return Some((header, rows))
+    }
+    if (expected.length >= 2 && expected(1).trim.matches("-+[-+| ]*")) {
+      // psql: hdr / ----- / rows / (n rows)
+      val header = expected.head.split("\\|", -1).toSeq.map(_.trim)
+      val rows = expected.drop(2)
+        .takeWhile(l => !l.trim.matches("""\(\d+ rows?\)"""))
+        .map(l => l.split("\\|", -1).toSeq.map(_.trim))
+      return Some((header, rows))
+    }
+    if (expected.nonEmpty && !expected.head.startsWith("(") &&
+        !expected.head.contains("Enumerable")) {
+      // csv: hdr line, then one line per row (split on "," only when the
+      // header is multi-column — single-column cells may embed commas)
+      val header = expected.head.split(",").toSeq.map(_.trim)
+      val rows = expected.tail
+        .filterNot(l => l.trim.isEmpty || l.trim.matches("""\(\d+ rows?\)"""))
+        .map(l => if (header.length == 1) Seq(l.trim)
+                  else l.split(",", -1).toSeq.map(_.trim))
+      if (rows.forall(_.length == header.length)) return Some((header, rows))
+    }
+    None
   }
 
   /** Canonical cell form so multiset comparison is format-insensitive:
@@ -97,6 +127,10 @@ object Iq {
   def canon(cell: String): String = {
     val s = cell.trim
     if (s.isEmpty) return ""
+    // psql/csv formats spell NULL out; mysql prints an empty cell —
+    // normalize to the empty spelling (struct canon maps it back inside
+    // braces, where the goldens always write "null")
+    if (s == "null") return ""
     // JSON cells (json_objectagg / json_arrayagg goldens): object key
     // order and array element order are ENGINE-defined (the reference
     // prints its HashMap iteration order) — canonicalize by sorting
@@ -108,6 +142,13 @@ object Iq {
     if (s.startsWith("[") && s.endsWith("]")) {
       return s.drop(1).dropRight(1).split(",").map(_.trim).sorted
         .mkString("[", ", ", "]")
+    }
+    // ROW / struct cells print as {a, b} (order-significant) — canon each
+    // element; Calcite spells nested nulls "null"
+    if (s.startsWith("{") && s.endsWith("}") && !s.contains(":")) {
+      return s.drop(1).dropRight(1).split(",", -1)
+        .map(e => { val c = canon(e); if (c.isEmpty) "null" else c })
+        .mkString("{", ", ", "}")
     }
     try {
       val bd = new java.math.BigDecimal(s)
@@ -129,14 +170,19 @@ object Iq {
     } else n.toString
   }
 
-  /** Render a Spark row value the way the goldens print it. */
+  /** Render a Spark row value the way the goldens print it: top-level
+    * nulls print empty (the mysql-format convention), NESTED nulls print
+    * "null" (inside arrays/rows the goldens spell them out), ROW values
+    * print in the goldens' brace form. */
   def render(v: Any): String = v match {
     case null => ""
-    case s: collection.Seq[_] => s.map(render).mkString("[", ", ", "]")
-    case a: Array[_] => a.map(render).mkString("[", ", ", "]")
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case s: collection.Seq[_] => s.map(nested).mkString("[", ", ", "]")
+    case a: Array[_] => a.map(nested).mkString("[", ", ", "]")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(nested).mkString("{", ", ", "}")
     case other => other.toString
   }
+  private def nested(v: Any): String = if (v == null) "null" else render(v)
 
   /** Compare a DataFrame against a block's expected table as a MULTISET
     * of canonicalized rows (the goldens' ORDER BY shapes stay covered on

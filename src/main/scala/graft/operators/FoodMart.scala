@@ -921,6 +921,207 @@ object FoodMart {
         |      / CAST(SUM(m) OVER (PARTITION BY c0) AS DOUBLE) AS share_in_nation
         |  FROM cell)
         |SELECT c0, c1, CAST(m AS DOUBLE) AS m0, cnt, share_in_nation
-        |FROM shared WHERE cnt >= 20""")
+        |FROM shared WHERE cnt >= 20"""),
+
+    // ---- tranche 7 (r11): single-representative MDX families ------------
+
+    // Shape #58: Generate(regions, TopCount(nations, 2)) — a PER-PARENT
+    // top-k set with k > 1 (the general Generate; #38 is the argmax
+    // special case). Measures roll up over exactly the generated members,
+    // each labelled with its in-parent rank.
+    QDef.common("foodmart_generate_topk",
+      """WITH per_nation AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |generated AS (
+        |  SELECT r_name, n_name, rk FROM (
+        |    SELECT r_name, n_name,
+        |      RANK() OVER (PARTITION BY r_name ORDER BY m DESC, n_name) AS rk
+        |    FROM per_nation) t WHERE rk <= 2)
+        |SELECT g.r_name AS c0, g.rk AS c1, g.n_name AS c2,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS m0
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN generated g ON nation.n_name = g.n_name
+        |GROUP BY g.r_name, g.rk, g.n_name"""),
+
+    // Shape #59: multi-level NON EMPTY crossjoin — TWO hierarchies at TWO
+    // levels each ((region > nation) × (type > brand)) with a tuple
+    // screen; NON EMPTY = the inner star join plus a cell-count floor.
+    QDef.common("foodmart_nonempty_4level",
+      """SELECT r_name AS c0, n_name AS c1, p_type AS c2, p_brand AS c3,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m0,
+        |  COUNT(*) AS m1
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 10 AND r_name IN ('EUROPE', 'ASIA')
+        |GROUP BY r_name, n_name, p_type, p_brand
+        |HAVING COUNT(*) > 1"""),
+
+    // Shape #60: Aggregate over a named-set INTERSECTION used as a
+    // slicer — [high-revenue nations] ∩ [high-customer-count nations]
+    // defines the sub-cube; the measure reports per region over only
+    // those members (MDX Aggregate(Intersect(set1, set2))).
+    QDef.common("foodmart_namedset_slicer",
+      """WITH rev AS (
+        |  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m,
+        |    COUNT(DISTINCT o_custkey) AS nc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |picked AS (
+        |  SELECT n_name FROM (
+        |    SELECT n_name,
+        |      RANK() OVER (ORDER BY m DESC, n_name) AS rk_m,
+        |      RANK() OVER (ORDER BY nc DESC, n_name) AS rk_c
+        |    FROM rev) t WHERE rk_m <= 12 AND rk_c <= 12)
+        |SELECT r_name AS c0,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m0,
+        |  COUNT(*) AS m1
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE n_name IN (SELECT n_name FROM picked)
+        |GROUP BY r_name"""),
+
+    // Shape #61: Count(NonEmptyCrossJoin(nations, segments)) — the
+    // DISTINCT non-empty tuple count per region, a measure over the set's
+    // cardinality rather than the cells.
+    QDef.common("foodmart_nonempty_count",
+      """SELECT r_name AS c0, COUNT(*) AS m0 FROM (
+        |  SELECT DISTINCT r_name, n_name, c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey) t
+        |GROUP BY r_name"""),
+
+    // Shape #62: Correlation(quarters, revenue, order count) per nation —
+    // the MDX Correlation statistical measure, computed from
+    // decimal-exact moments (the LinReg discipline of shape #50: no
+    // trust in either engine's double accumulation order).
+    QDef.common("foodmart_correlation",
+      """WITH q AS (
+        |  SELECT n_name, EXTRACT(QUARTER FROM o_orderdate) AS qt,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+        |    CAST(COUNT(*) AS DECIMAL(18,2)) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, EXTRACT(QUARTER FROM o_orderdate)),
+        |moments AS (
+        |  SELECT n_name, CAST(COUNT(*) AS DECIMAL(18,2)) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM q GROUP BY n_name)
+        |SELECT n_name AS c0,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS corr_xy
+        |FROM moments WHERE n >= 2
+        |  AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |  AND CAST(n * syy - sy * sy AS DOUBLE) > 0"""),
+
+    // Shape #63: the MDX member-range operator [A]:[B] — the ordered
+    // slice of a level between two named members (inclusive), as a
+    // positional screen over the level's natural order.
+    QDef.common("foodmart_member_range",
+      """WITH pos AS (
+        |  SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) AS p
+        |  FROM nation),
+        |bounds AS (
+        |  SELECT MIN(CASE WHEN n_name = 'NATION_12' THEN p END) AS lo,
+        |    MIN(CASE WHEN n_name = 'NATION_18' THEN p END) AS hi
+        |  FROM pos)
+        |SELECT n_name AS c0,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m0
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN (
+        |  SELECT n_name FROM pos, bounds WHERE p BETWEEN lo AND hi)
+        |GROUP BY n_name"""),
+
+    // Shape #64: OpeningPeriod / ClosingPeriod — each quarter reports the
+    // measure of its FIRST and LAST month (semi-additive endpoints at the
+    // child grain; the closing-balance twin of the tranche-2 shape).
+    QDef.common("foodmart_opening_closing",
+      """WITH monthly AS (
+        |  SELECT EXTRACT(QUARTER FROM o_orderdate) AS qt,
+        |    EXTRACT(MONTH FROM o_orderdate) AS mo,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders
+        |  GROUP BY EXTRACT(QUARTER FROM o_orderdate),
+        |    EXTRACT(MONTH FROM o_orderdate)),
+        |ranked AS (
+        |  SELECT qt, mo, m,
+        |    ROW_NUMBER() OVER (PARTITION BY qt ORDER BY mo) AS fwd,
+        |    ROW_NUMBER() OVER (PARTITION BY qt ORDER BY mo DESC) AS bwd
+        |  FROM monthly)
+        |SELECT qt AS c0,
+        |  CAST(MIN(CASE WHEN fwd = 1 THEN m END) AS DOUBLE) AS opening_m,
+        |  CAST(MIN(CASE WHEN bwd = 1 THEN m END) AS DOUBLE) AS closing_m
+        |FROM ranked GROUP BY qt"""),
+
+    // Shape #65: Order(..., BDESC) vs DESC — the break-hierarchy rank
+    // (global across all nations) SIDE BY SIDE with the in-parent rank,
+    // the two MDX ordering modes in one row.
+    QDef.common("foodmart_bdesc_rank",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name AS c0, n_name AS c1, CAST(m AS DOUBLE) AS m0,
+        |  RANK() OVER (ORDER BY m DESC, n_name) AS bdesc_rk,
+        |  RANK() OVER (PARTITION BY r_name ORDER BY m DESC, n_name) AS desc_rk
+        |FROM nat"""),
+
+    // Shape #66: a GENERATED named set crossed with the time level and a
+    // YTD running sum INSIDE the set — per top-nation cumulative quarters
+    // (Generate × Ytd composition).
+    QDef.common("foodmart_set_ytd",
+      """WITH rev AS (
+        |  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |top3 AS (
+        |  SELECT n_name FROM (
+        |    SELECT n_name, RANK() OVER (ORDER BY m DESC, n_name) AS rk
+        |    FROM rev) t WHERE rk <= 3),
+        |cells AS (
+        |  SELECT n_name,
+        |    EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |    EXTRACT(QUARTER FROM o_orderdate) AS qt,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN (SELECT n_name FROM top3)
+        |  GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate),
+        |    EXTRACT(QUARTER FROM o_orderdate))
+        |SELECT n_name AS c0, yr AS c1, qt AS c2, CAST(m AS DOUBLE) AS m0,
+        |  CAST(SUM(m) OVER (PARTITION BY n_name, yr ORDER BY qt) AS DOUBLE) AS ytd
+        |FROM cells"""),
+
+    // Shape #67: Aggregate(Union(set1, set2)) — MDX set union is
+    // DISTINCT (a member in both input sets contributes once); the two
+    // overlapping attribute screens dedup before the rollup.
+    QDef.common("foodmart_union_dedup_agg",
+      """WITH s1 AS (SELECT n_name FROM nation WHERE n_nationkey < 8),
+        |s2 AS (SELECT n_name FROM nation WHERE n_nationkey BETWEEN 4 AND 12),
+        |u AS (SELECT n_name FROM s1 UNION SELECT n_name FROM s2)
+        |SELECT COUNT(DISTINCT n_name) AS members,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m0
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN (SELECT n_name FROM u)""")
   )
 }

@@ -596,11 +596,11 @@ object Dedup {
               h = if (port) (h * 31 + mins(k)) % 1000003L else h * 31 + mins(k)
               k += 1
             }
-            (id, bi, h)
+            (id, a.length, bi, h) // carry |grams|: the verify prefilter key
           }
         }
-      }.toDF("doc_id", "b", "h")
-      .select(col("doc_id"), struct(col("b"), col("h")).as("bk"))
+      }.toDF("doc_id", "n", "b", "h")
+      .select(col("doc_id"), col("n"), struct(col("b"), col("h")).as("bk"))
     // Bucket-size cap: a bucket holding hundreds of docs is
     // non-discriminative (quadratic pair count, ~zero precision) — drop it
     // and rely on the doc's other bands. With r=8 the true near-dup
@@ -609,39 +609,72 @@ object Dedup {
     //
     // Candidate topology (r6 was a count-join + bucket SELF-join — three
     // hash exchanges of the banded relation): ONE shuffle on the band key.
-    // The window count and the collect_list aggregate share the same
-    // hash-partitioning on bk, so Catalyst elides the second Exchange, and
-    // in-bucket pairs are expanded locally from the sorted id array (the
-    // cap bounds the quadratic blow-up at 100·99/2 pairs per bucket).
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))
-    val buckets = banded
-      .withColumn("bn", count(lit(1)).over(bw))
-      .where(col("bn").between(2, 100))
+    // ONE aggregation on the band key builds the buckets; the size cap
+    // applies to the collected array (r11: the former window-count +
+    // aggregate pair computed the same partitioning but paid a full SORT
+    // of the banded relation for the running count — 48M rows at the
+    // derived-sf1 scale; a partial-aggregating groupBy moves strictly
+    // less). In-bucket pairs are expanded locally from the sorted array;
+    // the cap bounds the quadratic blow-up at 100·99/2 pairs per bucket
+    // (a bucket holding hundreds of docs is non-discriminative — drop it
+    // and rely on the doc's other bands; with r=8 true near-dup buckets
+    // sit far below the cap, so the guard costs no recall).
+    val allBuckets = banded
       .groupBy(col("bk"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+    val buckets = allBuckets.where(size(col("ids")).between(2, 100))
     if (sys.env.contains("GRAFT_LSH_DEBUG")) {
-      val dropped = banded.withColumn("bn", count(lit(1)).over(bw))
-        .where(col("bn") > 100).select(countDistinct(col("bk"))).first().getLong(0)
+      def timed[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime(); val r = body
+        System.err.println(f"[minhash-lsh] $label (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        r
+      }
+      timed("banded rows: " + timed("")(banded.count()))(())
+      val dropped = timed("bucket agg")(allBuckets.where(size(col("ids")) > 100).count())
       System.err.println(s"[minhash-lsh] $dropped buckets over the 100-doc cap")
+      val bucketPairs = timed("pair mass")(buckets
+        .agg(sum(expr("size(ids) * (size(ids) - 1) / 2"))).first().getDouble(0))
+      System.err.println(s"[minhash-lsh] $bucketPairs in-bucket pairs before distinct")
     }
-    // ids is sorted ascending, so (ids[i], ids[j]) with i<j gives id_a<id_b
+    // ids is sorted ascending by doc_id, so (ids[i], ids[j]) with i < j
+    // gives id_a < id_b. LOSSLESS size-ratio prefilter (r11 scale run):
+    // |A∩B| ≤ min(|A|,|B|) gives jac = i/(|A|+|B|−i) ≤ min/max, so
+    // jac ≥ t REQUIRES min ≥ t·max — pairs failing the ratio can never
+    // survive the exact verify and are dropped HERE, inside the bucket
+    // partition, before they hit the distinct's shuffle (at the
+    // derived-sf1 scale the fixture's in-bucket pair volume is ~2×10⁸;
+    // precision of the raw candidate set is ~10⁻⁴, so the pre-shuffle cut
+    // is the difference between the verify phase being pair-bound and
+    // being survivor-bound). The gram count rides the banded rows as one
+    // int; results are provably identical, so the DuckDB oracle replay of
+    // the portable twin is unchanged.
+    val thr = lit(threshold)
     val cands = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        filter(
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
+              x.getField("n").as("na"), y.getField("n").as("nb"))),
+          s => least(s.getField("na"), s.getField("nb")).cast("double") >=
+            thr * greatest(s.getField("na"), s.getField("nb")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
     // exact verification on the candidate set (long-array intersections).
-    // MERGE hints (r11 scale run): the candidate-pair relation's size
-    // scales with the corpus' duplicate structure — Catalyst's static
-    // estimate after the Generate+distinct is tiny, so it would BROADCAST
-    // the pairs (collecting them all to the driver: >1 GiB at the
-    // sf1-equivalent scale, unbounded at 100 TB). Sort-merge keeps both
-    // joins fully distributed; g's persisted doc_id hash-partitioning is
-    // reused, so only the pair list and one gram array per row move.
-    val withSets = cands.hint("merge")
-      .join(g.select(col("doc_id").as("id_a"), col("gs").as("gs_a")), "id_a")
-      .hint("merge")
-      .join(g.select(col("doc_id").as("id_b"), col("gs").as("gs_b")), "id_b")
+    // SHUFFLE_HASH hints on the corpus side (r11 scale run): Catalyst's
+    // static estimate after the Generate+distinct is tiny, so unhinted it
+    // BROADCASTS the pair relation — whose size scales with the corpus'
+    // duplicate structure (>1 GiB collected to the driver at the
+    // sf1-equivalent scale, unbounded at 100 TB). Sort-merge fixes the
+    // topology but SORTS the pair relation twice — the second pass drags
+    // a gram array per row through the sort (~16 GB of spill at 1.65×10⁸
+    // candidates). Shuffled-hash streams the pairs UNSORTED and builds
+    // the per-partition hash from the corpus side, which is small by
+    // construction (docs/partitions rows); g's persisted doc_id
+    // hash-partitioning is reused, so the gram arrays never re-shuffle.
+    val withSets = cands
+      .join(g.select(col("doc_id").as("id_a"), col("gs").as("gs_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("gs").as("gs_b"))
+        .hint("shuffle_hash"), "id_b")
     withSets
       .select(col("id_a"), col("id_b"),
         graft.functions.IntersectSizeSorted

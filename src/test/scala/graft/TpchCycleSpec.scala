@@ -28,7 +28,11 @@ class TpchCycleSpec extends AnyFunSuite {
     "agg_grouping_sets", "agg_rollup", "agg_tpch_q1", "fn_extract_time",
     "foodmart_allmembers_crossjoin", "foodmart_banding",
     "foodmart_ancestor_3level", "foodmart_avg_of_children",
+    "foodmart_bdesc_rank",
     "foodmart_bottomcount", "foodmart_bottompercent", "foodmart_corr_rank",
+    "foodmart_generate_topk", "foodmart_member_range",
+    "foodmart_namedset_slicer", "foodmart_nonempty_4level",
+    "foodmart_nonempty_count", "foodmart_union_dedup_agg",
     "foodmart_except_remainder", "foodmart_order_crossjoin",
     "foodmart_set_head_tail",
     "foodmart_regression", "foodmart_toppercent", "foodmart_topsum",

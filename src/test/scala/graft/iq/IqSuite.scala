@@ -35,6 +35,15 @@ object IqFixtures {
         |  (120, 'Wilma', 20, 'F', CAST(NULL AS STRING), 1, 5, CAST(NULL AS BOOLEAN), TRUE, DATE '2005-09-07'),
         |  (130, 'Alice', 40, 'F', 'Vancouver', 2, CAST(NULL AS INT), FALSE, TRUE, DATE '2007-01-01')
         |AS t(empno, name, deptno, gender, city, empid, age, slacker, manager, joinedat)""".stripMargin)
+    // the HR schema (reference: test/schemas/HrClusteredSchema.java:66-69 /
+    // JdbcTest.HrSchema) — winagg.iq references it as "hr"."emps"
+    view(spark, "hr_emps",
+      """SELECT * FROM VALUES
+        |  (100, 10, 'Bill',     CAST(10000 AS DOUBLE), 1000),
+        |  (110, 10, 'Theodore', CAST(11500 AS DOUBLE),  250),
+        |  (150, 10, 'Sebastian', CAST(7000 AS DOUBLE), CAST(NULL AS INT)),
+        |  (200, 20, 'Eric',      CAST(8000 AS DOUBLE),  500)
+        |AS t(empid, deptno, name, salary, commission)""".stripMargin)
   }
 
   def registerScott(spark: SparkSession): Unit = {
@@ -127,6 +136,7 @@ abstract class IqSuite extends AnyFunSuite {
     * flatten(collect_list(...)). */
   protected def dialect(sql: String): String = sql
     .replace("\"scott\".", "").replace("jdbc_scott.", "")
+    .replace("\"hr\".\"emps\"", "hr_emps")
     .replaceAll("\"([^\"]+)\"", "`$1`")
     .replaceAll("(?is)\\bcollect\\(([^)]*)\\)\\s*within\\s+group\\s*\\([^)]*\\)",
       "collect_list($1)")

@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size_sorted"),
       (exprs: Seq[Expression]) => IntersectSizeSorted(exprs.head, exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("equal_byte_count"),
+      new ExpressionInfo(classOf[EqualByteCount].getName, "equal_byte_count"),
+      (exprs: Seq[Expression]) => EqualByteCount(exprs.head, exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("weighted_avg"),
       new ExpressionInfo(classOf[WeightedAvg].getName, "weighted_avg"),
       (exprs: Seq[Expression]) => WeightedAvg(exprs.head, exprs(1))))

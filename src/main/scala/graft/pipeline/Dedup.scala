@@ -501,15 +501,34 @@ object Dedup {
     * Shuffle discipline (what survives 100 TB):
     *  - the bucket self-join carries ONLY (doc_id, signature) — never the
     *    shingle arrays; candidate rows are ~100 bytes, not ~10 KB;
-    *  - candidates are pre-filtered by the signature estimate
-    *    (fraction of equal minhashes ≈ Jaccard), so the exact verify join
-    *    touches a small survivor set;
+    *  - candidates are pre-filtered by a 64-byte signature ESTIMATE of
+    *    their Jaccard before any gram array moves: the r11 derived-scale
+    *    run (docs ×100) produced 1.65×10⁸ raw candidates at ~10⁻⁴
+    *    precision, and the verify join's second hop — which drags one
+    *    ~2.4 KB gram array per candidate through a shuffle — wrote >150 GB
+    *    and died on disk; the estimate join carries 64 B per side instead
+    *    (~37× less), and its survivors are the only pairs whose gram
+    *    arrays ever shuffle (see `sigPrefilter` below for the recall
+    *    accounting);
     *  - shingles are 64-bit hashes, not strings — the exact intersect is
     *    long-array work, and gram sets are checkpointed once, not
     *    recomputed per join side.
+    *
+    * `sigPrefilter` (production default ON; forced OFF on the portable
+    * twin so its DuckDB oracle replays the pipeline exactly): each doc
+    * gets an INDEPENDENT 64-bin OPH signature truncated to 1 byte/bin;
+    * equal-byte fraction estimates J with σ = √(J(1−J)/64) ≈ 0.061 at
+    * J = 0.6, plus a +(1−J)/256 false-equality bias from the truncation
+    * (recall-helping). The cut keeps pairs with estimate ≥ threshold −
+    * 0.25 — a 4.1σ margin, so a true threshold pair is lost with
+    * p ≈ 2×10⁻⁵, far below the banding scheme's own ~20% miss at
+    * J = 0.6 (1 − (1−0.6⁸)⁹⁶); junk candidates (J ≲ 0.2) sit ≥ 2σ below
+    * the cut and are dropped before the heavy join.
+    * MinhashSigPrefilterSpec pins filtered == unfiltered on fixture data.
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
-      numHashes: Int = 768, bands: Int = 96, portable: Boolean = false): DataFrame = {
+      numHashes: Int = 768, bands: Int = 96, portable: Boolean = false,
+      sigPrefilter: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands // r=8: a 0.45 noise floor collides at 0.45^8 ~ 0.002
     // ONE materialization carries the sorted gram hashes — shared by the
     // signature kernel and the merge-scan verify step. The codegen'd
@@ -658,6 +677,49 @@ object Dedup {
           s => least(s.getField("na"), s.getField("nb")).cast("double") >=
             thr * greatest(s.getField("na"), s.getField("nb")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
+    // signature-estimate prefilter (see scaladoc): the distinct pair list
+    // is still BARE (16 bytes/row) here — attach 64-byte signatures, not
+    // gram arrays, and cut everything whose estimated Jaccard sits more
+    // than the 4.1σ margin below the threshold. Only survivors reach the
+    // gram-array verify join. The sig relation is corpus-linear and tiny
+    // (~90 B/doc), so both hops are shuffle_hash with a small build side;
+    // the byte truncation keeps the carried width at 1/8 of the raw bins.
+    val survivors = if (!sigPrefilter || portable) cands else {
+      val sigs = g.as[(Long, Array[Long])].mapPartitions { it =>
+        it.map { case (id, a) =>
+          val mins = Array.fill(64)(Long.MaxValue)
+          var j = 0
+          while (j < a.length) {
+            val h = a(j)
+            val b = java.lang.Math.floorMod(h, 64)
+            if (h < mins(b)) mins(b) = h
+            j += 1
+          }
+          var i = 0
+          while (i < 64) {
+            if (mins(i) == Long.MaxValue) {
+              var hop = 1
+              while (mins((i + hop) % 64) == Long.MaxValue) hop += 1
+              mins(i) = mins((i + hop) % 64) + hop
+            }
+            i += 1
+          }
+          val bytes = new Array[Byte](64)
+          i = 0
+          while (i < 64) { bytes(i) = mins(i).toByte; i += 1 }
+          (id, bytes)
+        }
+      }.toDF("doc_id", "sig")
+      val minEq = math.ceil(64.0 * math.max(0.0, threshold - 0.25)).toInt
+      cands
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+          .hint("shuffle_hash"), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+          .hint("shuffle_hash"), "id_b")
+        .where(graft.functions.EqualByteCount
+          .equal_byte_count(col("sig_a"), col("sig_b")) >= minEq)
+        .select(col("id_a"), col("id_b"))
+    }
     // exact verification on the candidate set (long-array intersections).
     // SHUFFLE_HASH hints on the corpus side (r11 scale run): Catalyst's
     // static estimate after the Generate+distinct is tiny, so unhinted it
@@ -670,7 +732,7 @@ object Dedup {
     // the per-partition hash from the corpus side, which is small by
     // construction (docs/partitions rows); g's persisted doc_id
     // hash-partitioning is reused, so the gram arrays never re-shuffle.
-    val withSets = cands
+    val withSets = survivors
       .join(g.select(col("doc_id").as("id_a"), col("gs").as("gs_a"))
         .hint("shuffle_hash"), "id_a")
       .join(g.select(col("doc_id").as("id_b"), col("gs").as("gs_b"))

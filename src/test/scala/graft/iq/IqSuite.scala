@@ -77,6 +77,31 @@ object IqFixtures {
         |  (4, 2001, 3000), (5, 3001, 9999) AS t(grade, losal, hisal)""".stripMargin)
   }
 
+  /** blank.iq's session tables — the script CREATEs then INSERTs them
+    * via `!update` blocks (a directive this harness ignores); we register
+    * the post-INSERT state the `!ok` blocks read (reference:
+    * core/src/test/resources/sql/blank.iq:21-67). */
+  def registerBlank(spark: SparkSession): Unit = {
+    view(spark, "foo", "SELECT * FROM VALUES (1, 0), (0, 2) AS t(i, j)")
+    view(spark, "table1", "SELECT * FROM VALUES (1, 2), (1, 3) AS t(i, j)")
+    view(spark, "table2",
+      "SELECT * FROM VALUES (CAST(NULL AS INT), 1), (2, 1) AS t(i, j)")
+  }
+
+  /** conditions.iq's catchall schema — only `nullables` is referenced
+    * (reference: test/ReflectiveSchemaTest.java:988 CatchallSchema). */
+  def registerCatchall(spark: SparkSession): Unit =
+    view(spark, "nullables",
+      """SELECT * FROM VALUES (1, 'A'), (2, 'B'), (2, 'C'),
+        |  (3, CAST(NULL AS STRING)) AS t(id, value)""".stripMargin)
+
+  /** sequence.iq's seq schema: one sequence `my_seq` (reference:
+    * test/CalciteAssert SPARK→… the "seq" fixture schema). `replace`
+    * resets the counter so the suite's stateful NEXT/CURRENT VALUE
+    * block pair sees a fresh sequence on every run. */
+  def registerSeq(spark: SparkSession): Unit =
+    graft.operators.Sequences.create("my_seq", replace = true)
+
   /** Registered as `iq_orders`, NOT `orders`: the bare name is a TPC-H
     * fixture view (Tables.registerAll is memoized, so shadowing it would
     * poison every later suite in the shared session). Orinoco blocks are
@@ -123,6 +148,9 @@ abstract class IqSuite extends AnyFunSuite {
       case "post" => IqFixtures.registerPost(spark)
       case "scott" | "jdbc_scott" => IqFixtures.registerScott(spark)
       case "orinoco" => IqFixtures.registerOrinoco(spark)
+      case "blank" => IqFixtures.registerBlank(spark)
+      case "catchall" => IqFixtures.registerCatchall(spark)
+      case "seq" => IqFixtures.registerSeq(spark)
       case other => fail(s"unknown dataset $other — add a skip or fixture")
     }
     lastDataset = dataset
@@ -158,6 +186,13 @@ abstract class IqSuite extends AnyFunSuite {
     .replaceAll("(?i)\\bmap\\[([^\\]]*)\\]", "map($1)")
     // explicit ROW constructor
     .replaceAll("(?i)\\brow\\s*\\(", "struct(")
+    // GROUP BY () — a parse error in Spark's grammar. The standard (and
+    // the reference: scalar.iq:85 vs :98 pin identical results) defines it
+    // as the ungrouped global aggregate — ONE group even over empty input
+    // — so it simply drops. (Spark's GROUPING SETS (()) spelling is NOT
+    // equivalent: it keeps grouped-aggregate semantics and yields zero
+    // rows on empty input.)
+    .replaceAll("(?i)\\bgroup\\s+by\\s+\\(\\)", "")
 
   protected def runBlock(b: Iq.Block): Unit = {
     register(b.dataset)

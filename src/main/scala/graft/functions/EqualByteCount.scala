@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
   * ImplementableFunction / RexImpTable analogue:
   * core/src/main/java/org/apache/calcite/schema/ImplementableFunction.java).
   *
-  * If the inputs' lengths differ, only the common prefix is compared
-  * (callers pass fixed-width signatures, so this does not arise).
+  * Unequal-length inputs throw: a silent common-prefix comparison would
+  * bias the Jaccard estimate if signature widths ever diverged (e.g. a
+  * config change on one side of a join). Callers pass fixed 64-byte
+  * signatures today, so the hard failure is free insurance (r11 ADVICE).
   */
 case class EqualByteCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,20 +43,21 @@ case class EqualByteCount(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length)
+      throw EqualByteCount.lengthMismatch(x.length, y.length)
     var i = 0; var c = 0
-    while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+    while (i < x.length) { if (x(i) == y(i)) c += 1; i += 1 }
     c
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val c = ctx.freshName("c")
-      val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.length, $b.length);
+         |if ($a.length != $b.length)
+         |  throw graft.functions.EqualByteCount.lengthMismatch($a.length, $b.length);
          |int $i = 0; int $c = 0;
-         |while ($i < $n) { if ($a[$i] == $b[$i]) $c++; $i++; }
+         |while ($i < $a.length) { if ($a[$i] == $b[$i]) $c++; $i++; }
          |${ev.value} = $c;
        """.stripMargin
     })
@@ -70,4 +73,10 @@ object EqualByteCount {
   def equal_byte_count(a: Column, b: Column): Column =
     GraftBridge.column(
       EqualByteCount(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Called from generated code too — must be public and Java-friendly. */
+  def lengthMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"equal_byte_count: signature widths differ ($a vs $b bytes); " +
+        "comparing a common prefix would silently bias the Jaccard estimate")
 }

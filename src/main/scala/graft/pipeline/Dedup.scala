@@ -648,11 +648,15 @@ object Dedup {
         System.err.println(f"[minhash-lsh] $label (${(System.nanoTime() - t0) / 1e9}%.1f s)")
         r
       }
-      timed("banded rows: " + timed("")(banded.count()))(())
+      val bandedRows = timed("banded count")(banded.count())
+      System.err.println(s"[minhash-lsh] $bandedRows banded rows")
       val dropped = timed("bucket agg")(allBuckets.where(size(col("ids")) > 100).count())
       System.err.println(s"[minhash-lsh] $dropped buckets over the 100-doc cap")
+      // coalesce: sum over an empty relation is null (every bucket can be
+      // filtered by the 2..100 size cap)
       val bucketPairs = timed("pair mass")(buckets
-        .agg(sum(expr("size(ids) * (size(ids) - 1) / 2"))).first().getDouble(0))
+        .agg(coalesce(sum(expr("size(ids) * (size(ids) - 1) / 2")), lit(0.0)))
+        .first().getDouble(0))
       System.err.println(s"[minhash-lsh] $bucketPairs in-bucket pairs before distinct")
     }
     // ids is sorted ascending by doc_id, so (ids[i], ids[j]) with i < j

@@ -227,6 +227,14 @@ object StreamSql {
           // the analyzer wraps interval arithmetic in casts:
           // rowtime + INTERVAL '1' HOUR → cast(rowtime + iv AS timestamp)
           case c: Cast if isTimeType(c.dataType) => monotonicArith(c.child)
+          // subtraction is only monotonic in its LEFT operand:
+          // (literal_ts − rowtime) DECREASES in rowtime, so crediting it
+          // would flip a bound's direction (r11 ADVICE) — e.g.
+          // (TS − l.rowtime) >= (TS − r.rowtime) means l <= r, an UPPER
+          // bound on the drift, not the lower bound the shape suggests
+          case b @ (_: Subtract | _: SubtractTimestamps | _: SubtractDates) =>
+            val s = b.asInstanceOf[BinaryExpression]
+            monotonicArith(s.left) && s.right.references.isEmpty
           case b: BinaryExpression =>
             (monotonicArith(b.left) && b.right.references.isEmpty) ||
               (monotonicArith(b.right) && b.left.references.isEmpty)

@@ -245,6 +245,20 @@ class StreamGoldenSpec extends AnyFunSuite {
     }
     assert(exOr.getMessage.contains("time bound"),
       "OR-nested time bounds must not be credited")
+    // anti-monotonic subtraction (r11 ADVICE): (TS − rowtime) DECREASES
+    // in rowtime, so (TS − o1.rowtime) >= (TS − o2.rowtime) really means
+    // o1 <= o2 — an UPPER bound on the drift, same direction as the
+    // explicit upper bound below; no lower bound exists → reject
+    val exAnti = intercept[IllegalArgumentException] {
+      StreamSql.sql(spark, sfDir,
+        """SELECT STREAM o1.id, o2.id FROM orders_s o1
+          |JOIN orders_s o2 ON o1.product = o2.product
+          | AND TIMESTAMP '2030-01-01 00:00:00' - o1.rowtime
+          |     >= TIMESTAMP '2030-01-01 00:00:00' - o2.rowtime
+          | AND o1.rowtime - o2.rowtime <= INTERVAL '1' HOUR""".stripMargin)
+    }
+    assert(exAnti.getMessage.contains("time bound"),
+      "(literal - rowtime) must not be credited as a monotonic bound")
     // stream-to-TABLE joins are unrestricted (stream-static, bounded side)
     assert(StreamSql.sql(spark, sfDir,
       """SELECT STREAM o.id, p.supplier FROM orders_s o

@@ -523,7 +523,7 @@ object MatchRecognize {
       }
   }
 
-  private def tsMicros(r: Row, field: String): Long = {
+  private[graft] def tsMicros(r: Row, field: String): Long = {
     val t = r.getAs[java.sql.Timestamp](field)
     (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
   }

@@ -88,6 +88,27 @@ object IqFixtures {
       "SELECT * FROM VALUES (CAST(NULL AS INT), 1), (2, 1) AS t(i, j)")
   }
 
+  /** sort.iq's foodmart slice — the two tables its blocks read. `days`
+    * is the complete 7-row calendar dimension; `store` carries the three
+    * store_id < 3 rows the goldens pin (ids 0-2 with grocery_sqft
+    * NULL/17475/22271 — the hsqldb foodmart values, recovered from the
+    * goldens themselves) plus the `florist` flag the file uses only as a
+    * leading sort key (output order is outside the harness compare, so
+    * only the column's existence matters; values follow the dataset's
+    * HQ=false convention). */
+  def registerFoodmartMini(spark: SparkSession): Unit = {
+    view(spark, "days",
+      """SELECT * FROM VALUES (1, 'Sunday'), (2, 'Monday'), (3, 'Tuesday'),
+        |  (4, 'Wednesday'), (5, 'Thursday'), (6, 'Friday'), (7, 'Saturday')
+        |AS t(day, week_day)""".stripMargin)
+    view(spark, "store",
+      """SELECT * FROM VALUES
+        |  (0, CAST(NULL AS INT), false),
+        |  (1, 17475, false),
+        |  (2, 22271, false)
+        |AS t(store_id, grocery_sqft, florist)""".stripMargin)
+  }
+
   /** conditions.iq's catchall schema — only `nullables` is referenced
     * (reference: test/ReflectiveSchemaTest.java:988 CatchallSchema). */
   def registerCatchall(spark: SparkSession): Unit =
@@ -150,6 +171,7 @@ abstract class IqSuite extends AnyFunSuite {
       case "orinoco" => IqFixtures.registerOrinoco(spark)
       case "blank" => IqFixtures.registerBlank(spark)
       case "catchall" => IqFixtures.registerCatchall(spark)
+      case "foodmart" => IqFixtures.registerFoodmartMini(spark)
       case "seq" => IqFixtures.registerSeq(spark)
       case other => fail(s"unknown dataset $other — add a skip or fixture")
     }

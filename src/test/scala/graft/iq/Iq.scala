@@ -97,6 +97,23 @@ object Iq {
         .map(cells)
       return Some((header, rows))
     }
+    if (expected.length >= 2 &&
+        expected(1).matches("""\s*-+( +-+)+\s*""")) {
+      // oracle (`!set outputformat oracle`): space-separated dash runs
+      // define fixed-width column spans; rows are space-padded slices,
+      // terminated by a blank line + "N rows selected." (psql multi-col
+      // underlines carry '+' separators, so they never take this branch)
+      val dash = expected(1)
+      val spans = """-+""".r.findAllMatchIn(dash).map(m => (m.start, m.end)).toSeq
+      def slice(line: String): Seq[String] =
+        spans.zipWithIndex.map { case ((a, b), i) =>
+          val hi = if (i == spans.length - 1) line.length else math.min(b, line.length)
+          if (a >= line.length) "" else line.substring(a, hi).trim
+        }
+      val header = slice(expected.head)
+      val rows = expected.drop(2).takeWhile(_.trim.nonEmpty).map(slice)
+      return Some((header, rows))
+    }
     if (expected.length >= 2 && expected(1).trim.matches("-+[-+| ]*")) {
       // psql: hdr / ----- / rows / (n rows)
       val header = expected.head.split("\\|", -1).toSeq.map(_.trim)

@@ -44,6 +44,18 @@ object IqFixtures {
         |  (150, 10, 'Sebastian', CAST(7000 AS DOUBLE), CAST(NULL AS INT)),
         |  (200, 20, 'Eric',      CAST(8000 AS DOUBLE),  500)
         |AS t(empid, deptno, name, salary, commission)""".stripMargin)
+    // match.iq's MATCH_RECOGNIZE fixture: the same HR emps with an
+    // EXPLICIT position column pinning the reference's INPUT order —
+    // its EnumerableMatch matches over input order (the clause's ORDER
+    // BY "empid" DESC is not applied; see GoldenSpec's match.iq DSL
+    // tests pinning the same behavior), so the port orders by `pos`.
+    // `part` is the constant partition key the restricted SQL grammar
+    // requires (the whole table is one partition, as in the reference).
+    view(spark, "hr_mr",
+      """SELECT * FROM VALUES
+        |  (0, 0, 100, 1000), (0, 1, 200, 500),
+        |  (0, 2, 150, CAST(NULL AS INT)), (0, 3, 110, 250)
+        |AS t(part, pos, empid, commission)""".stripMargin)
   }
 
   def registerScott(spark: SparkSession): Unit = {

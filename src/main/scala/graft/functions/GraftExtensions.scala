@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"hyperplane_bits(v, bits): bits must be an integer literal, got $other")
         })))
+    // SQL spatial surface (reference: SqlGeoFunctions registering
+    // runtime/GeoFunctions.java) — Column combinators bridged into the
+    // registry, codegen'd like any built-in.
+    for ((name, fn) <- graft.operators.GeoSql.registry)
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.operators.GeoSql", name),
+        ColumnBridge.builder(fn)))
     // SQL-syntax MATCH_RECOGNIZE front end (restricted grammar) — every
     // other statement passes through to Spark's parser untouched.
     e.injectParser((session, delegate) =>
@@ -67,5 +75,8 @@ object GraftExtensions {
       exprs => IntersectSizeSorted(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "weighted_avg", exprs => WeightedAvg(exprs.head, exprs(1)), "built-in")
+    for ((name, fn) <- graft.operators.GeoSql.registry)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, ColumnBridge.builder(fn), "built-in")
   }
 }

@@ -28,7 +28,10 @@ object Iq {
       expected: Seq[String], directive: String, disabled: Boolean)
 
   def parse(path: String): Seq[Block] = {
-    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    // explicit UTF-8: the JVM default charset is ASCII in this
+    // environment and spatial.iq carries non-ASCII bytes
+    val lines = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+      .getLines().toVector
     val blocks = Vector.newBuilder[Block]
     var dataset = ""
     var ifDepth = 0

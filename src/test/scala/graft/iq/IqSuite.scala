@@ -121,6 +121,31 @@ object IqFixtures {
         |AS t(store_id, grocery_sqft, florist)""".stripMargin)
   }
 
+  /** spatial.iq's GEO schema — the 245-row countries table. The
+    * authoritative fixture is the reference's CountriesTableFunction
+    * (core/src/test/java/org/apache/calcite/test/CountriesTableFunction
+    * .java — "has same content as file/src/test/resources/geo/countries
+    * .csv", except the CSV's UM row is comma-broken while the Java array
+    * carries the real NULL coordinates); parsed at test time like the .iq
+    * goldens themselves. */
+  def registerGeo(spark: SparkSession): Unit = {
+    val path = "/root/reference/core/src/test/java/org/apache/calcite/" +
+      "test/CountriesTableFunction.java"
+    val RowRe = """\s*\{"([A-Z]{2})", (null|-?[0-9.]+), (null|-?[0-9.]+), "(.+)"\},?""".r
+    // explicit UTF-8 (the JVM default charset is ASCII here and some
+    // country names are accented)
+    val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+    val rows = try src.getLines().collect {
+      case RowRe(c, la, lo, n) =>
+        (c, if (la == "null") None else Some(la.toDouble),
+          if (lo == "null") None else Some(lo.toDouble), n)
+    }.toVector finally src.close()
+    require(rows.size == 245, s"countries fixture parsed ${rows.size} rows")
+    import spark.implicits._
+    rows.toDF("country", "latitude", "longitude", "name")
+      .createOrReplaceTempView("countries")
+  }
+
   /** conditions.iq's catchall schema — only `nullables` is referenced
     * (reference: test/ReflectiveSchemaTest.java:988 CatchallSchema). */
   def registerCatchall(spark: SparkSession): Unit =
@@ -184,6 +209,7 @@ abstract class IqSuite extends AnyFunSuite {
       case "blank" => IqFixtures.registerBlank(spark)
       case "catchall" => IqFixtures.registerCatchall(spark)
       case "foodmart" => IqFixtures.registerFoodmartMini(spark)
+      case "geo" => IqFixtures.registerGeo(spark)
       case "seq" => IqFixtures.registerSeq(spark)
       case other => fail(s"unknown dataset $other — add a skip or fixture")
     }

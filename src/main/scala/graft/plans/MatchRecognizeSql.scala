@@ -702,15 +702,60 @@ object MatchRecognizeSql {
     val schema = df.schema
     val pattern = parsePattern(patternText)
     val measures = parseMeasures(measuresText)
-    val parsed: Map[String, Either[Define, MatchRecognize.DefineCtx]] =
+    val defSeq: Seq[(String, Either[Define, MatchRecognize.DefineCtx])] =
       definesText.split(",(?![^()]*\\))").toSeq.map { d =>
         val Array(sym, body) = d.split("(?i)\\bAS\\b", 2).map(_.trim)
         sym.toUpperCase -> parseDefineBody(body)
-      }.toMap
+      }
+    // SQL:2016: one definition per pattern variable (reference
+    // SqlValidatorMatchTest "Pattern variable 'DOWN' has already been
+    // defined" — a silent last-wins toMap would accept it)
+    defSeq.groupBy(_._1).collectFirst { case (k, vs) if vs.size > 1 => k }
+      .foreach(k => throw new IllegalArgumentException(
+        s"Pattern variable '$k' has already been defined"))
+    val parsed: Map[String, Either[Define, MatchRecognize.DefineCtx]] =
+      defSeq.toMap
     val defines: Map[String, Define] =
       parsed.collect { case (k, Left(f)) => k -> f }
     val ctxDefines: Map[String, MatchRecognize.DefineCtx] =
       parsed.collect { case (k, Right(f)) => k -> f }
+
+    // ---- SQL:2016 name-scope validation (reference:
+    // test/SqlValidatorMatchTest.java — "Unknown pattern '...'" for a
+    // DEFINE symbol / SKIP target / SUBSET member outside the PATTERN,
+    // "Pattern variable '...' has already been defined" for a SUBSET name
+    // colliding with a pattern variable, "First column of ORDER BY must
+    // be of type TIMESTAMP" under WITHIN). Raised as
+    // IllegalArgumentException, which the SQL front end canonicalizes to
+    // its parse rejection (tryParse fall-through).
+    def patSyms(p: Pat): Set[String] = p match {
+      case Pat.Sym(n) => Set(n.toUpperCase)
+      case Pat.Cat(ps) => ps.flatMap(patSyms).toSet
+      case Pat.Alt(ps) => ps.flatMap(patSyms).toSet
+      case Pat.Rep(p1, _, _, _) => patSyms(p1)
+      case Pat.Excl(p1) => patSyms(p1)
+    }
+    val syms = patSyms(pattern)
+    for (k <- parsed.keys if !syms.contains(k) && !subsets.contains(k))
+      throw new IllegalArgumentException(s"Unknown pattern '$k'")
+    for (s <- subsets.keys if syms.contains(s))
+      throw new IllegalArgumentException(
+        s"Pattern variable '$s' has already been defined")
+    for ((_, members) <- subsets; m <- members if !syms.contains(m))
+      throw new IllegalArgumentException(s"Unknown pattern '$m'")
+    skip match {
+      case MatchRecognize.Skip.ToFirst(v, _) if !syms.contains(v) &&
+          !subsets.contains(v) =>
+        throw new IllegalArgumentException(s"Unknown pattern '$v'")
+      case MatchRecognize.Skip.ToLast(v, _) if !syms.contains(v) &&
+          !subsets.contains(v) =>
+        throw new IllegalArgumentException(s"Unknown pattern '$v'")
+      case _ =>
+    }
+    if (within.isDefined &&
+        !schema(ordCol).dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType])
+      throw new IllegalArgumentException(
+        "First column of ORDER BY must be of type TIMESTAMP when WITHIN is used")
 
     val orderFn: Row => (Long, Long) = ordTie match {
       case Some(tie) => r => (asLong(r.getAs[Any](ordCol)), asLong(r.getAs[Any](tie)))

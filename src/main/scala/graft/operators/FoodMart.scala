@@ -1122,6 +1122,230 @@ object FoodMart {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m0
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE n_name IN (SELECT n_name FROM u)""")
+        |WHERE n_name IN (SELECT n_name FROM u)"""),
+
+    // ---- tranche 8 (r12): remaining single-representative families ------
+
+    // Shape #68: LinRegPoint — the regression's PREDICTED value at a
+    // chosen point (MDX LinRegPoint(x0, set, y, x)): per nation, fit
+    // monthly revenue against the month index and predict the next month.
+    // Moments accumulate in DECIMAL (exact, order-independent); the
+    // closed-form slope/intercept/prediction runs in double at the end
+    // over identical operands — the foodmart_regression discipline.
+    QDef.common("foodmart_linregpoint",
+      """WITH monthly AS (
+        |  SELECT n_name,
+        |    (EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS x,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, (EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate)),
+        |moments AS (
+        |  SELECT n_name, CAST(COUNT(*) AS DECIMAL(18,2)) AS n,
+        |    SUM(CAST(x AS DECIMAL(18,2))) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS sxx,
+        |    MAX(x) AS xmax
+        |  FROM monthly GROUP BY n_name)
+        |SELECT n_name AS c0,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |      - CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE)
+        |    + CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * (CAST(xmax AS DOUBLE) + 1.0), 6) AS predicted_m
+        |FROM moments WHERE CAST(n * sxx - sx * sx AS DOUBLE) > 0"""),
+
+    // Shape #69: Rank over TUPLES with ties — MDX Rank((n, seg), set)
+    // over a composite tuple set; the integer measure makes real ties, a
+    // tied tuple pair shares its rank and the next rank skips (RANK, not
+    // DENSE_RANK — the MDX default).
+    QDef.common("foodmart_rank_tuple_ties",
+      """WITH cell AS (
+        |  SELECT n_name, c_mktsegment, COUNT(*) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, c_mktsegment)
+        |SELECT n_name AS c0, c_mktsegment AS c1, m AS m0,
+        |  RANK() OVER (ORDER BY m DESC) AS rk
+        |FROM cell"""),
+
+    // Shape #70: CoalesceEmpty chain — CoalesceEmpty(m1, m2, 0): a sparse
+    // measure falls through to a second sparse measure and then to the
+    // literal. The two screens (deep-debit / top-credit customers) leave
+    // most (nation) cells empty at small SF, so every arm of the chain is
+    // exercised.
+    QDef.common("foodmart_coalesceempty",
+      """WITH base AS (
+        |  SELECT n_name FROM nation),
+        |rare1 AS (
+        |  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_acctbal < -990 GROUP BY n_name),
+        |rare2 AS (
+        |  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_acctbal > 9990 GROUP BY n_name)
+        |SELECT base.n_name AS c0,
+        |  CAST(COALESCE(rare1.m, rare2.m, 0) AS DOUBLE) AS m0,
+        |  CASE WHEN rare1.m IS NOT NULL THEN 1
+        |       WHEN rare2.m IS NOT NULL THEN 2 ELSE 3 END AS arm
+        |FROM base LEFT JOIN rare1 ON base.n_name = rare1.n_name
+        |LEFT JOIN rare2 ON base.n_name = rare2.n_name"""),
+
+    // Shape #71: Item(0) of an ordered set — Order(nations × segments,
+    // m, DESC).Item(0) per region: exactly ONE tuple survives per parent
+    // (the deterministic argmax; Generate/TopCount report k members, Item
+    // projects a single tuple out of the set).
+    QDef.common("foodmart_item_first",
+      """WITH cell AS (
+        |  SELECT r_name, n_name, c_mktsegment,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name, c_mktsegment)
+        |SELECT r_name AS c0, n_name AS c1, c_mktsegment AS c2,
+        |  CAST(m AS DOUBLE) AS m0
+        |FROM (SELECT r_name, n_name, c_mktsegment, m,
+        |    ROW_NUMBER() OVER (PARTITION BY r_name
+        |      ORDER BY m DESC, n_name, c_mktsegment) AS rn
+        |  FROM cell) t WHERE rn = 1"""),
+
+    // Shape #72: Var / Stdev over children — the dispersion of the
+    // per-nation measure within each region (MDX Var(children, m)).
+    // Population variance from exact DECIMAL moments of the ≤25 child
+    // sums; double only in the final division.
+    QDef.common("foodmart_var_children",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |moments AS (
+        |  SELECT r_name, CAST(COUNT(*) AS DECIMAL(18,2)) AS n,
+        |    SUM(m) AS sx, SUM(m * m) AS sxx
+        |  FROM nat GROUP BY r_name)
+        |SELECT r_name AS c0,
+        |  ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / CAST(n * n AS DOUBLE) / 1000000000000.0, 6) AS var_pop_tril,
+        |  ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 4) AS stdev_pop
+        |FROM moments"""),
+
+    // Shape #73: Covariance between two measures over the time set —
+    // MDX Covariance(quarters, order count, revenue) per nation; the
+    // correlation shape's sibling reporting the unnormalized comoment.
+    QDef.common("foodmart_covariance",
+      """WITH q AS (
+        |  SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |    EXTRACT(QUARTER FROM o_orderdate) AS qt,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+        |    CAST(COUNT(*) AS DECIMAL(18,2)) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate),
+        |    EXTRACT(QUARTER FROM o_orderdate)),
+        |moments AS (
+        |  SELECT n_name, CAST(COUNT(*) AS DECIMAL(18,2)) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy
+        |  FROM q GROUP BY n_name)
+        |SELECT n_name AS c0,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * n AS DOUBLE), 4) AS covar_pop
+        |FROM moments WHERE n >= 2"""),
+
+    // Shape #74: IIf null-guarded ratio — the calculated member
+    // IIf(m_denom = 0, NULL, m_num / m_denom): returned-share of revenue
+    // per (nation, year) with the zero-denominator arm surfacing as NULL
+    // rather than an error (MDX divide semantics).
+    QDef.common("foodmart_safe_divide",
+      """WITH cell AS (
+        |  SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |    SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_m,
+        |    SUM(CASE WHEN l_linestatus = 'F' AND l_discount > 0.09
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS denom_m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate))
+        |SELECT n_name AS c0, yr AS c1,
+        |  ROUND(CAST(ret_m AS DOUBLE)
+        |    / NULLIF(CAST(denom_m AS DOUBLE), 0.0), 9) AS guarded_ratio
+        |FROM cell"""),
+
+    // Shape #75: Cousin — the member at the SAME ordinal position under a
+    // different parent (MDX Cousin(nation, EUROPE)): each nation lines up
+    // against the same-ranked nation of the reference region, reporting
+    // both measures side by side.
+    QDef.common("foodmart_cousin",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |ranked AS (
+        |  SELECT r_name, n_name, m,
+        |    ROW_NUMBER() OVER (PARTITION BY r_name
+        |      ORDER BY m DESC, n_name) AS pos
+        |  FROM nat)
+        |SELECT a.r_name AS c0, a.n_name AS c1, a.pos AS c2,
+        |  CAST(a.m AS DOUBLE) AS m0,
+        |  b.n_name AS cousin_name, CAST(b.m AS DOUBLE) AS cousin_m
+        |FROM ranked a JOIN ranked b
+        |  ON b.r_name = 'EUROPE' AND b.pos = a.pos
+        |WHERE a.r_name <> 'EUROPE'"""),
+
+    // Shape #76: Qtd — quarter-to-date running sum at the month grain
+    // (MDX Qtd(month)): the year-to-date shape re-anchored to the
+    // enclosing quarter, one window partitioned by (nation, year,
+    // quarter).
+    QDef.common("foodmart_qtd_running",
+      """WITH monthly AS (
+        |  SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |    EXTRACT(QUARTER FROM o_orderdate) AS qt,
+        |    EXTRACT(MONTH FROM o_orderdate) AS mo,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |  GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate),
+        |    EXTRACT(QUARTER FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate))
+        |SELECT n_name AS c0, yr AS c1, qt AS c2, mo AS c3,
+        |  CAST(m AS DOUBLE) AS m0,
+        |  CAST(SUM(m) OVER (PARTITION BY n_name, yr, qt
+        |    ORDER BY mo) AS DOUBLE) AS qtd
+        |FROM monthly"""),
+
+    // Shape #77: Filter(children, m > Avg(children, m)) — members above
+    // their parent's average. The comparison stays EXACT: m > sx / n is
+    // evaluated as m * n > sx in DECIMAL, no division, no epsilon.
+    QDef.common("foodmart_above_avg_members",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |parent AS (
+        |  SELECT r_name, CAST(COUNT(*) AS DECIMAL(18,2)) AS n, SUM(m) AS sx
+        |  FROM nat GROUP BY r_name)
+        |SELECT nat.r_name AS c0, n_name AS c1, CAST(m AS DOUBLE) AS m0,
+        |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS parent_avg
+        |FROM nat JOIN parent ON nat.r_name = parent.r_name
+        |WHERE m * n > sx""")
   )
 }

@@ -28,7 +28,9 @@ class TpchCycleSpec extends AnyFunSuite {
     "agg_grouping_sets", "agg_rollup", "agg_tpch_q1", "fn_extract_time",
     "foodmart_allmembers_crossjoin", "foodmart_banding",
     "foodmart_ancestor_3level", "foodmart_avg_of_children",
-    "foodmart_bdesc_rank",
+    "foodmart_bdesc_rank", "foodmart_above_avg_members",
+    "foodmart_coalesceempty", "foodmart_cousin", "foodmart_item_first",
+    "foodmart_rank_tuple_ties",
     "foodmart_bottomcount", "foodmart_bottompercent", "foodmart_corr_rank",
     "foodmart_generate_topk", "foodmart_member_range",
     "foodmart_namedset_slicer", "foodmart_nonempty_4level",

@@ -227,9 +227,23 @@ object Iq {
             assert(e.equalsIgnoreCase(a),
               s"$blockId: expected column '$e', got '$a' (all: $actualCols)")
         }
+        // quidem truncates long cells to "<prefix>... (N characters)" --
+        // match such cells by exact total length + exact raw prefix
+        // (stronger than a skip, weaker than full equality only in the
+        // unprinted tail). A got-cell satisfying a spec is replaced by
+        // the golden's truncated spelling before the multiset compare.
+        val TruncRe = """(?s)^(.*)\.\.\. \((\d+) characters\)$""".r
+        val truncSpecs = rows.flatten.collect {
+          case c @ TruncRe(prefix, n) => (prefix, n.toInt, c)
+        }
+        def truncate(cell: String): String =
+          truncSpecs.collectFirst {
+            case (prefix, n, spelled)
+                if cell.length == n && cell.startsWith(prefix) => spelled
+          }.getOrElse(cell)
         val want = rows.map(_.map(canon)).sortBy(_.mkString(""))
         val got = df.collect().toSeq
-          .map(r => (0 until r.length).map(i => canon(render(r.get(i)))))
+          .map(r => (0 until r.length).map(i => canon(truncate(render(r.get(i))))))
           .sortBy(_.mkString(""))
         if (want != got) {
           val missing = diff(want, got)

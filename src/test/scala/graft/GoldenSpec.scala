@@ -339,11 +339,6 @@ class GoldenSpec extends AnyFunSuite {
         .stripMargin).head().getLong(0) == 14)
   }
 
-  // POST DEPT (reference: CalciteAssert.java:830-836)
-  private lazy val postDept: DataFrame = Seq(
-    (10, "Sales"), (20, "Marketing"), (30, "Engineering"), (40, "Empty"))
-    .toDF("deptno", "dname")
-
   test("spatial.iq — geo function goldens (point/predicate subset)") {
     import graft.operators.Geo._
     val one = spark.range(1).toDF()
@@ -795,13 +790,6 @@ class GoldenSpec extends AnyFunSuite {
   // here; Calcite itself returns 0 pre-CALCITE-1824). Plain-GROUP-BY
   // GROUPING is entered through a single-set GROUPING SETS, which is the
   // same query.
-
-  private def gRows(sql: String): Set[List[Any]] = {
-    emp.createOrReplaceTempView("g_emp")
-    scott.createOrReplaceTempView("g_scott")
-    spark.sql(sql).collect().toList.map(_.toSeq.toList).groupBy(identity)
-      .map { case (row, occ) => row :+ occ.size }.toSet
-  }
 
   test("agg.iq:774-787 — CALCITE-1781 expression in ROLLUP") {
     emp.createOrReplaceTempView("g_emp")

@@ -2,10 +2,13 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Validator-rejection parity, tranche 2 (r11 VERDICT #6): interval
+/** Validator-rejection parity, tranches 2-3 (r11 VERDICT #6): interval
   * literals, window frame bounds, MATCH_RECOGNIZE clause errors, set-op
-  * arity/type, and sub-query shape — one representative case per
-  * reference test method, cited per case. Same contract as
+  * arity/type, sub-query shape, aggregate/window placement, INSERT
+  * target arity/type/name, and cast/coalesce/datetime type errors — one
+  * representative case per reference test method, cited per case
+  * (53 rejection cases here; 89 with [[ValidatorParitySpec]]'s 36).
+  * Same contract as
   * [[ValidatorParitySpec]]: the SQL must be REJECTED at parse/analysis
   * time, matching the reference's negative assertion.
   *
@@ -34,6 +37,11 @@ class ValidatorParitySpec2 extends AnyFunSuite {
         |  (0, 2, TIMESTAMP '2024-01-01 00:00:05', 5.0)
         |AS t(part, pos, ts, value)""".stripMargin)
       .createOrReplaceTempView("vp2_mr")
+    // a real (writable) table for the INSERT rejection family — inserts
+    // below are all REJECTED at analysis, so nothing is ever written
+    spark.sql("DROP TABLE IF EXISTS vp2_ins")
+    spark.sql("""CREATE TABLE vp2_ins (a INT, b STRING) USING parquet
+      LOCATION '/tmp/vp2_ins_tbl'""")
   }
 
   private val rejects: Seq[(String, String)] = Seq(
@@ -119,6 +127,34 @@ class ValidatorParitySpec2 extends AnyFunSuite {
       "select * from vp2_no_such_table"),
     ("testInvalidFunction — wrong argument count",
       "select mod(1) from vp2_emp"),
+    // ---- tranche 3: aggregate/window placement, INSERT, more types ----
+    ("testAggregateInGroupByFails — aggregate in GROUP BY",
+      "select count(*) from vp2_emp group by sum(sal)"),
+    ("testAggregateInOrderByFails — aggregate in ORDER BY of non-aggregating SELECT",
+      "select ename from vp2_emp order by sum(sal)"),
+    ("SqlValidatorTest:4004 — windowed aggregate illegal in GROUP BY",
+      "select 1 from vp2_emp group by rank() over (order by sal)"),
+    ("SqlValidatorTest:4004 analogue — windowed aggregate in HAVING",
+      """select deptno from vp2_emp group by deptno
+        |having rank() over (order by deptno) > 1""".stripMargin),
+    ("testCastFails — MAP cannot cast to INT",
+      "select cast(map('a', 1) as int)"),
+    ("testCastFails — ARRAY cannot cast to STRUCT",
+      "select cast(array(1) as struct<a:int>)"),
+    ("testFromReferenceFails — FROM alias referenced as a table in a sub-query",
+      "select * from vp2_emp as e1 where exists (select 1 from e1)"),
+    ("testCoalesceFails — COALESCE over irreconcilable types",
+      "select coalesce(array(1), 1)"),
+    ("testArithmeticOperatorsFails — DATE * INTEGER",
+      "select date '2024-01-01' * 2"),
+    ("testUnnest analogue — collection expansion outside SELECT list",
+      "select * from vp2_emp where explode(array(1, 2)) = 1"),
+    ("testInsert — INSERT column-count mismatch",
+      "insert into vp2_ins values (1)"),
+    ("testInsert — unknown target column",
+      "insert into vp2_ins (a, nope) values (1, 2)"),
+    ("testInsert — incompatible source type",
+      "insert into vp2_ins values (array(1), 'x')"),
     // ---- MATCH_RECOGNIZE (SqlValidatorMatchTest) ----------------------
     ("testMatchRecognizeDefines3 — DEFINE symbol outside PATTERN",
       mr(defines = "xx AS value < PREV(value)")),

@@ -1,0 +1,203 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scalar-function VALUE parity against the reference's operator suite
+  * (reference: core/src/test/java/org/apache/calcite/sql/test/
+  * SqlOperatorBaseTest.java — thousands of checkScalar/checkNull
+  * single-value assertions; this ports representative cases per method,
+  * cited per case, values transcribed verbatim). Dialect adaptations are
+  * syntax-only (`position(x in y from n)` → the three-arg form). Known
+  * semantic DIVERGENCES are pinned separately at the bottom with the
+  * reference's value in the comment — so a Spark behavior change
+  * surfaces as a test failure either way. */
+class FunctionParitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private sealed trait Want
+  private case class S(v: String) extends Want // exact (numeric-canon) value
+  private case object NULL extends Want
+  private case class D(v: Double, tol: Double) extends Want // approx double
+  private case object ERR extends Want // runtime rejection, like checkFails(..., true)
+
+  private def value(expr: String): Any =
+    spark.sql(s"select $expr as v").head().get(0)
+
+  private def check(citation: String, expr: String, want: Want): Unit =
+    test(s"$citation: $expr") {
+      want match {
+        case NULL => assert(value(expr) == null, s"expected NULL")
+        case ERR =>
+          val e = intercept[Exception](value(expr))
+          assert(e.isInstanceOf[org.apache.spark.SparkThrowable] ||
+            e.getCause.isInstanceOf[org.apache.spark.SparkThrowable],
+            s"expected a runtime rejection, got $e")
+        case D(v, tol) =>
+          val got = value(expr) match {
+            case d: java.lang.Double => d.doubleValue
+            case f: java.lang.Float => f.doubleValue
+            case b: java.math.BigDecimal => b.doubleValue
+            case o => o.toString.toDouble
+          }
+          assert(math.abs(got - v) <= tol, s"expected $v +- $tol, got $got")
+        case S(v) =>
+          val got = value(expr)
+          assert(got != null, s"expected '$v', got NULL")
+          val same = (try {
+            new java.math.BigDecimal(got.toString)
+              .compareTo(new java.math.BigDecimal(v)) == 0
+          } catch { case _: NumberFormatException => false }) ||
+            got.toString == v
+          assert(same, s"expected '$v', got '$got'")
+      }
+    }
+
+  // ---- MOD and % (testModOperator/testModPrecedence/testModFunc*) -------
+  check("testModOperator", "4 % 2", S("0"))
+  check("testModOperator", "8 % 5", S("3"))
+  check("testModOperator", "-12 % 7", S("-5"))
+  check("testModOperator", "-12 % -7", S("-5"))
+  check("testModOperator", "12 % -7", S("5"))
+  check("testModPrecedence", "1 + 5 % 3 % 4 * 14 % 17", S("12"))
+  check("testModPrecedence", "(1 + 5 % 3) % 4 + 14 % 17", S("17"))
+  check("testModFunc", "mod(4, 2)", S("0"))
+  check("testModFunc", "mod(-12, 7)", S("-5"))
+  check("testModFunc", "mod(cast(-9 as decimal(2, 0)), cast(7 as decimal(1, 0)))", S("-2"))
+  check("testModFuncNull", "mod(cast(null as integer), 2)", NULL)
+  check("testModOperatorNull", "4 % cast(null as tinyint)", NULL)
+  check("testModFuncDivByZero", "mod(3, case 'a' when 'a' then 0 end)", ERR)
+
+  // ---- POWER / SQRT / EXP / LN / LOG10 -----------------------------------
+  check("testPowerFunc", "power(2, -2)", D(0.25, 0))
+  check("testPowerFunc", "power(cast(null as integer), 2)", NULL)
+  check("testSqrtFunc", "sqrt(2)", D(1.4142, 0.0001))
+  check("testSqrtFunc", "sqrt(cast(2 as decimal(2, 0)))", D(1.4142, 0.0001))
+  check("testSqrtFunc", "sqrt(cast(null as double))", NULL)
+  check("testExpFunc", "exp(2)", D(7.389056, 0.000001))
+  check("testExpFunc", "exp(-2)", D(0.1353, 0.0001))
+  check("testExpFunc", "exp(cast(null as integer))", NULL)
+  check("testLnFunc", "ln(2.71828)", D(0.999999327, 0.0000001))
+  check("testLnFunc", "ln(cast(null as tinyint))", NULL)
+  check("testLogFunc", "log10(10)", D(1.0, 0.000001))
+  check("testLogFunc", "log10(100.0)", D(2.0, 0.000001))
+  check("testLogFunc", "log10(cast(10e8 as double))", D(9.0, 0.000001))
+
+  // ---- ABS / SIGN --------------------------------------------------------
+  check("testAbsFunc", "abs(-1)", S("1"))
+  check("testAbsFunc", "abs(cast(-20 as smallint))", S("20"))
+  check("testAbsFunc", "abs(54.4)", S("54.4"))
+  check("testAbsFunc", "abs(-54.4)", S("54.4"))
+  check("testAbsFunc", "abs(-9.32E-2)", D(0.0932, 0))
+  check("testAbsFunc", "abs(cast(null as double))", NULL)
+  check("testSignFunc", "sign(1)", S("1"))
+  check("testSignFunc", "sign(cast(-1 as decimal(1, 0)))", S("-1"))
+  check("testSignFunc", "sign(cast(0 as float))", D(0.0, 0))
+  check("testSignFunc", "sign(cast(null as integer))", NULL)
+
+  // ---- CHAR_LENGTH / POSITION / REPLACE ----------------------------------
+  check("testCharLengthFunc", "char_length('abc')", S("3"))
+  check("testCharLengthFunc", "char_length(cast(null as string))", NULL)
+  check("testPositionFunc", "position('b' in 'abc')", S("2"))
+  check("testPositionFunc", "position('' in 'abc')", S("1"))
+  check("testPositionFunc", "position('b', 'abcabc', 3)", S("5"))
+  check("testPositionFunc", "position('b', 'abcabc', 5)", S("5"))
+  check("testPositionFunc", "position('b', 'abcabc', 6)", S("0"))
+  check("testPositionFunc", "position('b', 'abcabc', -5)", S("0"))
+  check("testPositionFunc (FRG-211)", "position('tra' in 'fdgjklewrtra')", S("10"))
+  check("testPositionFunc", "position(cast(null as string) in '0010')", NULL)
+  check("testPositionFunc", "position('a' in cast(null as string))", NULL)
+  check("testReplaceFunc", "replace('ciao', 'ciao', '')", S(""))
+  check("testReplaceFunc", "replace('hello world', 'o', '')", S("hell wrld"))
+  check("testReplaceFunc", "replace(cast(null as string), 'ciao', '')", NULL)
+
+  // ---- SUBSTRING / OVERLAY ------------------------------------------------
+  check("testSubstringFunction", "substring('abc' from 1 for 2)", S("ab"))
+  check("testSubstringFunction", "substring('abc' from 2 for 8)", S("bc"))
+  check("testSubstringFunction", "substring('abc' from 8 for 2)", S(""))
+  check("testSubstringFunction", "substring('abc' from 2)", S("bc"))
+  check("testSubstringFunction", "substring('abc' from 0)", S("abc"))
+  check("testSubstringFunction", "substring('abc' from 8)", S(""))
+  check("testSubstringFunction", "substring('abc' from -2)", S("bc"))
+  check("testSubstringFunction", "substring(cast(null as string), 1, 2)", NULL)
+  check("testOverlayFunc", "overlay('ABCdef' placing 'abc' from 1)", S("abcdef"))
+  check("testOverlayFunc", "overlay('ABCdef' placing 'abc' from 1 for 2)", S("abcCdef"))
+  check("testOverlayFunc",
+    "overlay('ABCdef' placing 'abc' from 1 for cast(null as integer))", NULL)
+  check("testOverlayFunc", "overlay(cast(null as string) placing 'abc' from 1)", NULL)
+
+  // ---- INITCAP / TRIM family ----------------------------------------------
+  check("testInitcapFunc", "initcap('aA')", S("Aa"))
+  check("testInitcapFunc", "initcap('Aa')", S("Aa"))
+  check("testInitcapFunc", "initcap('1a')", S("1a"))
+  check("testInitcapFunc", "initcap('ab cd Ef 12')", S("Ab Cd Ef 12"))
+  check("testInitcapFunc", "initcap(cast(null as string))", NULL)
+  check("testTrimFunc", "trim('a' from 'aAa')", S("A"))
+  check("testTrimFunc", "trim(both 'a' from 'aAa')", S("A"))
+  check("testTrimFunc", "trim(leading 'a' from 'aAa')", S("Aa"))
+  check("testTrimFunc", "trim(trailing 'a' from 'aAa')", S("aA"))
+  check("testTrimFunc", "trim(cast(null as string) from 'a')", NULL)
+  check("testTrimFunc", "trim('a' from cast(null as string))", NULL)
+  // Calcite's MYSQL_5 conformance multi-char trim; Spark's trimStr is a
+  // character SET rather than a substring, which coincides on these
+  check("testTrimFunc (MYSQL_5)", "trim(leading 'eh' from 'hehe__hehe')", S("__hehe"))
+  check("testTrimFunc (MYSQL_5)", "trim(trailing 'eh' from 'hehe__hehe')", S("hehe__"))
+  check("testTrimFunc (MYSQL_5)", "trim('eh' from 'hehe__hehe')", S("__"))
+  check("testRtrimFunc", "rtrim(' aAa  ')", S(" aAa"))
+  check("testLtrimFunc", "ltrim(' aAa  ')", S("aAa  "))
+
+  // ---- CASE / NULLIF / COALESCE / GREATEST / LEAST ------------------------
+  check("testCase", "case when 'a' = 'a' then 1 end", S("1"))
+  check("testCase", "case 2 when 1 then 'a' when 2 then 'bcd' end", S("bcd"))
+  check("testCase", "case 'a' when 'a' then 1 end", S("1"))
+  check("testCase", "case 'a' when 'b' then 1 end", NULL)
+  check("testCase", "case 1 when 1 then 11.2e0 when 2 then 4 else null end", D(11.2, 0))
+  check("testCase", "case 2 when 1 then 11.2e0 when 2 then 4 else null end", D(4, 0))
+  check("testCaseNull analogue", "case 2 when 1 then 11.2e0 when 2 then 4.543 else null end",
+    D(4.543, 0))
+  check("testNullifFunc", "nullif(1, 1)", NULL)
+  check("testNullifFunc", "nullif(1.5, 13.56)", S("1.5"))
+  check("testNullifFunc", "nullif(13.56, 1.5)", S("13.56"))
+  check("testNullifFunc", "nullif('a', 'bc')", S("a"))
+  check("testNullifFunc", "nullif('a', cast(null as string))", S("a"))
+  check("testNullifFunc", "nullif(cast(null as string), 'a')", NULL)
+  check("testCoalesceFunc", "coalesce('a', 'b')", S("a"))
+  check("testCoalesceFunc", "coalesce(null, null, 3)", S("3"))
+  check("testGreatestFunc (ORACLE_12)", "greatest('on', 'earth')", S("on"))
+  check("testGreatestFunc (ORACLE_12)", "greatest('show', 'on', 'earth')", S("show"))
+  check("testLeastFunc (ORACLE_12)", "least('on', 'earth')", S("earth"))
+  check("testLeastFunc (ORACLE_12)", "least('show', 'on', 'earth')", S("earth"))
+
+  // ---- CAST / EXTRACT ------------------------------------------------------
+  check("testCastToExactNumeric", "cast('15' as integer)", S("15"))
+  check("testCastToExactNumeric", "cast('-75.4' as double)", D(-75.4, 0))
+  check("testExtractDate", "extract(day from date '2008-02-23')", S("23"))
+  check("testExtractDate", "extract(month from date '2008-02-23')", S("2"))
+  check("testExtractDate", "extract(quarter from date '2008-04-23')", S("2"))
+  check("testExtractDate", "extract(year from date '2008-02-23')", S("2008"))
+
+  // ---- CONCAT --------------------------------------------------------------
+  check("testConcatOperator", "'a' || 'b'", S("ab"))
+  check("testConcatOperator", "'a' || cast(null as string)", NULL)
+
+  // ---- documented divergences (Spark value pinned; reference's in comment) --
+  test("DIVERGENCE testSubstringFunction: substring('abc' from 0 for 2)") {
+    // reference: 'a' (SQL:2016 virtual-position count from 0);
+    // Spark treats start 0 as start 1
+    assert(value("substring('abc' from 0 for 2)") == "ab")
+  }
+  test("DIVERGENCE testSubstringFunction: substring('abc' from 1 for -1)") {
+    // reference: runtime error 'negative substring length not allowed';
+    // Spark returns the empty string
+    assert(value("substring('abc' from 1 for -1)") == "")
+  }
+  test("DIVERGENCE testGreatestFunc: greatest(12, NULL, 3)") {
+    // reference (Oracle semantics): NULL poisons; Spark skips nulls
+    assert(value("greatest(12, cast(null as integer), 3)") == 12)
+  }
+  test("DIVERGENCE testTrimFunc: multi-char trim set semantics") {
+    // reference SQL:2003 default conformance REJECTS multi-char trim
+    // ('trim character must be exactly 1 character'); Spark always uses
+    // MySQL-style character-set trimming (see the MYSQL_5 cases above)
+    assert(value("trim('xy' from 'yxabcdexy')") == "abcde")
+  }
+}

@@ -41,13 +41,17 @@ class FunctionParitySpec extends AnyFunSuite {
           }
           assert(math.abs(got - v) <= tol, s"expected $v +- $tol, got $got")
         case S(v) =>
-          val got = value(expr)
-          assert(got != null, s"expected '$v', got NULL")
+          val got0 = value(expr)
+          assert(got0 != null, s"expected '$v', got NULL")
+          val got = got0 match {
+            case b: Array[Byte] => b.map("%02x".format(_)).mkString
+            case o => o.toString
+          }
           val same = (try {
-            new java.math.BigDecimal(got.toString)
+            new java.math.BigDecimal(got)
               .compareTo(new java.math.BigDecimal(v)) == 0
           } catch { case _: NumberFormatException => false }) ||
-            got.toString == v
+            got == v
           assert(same, s"expected '$v', got '$got'")
       }
     }
@@ -178,6 +182,147 @@ class FunctionParitySpec extends AnyFunSuite {
   // ---- CONCAT --------------------------------------------------------------
   check("testConcatOperator", "'a' || 'b'", S("ab"))
   check("testConcatOperator", "'a' || cast(null as string)", NULL)
+
+  // ---- LIKE (testLikeOperator/testLikeEscape/testLikeDot) -----------------
+  check("testLikeOperator", "'' like ''", S("true"))
+  check("testLikeOperator", "'a' like 'a'", S("true"))
+  check("testLikeOperator", "'a' like 'A'", S("false"))
+  check("testLikeOperator", "'a' like 'a_'", S("false"))
+  check("testLikeOperator", "'a' like '%a%'", S("true"))
+  check("testLikeOperator", "'ab' like 'a_'", S("true"))
+  check("testLikeOperator", "'abc' like 'a_'", S("false"))
+  check("testLikeOperator", "'abcd' like '_d'", S("false"))
+  check("testLikeOperator", "'abcd' like '%d'", S("true"))
+  check("testLikeOperator", "'ab\\ncd\\nef' like '%cd%'", S("true"))
+  check("testLikeOperator", "'ab\\ncd\\nef' like '%cde%'", S("false"))
+  check("testLikeDot (CALCITE-1898)", "'abc' like 'a.c'", S("false"))
+  check("testLikeDot (CALCITE-1898)", "'abc.e' like '%c.e'", S("true"))
+  check("testLikeEscape", "'a_c' like 'a#_c' escape '#'", S("true"))
+  check("testLikeEscape", "'axc' like 'a#_c' escape '#'", S("false"))
+  check("testLikeEscape", "'a%c' like 'a\\\\%c' escape '\\\\'", S("true"))
+  check("testLikeEscape", "'abbc' like 'a\\\\%c' escape '\\\\'", S("false"))
+
+  // ---- SIMILAR TO (testSimilarToOperator — via the engine's SQL:2003
+  // pattern translator, operators.Extras.similarToRegex + RLIKE) ----------
+  private def similar(s: String, pat: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    spark.range(1)
+      .select(lit(s).rlike(graft.operators.Extras.similarToRegex(pat)).as("v"))
+      .head().getBoolean(0)
+  }
+  private def checkSimilar(s: String, pat: String, want: Boolean): Unit =
+    test(s"testSimilarToOperator: '$s' similar to '$pat'") {
+      assert(similar(s, pat) == want)
+    }
+  checkSimilar("", "", true)
+  checkSimilar("a", "a", true)
+  checkSimilar("a", "b", false)
+  checkSimilar("a", "a_", false)
+  checkSimilar("ab", "a_", true)
+  checkSimilar("abcd", "a%", true)
+  checkSimilar("acd", "ab*c+d", true)
+  checkSimilar("abcd", "ab*c+d", true)
+  checkSimilar("acccd", "ab*c+d", true)
+  checkSimilar("abcccd", "ab*c+d", true)
+  checkSimilar("abd", "ab*c+d", false)
+  checkSimilar("aabc", "ab*c+d", false)
+  checkSimilar("xy", "x(ab|c)*y", true)
+  checkSimilar("xccy", "x(ab|c)*y", true)
+  checkSimilar("xababcy", "x(ab|c)*y", true)
+  checkSimilar("xbcy", "x(ab|c)*y", false)
+  checkSimilar("xy", "x(ab|c)+y", false)
+  checkSimilar("xccy", "x(ab|c)+y", true)
+  checkSimilar("123aXYZ", "_%_a%_", true)
+  checkSimilar("xy", "(xy)", true)
+  checkSimilar("abd", "[ab][bcde]d", true)
+  checkSimilar("bdd", "[ab][bcde]d", true)
+
+  // ---- string library (chr/ascii/repeat/space/soundex/difference/
+  //      reverse/upper/left/right) -----------------------------------------
+  check("testChr", "chr(97)", S("a"))
+  check("testChr", "chr(48)", S("0"))
+  check("testAsciiFunc", "ascii('a')", S("97"))
+  check("testRepeatFunc", "repeat('a', -1)", S(""))
+  check("testRepeatFunc", "repeat('a', 0)", S(""))
+  check("testRepeatFunc", "repeat('a', 2)", S("aa"))
+  check("testRepeatFunc", "repeat('abc', 3)", S("abcabcabc"))
+  check("testRepeatFunc", "repeat(cast(null as string), 2)", NULL)
+  check("testRepeatFunc", "repeat('abc', cast(null as integer))", NULL)
+  check("testSpaceFunc", "space(-1)", S(""))
+  check("testSpaceFunc", "space(0)", S(""))
+  check("testSpaceFunc", "space(2)", S("  "))
+  check("testSpaceFunc", "space(cast(null as integer))", NULL)
+  check("testSoundexFunc", "soundex('TECH ON THE NET')", S("T253"))
+  check("testSoundexFunc", "soundex('Miller')", S("M460"))
+  check("testSoundexFunc", "soundex('myller')", S("M460"))
+  check("testSoundexFunc", "soundex('m')", S("M000"))
+  check("testSoundexFunc", "soundex('mile')", S("M400"))
+  check("testReverseFunc", "reverse('')", S(""))
+  check("testReverseFunc", "reverse('123')", S("321"))
+  check("testReverseFunc", "reverse('Hello World')", S("dlroW olleH"))
+  check("testReverseFunc", "reverse(cast(null as string))", NULL)
+  check("testUpperFunc", "upper('a')", S("A"))
+  check("testUpperFunc", "upper('aa')", S("AA"))
+  check("testUpperFunc", "upper(cast(null as string))", NULL)
+  check("testLeftFunc", "left('abcd', 3)", S("abc"))
+  check("testLeftFunc", "left('abcd', 0)", S(""))
+  check("testLeftFunc", "left('abcd', 5)", S("abcd"))
+  check("testLeftFunc", "left('abcd', -2)", S(""))
+  check("testLeftFunc", "left(cast(null as string), -2)", NULL)
+  check("testRightFunc", "right('abcd', 3)", S("bcd"))
+  check("testRightFunc", "right('abcd', 0)", S(""))
+  check("testRightFunc", "right('abcd', 5)", S("abcd"))
+  check("testRightFunc", "right('abcd', -2)", S(""))
+  check("testRightFunc", "right('abcd', cast(null as integer))", NULL)
+
+  private def difference(a: String, b: String): Any = {
+    import org.apache.spark.sql.functions._
+    spark.range(1)
+      .select(graft.operators.Extras.differenceCol(lit(a), lit(b)).as("v"))
+      .head().get(0)
+  }
+  test("testDifferenceFunc: transcribed values (via Extras.differenceCol)") {
+    assert(difference("Miller", "miller") == 4)
+    assert(difference("Miller", "myller") == 4)
+    assert(difference("muller", "miller") == 4)
+    assert(difference("muller", "milk") == 2)
+    assert(difference("muller", "mile") == 2)
+    assert(difference("muller", "m") == 1)
+    assert(difference("muller", "lee") == 0)
+  }
+
+  // ---- ROUND / LAST_DAY / TIMESTAMPADD ------------------------------------
+  check("testRoundFunc", "round(42, -1)", S("40"))
+  // (reference writes decimal(2, 3); Spark requires precision >= scale)
+  check("testRoundFunc", "round(cast(42.346 as decimal(5, 3)), 2)", S("42.35"))
+  check("testRoundFunc", "round(cast(-42.346 as decimal(5, 3)), 2)", S("-42.35"))
+  check("testRoundFunc", "round(cast(null as integer), 1)", NULL)
+  check("testRoundFunc", "round(42)", S("42"))
+  check("testRoundFunc", "round(42.324)", S("42"))
+  check("testRoundFunc", "round(42.724)", S("43"))
+  check("testLastDayFunc", "last_day(date '2019-02-10')", S("2019-02-28"))
+  check("testLastDayFunc", "last_day(date '2019-06-10')", S("2019-06-30"))
+  check("testLastDayFunc", "last_day(date '2020-02-20')", S("2020-02-29"))
+  check("testLastDayFunc", "last_day(date '2019-12-31')", S("2019-12-31"))
+  check("testLastDayFunc", "last_day(date '1900-01-01')", S("1900-01-31"))
+  check("testTimestampAdd", "timestampadd(SECOND, 2, timestamp '2016-02-24 12:42:25')",
+    S("2016-02-24 12:42:27.0"))
+  check("testTimestampAdd", "timestampadd(MINUTE, 2, timestamp '2016-02-24 12:42:25')",
+    S("2016-02-24 12:44:25.0"))
+  check("testTimestampAdd", "timestampadd(HOUR, -2000, timestamp '2016-02-24 12:42:25')",
+    S("2015-12-03 04:42:25.0"))
+  check("testTimestampAdd", "timestampadd(MONTH, 3, timestamp '2016-02-24 12:42:25')",
+    S("2016-05-24 12:42:25.0"))
+  check("testTimestampAdd",
+    "timestampadd(HOUR, cast(null as integer), timestamp '2016-02-24 12:42:25')", NULL)
+  // month-end rounding (reference: 'Round to the last day of previous
+  // month'; Spark returns TIMESTAMP for a DATE input — cast back)
+  check("testTimestampAdd", "cast(timestampadd(MONTH, 1, date '2016-05-31') as date)",
+    S("2016-06-30"))
+  check("testTimestampAdd", "cast(timestampadd(MONTH, 5, date '2016-01-31') as date)",
+    S("2016-06-30"))
+  check("testTimestampAdd", "cast(timestampadd(MONTH, -1, date '2016-03-31') as date)",
+    S("2016-02-29"))
 
   // ---- documented divergences (Spark value pinned; reference's in comment) --
   test("DIVERGENCE testSubstringFunction: substring('abc' from 0 for 2)") {

@@ -1346,6 +1346,158 @@ object FoodMart {
         |SELECT nat.r_name AS c0, n_name AS c1, CAST(m AS DOUBLE) AS m0,
         |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS parent_avg
         |FROM nat JOIN parent ON nat.r_name = parent.r_name
-        |WHERE m * n > sx""")
+        |WHERE m * n > sx"""),
+
+    // ---- tranche 9 (r12): statistical + time-navigation stragglers ------
+
+    // Shape #78: Mtd — month-to-date running sum at the DAY grain (the
+    // finest time navigation; Ytd is #25, Qtd is #76). One month keeps
+    // the result bounded; the window partitions by (nation, month).
+    QDef.common("foodmart_mtd_running",
+      """WITH daily AS (
+        |  SELECT n_name, o_orderdate AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= DATE '1995-03-01'
+        |    AND o_orderdate < DATE '1995-04-01'
+        |  GROUP BY n_name, o_orderdate)
+        |SELECT n_name AS c0, d AS c1, CAST(m AS DOUBLE) AS m0,
+        |  CAST(SUM(m) OVER (PARTITION BY n_name ORDER BY d) AS DOUBLE) AS mtd
+        |FROM daily"""),
+
+    // Shape #79: Stdev (SAMPLE, n-1 denominator) over children — the MDX
+    // Stdev sibling of #72's StdevP; same decimal-exact moments, the
+    // sample divisor exercised on its own row.
+    QDef.common("foodmart_stdev_sample_children",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |moments AS (
+        |  SELECT r_name, CAST(COUNT(*) AS DECIMAL(18,2)) AS n,
+        |    SUM(m) AS sx, SUM(m * m) AS sxx
+        |  FROM nat GROUP BY r_name)
+        |SELECT r_name AS c0,
+        |  ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE)), 4) AS stdev_samp
+        |FROM moments WHERE n >= 2"""),
+
+    // Shape #80: Count(Filter(children, m > threshold)) — the member
+    // count measure over a screened set (the COUNT twin of #77's Filter;
+    // MDX Count(Filter(...)) reports cardinality, not cells).
+    QDef.common("foodmart_count_filtered_members",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m,
+        |    COUNT(*) AS orders_n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name AS c0,
+        |  COUNT(*) AS members,
+        |  CAST(SUM(CASE WHEN orders_n > 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS busy_members
+        |FROM nat GROUP BY r_name"""),
+
+    // Shape #81: Sum(TopCount(children, 3, m)) / Sum(children) — the
+    // top-k CONCENTRATION ratio (how much of the parent the top three
+    // members carry); numerator and denominator stay DECIMAL until the
+    // final guarded division.
+    QDef.common("foodmart_topk_concentration",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |ranked AS (
+        |  SELECT r_name, m,
+        |    ROW_NUMBER() OVER (PARTITION BY r_name
+        |      ORDER BY m DESC, n_name) AS rk
+        |  FROM nat)
+        |SELECT r_name AS c0,
+        |  ROUND(CAST(SUM(CASE WHEN rk <= 3 THEN m
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(m) AS DOUBLE), 9) AS top3_share
+        |FROM ranked GROUP BY r_name"""),
+
+    // Shape #82: Avg over the time descendants — the average MONTHLY
+    // revenue per nation (MDX Avg(Descendants([Time], month), m):
+    // average of member sums at the month grain, not of fact rows).
+    QDef.common("foodmart_avg_time_members",
+      """WITH monthly AS (
+        |  SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |    EXTRACT(MONTH FROM o_orderdate) AS mo,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate),
+        |    EXTRACT(MONTH FROM o_orderdate))
+        |SELECT n_name AS c0, COUNT(*) AS months,
+        |  ROUND(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+        |    AS avg_month_m
+        |FROM monthly GROUP BY n_name"""),
+
+    // Shape #83: LinRegR2 — the regression's coefficient of
+    // determination (completes the LinReg family: slope/intercept #51,
+    // point #68). R^2 = (n*sxy - sx*sy)^2 / ((n*sxx - sx^2)(n*syy -
+    // sy^2)), decimal moments, double only at the end.
+    QDef.common("foodmart_linreg_r2",
+      """WITH monthly AS (
+        |  SELECT n_name,
+        |    (EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS x,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, (EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate)),
+        |moments AS (
+        |  SELECT n_name, CAST(COUNT(*) AS DECIMAL(18,2)) AS n,
+        |    SUM(CAST(x AS DECIMAL(18,2))) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS sxx,
+        |    SUM(y * y) AS syy
+        |  FROM monthly GROUP BY n_name)
+        |SELECT n_name AS c0,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS r2
+        |FROM moments
+        |WHERE CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |  AND CAST(n * syy - sy * sy AS DOUBLE) > 0"""),
+
+    // Shape #84: ratio to the PREVIOUS member in rank order (MDX
+    // m / (m, member.PrevMember) over an Ordered set) — sequential
+    // share chain within the parent, NULL for the leader.
+    QDef.common("foodmart_prev_member_ratio",
+      """WITH nat AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name AS c0, n_name AS c1, CAST(m AS DOUBLE) AS m0,
+        |  ROUND(CAST(m AS DOUBLE) / CAST(LAG(m) OVER (PARTITION BY r_name
+        |    ORDER BY m DESC, n_name) AS DOUBLE), 9) AS vs_prev
+        |FROM nat"""),
+
+    // Shape #85: degenerate dimension — attributes carried ON the fact
+    // table itself (order priority / ship mode families in FoodMart:
+    // no dimension join at all, the rollup runs straight off the fact).
+    QDef.common("foodmart_degenerate_dim",
+      """SELECT o_orderpriority AS c0, o_orderstatus AS c1,
+        |  COUNT(*) AS m0,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m1
+        |FROM orders
+        |GROUP BY o_orderpriority, o_orderstatus""")
   )
 }

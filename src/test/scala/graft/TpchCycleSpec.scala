@@ -30,7 +30,9 @@ class TpchCycleSpec extends AnyFunSuite {
     "foodmart_ancestor_3level", "foodmart_avg_of_children",
     "foodmart_bdesc_rank", "foodmart_above_avg_members",
     "foodmart_coalesceempty", "foodmart_cousin", "foodmart_item_first",
-    "foodmart_rank_tuple_ties",
+    "foodmart_rank_tuple_ties", "foodmart_count_filtered_members",
+    "foodmart_degenerate_dim", "foodmart_mtd_running",
+    "foodmart_prev_member_ratio", "foodmart_topk_concentration",
     "foodmart_bottomcount", "foodmart_bottompercent", "foodmart_corr_rank",
     "foodmart_generate_topk", "foodmart_member_range",
     "foodmart_namedset_slicer", "foodmart_nonempty_4level",

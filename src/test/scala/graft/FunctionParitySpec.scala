@@ -324,6 +324,41 @@ class FunctionParitySpec extends AnyFunSuite {
   check("testTimestampAdd", "cast(timestampadd(MONTH, -1, date '2016-03-31') as date)",
     S("2016-02-29"))
 
+  // ---- CEIL / FLOOR (testCeilFunc/testFloorFunc) ---------------------------
+  check("testCeilFunc", "ceil(10.1e0)", D(11, 0))
+  check("testCeilFunc", "ceil(100)", S("100"))
+  check("testCeilFunc", "ceil(1.3)", S("2"))
+  check("testCeilFunc", "ceil(-1.7)", S("-1"))
+  check("testCeilFunc", "ceiling(cast(null as decimal(2, 0)))", NULL)
+  check("testFloorFunc", "floor(2.5e0)", D(2, 0))
+  check("testFloorFunc", "floor(100)", S("100"))
+  check("testFloorFunc", "floor(1.7)", S("1"))
+  check("testFloorFunc", "floor(-1.7)", S("-2"))
+  check("testFloorFunc", "floor(cast(null as decimal(2, 0)))", NULL)
+
+  // ---- BETWEEN / NOT BETWEEN (testBetween/testNotBetween) ------------------
+  check("testBetween", "2 between 1 and 3", S("true"))
+  check("testBetween", "2 between 3 and 2", S("false"))
+  check("testBetween", "3 between 1 and 3", S("true"))
+  check("testBetween", "4 between 1 and 3", S("false"))
+  check("testBetween", "1 between 4 and -3", S("false"))
+  check("testBetween", "1 between -1 and 3", S("true"))
+  check("testBetween", "1 between 1 and 1", S("true"))
+  check("testBetween", "1.5 between 1 and 3", S("true"))
+  check("testBetween", "1.2 between 1.1 and 1.3", S("true"))
+  check("testBetween", "1.5 between 1.6 and 1.7", S("false"))
+  check("testBetween", "1.2e1 between 1.1 and 1.3", S("false"))
+  check("testBetween", "1.2e0 between 1.1 and 1.3", S("true"))
+  check("testNotBetween", "2 not between 1 and 3", S("false"))
+  check("testNotBetween", "3 not between 1 and 3", S("false"))
+  check("testNotBetween", "4 not between 1 and 3", S("true"))
+  check("testNotBetween", "1.2e1 not between 1.1 and 1.3", S("true"))
+  check("testNotBetween", "1.5e0 not between 2e0 and 3e0", S("true"))
+  check("testNotBetween",
+    "x'0A00015A' not between x'0A000130' and x'0A0001B0'", S("false"))
+  check("testNotBetween",
+    "x'0A00015A' not between x'0A0001A0' and x'0A0001B0'", S("true"))
+
   // ---- documented divergences (Spark value pinned; reference's in comment) --
   test("DIVERGENCE testSubstringFunction: substring('abc' from 0 for 2)") {
     // reference: 'a' (SQL:2016 virtual-position count from 0);

@@ -154,6 +154,9 @@ object Bench {
           None
         }
       }
+      // between queries: drop the finished query's pinned checkpoint
+      // blocks so they don't ride under every later query's scratch
+      Checkpoints.releaseAll(spark)
       val med = if (times.isEmpty) None else Some(median(times))
       // stream per-query results to stderr so partial runs stay diagnosable
       System.err.println(s"[bench] ${d.name}: median=${med.map(fmt).getOrElse("FAILED")}s reps=[${times.map(fmt).mkString(",")}]")

@@ -69,6 +69,21 @@ object Checkpoints {
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Release EVERY registered last-result checkpoint of the session.
+    * A sequential harness (bench, verify) calls this between queries:
+    * the previous query's result is fully consumed by then, and the next
+    * query deserves the whole scratch budget — without this, one
+    * checkpoint-heavy operator's pinned blocks ride along under every
+    * later query in the session (at the sf1-equivalent scale that is
+    * gigabytes of disk a later shuffle-heavy query then can't have). */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = lastResult.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { release(e.getValue); it.remove() }
+    }
+  }
+
   def superseding(key: String, df: DataFrame): DataFrame = {
     val it = lastResult.entrySet().iterator()
     while (it.hasNext) {

@@ -359,6 +359,36 @@ class FunctionParitySpec extends AnyFunSuite {
   check("testNotBetween",
     "x'0A00015A' not between x'0A0001A0' and x'0A0001B0'", S("true"))
 
+  // ---- IS predicates (testIs*Operator) -------------------------------------
+  check("testIsTrueOperator", "true is true", S("true"))
+  check("testIsTrueOperator", "false is true", S("false"))
+  check("testIsTrueOperator", "cast(null as boolean) is true", S("false"))
+  check("testIsNotTrueOperator", "true is not true", S("false"))
+  check("testIsNotTrueOperator", "false is not true", S("true"))
+  check("testIsNotTrueOperator", "cast(null as boolean) is not true", S("true"))
+  check("testIsFalseOperator", "false is false", S("true"))
+  check("testIsFalseOperator", "true is false", S("false"))
+  check("testIsFalseOperator", "cast(null as boolean) is false", S("false"))
+  check("testIsNotFalseOperator", "false is not false", S("false"))
+  check("testIsNotFalseOperator", "true is not false", S("true"))
+  check("testIsNullOperator", "true is null", S("false"))
+  check("testIsNullOperator", "cast(null as boolean) is null", S("true"))
+  check("testIsUnknownOperator", "false is unknown", S("false"))
+  check("testIsUnknownOperator", "true is unknown", S("false"))
+  check("testIsUnknownOperator", "cast(null as boolean) is unknown", S("true"))
+  check("testIsNotUnknownOperator", "false is not unknown", S("true"))
+  check("testIsNotUnknownOperator", "true is not unknown", S("true"))
+  check("testIsDistinctFromOperator", "1 is distinct from 1", S("false"))
+  check("testIsDistinctFromOperator", "1 is distinct from 1.0", S("false"))
+  check("testIsDistinctFromOperator", "1 is distinct from 2", S("true"))
+  check("testIsDistinctFromOperator",
+    "cast(null as integer) is distinct from 2", S("true"))
+  check("testIsDistinctFromOperator",
+    "cast(null as integer) is distinct from cast(null as integer)", S("false"))
+  check("testIsNotDistinctFromOperator", "1 is not distinct from 1", S("true"))
+  check("testIsNotDistinctFromOperator",
+    "cast(null as integer) is not distinct from cast(null as integer)", S("true"))
+
   // ---- documented divergences (Spark value pinned; reference's in comment) --
   test("DIVERGENCE testSubstringFunction: substring('abc' from 0 for 2)") {
     // reference: 'a' (SQL:2016 virtual-position count from 0);

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * arity/type, sub-query shape, aggregate/window placement, INSERT
   * target arity/type/name, and cast/coalesce/datetime type errors — one
   * representative case per reference test method, cited per case
-  * (53 rejection cases here; 89 with [[ValidatorParitySpec]]'s 36).
+  * (61 rejection cases here; 97 with [[ValidatorParitySpec]]'s 36).
   * Same contract as
   * [[ValidatorParitySpec]]: the SQL must be REJECTED at parse/analysis
   * time, matching the reference's negative assertion.
@@ -155,6 +155,20 @@ class ValidatorParitySpec2 extends AnyFunSuite {
       "insert into vp2_ins (a, nope) values (1, 2)"),
     ("testInsert — incompatible source type",
       "insert into vp2_ins values (array(1), 'x')"),
+    // ---- tranche 4: join clauses and ordinals --------------------------
+    ("testNaturalCrossJoinFails — NATURAL CROSS JOIN",
+      "select * from vp2_emp natural cross join vp2_dept"),
+    ("testJoinUsingInvalidColsFails — USING column absent on one side",
+      "select * from vp2_emp left join vp2_dept using (gender)"),
+    ("testJoinUsingIncompatibleDatatype — USING over non-comparable types",
+      """select * from (select ename, array(sal) as deptno from vp2_emp)
+        |join vp2_dept using (deptno)""".stripMargin),
+    ("testOrderGroup analogue — ORDER BY ordinal zero",
+      "select deptno from vp2_emp order by 0"),
+    ("testGroupByOrdinalOutOfRange — GROUP BY ordinal zero",
+      "select count(*) from vp2_emp group by 0"),
+    ("testItemOperator analogue — element_at with a non-integral index",
+      "select element_at(array(1, 2), 'a') from vp2_emp"),
     // ---- MATCH_RECOGNIZE (SqlValidatorMatchTest) ----------------------
     ("testMatchRecognizeDefines3 — DEFINE symbol outside PATTERN",
       mr(defines = "xx AS value < PREV(value)")),
@@ -203,6 +217,22 @@ class ValidatorParitySpec2 extends AnyFunSuite {
         ex.isInstanceOf[IllegalArgumentException],
         s"expected analysis/parse rejection, got ${ex.getClass}: ${ex.getMessage}")
     }
+
+  test("DIVERGENCE testCrossJoinOnFails/testCrossJoinUsingFails: " +
+      "Spark accepts a condition after CROSS JOIN") {
+    // reference: 'Cannot specify condition (NATURAL keyword, or ON or
+    // USING clause) following CROSS JOIN'; Spark parses CROSS JOIN ON /
+    // USING and treats it as an inner join — pinned so a parser change
+    // surfaces here
+    fixtures
+    assert(spark.sql(
+      """select * from vp2_emp cross join vp2_dept
+        |  on vp2_emp.deptno = vp2_dept.deptno""".stripMargin)
+      .queryExecution.analyzed != null)
+    assert(spark.sql(
+      "select * from vp2_emp cross join vp2_dept using (deptno)")
+      .queryExecution.analyzed != null)
+  }
 
   test("control: the well-formed MATCH_RECOGNIZE twin is accepted") {
     // guards the MR rejects above against vacuity — the SAME statement

@@ -2,10 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Validator-rejection parity, tranches 2-3 (r11 VERDICT #6): interval
+/** Validator-rejection parity, tranches 2-4 (r11 VERDICT #6): interval
   * literals, window frame bounds, MATCH_RECOGNIZE clause errors, set-op
   * arity/type, sub-query shape, aggregate/window placement, INSERT
-  * target arity/type/name, and cast/coalesce/datetime type errors — one
+  * target arity/type/name, join clauses, zero ordinals, and
+  * cast/coalesce/datetime type errors — one
   * representative case per reference test method, cited per case
   * (61 rejection cases here; 97 with [[ValidatorParitySpec]]'s 36).
   * Same contract as

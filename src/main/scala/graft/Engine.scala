@@ -30,6 +30,12 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffle codec knob (SCALING.md r12): zstd roughly halves shuffle
+      // scratch — the sf1-eq minhash run COMPLETES under zstd where lz4
+      // exhausts the disk — at ~1.4x wall on small shuffle-heavy queries.
+      // Default stays lz4 (latency); scratch-bound deployments flip it.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -389,6 +389,28 @@ class FunctionParitySpec extends AnyFunSuite {
   check("testIsNotDistinctFromOperator",
     "cast(null as integer) is not distinct from cast(null as integer)", S("true"))
 
+  // ---- trig / LOWER (testCos/Acos/Atan2/Degrees/Radians/Pi/LowerFunc) -------
+  check("testCosFunc", "cos(1)", D(0.5403, 0.0001))
+  check("testCosFunc", "cos(cast(1 as decimal(1, 0)))", D(0.5403, 0.0001))
+  check("testAcosFunc", "acos(0.5)", D(1.0472, 0.0001))
+  check("testAtan2Func", "atan2(cast(1 as float), -1)", D(2.3562, 0.0001))
+  check("testAtan2Func", "atan2(0.5, -0.5)", D(2.3562, 0.0001))
+  check("testDegreesFunc", "degrees(1)", D(57.2958, 0.0001))
+  check("testPiFunc", "pi()", D(3.1415, 0.0001))
+  check("testLowerFunc", "lower('A')", S("a"))
+  check("testLowerFunc", "lower('AA')", S("aa"))
+  check("testLowerFunc", "lower(cast(null as string))", NULL)
+
+  // ---- EXTRACT from TIMESTAMP (testExtractFuncFromDateTime) -----------------
+  check("testExtractFuncFromDateTime",
+    "extract(month from timestamp '2008-02-23 12:34:56')", S("2"))
+  check("testExtractFuncFromDateTime",
+    "extract(minute from timestamp '2008-02-23 12:34:56')", S("34"))
+  check("testExtractFuncFromDateTime",
+    "extract(month from cast(null as timestamp))", NULL)
+  check("testExtractFuncFromDateTime",
+    "extract(month from cast(null as date))", NULL)
+
   // ---- documented divergences (Spark value pinned; reference's in comment) --
   test("DIVERGENCE testSubstringFunction: substring('abc' from 0 for 2)") {
     // reference: 'a' (SQL:2016 virtual-position count from 0);

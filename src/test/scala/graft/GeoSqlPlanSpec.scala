@@ -69,4 +69,27 @@ class GeoSqlPlanSpec extends AnyFunSuite {
       s"WKT literal not constant-folded out of the filter:\n$filt")
     assert(df.head().getLong(0) == 1000L) // every row lands on the grid inside
   }
+
+  test("parenthesized MULTIPOINT import round-trips every member") {
+    // the reference's OWN output spelling is parenthesized —
+    // 'MULTIPOINT ((1 1), (2 2))' — and the group split parses that
+    // into one part per member; import must flatten to the renderers'
+    // single-part convention or members after the first silently drop
+    val rows = spark.sql(
+      """SELECT ST_AsText(ST_GeomFromText('MULTIPOINT ((1 1), (2 2), (3 3))')) AS p,
+        |       ST_AsText(ST_GeomFromText('MULTIPOINT (1 1, 2 2, 3 3)')) AS u
+        |""".stripMargin).head()
+    assert(rows.getString(0) == "MULTIPOINT ((1 1), (2 2), (3 3))")
+    assert(rows.getString(1) == rows.getString(0)) // both spellings identical
+  }
+
+  test("2-arg ST_Union of non-points is NULL, not a fabricated MULTIPOINT") {
+    val rows = spark.sql(
+      """SELECT ST_Union(ST_GeomFromText('LINESTRING (0 0, 1 1)'),
+        |                ST_GeomFromText('LINESTRING (2 2, 3 3)')) IS NULL AS lineNull,
+        |       ST_AsText(ST_Union(ST_Point(1.0D, 1.0D), ST_Point(2.0D, 2.0D))) AS pts
+        |""".stripMargin).head()
+    assert(rows.getBoolean(0), "line-line union must degrade to NULL")
+    assert(rows.getString(1) == "MULTIPOINT ((1 1), (2 2))")
+  }
 }

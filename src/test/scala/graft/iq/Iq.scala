@@ -233,17 +233,22 @@ object Iq {
         // unprinted tail). A got-cell satisfying a spec is replaced by
         // the golden's truncated spelling before the multiset compare.
         val TruncRe = """(?s)^(.*)\.\.\. \((\d+) characters\)$""".r
-        val truncSpecs = rows.flatten.collect {
-          case c @ TruncRe(prefix, n) => (prefix, n.toInt, c)
-        }
-        def truncate(cell: String): String =
-          truncSpecs.collectFirst {
+        // Specs are scoped PER COLUMN (two equal-length truncated cells
+        // with a shared prefix in different columns cannot cross-match),
+        // and within a column the longest matching prefix wins.
+        val truncSpecs: Map[Int, Seq[(String, Int, String)]] = rows
+          .flatMap(_.zipWithIndex)
+          .collect { case (c @ TruncRe(prefix, n), i) => i -> ((prefix, n.toInt, c)) }
+          .groupBy(_._1)
+          .map { case (i, s) => i -> s.map(_._2).sortBy(-_._1.length) }
+        def truncate(cell: String, colIdx: Int): String =
+          truncSpecs.getOrElse(colIdx, Nil).collectFirst {
             case (prefix, n, spelled)
                 if cell.length == n && cell.startsWith(prefix) => spelled
           }.getOrElse(cell)
         val want = rows.map(_.map(canon)).sortBy(_.mkString(""))
         val got = df.collect().toSeq
-          .map(r => (0 until r.length).map(i => canon(truncate(render(r.get(i))))))
+          .map(r => (0 until r.length).map(i => canon(truncate(render(r.get(i)), i))))
           .sortBy(_.mkString(""))
         if (want != got) {
           val missing = diff(want, got)

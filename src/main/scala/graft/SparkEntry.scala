@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Periods.defs ++ operators.Sequences.defs ++
       operators.TableModify.defs ++
       plans.Profiler.defs ++ plans.RelToSqlDemo.defs ++
+      plans.MvRewriteDemo.defs ++
       plans.ColumnOrigins.defs ++ plans.SqlAdvisor.defs ++
       plans.PlanMetadata.defs ++
       pipeline.Dedup.defs ++ pipeline.Similarity.defs ++

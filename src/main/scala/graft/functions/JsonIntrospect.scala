@@ -101,13 +101,16 @@ object JsonIntrospect {
     case _ => 1
   }
 
+  // NO separators after ':' / ',': the reference's Jackson-compact form —
+  // SqlJsonFunctionsTest.testJsonRemove pins {"b":[2]} and
+  // testJsonStorageSize counts 29 bytes for the spaceless rendering
   private def compact(j: J): String = j match {
     case JObj(fs) =>
       if (fs.isEmpty) "{}"
-      else fs.map { case (k, v) => "\"" + k + "\": " + compact(v) }
-        .mkString("{", ", ", "}")
+      else fs.map { case (k, v) => "\"" + k + "\":" + compact(v) }
+        .mkString("{", ",", "}")
     case JArr(it) =>
-      if (it.isEmpty) "[]" else it.map(compact).mkString("[", ", ", "]")
+      if (it.isEmpty) "[]" else it.map(compact).mkString("[", ",", "]")
     case JLit(raw) => raw
   }
 

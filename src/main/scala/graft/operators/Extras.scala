@@ -217,14 +217,14 @@ object Extras {
         |      || '      "c": "x"' || chr(10) || '    }' || chr(10) || '  ]' || chr(10) || '}'
         |    ELSE '{' || chr(10) || '  "k": ' || CAST(event_id AS VARCHAR) || chr(10) || '}'
         |  END AS jp,
-        |  CASE WHEN event_id % 2 = 0 THEN '{"b": [1, {"c": "x"}]}'
-        |       ELSE '{"k": ' || CAST(event_id AS VARCHAR) || '}' END AS jr,
+        |  CASE WHEN event_id % 2 = 0 THEN '{"b":[1,{"c":"x"}]}'
+        |       ELSE '{"k":' || CAST(event_id AS VARCHAR) || '}' END AS jr,
         |  CASE WHEN event_id % 2 = 0
-        |       THEN '{"a": ' || CAST(event_id AS VARCHAR) || ', "b": [{"c": "x"}]}'
-        |       ELSE '{"k": ' || CAST(event_id AS VARCHAR) || '}' END AS jr2,
+        |       THEN '{"a":' || CAST(event_id AS VARCHAR) || ',"b":[{"c":"x"}]}'
+        |       ELSE '{"k":' || CAST(event_id AS VARCHAR) || '}' END AS jr2,
         |  CAST(length(CASE WHEN event_id % 2 = 0
-        |    THEN '{"a": ' || CAST(event_id AS VARCHAR) || ', "b": [1, {"c": "x"}]}'
-        |    ELSE '{"k": ' || CAST(event_id AS VARCHAR) || '}' END) AS INT) AS sz
+        |    THEN '{"a":' || CAST(event_id AS VARCHAR) || ',"b":[1,{"c":"x"}]}'
+        |    ELSE '{"k":' || CAST(event_id AS VARCHAR) || '}' END) AS INT) AS sz
         |FROM events WHERE event_id % 13 = 0""") { (s, dir) =>
       import graft.functions.JsonIntrospect._
       val id = col("event_id").cast("string")

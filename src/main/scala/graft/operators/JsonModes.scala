@@ -67,10 +67,18 @@ object JsonModes {
       onEmpty: Behavior = Null, onError: Behavior = Null): Column = {
     val v = get_json_object(json, path)
     val isStruct = substring(v, 1, 1).isin("{", "[")
+    // wrapping a scalar must RE-QUOTE strings (`get_json_object` strips
+    // JSON string quotes): ["bar"], not [bar] — the reference's
+    // JsonFunctions wrapper emits JSON text. Numbers/booleans/null keep
+    // their lexical form. Known limit: a string that LOOKS numeric
+    // ("123") is indistinguishable after extraction and wraps unquoted.
+    val plain = v.rlike("^(-?[0-9][0-9.eE+-]*|true|false|null)$")
+    val wrapped = when(plain, concat(lit("["), v, lit("]")))
+      .otherwise(to_json(array(v)))
     when(!jsonIsValid(json), behave(onError, "malformed JSON (ON ERROR)"))
       .when(v.isNull, behave(onEmpty, "path found nothing (ON EMPTY)"))
       .otherwise(
-        if (arrayWrapper) when(isStruct, v).otherwise(concat(lit("["), v, lit("]")))
+        if (arrayWrapper) when(isStruct, v).otherwise(wrapped)
         else when(isStruct, v)
           .otherwise(behave(onError, "scalar WITHOUT WRAPPER (ON ERROR)")))
   }

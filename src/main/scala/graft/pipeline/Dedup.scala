@@ -495,6 +495,40 @@ object Dedup {
     }
   }
 
+  /** Calibrated peak-scratch cost per raw in-bucket candidate pair across
+    * the verify phase's coexisting shuffle stages (pair explode →
+    * distinct → signature-prefilter joins). Anchor: the r12 sf1-eq ×100
+    * run — ~2×10⁸ pre-distinct pairs exceeded a 78 GB lz4 scratch
+    * envelope (SCALING.md r12-close), i.e. ≈390 B/pair; rounded up. */
+  val MinhashBytesPerPair = 400L
+
+  /** Fraction of the scratch volume the planner is allowed to commit —
+    * shingle materializations, cached buckets, and the final verify join
+    * share the same disks. */
+  val MinhashScratchSafety = 0.7
+
+  /** Usable bytes on the shuffle scratch volume (first spark.local.dir,
+    * else java.io.tmpdir — Spark's own resolution order). */
+  def usableScratchBytes(spark: org.apache.spark.sql.SparkSession): Long = {
+    val dir = spark.sparkContext.getConf
+      .getOption("spark.local.dir").map(_.split(',').head)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    new java.io.File(dir).getUsableSpace
+  }
+
+  /** The scratch decision, pure and spec-pinned: number of sequential
+    * band-partitioned verify passes so each pass's estimated shuffle
+    * footprint (pairMass × [[MinhashBytesPerPair]] ÷ K) fits inside
+    * budget × [[MinhashScratchSafety]]. 1 = the single-pass plan;
+    * capped at the band count (can't slice finer than one band/pass). */
+  def verifyPasses(pairMass: Double, budgetBytes: Long, bands: Int): Int =
+    if (pairMass <= 0 || budgetBytes <= 0) 1
+    else {
+      val usable = budgetBytes * MinhashScratchSafety
+      val need = pairMass * MinhashBytesPerPair
+      math.min(bands, math.max(1, math.ceil(need / usable).toInt))
+    }
+
   /** MinHash+LSH candidate generation + exact verification. Returns verified
     * near-dup pairs (id_a < id_b, jac >= threshold).
     *
@@ -525,10 +559,17 @@ object Dedup {
     * J = 0.6 (1 − (1−0.6⁸)⁹⁶); junk candidates (J ≲ 0.2) sit ≥ 2σ below
     * the cut and are dropped before the heavy join.
     * MinhashSigPrefilterSpec pins filtered == unfiltered on fixture data.
+    *
+    * `scratchBudgetBytes` overrides the scratch planner's auto-detected
+    * disk budget (None = usable space of the shuffle scratch volume);
+    * the planner decides the number of band-partitioned verify passes —
+    * see [[verifyPasses]]. MinhashScratchPlanSpec pins the decision
+    * boundary and the multi-pass == single-pass result identity.
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
       numHashes: Int = 768, bands: Int = 96, portable: Boolean = false,
-      sigPrefilter: Boolean = true): DataFrame = {
+      sigPrefilter: Boolean = true,
+      scratchBudgetBytes: Option[Long] = None): DataFrame = {
     val rowsPerBand = numHashes / bands // r=8: a 0.45 noise floor collides at 0.45^8 ~ 0.002
     // ONE materialization carries the sorted gram hashes — shared by the
     // signature kernel and the merge-scan verify step. The codegen'd
@@ -638,10 +679,15 @@ object Dedup {
     // (a bucket holding hundreds of docs is non-discriminative — drop it
     // and rely on the doc's other bands; with r=8 true near-dup buckets
     // sit far below the cap, so the guard costs no recall).
+    // Buckets are MATERIALIZED (memoized, evictable — same discipline as
+    // the gram arrays) because the scratch PLANNER below aggregates them
+    // once before the verify runs; the verify passes then reuse the same
+    // cached relation instead of re-running the banding shuffle.
     val allBuckets = banded
       .groupBy(col("bk"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-    val buckets = allBuckets.where(size(col("ids")).between(2, 100))
+    val buckets = materialized(docs, s"minhash-buckets-$numHashes-$bands-$portable")(
+      allBuckets.where(size(col("ids")).between(2, 100)))
     if (sys.env.contains("GRAFT_LSH_DEBUG")) {
       def timed[A](label: String)(body: => A): A = {
         val t0 = System.nanoTime(); val r = body
@@ -652,13 +698,30 @@ object Dedup {
       System.err.println(s"[minhash-lsh] $bandedRows banded rows")
       val dropped = timed("bucket agg")(allBuckets.where(size(col("ids")) > 100).count())
       System.err.println(s"[minhash-lsh] $dropped buckets over the 100-doc cap")
-      // coalesce: sum over an empty relation is null (every bucket can be
-      // filtered by the 2..100 size cap)
-      val bucketPairs = timed("pair mass")(buckets
-        .agg(coalesce(sum(expr("size(ids) * (size(ids) - 1) / 2")), lit(0.0)))
-        .first().getDouble(0))
-      System.err.println(s"[minhash-lsh] $bucketPairs in-bucket pairs before distinct")
     }
+    // ---- scratch planning (r13, VERDICT #2): the in-bucket pair mass --
+    // the debug-only estimate promoted to a PRE-VERIFY PLANNING STEP —
+    // now drives the verify topology automatically. Estimated peak
+    // shuffle scratch = pairs × BYTES_PER_PAIR (calibrated on the r12
+    // sf1-eq ×100 run: ~2×10⁸ pre-distinct pairs peaked above the 78 GB
+    // lz4 envelope ⇒ ~400 B/pair across the distinct + prefilter stages
+    // that coexist on disk). When the estimate exceeds the budget
+    // (spark.local.dir usable space × 0.7 safety, or the caller's
+    // override), the verify is split into K band-partitioned passes:
+    // each pass generates + prefilters candidates for bands b ≡ i (mod
+    // K) and eagerly materializes its (tiny) survivor list, so only
+    // 1/K of the raw pair mass is ever on disk at once, at the cost of
+    // K-1 extra scans of the cached bucket relation. K = 1 — the
+    // single-pass plan, unchanged — whenever the estimate fits.
+    val pairMass = buckets
+      .agg(coalesce(sum(expr("size(ids) * (size(ids) - 1) / 2")), lit(0.0)))
+      .first().getDouble(0)
+    val budget = scratchBudgetBytes.getOrElse(usableScratchBytes(docs.sparkSession))
+    val numPasses = verifyPasses(pairMass, budget, bands)
+    if (numPasses > 1)
+      System.err.println(
+        f"[minhash-lsh] pair mass $pairMass%.3g -> $numPasses verify passes " +
+          f"(budget ${budget / 1e9}%.1f GB)")
     // ids is sorted ascending by doc_id, so (ids[i], ids[j]) with i < j
     // gives id_a < id_b. LOSSLESS size-ratio prefilter (r11 scale run):
     // |A∩B| ≤ min(|A|,|B|) gives jac = i/(|A|+|B|−i) ≤ min/max, so
@@ -672,15 +735,17 @@ object Dedup {
     // int; results are provably identical, so the DuckDB oracle replay of
     // the portable twin is unchanged.
     val thr = lit(threshold)
-    val cands = buckets
+    def candsFor(slice: DataFrame): DataFrame = slice
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         filter(
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          transform(org.apache.spark.sql.functions.slice(
+              col("ids"), i + lit(2), size(col("ids"))),
             y => struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
               x.getField("n").as("na"), y.getField("n").as("nb"))),
           s => least(s.getField("na"), s.getField("nb")).cast("double") >=
             thr * greatest(s.getField("na"), s.getField("nb")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
+    val cands = candsFor(buckets)
     // signature-estimate prefilter (see scaladoc): the distinct pair list
     // is still BARE (16 bytes/row) here — attach 64-byte signatures, not
     // gram arrays, and cut everything whose estimated Jaccard sits more
@@ -688,8 +753,8 @@ object Dedup {
     // gram-array verify join. The sig relation is corpus-linear and tiny
     // (~90 B/doc), so both hops are shuffle_hash with a small build side;
     // the byte truncation keeps the carried width at 1/8 of the raw bins.
-    val survivors = if (!sigPrefilter || portable) cands else {
-      val sigs = g.as[(Long, Array[Long])].mapPartitions { it =>
+    lazy val sigs = {
+      val sigDf = g.as[(Long, Array[Long])].mapPartitions { it =>
         it.map { case (id, a) =>
           val mins = Array.fill(64)(Long.MaxValue)
           var j = 0
@@ -714,16 +779,42 @@ object Dedup {
           (id, bytes)
         }
       }.toDF("doc_id", "sig")
-      val minEq = math.ceil(64.0 * math.max(0.0, threshold - 0.25)).toInt
-      cands
-        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-          .hint("shuffle_hash"), "id_a")
-        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-          .hint("shuffle_hash"), "id_b")
-        .where(graft.functions.EqualByteCount
-          .equal_byte_count(col("sig_a"), col("sig_b")) >= minEq)
-        .select(col("id_a"), col("id_b"))
+      sigDf
     }
+    def prefilter(c: DataFrame): DataFrame =
+      if (!sigPrefilter || portable) c
+      else {
+        val minEq = math.ceil(64.0 * math.max(0.0, threshold - 0.25)).toInt
+        c.join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+            .hint("shuffle_hash"), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+            .hint("shuffle_hash"), "id_b")
+          .where(graft.functions.EqualByteCount
+            .equal_byte_count(col("sig_a"), col("sig_b")) >= minEq)
+          .select(col("id_a"), col("id_b"))
+      }
+    // single-pass: the unchanged plan. Multi-pass: bands b ≡ i (mod K)
+    // per pass, each pass's survivor list eagerly checkpointed (pinned
+    // blocks registered with the supersede discipline, released on the
+    // operator's next invocation); a System.gc() between passes prompts
+    // the ContextCleaner to drop the finished pass's shuffle files — the
+    // same mechanism spark.cleaner.periodicGC runs on a timer — so pass
+    // i+1 starts with the scratch pass i used. A pair found by bands in
+    // two different groups appears in both survivor lists, hence the
+    // cross-pass distinct (within one pass the existing distinct holds).
+    val survivors =
+      if (numPasses == 1) prefilter(cands)
+      else {
+        val passes = (0 until numPasses).map { i =>
+          val passCands = candsFor(
+            buckets.where(pmod(col("bk").getField("b"), lit(numPasses)) === i))
+          val mat = graft.Checkpoints.superseding(s"minhash-pass-$i",
+            prefilter(passCands).localCheckpoint(true))
+          System.gc()
+          mat
+        }
+        passes.reduce(_.unionByName(_)).distinct()
+      }
     // exact verification on the candidate set (long-array intersections).
     // SHUFFLE_HASH hints on the corpus side (r11 scale run): Catalyst's
     // static estimate after the Generate+distinct is tiny, so unhinted it

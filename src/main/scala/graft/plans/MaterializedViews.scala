@@ -2,34 +2,76 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, Or, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, Coalesce, EqualTo, Expression, ExprId, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, Or, PredicateHelper, SubqueryExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, Sort, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Materialized-view rewrite — the reference's substitution machinery
   * (reference: core/src/main/java/org/apache/calcite/plan/SubstitutionVisitor.java:120
   * and MaterializedViewSubstitutionVisitor.java:26 — unify a query subtree
   * with a materialization's definition and replace it with a scan of the
-  * stored tile; registration via materialize/MaterializationService.java).
+  * stored tile; registration via materialize/MaterializationService.java;
+  * behavioral corpus: core/src/test/java/org/apache/calcite/test/
+  * MaterializationTest.java, census-ported by MaterializationParitySpec).
   *
-  * Two unification levels:
+  * Unification levels, mirroring the reference's unify-rule families
+  * (SubstitutionVisitor's ProjectToProject / FilterToProject /
+  * FilterToFilter / AggregateToAggregate / AggregateOnCalcToAggregate /
+  * UnionToUnion rules) but implemented over ONE shared normal form
+  * instead of rule pairs:
+  *
   *  1. EXACT match — canonicalized logical-plan equality; the subtree is
   *     replaced by the tile scan.
-  *  2. FILTER RESIDUAL — query `Filter(q, X)` unifies with a registered
-  *     `Filter(m, X)` when m's conjuncts are a subset of q's: the query is
-  *     answered by applying only the RESIDUAL conjuncts (q \ m) to the
-  *     tile — the reference's FilterToFilterUnifyRule with a compensating
-  *     predicate.
-  *  3. AGGREGATE ROLLUP — query `Aggregate(Gq, Fq, X)` unifies with a
-  *     registered `Aggregate(Gm, Fm, X)` when Gq ⊆ Gm and every Fq is a
-  *     re-aggregable SUM/COUNT/MIN/MAX over the same argument as some Fm:
-  *     the query is answered by RE-aggregating the tile
-  *     (SUM→SUM, COUNT→SUM, MIN→MIN, MAX→MAX) — the reference's
-  *     AggregateOnCalcToAggregateUnifyRule family. Residual filters and
-  *     projections ABOVE the unified subtree need no special handling:
-  *     the substitution keeps the original output exprIds, so enclosing
-  *     operators keep working against the tile-backed columns.
+  *  2. SPJ UNIFICATION — any query subtree of Project/Filter/inner-Join
+  *     operators is normalized to (leaves, conjuncts, output expressions)
+  *     with every expression rewritten into leaf-attribute terms (filters
+  *     and join conditions pulled up through projects and inner joins —
+  *     sound for bag semantics). An MV in the same normal form answers the
+  *     query when (a) its leaves match a sub-multiset of the query's —
+  *     canonical equality, or LEAF SUBSUMPTION: a query Aggregate leaf
+  *     whose outputs are a subset of an MV Aggregate leaf's over the same
+  *     child and groups, or a Union leaf equal modulo branch order;
+  *     (b) every MV conjunct is present in or IMPLIED by the query's
+  *     conjuncts (range subsumption x>15 ⇒ x>10, disjunct-wise with
+  *     conjunctions inside disjuncts — the reference's
+  *     SubstitutionVisitor.splitFilter), modulo the EQUIVALENCE CLASSES
+  *     induced by each side's equi-join conjuncts (the reference
+  *     MaterializedViewRule's EquivalenceClasses: under e.deptno=d.deptno
+  *     the two columns are interchangeable); and (c) the query's outputs
+  *     and residual conjuncts are expressible over the MV's outputs plus
+  *     any unmatched (compensating-join) leaves. The rewrite is then
+  *     tile ⋈ extra-leaves, filtered by the residual, projected.
+  *  3. AGGREGATE unification — query `Aggregate(Gq, Fq, X)` against a
+  *     registered `Aggregate(Gm, Fm, Y)` where X SPJ-unifies with Y plus
+  *     possibly EXTRA query leaves (compensating joins below the
+  *     aggregate are sound because every joined-in conjunct references
+  *     only tile GROUPING columns and extra-leaf columns, so the join
+  *     multiplies whole tile groups exactly as it multiplies base rows),
+  *     and the query's extra conjuncts are expressible over tile GROUPING
+  *     columns (constant within each group, so pre-filtering tile rows is
+  *     exact):
+  *       - SAME-LEVEL (Gq ≡ Gm as canonical sets, no extra leaves): each
+  *         tile row is one group — aggregate calls (DISTINCT and FILTER
+  *         included) map to the tile column storing the identical call;
+  *         no re-aggregation at all.
+  *       - ROLLUP: re-aggregate the tile (SUM→SUM, COUNT→SUM, MIN→MIN,
+  *         MAX→MAX); DISTINCT aggregates re-aggregate exactly when their
+  *         arguments are tile grouping columns (the tile preserves the
+  *         distinct value set); MIN/MAX over grouping columns re-aggregate
+  *         regardless (multiplicity-insensitive). Grouping expressions
+  *         may be ANY expression over tile grouping columns (empid*deptno,
+  *         date_trunc coarsening: a YEAR-grain group rolls up from a
+  *         MONTH-grain tile — the reference SubstitutionVisitor's floor
+  *         granularity lattice).
+  *  4. UNION unification — the MV's UNION ALL branches match a
+  *     sub-multiset of the query's branches in any order (unmatched query
+  *     branches stay as a compensating union); failing that, each MV
+  *     branch SPJ-unifies with a distinct query branch and all pairs
+  *     produce the SAME tile-level residual + projection, which then
+  *     distributes over the union (Filter/Project pushed through Union by
+  *     the optimizer re-hoisted — the reference's UnionOnCalcsToUnion).
   *
   * At 100 TB this rewrite is the difference between touching the corpus and
   * touching kilobytes; rollup extends that to the whole dimensional lattice
@@ -37,7 +79,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Installed through `spark.experimental.extraOptimizations` (Catalyst's
   * public optimizer extension point) — it therefore sees and must produce
-  * plans in the main optimizer's normal form.
+  * plans in the main optimizer's normal form; in particular filters have
+  * already been pushed below projects and into join branches on BOTH the
+  * query and the stored definition, which is exactly what the shared SPJ
+  * normal form strips back off.
   */
 object MaterializedViews {
 
@@ -45,7 +90,18 @@ object MaterializedViews {
       val name: String, val canonical: LogicalPlan,
       val optimized: LogicalPlan, val path: String,
       val definition: DataFrame, val sources: Set[String],
-      var stale: Boolean = false)
+      var stale: Boolean = false) {
+    /** Cached SPJ normal form + leaf canonicals — computed once per
+      * registration, not once per optimized query node. */
+    lazy val spj: Option[Spj] = normalize(optimized)
+    lazy val leafCanon: Seq[LogicalPlan] =
+      spj.map(_.leaves.map(_.canonicalized)).getOrElse(Seq.empty)
+    lazy val aggChildSpj: Option[(Seq[Expression], Seq[NamedExpression], LogicalPlan, Spj)] =
+      optimized match {
+        case Aggregate(gm, am, childM, _) => normalize(childM).map(s => (gm, am, childM, s))
+        case _ => None
+      }
+  }
   private val registry = mutable.ArrayBuffer[Entry]()
 
   /** Base-table paths a definition reads (subqueries included) — the
@@ -62,14 +118,29 @@ object MaterializedViews {
         }
     }.flatten.toSet
 
+  /** A global Sort atop a definition is storage-order only — parquet
+    * tiles are unordered bags, and the reference likewise treats a sorted
+    * materialization as usable for unsorted queries
+    * (MaterializationTest.testScan's `order by deptno` MV). Stripped at
+    * registration so matching ignores it; a query-side ORDER BY survives
+    * as a Sort node ABOVE the substituted subtree. */
+  private def stripTopSort(p: LogicalPlan): LogicalPlan = p match {
+    case Sort(_, true, c, _) => stripTopSort(c)
+    case _ => p
+  }
+
   /** Define + materialize a view: stores the result as parquet and
     * registers the definition for rewriting. */
   def create(spark: SparkSession, name: String, definition: DataFrame, path: String): Unit = {
-    definition.write.mode("overwrite").parquet(path)
+    // parquet refuses duplicate column names (`select c, s, s`; join MVs
+    // carrying deptno from both sides) — store under uniquified names.
+    // Harmless for matching: the unifier maps tile columns POSITIONALLY
+    // against the definition's outputs, never by name.
+    writeTile(definition, path)
     // register the OPTIMIZED canonical form: extraOptimizations runs after
     // the main optimizer batches, so incoming subtrees are already pruned/
     // collapsed — the match must be against the same normal form
-    val opt = definition.queryExecution.optimizedPlan
+    val opt = stripTopSort(definition.queryExecution.optimizedPlan)
     registry += new Entry(name, opt.canonicalized, opt, path,
       definition, sourcePaths(definition.queryExecution.analyzed))
   }
@@ -123,12 +194,167 @@ object MaterializedViews {
         h.location.refresh()
       case _ => ()
     })
-    e.definition.write.mode("overwrite").parquet(e.path)
+    writeTile(e.definition, e.path)
     e.stale = false
+  }
+
+  private def writeTile(definition: DataFrame, path: String): Unit = {
+    val names = definition.columns
+    val toWrite =
+      if (names.distinct.length == names.length) definition
+      else definition.toDF(names.zipWithIndex.map { case (n, i) => s"${n}_$i" }: _*)
+    toWrite.write.mode("overwrite").parquet(path)
   }
 
   def tilePathOf(name: String): Option[String] =
     registry.find(_.name == name).map(_.path)
+
+  // ======================================================================
+  // SPJ normal form
+  // ======================================================================
+
+  /** A Project/Filter/inner-Join subtree reduced to: the non-SPJ LEAVES it
+    * reads (left-to-right), every filter + join conjunct, and the output
+    * expressions — conjuncts and outputs rewritten into leaf-attribute
+    * terms (aliases introduced by intermediate Projects inlined). */
+  private final case class Spj(
+      leaves: Seq[LogicalPlan],
+      conjuncts: Seq[Expression],
+      outputs: Seq[NamedExpression])
+
+  /** Inline a child SPJ's output definitions into an expression that
+    * references the child's output attributes. */
+  private def inline(e: Expression, sub: Map[ExprId, Expression]): Expression =
+    e.transformUp { case a: Attribute => sub.getOrElse(a.exprId, a) }
+
+  private def subMap(child: LogicalPlan, s: Spj): Map[ExprId, Expression] =
+    child.output.map(_.exprId).zip(s.outputs.map(strip)).toMap
+
+  /** Normalize a subtree; everything that is not Project/Filter/inner-Join
+    * is a leaf — Sort included, deliberately: crossing a query-side Sort
+    * would let a substitution silently drop the query's ORDER BY, whereas
+    * leaving it a leaf means the rewrite happens BELOW the Sort when the
+    * rule descends (MV-side top sorts are stripped at registration
+    * instead). Bails (None) on non-deterministic expressions and
+    * subqueries — neither survives re-basing onto a tile. */
+  private def normalize(p: LogicalPlan): Option[Spj] = {
+    def ok(e: Expression): Boolean =
+      e.deterministic && !e.exists(_.isInstanceOf[SubqueryExpression])
+    p match {
+      case Project(pl, c) =>
+        normalize(c).flatMap { s =>
+          if (!pl.forall(ok)) None
+          else {
+            val sub = subMap(c, s)
+            val outs = pl.map {
+              case a: Attribute => sub.get(a.exprId) match {
+                case Some(at: Attribute) if at.exprId == a.exprId => a
+                case Some(e) => Alias(e, a.name)(exprId = a.exprId)
+                case None => a
+              }
+              case al @ Alias(e, n) => Alias(inline(e, sub), n)(exprId = al.exprId)
+              case ne => ne
+            }
+            Some(Spj(s.leaves, s.conjuncts, outs))
+          }
+        }
+      case Filter(cond, c) =>
+        normalize(c).flatMap { s =>
+          if (!ok(cond)) None
+          else Some(s.copy(conjuncts =
+            s.conjuncts ++ Conjuncts.split(inline(cond, subMap(c, s)))))
+        }
+      case Join(l, r, Inner | Cross, cond, _) =>
+        for {
+          ls <- normalize(l); rs <- normalize(r)
+          if cond.forall(ok)
+        } yield {
+          val sub = subMap(l, ls) ++ subMap(r, rs)
+          Spj(ls.leaves ++ rs.leaves,
+            ls.conjuncts ++ rs.conjuncts ++
+              cond.toSeq.flatMap(c => Conjuncts.split(inline(c, sub))),
+            ls.outputs ++ rs.outputs)
+        }
+      case leaf => Some(Spj(Seq(leaf), Seq.empty, leaf.output))
+    }
+  }
+
+  /** Can a query leaf be answered row-for-row by an MV leaf? Yields the
+    * substitution from query-leaf output attrs onto MV-leaf output attrs.
+    *  - canonical equality → positional;
+    *  - both Aggregates over canonically-equal children with equal
+    *    grouping SETS and the query's outputs a subset of the MV's →
+    *    per-group rows are identical, outputs matched canonically (the
+    *    reference's trimmed-field tolerance: the optimizer prunes each
+    *    consumer's copy of a shared aggregate differently);
+    *  - both Unions whose branch multisets match (any order) → positional
+    *    (the reference's UnionToUnion branch permutation). */
+  private def leafSub(qL: LogicalPlan, mL: LogicalPlan): Option[Map[ExprId, Attribute]] =
+    if (qL.canonicalized == mL.canonicalized)
+      Some(qL.output.map(_.exprId).zip(mL.output).toMap)
+    else (qL, mL) match {
+      case (Aggregate(gq, aq, cq, _), Aggregate(gm, am, cm, _)) =>
+        // tolerate differently-PRUNED children (the optimizer trims each
+        // consumer's copy of a shared aggregate to its own columns):
+        // compare at the leaf level — same leaves, same conjunct sets,
+        // same grouping sets, query outputs a subset of the MV's
+        (normalize(cq), normalize(cm)) match {
+          case (Some(qsc), Some(msc))
+              if qsc.leaves.size == msc.leaves.size &&
+                qsc.leaves.zip(msc.leaves).forall { case (a, b) =>
+                  a.canonicalized == b.canonicalized } =>
+            val refq = refChild(qsc.leaves)
+            val refm = refChild(msc.leaves)
+            val qSub = subMap(cq, qsc)
+            val mSub = subMap(cm, msc)
+            def cqe(e: Expression) = canonExpr(inline(e, qSub), refq)
+            def cme(e: Expression) = canonExpr(inline(e, mSub), refm)
+            if (qsc.conjuncts.map(cqe).toSet != msc.conjuncts.map(cme).toSet ||
+                gq.map(cqe).toSet != gm.map(cme).toSet) None
+            else {
+              val mIdx = am.map(o => cme(strip(o))).zipWithIndex.reverse.toMap
+              val pairs = aq.map(o =>
+                mIdx.get(cqe(strip(o))).map(i => o.exprId -> mL.output(i)))
+              if (pairs.forall(_.isDefined)) Some(pairs.flatten.toMap) else None
+            }
+          case _ => None
+        }
+      case (qu: Union, mu: Union) if qu.children.size == mu.children.size =>
+        val remaining = mutable.ArrayBuffer(mu.children.map(_.canonicalized): _*)
+        val allMatched = qu.children.forall { qb =>
+          val i = remaining.indexOf(qb.canonicalized)
+          if (i >= 0) { remaining.remove(i); true } else false
+        }
+        if (allMatched) Some(qu.output.map(_.exprId).zip(mu.output).toMap) else None
+      case _ => None
+    }
+
+  /** Match each MV leaf to a distinct query leaf (backtracking over
+    * duplicates). Returns the chosen query-leaf index per MV leaf, the
+    * unmatched (compensating) query-leaf indices, and the combined
+    * attribute substitution onto MV-leaf outputs. */
+  private def matchLeaves(qs: Seq[LogicalPlan], ms: Seq[LogicalPlan])
+      : Option[(Seq[Int], Seq[Int], Map[ExprId, Attribute])] = {
+    def rec(mi: Int, used: Set[Int], accSel: List[Int],
+        accSub: Map[ExprId, Attribute]): Option[(List[Int], Map[ExprId, Attribute])] =
+      if (mi == ms.size) Some((accSel.reverse, accSub))
+      else qs.indices.iterator.filterNot(used).flatMap { qi =>
+        leafSub(qs(qi), ms(mi)).flatMap(sub =>
+          rec(mi + 1, used + qi, qi :: accSel, accSub ++ sub))
+      }.nextOption()
+    rec(0, Set.empty, Nil, Map.empty).map { case (sel, sub) =>
+      (sel, qs.indices.filterNot(sel.toSet), sub)
+    }
+  }
+
+  /** Reference child for canonicalizing leaf-term expressions: the given
+    * leaves joined left-deep. Matched leaves (REPLACED by the MV's own
+    * leaf plans via the leafSub substitution) come first on the query
+    * side, extras after, so shared expressions canonicalize to the same
+    * ordinals on both sides. */
+  private def refChild(leaves: Seq[LogicalPlan]): LogicalPlan =
+    if (leaves.size == 1) leaves.head
+    else leaves.reduceLeft((a, b) => Join(a, b, Inner, None, JoinHint.NONE))
 
   /** Normalize an expression for cross-plan comparison: wrap it in a
     * Project over its child and canonicalize — attribute references become
@@ -146,159 +372,456 @@ object MaterializedViews {
     case e => e
   }
 
-  /** Strip column-pruning Projects (attribute-only project lists): the
-    * optimizer prunes each side to ITS referenced columns, so a coarser
-    * query and the MV definition see differently-pruned copies of the same
-    * base relation. Recursive — under a join each INPUT carries its own
-    * pruning Project (the AGGREGATE/JOIN unification case), so pruning is
-    * stripped everywhere before comparing against the un-pruned base. */
-  private def stripPrune(p: LogicalPlan): LogicalPlan = p transform {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) => c
+  /** Equivalence classes induced by equi-join conjuncts over attributes —
+    * the reference MaterializedViewRule's EquivalenceClasses: under
+    * emps.deptno = depts.deptno the two columns are interchangeable, so
+    * a query grouping by depts.deptno matches an MV grouping by
+    * emps.deptno. Each class maps to the member earliest in `order`
+    * (matched leaves precede extras, so representatives coincide between
+    * the query and MV sides whenever their classes do). */
+  private def eqClasses(conjs: Seq[Expression], order: Seq[Attribute])
+      : Map[ExprId, Attribute] = {
+    val pos = order.map(_.exprId).zipWithIndex.toMap
+    val byId = order.map(a => a.exprId -> a).toMap
+    val parent = mutable.Map[ExprId, ExprId]()
+    def find(x: ExprId): ExprId = parent.get(x) match {
+      case Some(p) if p != x => val r = find(p); parent(x) = r; r
+      case Some(_) => x
+      case None => x
+    }
+    def union(a: ExprId, b: ExprId): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // keep the earlier-positioned attr as root
+        if (pos.getOrElse(ra, Int.MaxValue) <= pos.getOrElse(rb, Int.MaxValue))
+          parent(rb) = ra
+        else parent(ra) = rb
+      }
+    }
+    conjs.foreach {
+      case EqualTo(a: Attribute, b: Attribute)
+          if pos.contains(a.exprId) && pos.contains(b.exprId) =>
+        parent.getOrElseUpdate(a.exprId, a.exprId)
+        parent.getOrElseUpdate(b.exprId, b.exprId)
+        union(a.exprId, b.exprId)
+      case _ => ()
+    }
+    parent.keys.flatMap { k =>
+      val r = find(k)
+      if (r != k) byId.get(r).map(k -> _) else None
+    }.toMap
   }
 
-  /** Try to answer `q` by re-aggregating a registered aggregate tile.
-    *
-    * COMPOSED with filter residual (the reference's SubstitutionVisitor
-    * composes unify rules in one pass, SubstitutionVisitor.java:120): the
-    * query child and MV child may carry DIFFERENT filters, as long as the
-    * MV's conjuncts are each present in or implied by the query's
-    * (disjunctive splitting included) and the residual conjuncts are
-    * expressible over the tile's GROUPING columns — a residual over
-    * grouping expressions is constant within each tile group, so filtering
-    * tile rows before re-aggregation is exact. */
+  /** Everything the unifiers derive from a (query Spj, MV Spj) pair once
+    * leaves are matched: σ-substitution onto MV leaf attributes,
+    * equivalence-normalized canonicalizers for both sides, conjunct
+    * coverage, residual, and the canonical→tile-ordinal output index. */
+  private final class Unifier(q: Spj, m: Spj, sel: Seq[Int], extras: Seq[Int],
+      sigma: Map[ExprId, Attribute]) {
+    private val matchedM = m.leaves
+    private val extraLeaves = extras.map(q.leaves)
+    val extraAttrIds: Set[ExprId] = extraLeaves.flatMap(_.output.map(_.exprId)).toSet
+    private val refQ = refChild(matchedM ++ extraLeaves)
+    private val refM = refChild(matchedM)
+
+    /** σ: query-side expressions re-based onto MV leaf attributes. */
+    def toM(e: Expression): Expression =
+      e.transformUp { case a: Attribute => sigma.getOrElse(a.exprId, a) }
+
+    private val qOrder = (matchedM ++ extraLeaves).flatMap(_.output)
+    private val mOrder = matchedM.flatMap(_.output)
+    private val qConjM = q.conjuncts.map(toM)
+
+    // equi-attr-pair conjuncts (`a.k = b.k`) feed equivalence classes and
+    // are compared by CLASS IMPLICATION, never by normalized canonical
+    // equality — two different pairings that share a leading attribute
+    // would otherwise both normalize to the same `rep = rep` tautology
+    // and spuriously cancel (an unsoundness, not just a missed rewrite)
+    private def equiPair(e: Expression): Option[(Attribute, Attribute)] = e match {
+      case EqualTo(a: Attribute, b: Attribute) => Some((a, b))
+      case _ => None
+    }
+    private val (qEqui, qRest) = qConjM.partition(equiPair(_).isDefined)
+    private val (mEqui, mRest) = m.conjuncts.partition(equiPair(_).isDefined)
+    private val normQ = eqClasses(qEqui, qOrder)
+    private val normM = eqClasses(mEqui, mOrder)
+    private def repQ(a: Attribute): ExprId = normQ.getOrElse(a.exprId, a).exprId
+    private def repM(a: Attribute): ExprId = normM.getOrElse(a.exprId, a).exprId
+
+    def cq(e: Expression): Expression =
+      canonExpr(toM(e).transformUp { case a: Attribute => normQ.getOrElse(a.exprId, a) }, refQ)
+    def cm(e: Expression): Expression =
+      canonExpr(e.transformUp { case a: Attribute => normM.getOrElse(a.exprId, a) }, refM)
+    /** Equivalence-free canonicalizers — residual mapping tries these
+      * FIRST so `depts.name = dependents.name` maps each side to its OWN
+      * tile column instead of both collapsing to the class representative
+      * (which would turn the enforced equality into a tautology). */
+    def cqPlain(e: Expression): Expression = canonExpr(toM(e), refQ)
+    def cmPlain(e: Expression): Expression = canonExpr(e, refM)
+
+    private val qRestCanon = qRest.map(c => canonExpr(
+      c.transformUp { case a: Attribute => normQ.getOrElse(a.exprId, a) }, refQ))
+    private val mRestCanon = mRest.map(cm)
+    private val mRestCanonSet = mRestCanon.toSet
+
+    /** Every MV conjunct present in or implied by the query's conjuncts —
+      * else the tile is missing rows the query needs. Equi-pairs are
+      * covered when the query's equivalence classes already merge both
+      * sides; other conjuncts by canonical equality or DNF implication
+      * with the WHOLE query conjunction as the antecedent (testAlias:
+      * `empid > 500 AND salary > 6000` jointly implies the MV's
+      * `... OR (empid > 400 AND salary > 5000)` — no single conjunct
+      * does). */
+    val covered: Boolean =
+      mEqui.forall(c => { val (a, b) = equiPair(c).get; repQ(a) == repQ(b) }) &&
+        mRestCanon.forall(mc =>
+          qRestCanon.contains(mc) || impliesDnf(qRestCanon, mc))
+
+    /** Query conjuncts the tile does not already enforce: non-equi
+      * conjuncts not exactly cancelled by an MV conjunct (implied-but-not-
+      * equal ones stay, preserving the stronger query filter), plus equi-
+      * pairs the MV's own equivalences do not merge (compensating-join
+      * keys included). σ-rebased onto MV leaf attributes. */
+    val residual: Seq[Expression] =
+      qRest.zip(qRestCanon).collect {
+        case (c, canon) if !mRestCanonSet.contains(canon) => c
+      } ++ qEqui.filter { c =>
+        val (a, b) = equiPair(c).get
+        !(sigmaRange(a) && sigmaRange(b) && repM(a) == repM(b))
+      }
+    /** Is this attribute a matched-MV-leaf attribute (so m-side reps are
+      * meaningful for it)? Extra-leaf attrs are never merged by the MV. */
+    private def sigmaRange(a: Attribute): Boolean = !extraAttrIds(a.exprId)
+
+    /** Canonical MV output expression → tile ordinal (first wins on
+      * duplicate columns, e.g. `select c, s, s`). */
+    val mOut: Map[Expression, Int] =
+      m.outputs.map(o => cm(strip(o))).zipWithIndex.reverse.toMap
+    val mOutPlain: Map[Expression, Int] =
+      m.outputs.map(o => cmPlain(strip(o))).zipWithIndex.reverse.toMap
+
+    /** Map the residual onto tile (+ compensating-leaf) terms with the
+      * given per-conjunct mapper. A conjunct the tile cannot express is
+      * fatal UNLESS it is an optimizer-inferred `IsNotNull(col)` whose
+      * null rejection is already enforced by a SIBLING conjunct that DID
+      * map and null-intolerantly references the same column (Spark's
+      * InferFiltersFromConstraints adds `isnotnull(deptno)` next to
+      * `deptno - 10 = 0`; the tile stores only `deptno - 10`, but the
+      * mapped comparison filters the nulls by itself). */
+    def mapResidual(mapper: Expression => Option[Expression])
+        : Option[Seq[Expression]] = {
+      val mapped = residual.map(c => c -> mapper(c))
+      def coveredByNullRejectingSibling(a: Attribute): Boolean =
+        mapped.exists {
+          case (c: org.apache.spark.sql.catalyst.expressions.BinaryComparison, Some(_)) =>
+            c.references.contains(a)
+          case _ => false
+        }
+      val kept = mapped.flatMap {
+        case (_, Some(m)) => Some(Some(m))
+        case (org.apache.spark.sql.catalyst.expressions.IsNotNull(a: Attribute), None)
+            if coveredByNullRejectingSibling(a) => None // droppable
+        case (_, None) => Some(None)
+      }
+      if (kept.forall(_.isDefined)) Some(kept.map(_.get)) else None
+    }
+
+    /** Rewrite a σ-rebased query expression onto tile attributes: replace
+      * maximal subtrees matching an MV output with the tile column;
+      * attributes of compensating leaves pass through; any other surviving
+      * attribute needs data the tile does not store — not answerable. */
+    def mapExpr(e: Expression, tile: Seq[Attribute]): Option[Expression] = {
+      // the extra-attr check runs BEFORE the canonical lookup: the
+      // equivalence classes would otherwise redirect a compensating
+      // leaf's join key into the tile column it equals, collapsing the
+      // compensating join's condition into a tautology (cartesian)
+      def rec(x: Expression): Option[Expression] = x match {
+        case a: Attribute if extraAttrIds(a.exprId) => Some(a)
+        case l: Literal => Some(l)
+        case _ => mOutPlain.get(cqPlain(x)).map(i => tile(i): Expression)
+          .orElse(mOut.get(cq(x)).map(i => tile(i): Expression)).orElse(x match {
+          case _: Attribute => None
+          case _ if x.children.isEmpty => Some(x)
+          case _ =>
+            val kids = x.children.map(rec)
+            if (kids.forall(_.isDefined)) Some(x.withNewChildren(kids.map(_.get)))
+            else None
+        })
+      }
+      rec(e)
+    }
+
+    /** Join the compensating leaves back onto the tile scan and apply the
+      * mapped residual, attaching each conjunct at the first level where
+      * its references resolve (extraOptimizations runs after pushdown —
+      * nobody will re-push a filter we leave on top). */
+    def rebuild(scan: LogicalPlan, mappedResidual: Seq[Expression]): LogicalPlan = {
+      var remaining = mappedResidual
+      var plan: LogicalPlan = scan
+      for (x <- extraLeaves) {
+        val avail = AttributeSet(plan.output ++ x.output)
+        val (now, later) = remaining.partition(_.references.subsetOf(avail))
+        plan = Join(plan, x, Inner,
+          if (now.isEmpty) None else Some(now.reduce(And)), JoinHint.NONE)
+        remaining = later
+      }
+      if (remaining.nonEmpty) plan = Filter(remaining.reduce(And), plan)
+      plan
+    }
+  }
+
+  /** Cheap pre-gate: every MV leaf must have SOME plausible partner among
+    * the query leaves (canonical equality, or a same-kind pair the
+    * subsumption matcher might unify) — avoids the expensive Unifier on
+    * the vast majority of non-matching nodes when tiles are registered. */
+  private def leafGate(qLeaves: Seq[LogicalPlan], mLeafCanon: Seq[LogicalPlan]): Boolean = {
+    lazy val qCanon = qLeaves.map(_.canonicalized)
+    mLeafCanon.forall(mc =>
+      qCanon.exists(qc => qc == mc ||
+        (qc.isInstanceOf[Aggregate] && mc.isInstanceOf[Aggregate]) ||
+        (qc.isInstanceOf[Union] && mc.isInstanceOf[Union])))
+  }
+
+  /** Try to answer an SPJ query subtree from a registered tile. */
+  private def spjRewrite(spark: SparkSession, sub: LogicalPlan): Option[LogicalPlan] =
+    normalize(sub).flatMap { q =>
+      registry.iterator.filterNot(_.stale)
+        .filter(e => e.spj.isDefined && leafGate(q.leaves, e.leafCanon)).flatMap { entry =>
+        val m = entry.spj.get
+        matchLeaves(q.leaves, m.leaves).flatMap { case (sel, extras, sigma) =>
+          val u = new Unifier(q, m, sel, extras, sigma)
+          if (!u.covered) None
+          else {
+            val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+            val tile = scan.output
+            val resid = u.mapResidual(u.mapExpr(_, tile))
+            val outs = q.outputs.map(ne =>
+              u.mapExpr(u.toM(strip(ne)), tile).map(e =>
+                Alias(e, ne.name)(exprId = ne.exprId)))
+            if (resid.isEmpty || outs.exists(_.isEmpty)) None
+            else Some(Project(outs.map(_.get), u.rebuild(scan, resid.get)))
+          }
+        }
+      }.nextOption()
+    }
+
+  // ======================================================================
+  // Aggregate unification
+  // ======================================================================
+
+  /** Try to answer `q` from a registered aggregate tile — same-level,
+    * rollup, and compensating-join variants (scaladoc at the top of this
+    * object, level 3). */
   private def rollup(spark: SparkSession, q: Aggregate): Option[LogicalPlan] =
     registry.iterator.filterNot(_.stale).flatMap { entry =>
-      entry.optimized match {
-        case Aggregate(_, am, childM, _) =>
-          def peel(p: LogicalPlan): (Seq[Expression], LogicalPlan) = p match {
-            case Filter(c, ch) => (Conjuncts.split(c), ch)
-            case other => (Seq.empty, other)
-          }
-          val (qConj, baseQ) = peel(stripPrune(q.child))
-          val (mConj, baseM) = peel(stripPrune(childM))
-          if (baseQ.canonicalized != baseM.canonicalized) None else {
-          val scan = spark.read.parquet(entry.path).queryExecution.analyzed
-          val tile = scan.output // positionally matches the MV output `am`
-          def cq(e: Expression) = canonExpr(e, baseQ)
-          def cm(e: Expression) = canonExpr(e, baseM)
-          // MV output index by canonical grouping expression / agg call
-          val mGroup: Map[Expression, Int] = am.zipWithIndex.collect {
-            case (ne, i) if !strip(ne).exists(_.isInstanceOf[AggregateExpression]) =>
-              cm(strip(ne)) -> i
-          }.toMap
-          val mAggs: Seq[(Int, AggregateExpression)] = am.zipWithIndex.collect {
-            case (ne, i) => strip(ne) match {
-              case ae: AggregateExpression => Some(i -> ae)
-              case _ => None
-            }
-          }.flatten
+      entry.aggChildSpj match {
+        case Some((gm, am, childM, ms)) =>
+          normalize(q.child) match {
+            case Some(qs) if leafGate(qs.leaves, ms.leaves.map(_.canonicalized)) =>
+              matchLeaves(qs.leaves, ms.leaves).flatMap { case (sel, extras, sigma) =>
+                val u = new Unifier(qs, ms, sel, extras, sigma)
+                if (!u.covered) None else {
+                val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+                val tile = scan.output
+                // group exprs / agg calls are in CHILD-output terms on both
+                // sides — inline them into leaf terms first
+                val qSub = subMap(q.child, qs)
+                val mSub = subMap(childM, ms)
+                def inQ(e: Expression) = inline(e, qSub)
+                def inM(e: Expression) = inline(e, mSub)
 
-          def reAgg(f: AggregateFunction, t: Attribute): Option[AggregateFunction] =
-            f match {
-              case _: Sum => Some(Sum(t))
-              case _: Count => Some(Sum(t)) // partial counts re-add
-              case _: Min => Some(Min(t))
-              case _: Max => Some(Max(t))
-              case _ => None
-            }
+                // MV output index by canonical grouping expression / bare
+                // agg call / whole output (same-level shells)
+                val mAll: Map[Expression, Int] =
+                  am.map(ne => u.cm(inM(strip(ne)))).zipWithIndex.reverse.toMap
+                val mGroup: Map[Expression, Int] = am.zipWithIndex.collect {
+                  case (ne, i) if !strip(ne).exists(_.isInstanceOf[AggregateExpression]) =>
+                    u.cm(inM(strip(ne))) -> i
+                }.reverse.toMap
+                val mGroupPlain: Map[Expression, Int] = am.zipWithIndex.collect {
+                  case (ne, i) if !strip(ne).exists(_.isInstanceOf[AggregateExpression]) =>
+                    u.cmPlain(inM(strip(ne))) -> i
+                }.reverse.toMap
+                val mAggs: Seq[(Int, AggregateExpression, Expression)] =
+                  am.zipWithIndex.collect {
+                    case (ne, i) => strip(ne) match {
+                      case ae: AggregateExpression => Some((i, ae, u.cm(inM(ae))))
+                      case _ => None
+                    }
+                  }.flatten
 
-          // Re-aggregate one query aggregate call from a tile column that
-          // stores that aggregate BARE (else exactness would be lost —
-          // a tile holding e.g. cast(sum AS double) cannot reproduce the
-          // decimal-exact total).
-          def reAggCall(ae: AggregateExpression): Option[Expression] =
-            if (ae.isDistinct || ae.filter.nonEmpty) None
-            else mAggs.collectFirst {
-              case (i, mae)
-                  if !mae.isDistinct && mae.filter.isEmpty &&
-                    mae.aggregateFunction.getClass == ae.aggregateFunction.getClass &&
-                    ae.aggregateFunction.children.map(cq) ==
-                      mae.aggregateFunction.children.map(cm) =>
-                reAgg(ae.aggregateFunction, tile(i)).map { f =>
-                  val sum: Expression = AggregateExpression(f, Complete, isDistinct = false)
-                  // COUNT is non-null (0 over an empty input) but its tile
-                  // re-aggregation Sum(partial counts) is NULL over an empty
-                  // tile (global aggregate, no groups) — restore COUNT's
-                  // semantics and non-nullability.
-                  val re: Expression = ae.aggregateFunction match {
-                    case _: Count => Coalesce(Seq(sum, Literal(0L)))
-                    case _ => sum
+                val qGroupCanon = q.groupingExpressions.map(e => u.cq(inQ(e)))
+                val mGroupCanon = gm.map(e => u.cm(inM(e)))
+                // with compensating extra leaves the tile rows get
+                // multiplied by the join — a re-aggregation is always
+                // required, so the project-only shortcut needs equal
+                // grouping AND no extras
+                val sameLevel = extras.isEmpty && qGroupCanon.toSet == mGroupCanon.toSet
+
+                // map a grouping-level expression onto tile GROUPING
+                // columns (plus compensating-leaf columns): replace maximal
+                // subtrees matching an MV grouping expression with the tile
+                // attribute; date_trunc re-coarsens through the granularity
+                // lattice; any surviving matched-leaf attribute means
+                // finer-than-tile data — not answerable
+                def mapGroupExpr(c: Expression): Option[Expression] = {
+                  def rec(e: Expression): Option[Expression] = e match {
+                    case a: Attribute if u.extraAttrIds(a.exprId) => Some(a)
+                    // a constant-folded literal stays a literal: mapping it
+                    // onto a same-valued tile column would put a
+                    // non-grouping attribute in the aggregate output
+                    case l: Literal => Some(l)
+                    case _ => mGroupPlain.get(u.cqPlain(e)).map(i => tile(i): Expression)
+                      .orElse(mGroup.get(u.cq(e)).map(i => tile(i): Expression)).orElse(e match {
+                      case TruncTimestamp(f @ Literal(_, _), x, tz) =>
+                        // granularity coarsening (YEAR from a MONTH tile),
+                        // falling through to plain child recursion when the
+                        // tile stores the raw timestamp itself
+                        truncFiner(f).flatMap { finer =>
+                          finer.view.flatMap(f2 =>
+                            mGroup.get(u.cq(TruncTimestamp(f2, x, tz)))).headOption
+                        }.map(i => TruncTimestamp(f, tile(i), tz): Expression)
+                          .orElse(rec(x).map(m => TruncTimestamp(f, m, tz)))
+                      case _: Attribute => None
+                      case _ if e.children.isEmpty => Some(e)
+                      case _ =>
+                        val kids = e.children.map(rec)
+                        if (kids.forall(_.isDefined))
+                          Some(e.withNewChildren(kids.map(_.get)))
+                        else None
+                    })
                   }
-                  if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+                  rec(c)
                 }
-            }.flatten
 
-          // A query output is either a (whole) grouping expression, or a
-          // scalar shell over aggregate calls (e.g. cast(sum(x) AS double)):
-          // replace each embedded call with its tile re-aggregation and
-          // keep the shell — it then runs once over the re-aggregated
-          // values, exactly as it ran once over the direct aggregates.
-          def mapOutput(ne: NamedExpression): Option[NamedExpression] = {
-            val e = strip(ne)
-            if (!e.exists(_.isInstanceOf[AggregateExpression]))
-              mGroup.get(cq(e)).map(i => Alias(tile(i), ne.name)(exprId = ne.exprId))
-            else {
-              var ok = true
-              val replaced = e.transformUp {
-                case ae: AggregateExpression =>
-                  reAggCall(ae) match {
-                    case Some(r) => r
-                    case None => ok = false; ae
+                def reAgg(f: AggregateFunction, t: Attribute): Option[AggregateFunction] =
+                  f match {
+                    case _: Sum => Some(Sum(t))
+                    case _: Count => Some(Sum(t)) // partial counts re-add
+                    case _: Min => Some(Min(t))
+                    case _: Max => Some(Max(t))
+                    case _ => None
                   }
+
+                // Re-aggregate one query aggregate call from the tile.
+                def reAggCall(ae: AggregateExpression): Option[Expression] =
+                  if (sameLevel)
+                    // one tile row per group: the tile column IS the value
+                    mAggs.collectFirst {
+                      case (i, _, mCanon) if mCanon == u.cq(ae) => tile(i): Expression
+                    }
+                  else if (ae.isDistinct || ae.aggregateFunction.isInstanceOf[Min] ||
+                      ae.aggregateFunction.isInstanceOf[Max]) {
+                    // DISTINCT aggregates roll up exactly when every
+                    // argument is a tile grouping column (the tile keeps
+                    // the distinct value set per coarser group); MIN/MAX
+                    // over grouping columns are multiplicity-insensitive
+                    val kids = ae.aggregateFunction.children.map(mapGroupExpr)
+                    val filt = ae.filter.map(mapGroupExpr)
+                    if (kids.forall(_.isDefined) && filt.forall(_.isDefined))
+                      Some(AggregateExpression(
+                        ae.aggregateFunction.withNewChildren(kids.map(_.get))
+                          .asInstanceOf[AggregateFunction],
+                        Complete, isDistinct = ae.isDistinct,
+                        filter = filt.map(_.get)))
+                    else None
+                  } else if (ae.filter.nonEmpty) None
+                  else mAggs.collectFirst {
+                    case (i, mae, _)
+                        if !mae.isDistinct && mae.filter.isEmpty &&
+                          mae.aggregateFunction.getClass == ae.aggregateFunction.getClass &&
+                          ae.aggregateFunction.children.map(e => u.cq(inQ(e))) ==
+                            mae.aggregateFunction.children.map(e => u.cm(inM(e))) =>
+                      reAgg(ae.aggregateFunction, tile(i)).map { f =>
+                        val sum: Expression =
+                          AggregateExpression(f, Complete, isDistinct = false)
+                        // COUNT is non-null (0 over an empty input) but its
+                        // tile re-aggregation Sum(partial counts) is NULL
+                        // over an empty tile (global aggregate, no groups)
+                        // — restore COUNT's semantics and non-nullability.
+                        val re: Expression = ae.aggregateFunction match {
+                          case _: Count => Coalesce(Seq(sum, Literal(0L)))
+                          case _ => sum
+                        }
+                        if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+                      }
+                  }.flatten
+
+                // A query output: grouping-level subtrees map onto the tile
+                // (whole MV outputs too at same level — shells like
+                // sum(x)+2 stored verbatim); embedded aggregate calls map
+                // through reAggCall; the scalar shell around them is kept.
+                def mapOutput(ne: NamedExpression): Option[NamedExpression] = {
+                  def rec(e: Expression): Option[Expression] = {
+                    val whole =
+                      if (sameLevel) mAll.get(u.cq(e)).map(i => tile(i): Expression)
+                      else None
+                    whole.orElse(e match {
+                      case ae: AggregateExpression => reAggCall(ae)
+                      case _ if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+                        mapGroupExpr(e)
+                      case _ =>
+                        val kids = e.children.map(rec)
+                        if (kids.forall(_.isDefined))
+                          Some(e.withNewChildren(kids.map(_.get)))
+                        else None
+                    })
+                  }
+                  rec(u.toM(inQ(strip(ne)))).map(r => Alias(r, ne.name)(exprId = ne.exprId))
+                }
+
+                val residual = u.mapResidual(mapGroupExpr)
+                val outs = q.aggregateExpressions.map(mapOutput)
+                // at SAME LEVEL no re-grouping happens (Project only), so
+                // the grouping keys need not be tile-expressible — an MV
+                // may group by a column it never outputs (testAggregate0)
+                val groups =
+                  if (sameLevel) Seq.empty
+                  else q.groupingExpressions.map(e => mapGroupExpr(u.toM(inQ(e))))
+
+                if (groups.exists(_.isEmpty) || residual.isEmpty ||
+                    outs.exists(_.isEmpty)) None
+                else {
+                  val child = u.rebuild(scan, residual.get)
+                  if (sameLevel)
+                    // one tile row per group: no aggregation needed at all
+                    Some(Project(outs.map(_.get), child))
+                  else
+                    Some(Aggregate(groups.map(_.get), outs.map(_.get), child))
+                }
+                }
               }
-              if (ok) Some(Alias(replaced, ne.name)(exprId = ne.exprId)) else None
-            }
-          }
-
-          // predicate coverage: every MV conjunct must appear in (or be
-          // implied by) the query's conjuncts — else the tile is missing
-          // rows the query needs
-          val mCanon = mConj.map(cm)
-          val qCanonConj = qConj.map(cq)
-          val covered = mCanon.forall(mc =>
-            qCanonConj.contains(mc) ||
-              qCanonConj.exists(qc => impliesPred(qc, mc)))
-          val hasSubquery = qConj.exists(_.exists(
-            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-
-          // map a residual conjunct onto tile columns: replace maximal
-          // subtrees matching an MV grouping expression with the tile
-          // attribute; any surviving base attribute means the predicate
-          // needs finer-than-tile data — not answerable
-          def mapPredicate(c: Expression): Option[Expression] = {
-            def rec(e: Expression): Option[Expression] =
-              mGroup.get(cq(e)).map(i => tile(i): Expression).orElse(e match {
-                case _: Attribute => None
-                case _ if e.children.isEmpty => Some(e)
-                case _ =>
-                  val kids = e.children.map(rec)
-                  if (kids.forall(_.isDefined)) Some(e.withNewChildren(kids.map(_.get)))
-                  else None
-              })
-            rec(c)
-          }
-          val residual = qConj.zip(qCanonConj).collect {
-            case (c, canon) if !mCanon.contains(canon) => mapPredicate(c)
-          }
-
-          val groups = q.groupingExpressions.map(g => mGroup.get(cq(g)))
-          val outs = q.aggregateExpressions.map(mapOutput)
-          if (!hasSubquery && covered && residual.forall(_.isDefined) &&
-              groups.forall(_.isDefined) && outs.forall(_.isDefined)) {
-            val child: LogicalPlan =
-              if (residual.isEmpty) scan
-              else Filter(residual.map(_.get).reduce(And), scan)
-            Some(Aggregate(groups.map(i => tile(i.get)), outs.map(_.get), child))
-          } else None
+            case _ => None
           }
         case _ => None
       }
     }.nextOption()
 
-  /** Answer `Filter(q, X)` from a `Filter(m, X)` tile when m's conjuncts
-    * subsume q's, compensating with the residual predicate. Requires the
-    * filter children to be positionally identical (the usual shape: column
-    * pruning sits ABOVE pushed-down filters in the optimized plan). */
+  /** date_trunc formats STRICTLY finer than `f` along the nesting chain
+    * (a WEEK boundary does not nest inside MONTH/QUARTER/YEAR, so WEEK
+    * only coarsens DAY and below). */
+  private def truncFiner(f: Literal): Option[Seq[Literal]] = {
+    val chain = Seq("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR",
+      "DAY", "MONTH", "QUARTER", "YEAR")
+    val name = String.valueOf(f.value).toUpperCase match {
+      case "DD" => "DAY"
+      case "MM" | "MON" => "MONTH"
+      case "YYYY" | "YY" => "YEAR"
+      case other => other
+    }
+    def lits(names: Seq[String]) =
+      names.map(n => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(n)))
+    if (name == "WEEK") Some(lits(chain.takeWhile(_ != "MONTH")))
+    else {
+      val i = chain.indexOf(name)
+      if (i < 0) None else Some(lits(chain.take(i)))
+    }
+  }
+
+  // ======================================================================
+  // Predicate implication
+  // ======================================================================
+
   private object Conjuncts extends PredicateHelper {
     def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
   }
@@ -349,116 +872,165 @@ object MaterializedViews {
         }
       case _ => false
     }
-  private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
-    case Or(a, b) => splitDisjuncts(a) ++ splitDisjuncts(b)
-    case other => Seq(other)
+
+  /** Disjunctive normal form as conjunct-sets, size-capped (a blowup
+    * means "don't know" → not covered, which is the sound direction). */
+  private def dnf(e: Expression): Option[Seq[Seq[Expression]]] = e match {
+    case And(a, b) =>
+      for { x <- dnf(a); y <- dnf(b); if x.size * y.size <= 64 }
+        yield for { c <- x; d <- y } yield c ++ d
+    case Or(a, b) =>
+      for { x <- dnf(a); y <- dnf(b); if x.size + y.size <= 64 } yield x ++ y
+    // canonicalization collapses 3+-way AND/OR chains into this node
+    case op: org.apache.spark.sql.catalyst.expressions.MultiCommutativeOp =>
+      val rebuilt: Expression =
+        if (op.opCls == classOf[Or]) op.operands.reduceLeft(Or(_, _))
+        else if (op.opCls == classOf[And]) op.operands.reduceLeft(And(_, _))
+        else op
+      if (rebuilt eq op) Some(Seq(Seq(op))) else dnf(rebuilt)
+    case other => Some(Seq(Seq(other)))
   }
 
-  /** q ⇒ m with DISJUNCTIVE splitting (the reference SubstitutionVisitor's
-    * splitFilter over OR forms): every disjunct of q must imply some
-    * disjunct of m — so `x < 5 OR x = 7` is answerable from a tile
-    * filtered to `x < 10 OR x = 7`. Sound because each q-disjunct lands
-    * inside one m-disjunct, hence inside m; the full q conjunct stays in
-    * the residual. */
-  private def impliesPred(q: Expression, m: Expression): Boolean = {
-    val md = splitDisjuncts(m)
-    splitDisjuncts(q).forall(dq => md.exists(dm => dq == dm || implies(dq, dm)))
+  /** Does the conjunction of `qConjuncts` imply `m`? The reference
+    * SubstitutionVisitor's splitFilter implication, DNF-wise: every
+    * disjunct (conjunct-set) of the query's combined predicate must land
+    * inside some disjunct of `m`, atom-by-atom (equality or range
+    * subsumption) — so `x < 5 OR x = 7` is answerable from a tile
+    * filtered to `x < 10 OR x = 7`, and `x > 500 AND y > 6000` from one
+    * filtered to `... OR (x > 400 AND y > 5000)`. */
+  private def impliesDnf(qConjuncts: Seq[Expression], m: Expression): Boolean = {
+    val qAnd = qConjuncts.reduceOption(And)
+    (qAnd.flatMap(dnf), dnf(m)) match {
+      case (Some(qd), Some(md)) =>
+        qd.forall(c => md.exists(d =>
+          d.forall(ma => c.exists(qa => qa == ma || implies(qa, ma)))))
+      case _ => false
+    }
   }
 
-  private def filterResidual(spark: SparkSession, f: Filter): Option[LogicalPlan] =
-    registry.iterator.filterNot(_.stale).flatMap { entry =>
-      entry.optimized match {
-        case Filter(mPred, childM)
-            if f.child.canonicalized == childM.canonicalized =>
-          val qConj = Conjuncts.split(f.condition)
-          val mConj = Conjuncts.split(mPred)
-          val mSet = mConj.map(canonExpr(_, childM)).toSet
-          val qCanon = qConj.map(c => canonExpr(c, f.child))
-          // a residual carrying a subquery cannot be re-based onto the tile
-          // (its outer references live in a nested plan the attribute
-          // substitution does not reach) — leave such filters alone
-          val hasSubquery = qConj.exists(_.exists(
-            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-          // every MV conjunct must be exactly present in the query, or be
-          // IMPLIED by some query conjunct (range subsumption: the query's
-          // x > 15 is answerable from a tile filtered to x > 10). Implied-
-          // but-not-equal conjuncts stay in the residual via qConj \ mSet.
-          val covered = mSet.forall(mc =>
-            qCanon.contains(mc) || qCanon.exists(qc => impliesPred(qc, mc)))
-          if (hasSubquery || !covered) None
-          else {
-            val scan = spark.read.parquet(entry.path).queryExecution.analyzed
-            val attrMap: Map[Attribute, Attribute] =
-              f.child.output.zip(scan.output).toMap
-            val residual = qConj.zip(qCanon).collect {
-              case (c, canon) if !mSet.contains(canon) =>
-                c.transform { case a: Attribute => attrMap(a) }
-            }
-            val filtered: LogicalPlan =
-              if (residual.isEmpty) scan else Filter(residual.reduce(And), scan)
-            Some(Project(f.output.zip(scan.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId)
-            }, filtered))
-          }
-        case _ => None
-      }
-    }.nextOption()
+  // ======================================================================
+  // Union unification
+  // ======================================================================
 
   /** Unify a query UNION ALL with a registered UNION ALL tile — the
     * reference's UnionToUnionUnifyRule family (SubstitutionVisitor.java:120):
     * the MV's branches must match a sub-MULTISET of the query's branches
     * (canonical equality, any order); matched branches collapse into one
-    * tile scan, unmatched branches stay as a compensating union. Exact
-    * same-order matches never reach here (whole-plan canonical equality
-    * fires first); this rule adds permutation + subset coverage. */
-  private def unionUnify(spark: SparkSession,
-      u: org.apache.spark.sql.catalyst.plans.logical.Union): Option[LogicalPlan] =
+    * tile scan, unmatched branches stay as a compensating union. Failing
+    * that, each MV branch may SPJ-unify with a distinct query branch —
+    * accepted when every pair yields the SAME tile-level residual and
+    * projection, which then distributes over the union (a Filter/Project
+    * the optimizer pushed through the Union, re-hoisted — the reference's
+    * UnionOnCalcsToUnion / FilterToProject0 shapes). */
+  private def unionUnify(spark: SparkSession, u: Union): Option[LogicalPlan] =
     registry.iterator.filterNot(_.stale).flatMap { entry =>
       entry.optimized match {
-        case mu: org.apache.spark.sql.catalyst.plans.logical.Union
-            if mu.children.size <= u.children.size =>
-          val remaining = mutable.ArrayBuffer(u.children: _*)
-          val allMatched = mu.children.forall { m =>
-            val i = remaining.indexWhere(_.canonicalized == m.canonicalized)
-            if (i >= 0) { remaining.remove(i); true } else false
-          }
-          if (!allMatched) None
-          else {
-            val scan = spark.read.parquet(entry.path).queryExecution.analyzed
-            val replaced: LogicalPlan =
-              if (remaining.isEmpty) scan
-              else org.apache.spark.sql.catalyst.plans.logical.Union(
-                scan +: remaining.toSeq)
-            // rebind: the new plan's columns take over the union's exprIds
-            Some(Project(u.output.zip(replaced.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId)
-            }, replaced))
-          }
+        case mu: Union if mu.children.size <= u.children.size =>
+          exactBranches(spark, entry, u, mu)
+            .orElse(spjBranches(spark, entry, u, mu))
         case _ => None
       }
     }.nextOption()
 
-  /** The rewrite rule; idempotent to install once per session. */
-  final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case sub if registry.nonEmpty =>
-        registry.find(e => !e.stale && e.canonical == sub.canonicalized) match {
-          case Some(entry) =>
-            val scan = spark.read.parquet(entry.path).queryExecution.analyzed
-            // rebind: tile columns take over the replaced subtree's exprIds
-            Project(sub.output.zip(scan.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId)
-            }, scan)
-          case None =>
-            sub match {
-              case agg: Aggregate => rollup(spark, agg).getOrElse(sub)
-              case flt: Filter => filterResidual(spark, flt).getOrElse(flt)
-              case un: org.apache.spark.sql.catalyst.plans.logical.Union =>
-                unionUnify(spark, un).getOrElse(un)
-              case _ => sub
-            }
-        }
+  private def exactBranches(spark: SparkSession, entry: Entry, u: Union,
+      mu: Union): Option[LogicalPlan] = {
+    val remaining = mutable.ArrayBuffer(u.children: _*)
+    val allMatched = mu.children.forall { m =>
+      val i = remaining.indexWhere(_.canonicalized == m.canonicalized)
+      if (i >= 0) { remaining.remove(i); true } else false
     }
+    if (!allMatched) None
+    else {
+      val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+      val replaced: LogicalPlan =
+        if (remaining.isEmpty) scan
+        else Union(scan +: remaining.toSeq)
+      // rebind: the new plan's columns take over the union's exprIds
+      Some(Project(u.output.zip(replaced.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId)
+      }, replaced))
+    }
+  }
+
+  private def spjBranches(spark: SparkSession, entry: Entry, u: Union,
+      mu: Union): Option[LogicalPlan] = {
+    val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+    val tile = scan.output
+    // unify one (query branch, MV branch) pair; signature = (residual
+    // conjuncts, output exprs) over the SHARED tile attributes
+    def unifyPair(qb: LogicalPlan, mb: LogicalPlan)
+        : Option[(Seq[Expression], Seq[Expression])] =
+      for {
+        q <- normalize(qb); m <- normalize(mb)
+        (sel, extras, sigma) <- matchLeaves(q.leaves, m.leaves)
+        if extras.isEmpty
+        un = new Unifier(q, m, sel, extras, sigma)
+        if un.covered
+        resid <- un.mapResidual(un.mapExpr(_, tile))
+        outs <- sequence(q.outputs.map(ne => un.mapExpr(un.toM(strip(ne)), tile)))
+      } yield (resid, outs)
+    val remaining = mutable.ArrayBuffer(u.children.zipWithIndex: _*)
+    val sigs = mu.children.map { mb =>
+      val hit = remaining.iterator.map { case (qb, i) => (unifyPair(qb, mb), i) }
+        .collectFirst { case (Some(sig), i) => (sig, i) }
+      hit.foreach { case (_, i) => remaining.filterInPlace(_._2 != i) }
+      hit.map(_._1)
+    }
+    if (sigs.exists(_.isEmpty)) None
+    else {
+      val all = sigs.map(_.get)
+      val (r0, o0) = all.head
+      val uniform = all.tail.forall { case (r, o) =>
+        r.size == r0.size && r.zip(r0).forall { case (a, b) => a.semanticEquals(b) } &&
+          o.size == o0.size && o.zip(o0).forall { case (a, b) => a.semanticEquals(b) }
+      }
+      if (!uniform) None
+      else {
+        val filtered: LogicalPlan =
+          if (r0.isEmpty) scan else Filter(r0.reduce(And), scan)
+        val rew: LogicalPlan = Project(
+          o0.zip(u.output).map { case (e, o) => Alias(e, o.name)() }, filtered)
+        val replaced: LogicalPlan =
+          if (remaining.isEmpty) rew else Union(rew +: remaining.map(_._1).toSeq)
+        Some(Project(u.output.zip(replaced.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId)
+        }, replaced))
+      }
+    }
+  }
+
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  // ======================================================================
+  // The rule
+  // ======================================================================
+
+  /** The rewrite rule; idempotent to install once per session. Top-down so
+    * the LARGEST answerable subtree wins (an aggregate unifies against an
+    * aggregate tile before its join child is consumed by a join tile). */
+  final class Rewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty) plan
+      else plan.transformDown {
+        case sub =>
+          registry.find(e => !e.stale && e.canonical == sub.canonicalized) match {
+            case Some(entry) =>
+              val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+              // rebind: tile columns take over the replaced subtree's exprIds
+              Project(sub.output.zip(scan.output).map { case (o, n) =>
+                Alias(n, o.name)(exprId = o.exprId)
+              }, scan)
+            case None =>
+              sub match {
+                case agg: Aggregate => rollup(spark, agg).getOrElse(sub)
+                case p @ (_: Project | _: Filter | _: Join) =>
+                  spjRewrite(spark, p).getOrElse(sub)
+                case un: Union => unionUnify(spark, un).getOrElse(un)
+                case _ => sub
+              }
+          }
+      }
   }
 
   /** Install the rewrite into the session's optimizer (once). */

@@ -69,6 +69,39 @@ object StreamSql {
     def iv(text: String): String = IntervalLit.replaceAllIn(text,
       m => dur(m.group(1), m.group(2)))
     var out = sql
+    // ---- the reference validator's two grouped-window rules ----------
+    // (SqlValidatorTest.testStreamTumble/Hop/Session; validate/
+    // SqlValidatorImpl's auxiliary-group-function matching):
+    //  1. an auxiliary _START/_END call must have a MATCHING group
+    //     function call (same function, structurally identical
+    //     arguments) in the GROUP BY clause — align defaulting does NOT
+    //     count ("structural equivalence, not semantic equivalence");
+    //  2. the bare group functions may ONLY appear in GROUP BY.
+    val gbSplit = """(?i)\bGROUP\s+BY\b""".r.findFirstMatchIn(sql)
+    val (head, tail) = gbSplit match {
+      case Some(m) => (sql.substring(0, m.start), sql.substring(m.end))
+      case None => (sql, "")
+    }
+    def norm(t: String) = t.replaceAll("\\s+", " ").trim.toUpperCase
+    val GroupFn = """(?i)\b(TUMBLE|HOP|SESSION)\s*\(([^)]*)\)""".r
+    val grouped = GroupFn.findAllMatchIn(tail)
+      .map(m => (m.group(1).toUpperCase, norm(m.group(2)))).toSet
+    for (m <- StartEnd.findAllMatchIn(sql)) {
+      val fn = m.group(1).toUpperCase
+      val args = norm(m.matched.replaceAll("""(?is)^\w+\s*\(""", "").stripSuffix(")"))
+      if (!grouped.contains((fn, args)))
+        throw new IllegalArgumentException(
+          s"Call to auxiliary group function '${fn}_${m.group(2).toUpperCase}' " +
+            s"must have matching call to group function '$fn' in GROUP BY clause")
+    }
+    // strip auxiliaries (their names contain the bare function names)
+    // before scanning the head for misplaced group functions
+    val headNoAux = StartEnd.replaceAllIn(head, "")
+    GroupFn.findFirstMatchIn(headNoAux).foreach { m =>
+      throw new IllegalArgumentException(
+        s"Group function '${m.group(1).toUpperCase}' can only appear in " +
+          "GROUP BY clause")
+    }
     // auxiliaries first — their names contain the bare function names
     out = StartEnd.replaceAllIn(out, m => {
       val struct = if (m.group(1).equalsIgnoreCase("SESSION")) "session_window" else "window"

@@ -1,0 +1,465 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scalar-function VALUE parity, tranche 7 (r13) — the CAST matrix,
+  * interval literals + arithmetic, SqlJsonFunctionsTest value parity, and
+  * multiset values (reference: core/src/test/java/org/apache/calcite/sql/
+  * test/SqlOperatorBaseTest.java + core/src/test/java/org/apache/calcite/
+  * test/SqlJsonFunctionsTest.java; values transcribed verbatim, cited per
+  * case). Same harness discipline as FunctionParitySpec; divergences are
+  * pinned at the bottom with the reference's value in the comment.
+  *
+  * Dialect adaptations (syntax-only):
+  *  - `multiset[..]` value syntax → the [[graft.functions.Multisets]]
+  *    Column surface over array literals (same SQL names in our SQL
+  *    registry; the checkScalar VALUES are what is ported);
+  *  - Calcite's internal JsonFunctions PathContext harness → the
+  *    observable (json, path, behavior) triples through
+  *    [[graft.operators.JsonModes]];
+  *  - TIME-typed cases are covered by the engine's TIME registry queries
+  *    (fn_time_*), not re-transcribed here.
+  */
+class FunctionParitySpec2 extends AnyFunSuite {
+  import SparkTestSession._
+
+  private sealed trait Want
+  private case class S(v: String) extends Want
+  private case object NULL extends Want
+  private case class D(v: Double, tol: Double) extends Want
+  private case object ERR extends Want // runtime rejection, like checkFails(..., true)
+
+  private def value(expr: String): Any =
+    spark.sql(s"select $expr as v").head().get(0)
+
+  private def render(got0: Any): String = got0 match {
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    // java.sql.Timestamp renders whole seconds as "....0" — strip the
+    // vacuous fraction so expected values read like the reference's
+    case t: java.sql.Timestamp => t.toString.stripSuffix(".0")
+    case s: collection.Seq[_] => s.map(x => if (x == null) "null" else x.toString)
+      .mkString("[", ", ", "]")
+    case o => o.toString
+  }
+
+  private def assertWant(got0: Any, want: Want, ctx: String): Unit = want match {
+    case NULL => assert(got0 == null, s"$ctx: expected NULL, got $got0")
+    case ERR => fail(s"$ctx: expected a runtime rejection, got $got0")
+    case D(v, tol) =>
+      val got = got0 match {
+        case d: java.lang.Double => d.doubleValue
+        case f: java.lang.Float => f.doubleValue
+        case b: java.math.BigDecimal => b.doubleValue
+        case o => o.toString.toDouble
+      }
+      assert(math.abs(got - v) <= tol, s"$ctx: expected $v +- $tol, got $got")
+    case S(v) =>
+      assert(got0 != null, s"$ctx: expected '$v', got NULL")
+      val got = render(got0)
+      val same = (try {
+        new java.math.BigDecimal(got).compareTo(new java.math.BigDecimal(v)) == 0
+      } catch { case _: NumberFormatException => false }) || got == v
+      assert(same, s"$ctx: expected '$v', got '$got'")
+  }
+
+  private def check(citation: String, expr: String, want: Want): Unit =
+    test(s"$citation: $expr") {
+      want match {
+        case ERR =>
+          val e = intercept[Exception](value(expr))
+          assert(e.isInstanceOf[org.apache.spark.SparkThrowable] ||
+            e.getCause.isInstanceOf[org.apache.spark.SparkThrowable],
+            s"expected a runtime rejection, got $e")
+        case w => assertWant(value(expr), w, expr)
+      }
+    }
+
+  /** Column-surface checker (JSON / multiset functions live as Column
+    * combinators, same values as the SQL registry exposes). */
+  private def checkCol(citation: String, label: String, c: => Column, want: Want): Unit =
+    test(s"$citation: $label") {
+      assertWant(spark.range(1).select(c.as("v")).head().get(0), want, label)
+    }
+
+  // ======================================================================
+  // CAST matrix (SqlOperatorBaseTest testCast*)
+  // ======================================================================
+
+  // ---- testCastToExactNumeric ------------------------------------------
+  check("testCastToExactNumeric", "cast(1 as bigint)", S("1"))
+  check("testCastToExactNumeric", "cast(1 as smallint)", S("1"))
+  check("testCastToExactNumeric", "cast(1 as tinyint)", S("1"))
+  check("testCastToExactNumeric", "cast(1 as decimal(4, 0))", S("1"))
+  check("testCastToExactNumeric", "cast(-1 as bigint)", S("-1"))
+  check("testCastToExactNumeric", "cast(-1 as decimal(4, 0))", S("-1"))
+  check("testCastToExactNumeric", "cast(1.234E3 as integer)", S("1234"))
+  check("testCastToExactNumeric", "cast(-9.99E2 as integer)", S("-999"))
+  check("testCastToExactNumeric", "cast('1' as integer)", S("1"))
+  check("testCastToExactNumeric", "cast(' 01 ' as integer)", S("1"))
+  check("testCastToExactNumeric", "cast('-1' as integer)", S("-1"))
+  check("testCastToExactNumeric", "cast(' -00 ' as integer)", S("0"))
+  check("testCastToExactNumeric", "cast('6543' as integer)", S("6543"))
+  check("testCastToExactNumeric", "cast(' -123 ' as int)", S("-123"))
+  check("testCastToExactNumeric", "cast('654342432412312' as bigint)",
+    S("654342432412312"))
+
+  // ---- testCastStringToDecimal (HALF_UP rounding on parse) -------------
+  check("testCastStringToDecimal", "cast('1.29' as decimal(2,1))", S("1.3"))
+  check("testCastStringToDecimal", "cast(' 1.25 ' as decimal(2,1))", S("1.3"))
+  check("testCastStringToDecimal", "cast('1.21' as decimal(2,1))", S("1.2"))
+  check("testCastStringToDecimal", "cast(' -1.29 ' as decimal(2,1))", S("-1.3"))
+  check("testCastStringToDecimal", "cast('-1.25' as decimal(2,1))", S("-1.3"))
+  check("testCastStringToDecimal", "cast(' -1.21 ' as decimal(2,1))", S("-1.2"))
+  check("testCastStringToDecimal", "cast(' -1.21e' as decimal(2,1))", ERR)
+
+  // ---- testCastWithRoundingToScalar: decimal → finer decimal -----------
+  check("testCastWithRoundingToScalar", "cast(1.23454 as decimal(8, 4))", S("1.2345"))
+  check("testCastWithRoundingToScalar", "cast(1.23455 as decimal(8, 4))", S("1.2346"))
+  check("testCastWithRoundingToScalar", "cast(5E-5 as decimal(8, 4))", S("0.0001"))
+  check("testCastWithRoundingToScalar", "cast(1.99995 as decimal(8, 4))", S("2.0000"))
+  check("testCastWithRoundingToScalar", "cast(-1.23454 as decimal(8, 4))", S("-1.2345"))
+  check("testCastWithRoundingToScalar", "cast(-1.23455 as decimal(8, 4))", S("-1.2346"))
+  check("testCastWithRoundingToScalar", "cast(-5E-5 as decimal(8, 4))", S("-0.0001"))
+  check("testCastWithRoundingToScalar", "cast(-1.99995 as decimal(8, 4))", S("-2.0000"))
+  // 9.99 rounds to 10.0 → out of range; the ANSI session errors,
+  // exactly the reference's OUT_OF_RANGE checkFails
+  check("testCastWithRoundingToScalar", "cast(9.99 as decimal(2,1))", ERR)
+
+  // ---- testCastNull -----------------------------------------------------
+  check("testCastNull", "cast(null as integer)", NULL)
+  check("testCastNull", "cast(null as decimal(4,3))", NULL)
+  check("testCastNull", "cast(null as double)", NULL)
+  check("testCastNull", "cast(null as varchar(1))", NULL)
+  check("testCastNull", "cast(null as char(1))", NULL)
+  check("testCastNull", "cast(null as date)", NULL)
+  check("testCastNull", "cast(null as timestamp)", NULL)
+  check("testCastNull", "cast(null as boolean)", NULL)
+
+  // ---- testCastDateTime (remainder beyond tranche 6) -------------------
+  check("testCastDateTime", "cast(TIMESTAMP '1945-02-24 12:42:25.34' as TIMESTAMP)",
+    S("1945-02-24 12:42:25.34"))
+  check("testCastDateTime", "cast(DATE '1945-02-24' as DATE)", S("1945-02-24"))
+  check("testCastDateTime",
+    "cast(cast(TIMESTAMP '1945-02-24 12:42:25.34' as DATE) as TIMESTAMP)",
+    S("1945-02-24 00:00:00"))
+
+  // ---- testCastStringToDateTime (remainder) ----------------------------
+  check("testCastStringToDateTime", "cast('1945-02-24 12:42:25' as TIMESTAMP)",
+    S("1945-02-24 12:42:25"))
+  check("testCastStringToDateTime", "cast('  1945-02-24 12:42:25  ' as TIMESTAMP)",
+    S("1945-02-24 12:42:25"))
+  check("testCastStringToDateTime", "cast('nottime' as TIMESTAMP)", ERR)
+  check("testCastStringToDateTime", "cast('1945-02-24' as DATE)", S("1945-02-24"))
+  check("testCastStringToDateTime", "cast('  1945-02-24  ' as DATE)",
+    S("1945-02-24"))
+  check("testCastStringToDateTime", "cast('notdate' as DATE)", ERR)
+  check("testCastStringToDateTime", "cast('52534253' as DATE)", ERR)
+
+  // ---- testCastToBoolean ------------------------------------------------
+  check("testCastToBoolean", "cast('true' as boolean)", S("true"))
+  check("testCastToBoolean", "cast('false' as boolean)", S("false"))
+  check("testCastToBoolean", "cast('  trUe' as boolean)", S("true"))
+  check("testCastToBoolean", "cast('  fALse' as boolean)", S("false"))
+  check("testCastToBoolean", "cast('unknown' as boolean)", ERR)
+  check("testCastToBoolean", "cast(cast(null as varchar(3)) as boolean)", NULL)
+
+  // ---- testCastToApproxNumeric -----------------------------------------
+  check("testCastToApproxNumeric", "cast(1.0 as double)", D(1.0, 0))
+  check("testCastToApproxNumeric", "cast(1 as double)", D(1.0, 0))
+  check("testCastToApproxNumeric", "cast('1' as double)", D(1.0, 0))
+  check("testCastToApproxNumeric", "cast('  -1e-37  ' as double)", D(-1e-37, 0))
+  check("testCastToApproxNumeric", "cast(1e0 as double)", D(1.0, 0))
+  check("testCastToApproxNumeric", "cast(0e0 as real)", D(0.0, 0))
+
+  // ---- testCastExactNumericLimits (in-range bounds) --------------------
+  check("testCastExactNumericLimits", "cast(2147483647 as integer)", S("2147483647"))
+  check("testCastExactNumericLimits", "cast(-2147483648 as integer)", S("-2147483648"))
+  check("testCastExactNumericLimits", "cast(32767 as smallint)", S("32767"))
+  check("testCastExactNumericLimits", "cast(-32768 as smallint)", S("-32768"))
+  check("testCastExactNumericLimits", "cast(127 as tinyint)", S("127"))
+  check("testCastExactNumericLimits", "cast(-128 as tinyint)", S("-128"))
+  check("testCastExactNumericLimits", "cast(9223372036854775807 as bigint)",
+    S("9223372036854775807"))
+  check("testCastExactNumericLimits", "cast(-9223372036854775808 as bigint)",
+    S("-9223372036854775808"))
+
+  // ======================================================================
+  // Interval literals + arithmetic (SqlOperatorBaseTest)
+  // ======================================================================
+
+  // ---- testPlusIntervalOperator ----------------------------------------
+  check("testPlusIntervalOperator",
+    "interval '2' day + interval '1' day = interval '3' day", S("true"))
+  check("testPlusIntervalOperator",
+    "interval '2' day + interval '1' minute = interval '2 00:01' day to minute",
+    S("true"))
+  check("testPlusIntervalOperator",
+    "interval '2' day + interval '5' minute + interval '-3' second " +
+      "= interval '2 00:04:57' day to second", S("true"))
+  check("testPlusIntervalOperator",
+    "interval '2' year + interval '1' month = interval '2-1' year to month",
+    S("true"))
+  check("testPlusIntervalOperator",
+    "interval '2' year + cast(null as interval month)", NULL)
+  check("testPlusIntervalOperator",
+    "interval '5' day + date '2005-03-02'", S("2005-03-07"))
+  check("testPlusIntervalOperator",
+    "date '2005-03-02' + interval '5' day", S("2005-03-07"))
+  check("testPlusIntervalOperator",
+    "timestamp '2003-08-02 12:54:01' + interval '-4 2:4' day to minute",
+    S("2003-07-29 10:50:01"))
+  check("testPlusIntervalOperator",
+    "timestamp '2003-08-02 12:54:01' + interval '12' year",
+    S("2015-08-02 12:54:01"))
+  check("testPlusIntervalOperator",
+    "date '2003-08-02' + interval '12' year", S("2015-08-02"))
+  check("testPlusIntervalOperator",
+    "date '2003-08-02' + interval '12-3' year to month", S("2015-11-02"))
+
+  // ---- testDatePlusInterval --------------------------------------------
+  check("testDatePlusInterval",
+    "date '2014-02-11' + interval '2' day", S("2014-02-13"))
+  check("testDatePlusInterval",
+    "date '2014-02-11' + interval '60' day", S("2014-04-12"))
+
+  // ---- testMinusIntervalOperator ---------------------------------------
+  check("testMinusIntervalOperator",
+    "interval '2' day - interval '1' day = interval '1' day", S("true"))
+  check("testMinusIntervalOperator",
+    "interval '2' day - interval '1' minute = interval '1 23:59' day to minute",
+    S("true"))
+  check("testMinusIntervalOperator",
+    "interval '2' year - interval '1' month = interval '1-11' year to month",
+    S("true"))
+  check("testMinusIntervalOperator",
+    "interval '2' year - interval '1' month - interval '3' year " +
+      "= interval '-1-1' year to month", S("true"))
+  check("testMinusIntervalOperator",
+    "cast(null as interval day) + interval '2' hour", NULL)
+  check("testMinusIntervalOperator",
+    "date '2005-03-02' - interval '5' day", S("2005-02-25"))
+  check("testMinusIntervalOperator",
+    "timestamp '2003-08-02 12:54:01' - interval '-4 2:4' day to minute",
+    S("2003-08-06 14:58:01"))
+  check("testMinusIntervalOperator",
+    "timestamp '2003-08-02 12:54:01' - interval '12' year",
+    S("1991-08-02 12:54:01"))
+  check("testMinusIntervalOperator",
+    "date '2003-08-02' - interval '12' year", S("1991-08-02"))
+  check("testMinusIntervalOperator",
+    "date '2003-08-02' - interval '12-3' year to month", S("1991-05-02"))
+
+  // ---- testMinusDateOperator (datetime - datetime → interval; Spark's
+  // native subtraction already yields the day-time interval, no
+  // `(..) HOUR TO SECOND` re-qualification syntax needed) -------------
+  check("testMinusDateOperator",
+    "timestamp '2019-09-01 12:03:34' - timestamp '2019-09-01 11:57:23' " +
+      "= interval '0:6:11' hour to second",
+    S("true"))
+  check("testMinusDateOperator",
+    "timestamp '2019-09-01 00:00:00' - timestamp '2019-08-31 00:00:00' " +
+      "= interval '1' day", S("true"))
+
+  // ---- testMultiplyIntervals / testDivideOperatorIntervals -------------
+  check("testMultiplyIntervals",
+    "interval '2:2' hour to minute * 3 = interval '6:06' hour to minute",
+    S("true"))
+  check("testMultiplyIntervals",
+    "3 * 2 * interval '2:5:12' hour to second " +
+      "= interval '12:31:12' hour to second", S("true"))
+  check("testMultiplyIntervals", "interval '2' day * cast(null as bigint)", NULL)
+  check("testMultiplyIntervals", "cast(null as interval month) * 2", NULL)
+  check("testDivideOperatorIntervals",
+    "interval '-2:2' hour to minute / 3 = interval '-0:40:40' hour to second",
+    S("true"))
+  check("testDivideOperatorIntervals",
+    "interval '2:5:12' hour to second / 2 / -3 " +
+      "= interval '-0:20:52' hour to second", S("true"))
+  check("testDivideOperatorIntervals", "interval '2' day / cast(null as bigint)", NULL)
+
+  // ---- interval comparisons (testGreaterThanOperatorIntervals etc.) ----
+  check("testGreaterThanOperatorIntervals",
+    "interval '2' day > interval '1' day", S("true"))
+  check("testGreaterThanOperatorIntervals",
+    "interval '2' day > interval '5' day", S("false"))
+  check("testGreaterThanOperatorIntervals",
+    "interval '2 2:2:2' day to second > interval '2' day", S("true"))
+  check("testGreaterThanOperatorIntervals",
+    "interval '2' day > cast(null as interval day)", NULL)
+  check("testLessThanOperatorInterval",
+    "interval '2' day < interval '1' day", S("false"))
+  check("testLessThanOperatorInterval",
+    "interval '2' day < interval '5' day", S("true"))
+  check("testLessThanOperatorInterval",
+    "interval '2' day < cast(null as interval day)", NULL)
+  check("testEqualsOperatorInterval",
+    "interval '2' day = interval '1' day", S("false"))
+  check("testEqualsOperatorInterval",
+    "interval '2' day = interval '2' day", S("true"))
+  check("testEqualsOperatorInterval",
+    "interval '2' day = cast(null as interval day)", NULL)
+
+  // ---- interval literal cross-spellings (IntervalTest family) ----------
+  check("testIntervalLiterals",
+    "interval '1-2' year to month = interval '14' month", S("true"))
+  check("testIntervalLiterals",
+    "interval '99' month = interval '8-3' year to month", S("true"))
+  check("testIntervalLiterals",
+    "interval '1 2:3:4' day to second = interval '26:3:4' hour to second",
+    S("true"))
+  check("testIntervalLiterals",
+    "interval '25' hour = interval '1 1' day to hour", S("true"))
+  check("testIntervalLiterals",
+    "interval '90' minute = interval '1:30' hour to minute", S("true"))
+
+  // ======================================================================
+  // JSON value parity (SqlJsonFunctionsTest)
+  // ======================================================================
+  private def J = graft.operators.JsonModes
+  import org.apache.spark.sql.functions.lit
+
+  checkCol("testJsonExists (SqlJsonFunctionsTest.java:83)",
+    "strict $.foo on {\"foo\":\"bar\"}",
+    J.jsonExists(lit("""{"foo":"bar"}"""), "$.foo"), S("true"))
+  checkCol("testJsonExists", "lax $.baz missing -> false",
+    J.jsonExists(lit("""{"foo":"bar"}"""), "$.baz"), S("false"))
+  checkCol("testJsonExists", "malformed + FALSE ON ERROR (the SQL:2016 default)",
+    J.jsonExists(lit("not json"), "$.foo"), S("false"))
+  checkCol("testJsonExists", "malformed + TRUE ON ERROR",
+    J.jsonExists(lit("not json"), "$.foo", errorResult = lit(true)), S("true"))
+  checkCol("testJsonExists", "malformed + UNKNOWN ON ERROR",
+    J.jsonExists(lit("not json"), "$.foo",
+      errorResult = lit(null).cast("boolean")), NULL)
+
+  checkCol("testJsonValueAny (SqlJsonFunctionsTest.java:145)",
+    "lax $.foo -> bar",
+    J.jsonValue(lit("""{"foo":"bar"}"""), "$.foo"), S("bar"))
+  checkCol("testJsonValueAny", "lax missing + NULL ON EMPTY",
+    J.jsonValue(lit("""{"foo":"bar"}"""), "$.baz"), NULL)
+  checkCol("testJsonValueAny", "lax missing + DEFAULT 'empty' ON EMPTY",
+    J.jsonValue(lit("""{"foo":"bar"}"""), "$.baz",
+      onEmpty = J.Behavior.Default(lit("empty"))), S("empty"))
+  checkCol("testJsonValueAny", "strict invalid + NULL ON ERROR",
+    J.jsonValue(lit("not json"), "$.foo", strict = true), NULL)
+  checkCol("testJsonValueAny", "strict invalid + DEFAULT 'empty' ON ERROR",
+    J.jsonValue(lit("not json"), "$.foo", strict = true,
+      onError = J.Behavior.Default(lit("empty"))), S("empty"))
+
+  checkCol("testJsonQuery (SqlJsonFunctionsTest.java:259)",
+    "lax $.foo array -> [1,2]",
+    J.jsonQuery(lit("""{"foo":[1,2]}"""), "$.foo"), S("[1,2]"))
+  checkCol("testJsonQuery", "lax scalar WITHOUT wrapper -> null",
+    J.jsonQuery(lit("""{"foo":"bar"}"""), "$.foo"), NULL)
+  checkCol("testJsonQuery", "lax scalar WITH wrapper -> [\"bar\"]",
+    J.jsonQuery(lit("""{"foo":"bar"}"""), "$.foo", arrayWrapper = true),
+    S("""["bar"]"""))
+
+  private def JI = graft.functions.JsonIntrospect
+  checkCol("testJsonDepth (SqlJsonFunctionsTest.java:472)", "scalar -> 1",
+    JI.json_depth(lit("1")), S("1"))
+  checkCol("testJsonDepth", "flat object -> 2",
+    JI.json_depth(lit("""{"a": 1}""")), S("2"))
+  checkCol("testJsonDepth", "empty object -> 1",
+    JI.json_depth(lit("{}")), S("1"))
+  checkCol("testJsonDepth", "nested -> 3",
+    JI.json_depth(lit("""{"a": [10, true]}""")), S("3"))
+  checkCol("testJsonRemove (SqlJsonFunctionsTest.java:522)", "remove $[0]",
+    JI.json_remove(lit("""["a", ["b", "c"], "d"]"""), lit("$[0]")),
+    S("""[["b","c"],"d"]"""))
+  checkCol("testJsonStorageSize (SqlJsonFunctionsTest.java:533)",
+    "compact bytes of [100, \"sakila\", [1, 3, 5], 425.05]",
+    JI.json_storage_size(lit("""[100, "sakila", [1, 3, 5], 425.05]""")),
+    S("29"))
+
+  // ======================================================================
+  // Multiset values (SqlOperatorBaseTest testMultiset* / testCardinality)
+  // ======================================================================
+  private def M = graft.functions.Multisets
+  private def arr(xs: Int*): Column =
+    org.apache.spark.sql.functions.array(xs.map(lit): _*)
+  private def sarr(xs: String*): Column =
+    org.apache.spark.sql.functions.array(xs.map(lit): _*)
+  import org.apache.spark.sql.functions.size
+
+  checkCol("testCardinalityFunc (SqlOperatorBaseTest.java:6441)",
+    "cardinality(multiset[1, 2, 3])", size(arr(1, 2, 3)), S("3"))
+  checkCol("testMultisetUnionOperator (SqlOperatorBaseTest.java:6481)",
+    "cardinality(multiset[1,2,3,4,2] multiset union distinct multiset[1,4,5,7,8])",
+    size(M.multisetUnionDistinct(arr(1, 2, 3, 4, 2), arr(1, 4, 5, 7, 8))), S("7"))
+  checkCol("testMultisetUnionOperator",
+    "multiset[1,2] submultiset of (multiset[2] multiset union multiset[1])",
+    M.submultisetOf(arr(1, 2), M.multisetUnionAll(arr(2), arr(1))), S("true"))
+  checkCol("testMultisetUnionOperator",
+    "cardinality(multiset['a','b','c'] multiset union distinct multiset['c','d','e'])",
+    size(M.multisetUnionDistinct(sarr("a", "b", "c"), sarr("c", "d", "e"))), S("5"))
+  checkCol("testMultisetUnionAllOperator (SqlOperatorBaseTest.java:6530)",
+    "cardinality(multiset[1,2,3,4,2] multiset union all multiset[1,4,5,7,8])",
+    size(M.multisetUnionAll(arr(1, 2, 3, 4, 2), arr(1, 4, 5, 7, 8))), S("10"))
+  checkCol("testMultisetUnionAllOperator",
+    "(... union all ...) submultiset of multiset[1,2,3,4,5,7,8] -> false",
+    M.submultisetOf(M.multisetUnionAll(arr(1, 2, 3, 4, 2), arr(1, 4, 5, 7, 8)),
+      arr(1, 2, 3, 4, 5, 7, 8)), S("false"))
+  checkCol("testMultisetUnionAllOperator",
+    "(... union all ...) submultiset of multiset[1,1,2,2,3,4,4,5,7,8] -> true",
+    M.submultisetOf(M.multisetUnionAll(arr(1, 2, 3, 4, 2), arr(1, 4, 5, 7, 8)),
+      arr(1, 1, 2, 2, 3, 4, 4, 5, 7, 8)), S("true"))
+  checkCol("testSubMultisetOfOperator (SqlOperatorBaseTest.java:6569)",
+    "multiset[2] submultiset of multiset[1] -> false",
+    M.submultisetOf(arr(2), arr(1)), S("false"))
+  checkCol("testSubMultisetOfOperator",
+    "multiset[1] submultiset of multiset[1] -> true",
+    M.submultisetOf(arr(1), arr(1)), S("true"))
+  checkCol("testSubMultisetOfOperator",
+    "multiset[1, 2] submultiset of multiset[1] -> false",
+    M.submultisetOf(arr(1, 2), arr(1)), S("false"))
+  checkCol("testSubMultisetOfOperator",
+    "multiset[1] submultiset of multiset[1, 2] -> true",
+    M.submultisetOf(arr(1), arr(1, 2)), S("true"))
+  checkCol("testSubMultisetOfOperator",
+    "multiset['a','b'] submultiset of multiset['c','d','s','a'] -> false",
+    M.submultisetOf(sarr("a", "b"), sarr("c", "d", "s", "a")), S("false"))
+  checkCol("testMemberOfOperator (SqlOperatorBaseTest.java:6462)",
+    "1 member of multiset[1] -> true",
+    M.memberOf(lit(1), arr(1)), S("true"))
+  checkCol("testMemberOfOperator",
+    "2 member of multiset[1] -> false",
+    M.memberOf(lit(2), arr(1)), S("false"))
+
+  // ======================================================================
+  // Pinned DIVERGENCES (reference value in the comment)
+  // ======================================================================
+
+  test("DIVERGENCE testCastWithRoundingToScalar: decimal -> integer truncates") {
+    // reference: cast(1.5 as integer) = 2 (ROUND_HALF_UP);
+    // Spark casts decimal→int by truncation toward zero
+    assert(value("cast(1.5 as integer)") == 1)
+    assert(value("cast(-1.5 as integer)") == -1)
+    assert(value("cast(1.75 as integer)") == 1)
+  }
+  test("DIVERGENCE testCastDecimalToDoubleToInteger: double -> integer truncates") {
+    // reference: cast(cast(1.75 as double) as integer) = 2 (rounds);
+    // Spark truncates toward zero
+    assert(value("cast(cast(1.75 as double) as integer)") == 1)
+    assert(value("cast(cast(-1.75 as double) as integer)") == -1)
+  }
+  // testCastInvalid: under the engine's ANSI session these raise exactly
+  // like the reference's checkFails(.., OUT_OF_RANGE/INVALID_CHAR, true)
+  check("testCastInvalid", "cast('2147483648' as integer)", ERR)
+  check("testCastInvalid", "cast('abc' as integer)", ERR)
+  check("testCastInvalid", "cast(2147483648 as integer)", ERR)
+  check("testCastInvalid", "cast('123.45' as integer)", ERR)
+  test("DIVERGENCE testCastDateTime: sub-second precision is kept, not truncated") {
+    // reference: TIMESTAMP defaults to precision 0 — '1945-02-24
+    // 12:42:25.34' casts to '1945-02-24 12:42:25'; Spark timestamps are
+    // microsecond-precision always
+    assert(value("cast(TIMESTAMP '1945-02-24 12:42:25.34' as TIMESTAMP)")
+      .toString.contains(".34"))
+  }
+  test("DIVERGENCE testPlusIntervalOperator: date + sub-day interval widens to timestamp") {
+    // reference: date '2005-03-02' + interval '5' hour = DATE '2005-03-02'
+    // (date arithmetic floors); Spark widens to TIMESTAMP '2005-03-02 05:00:00'
+    assert(value("date '2005-03-02' + interval '5' hour")
+      .toString.startsWith("2005-03-02 05:00"))
+  }
+}

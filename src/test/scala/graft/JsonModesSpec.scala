@@ -61,12 +61,12 @@ class JsonModesSpec extends AnyFunSuite {
     assert(JsonIntrospect.depth(u8("""{"a": [], "b": [[1]]}""")) == 4)
     // escaped quotes survive parsing/serialization verbatim
     val esc = """{"a": "x\"y", "b": 1}"""
-    assert(JsonIntrospect.remove(u8(esc), u8("$.b")).toString == """{"a": "x\"y"}""")
+    assert(JsonIntrospect.remove(u8(esc), u8("$.b")).toString == """{"a":"x\"y"}""")
     // absent path is a no-op; nested and array-index paths remove in place
-    assert(JsonIntrospect.remove(u8("""{"a": 1}"""), u8("$.zz")).toString == """{"a": 1}""")
+    assert(JsonIntrospect.remove(u8("""{"a": 1}"""), u8("$.zz")).toString == """{"a":1}""")
     assert(JsonIntrospect.remove(u8("""{"a": {"b": 1, "c": 2}}"""), u8("$.a.b")).toString
-      == """{"a": {"c": 2}}""")
-    assert(JsonIntrospect.remove(u8("""[1, 2, 3]"""), u8("$[1]")).toString == "[1, 3]")
+      == """{"a":{"c":2}}""")
+    assert(JsonIntrospect.remove(u8("""[1, 2, 3]"""), u8("$[1]")).toString == "[1,3]")
     assert(JsonIntrospect.remove(u8("""[1]"""), u8("$[5]")).toString == "[1]")
     // storage size is whitespace-insensitive (canonical compact length)
     assert(JsonIntrospect.storageSize(u8("""{ "a" : 1 }""")) ==
@@ -88,6 +88,6 @@ class JsonModesSpec extends AnyFunSuite {
     val interp = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(cg == interp)
-    assert(cg.getInt(0) == 4 && cg.getString(1) == """{"a": {"b": [2]}}""")
+    assert(cg.getInt(0) == 4 && cg.getString(1) == """{"a":{"b":[2]}}""")
   }
 }

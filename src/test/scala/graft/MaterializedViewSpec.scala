@@ -257,15 +257,28 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedViews.drop("mv_empty")
   }
 
-  test("rollup rejects non-re-aggregable calls (COUNT DISTINCT)") {
+  test("rollup of DISTINCT aggregates: exact over tile GROUP columns, rejected otherwise") {
     MaterializedViews.clear()
     MaterializedViews.install(spark)
-    MaterializedViews.create(spark, "mv_agg", aggQuery(), "/tmp/graft_mv/agg_tile_cd")
-    val q = Tables.t(spark, sfDir, "lineitem")
+    // COUNT(DISTINCT l_linestatus) rolls up EXACTLY from a tile grouped by
+    // (l_returnflag, l_linestatus): the tile preserves the distinct value
+    // set per coarser group (MaterializationTest's CountDistinctQuery family)
+    def cd() = Tables.t(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_linestatus")).as("nd"))
+    val want = cd().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    MaterializedViews.create(spark, "mv_agg", aggQuery(), "/tmp/graft_mv/agg_tile_cd")
+    val q = cd()
     val physical = q.queryExecution.executedPlan.toString
-    assert(!physical.contains("agg_tile_cd"), s"wrongly rewritten:\n$physical")
+    assert(physical.contains("agg_tile_cd"), s"distinct-over-group-col not rewritten:\n$physical")
+    assert(!physical.contains("lineitem.parquet"), s"fact table still scanned:\n$physical")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet == want)
+    // a DISTINCT over a NON-grouping column needs finer-than-tile data
+    val reject = Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_quantity")).as("nd"))
+    val rejPlan = reject.queryExecution.executedPlan.toString
+    assert(!rejPlan.contains("agg_tile_cd"), s"wrongly rewritten:\n$rejPlan")
     MaterializedViews.drop("mv_agg")
   }
 

@@ -55,7 +55,7 @@ class TpchCycleSpec extends AnyFunSuite {
     "foodmart_topcount_detail", "foodmart_topcount_ties",
     "foodmart_topcount_aggregate", "foodmart_visual_totals",
     "foodmart_two_fact_ratio", "foodmart_virtual_cube", "join_anti",
-    "join_full_outer",
+    "join_full_outer", "mv_spj_join_rewrite", "mv_agg_rollup_rewrite",
     "join_inner_multiway", "join_left_outer", "join_semi", "join_theta_nl",
     "lateral_posexplode", "match_recognize_agg_define", "profile_lattice",
     "profile_column_origins", "profile_sql_advisor",

@@ -1498,6 +1498,47 @@ object FoodMart {
         |  COUNT(*) AS m0,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m1
         |FROM orders
-        |GROUP BY o_orderpriority, o_orderstatus""")
+        |GROUP BY o_orderpriority, o_orderstatus"""),
+
+    // ---- tranche 10 (r13 verdict #6): the family-census closure -----------
+
+    // Shape #91: Stdev measure (MDX Stdev(set, measure) — the spread of a
+    // member's monthly sales; the one MDX statistical family the census
+    // audit found uncovered). Sample stddev decomposed into decimal
+    // sums (n, Σv, Σv²) so the double arithmetic starts from identical
+    // bits in both engines; sqrt guarded with GREATEST(...,0) for the
+    // DuckDB negative-argument error (catastrophic-cancellation floor).
+    QDef.common("foodmart_stdev_months",
+      """WITH m AS (
+        |  SELECT n_name, CAST(month(o_orderdate) AS INT) AS mo,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS v
+        |  FROM orders, customer, nation
+        |  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |    AND year(o_orderdate) = 1996
+        |  GROUP BY n_name, CAST(month(o_orderdate) AS INT))
+        |SELECT n_name, COUNT(*) AS n,
+        |  ROUND(sqrt(greatest(
+        |    (CAST(SUM(CAST(v AS DECIMAL(28,4)) * CAST(v AS DECIMAL(28,4))) AS DOUBLE)
+        |      - CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE)
+        |        * CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*))
+        |      / (COUNT(*) - 1), 0.0)), 4) AS sd
+        |FROM m GROUP BY n_name HAVING COUNT(*) > 1
+        |ORDER BY n_name"""),
+
+    // Shape #92: Min/Max over a member set (MDX Min(children, measure) /
+    // Max(children, measure) — the spread endpoints the census audit
+    // found uncovered; the region's cheapest and dearest nation-month
+    // side by side).
+    QDef.common("foodmart_minmax_children",
+      """WITH m AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS v
+        |  FROM orders, customer, nation, region
+        |  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, MIN(v) AS min_child, MAX(v) AS max_child,
+        |  COUNT(*) AS n_children
+        |FROM m GROUP BY r_name ORDER BY r_name""")
   )
 }

@@ -635,6 +635,186 @@ object Tpcds {
         |    SELECT 1 FROM lineitem lr
         |    WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'R')
         |GROUP BY o_orderpriority
-        |ORDER BY pri""")
+        |ORDER BY pri"""),
+
+    // ---- r13 carriers: the structurally-distinct untouched remainder ----
+
+    // q4 shape — the three-channel year_total CTE self-joined FOUR ways:
+    // customers whose second-year/first-year growth in the "item" channel
+    // exceeds their growth in the "order" channel. The giant multi-CTE
+    // self-join is the point; the ratio compare runs on doubles derived
+    // from decimal sums, so both engines divide identical bits.
+    QDef.common("tpcds_s_yeartotal",
+      """WITH year_total AS (
+        |  SELECT o_custkey AS cust, 'ord' AS channel,
+        |    CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
+        |  UNION ALL
+        |  SELECT o_custkey, 'item', CAST(year(o_orderdate) AS INT),
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        |  FROM orders, lineitem WHERE l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
+        |)
+        |SELECT t_s_secyear.cust
+        |FROM year_total t_s_firstyear, year_total t_s_secyear,
+        |     year_total t_c_firstyear, year_total t_c_secyear
+        |WHERE t_s_secyear.cust = t_s_firstyear.cust
+        |  AND t_s_firstyear.cust = t_c_secyear.cust
+        |  AND t_s_firstyear.cust = t_c_firstyear.cust
+        |  AND t_s_firstyear.channel = 'ord' AND t_s_secyear.channel = 'ord'
+        |  AND t_c_firstyear.channel = 'item' AND t_c_secyear.channel = 'item'
+        |  AND t_s_firstyear.yr = 1996 AND t_s_secyear.yr = 1997
+        |  AND t_c_firstyear.yr = 1996 AND t_c_secyear.yr = 1997
+        |  AND t_s_firstyear.total > 0 AND t_c_firstyear.total > 0
+        |  AND t_c_secyear.total / t_c_firstyear.total
+        |      > t_s_secyear.total / t_s_firstyear.total
+        |ORDER BY t_s_secyear.cust"""),
+
+    // q64 shape — the two-year HANDOFF chain: the same part sold in
+    // consecutive years where the second year's revenue fell to at most
+    // the first's (q64 joins its giant cross-channel CTE to itself on
+    // item with cnt <= cnt; this carries the self-join-on-consecutive-
+    // period skeleton).
+    QDef.common("tpcds_s_handoff",
+      """WITH py AS (
+        |  SELECT l_partkey AS pk, CAST(year(o_orderdate) AS INT) AS yr,
+        |    COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+        |  FROM lineitem, orders WHERE l_orderkey = o_orderkey
+        |  GROUP BY l_partkey, CAST(year(o_orderdate) AS INT))
+        |SELECT a.pk, a.yr, a.cnt, a.rev, b.cnt AS cnt2, b.rev AS rev2
+        |FROM py a, py b
+        |WHERE a.pk = b.pk AND b.yr = a.yr + 1 AND b.rev <= a.rev AND a.cnt > 2
+        |ORDER BY a.pk, a.yr"""),
+
+    // q31 shape — consecutive-quarter share growth compared ACROSS TWO
+    // CHANNELS: six instances of two quarterly CTEs joined on nation,
+    // keeping nations whose item-channel growth kept pace with the
+    // order-channel growth in q1->q2 and q2->q3.
+    QDef.common("tpcds_s_sharegrowth",
+      """WITH oq AS (
+        |  SELECT c_nationkey AS nk, CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS v
+        |  FROM orders, customer
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1996
+        |  GROUP BY c_nationkey, CAST(quarter(o_orderdate) AS INT)),
+        |lq AS (
+        |  SELECT c_nationkey AS nk, CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS v
+        |  FROM lineitem, orders, customer
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND year(o_orderdate) = 1996
+        |  GROUP BY c_nationkey, CAST(quarter(o_orderdate) AS INT))
+        |SELECT o1.nk
+        |FROM oq o1, oq o2, oq o3, lq w1, lq w2, lq w3
+        |WHERE o1.nk = o2.nk AND o2.nk = o3.nk
+        |  AND o1.nk = w1.nk AND w1.nk = w2.nk AND w2.nk = w3.nk
+        |  AND o1.qtr = 1 AND o2.qtr = 2 AND o3.qtr = 3
+        |  AND w1.qtr = 1 AND w2.qtr = 2 AND w3.qtr = 3
+        |  AND o1.v > 0 AND o2.v > 0 AND w1.v > 0 AND w2.v > 0
+        |  AND w2.v / w1.v >= o2.v / o1.v
+        |  AND w3.v / w2.v >= o3.v / o2.v
+        |ORDER BY o1.nk"""),
+
+    // q66 shape — the monthly CASE-pivot over UNION ALL'd channels
+    // (q66 pivots web+catalog shipping into 12 monthly columns per
+    // warehouse; this pivots two fixture channels into monthly columns
+    // per nation, then re-aggregates the union).
+    QDef.common("tpcds_s_monthpivot",
+      """WITH ch AS (
+        |  SELECT c_nationkey AS nk, CAST(month(o_orderdate) AS INT) AS mo,
+        |    CAST(o_totalprice AS DECIMAL(28,4)) AS amt
+        |  FROM orders, customer
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1996
+        |  UNION ALL
+        |  SELECT c_nationkey, CAST(month(o_orderdate) AS INT),
+        |    CAST(l_extendedprice AS DECIMAL(28,4))
+        |  FROM lineitem, orders, customer
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND year(o_orderdate) = 1996)
+        |SELECT n_name,
+        |  CAST(SUM(CASE WHEN mo = 1 THEN amt ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS jan,
+        |  CAST(SUM(CASE WHEN mo = 2 THEN amt ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS feb,
+        |  CAST(SUM(CASE WHEN mo = 3 THEN amt ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS mar,
+        |  CAST(SUM(CASE WHEN mo = 4 THEN amt ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS apr,
+        |  CAST(SUM(CASE WHEN mo = 5 THEN amt ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS may,
+        |  CAST(SUM(CASE WHEN mo = 6 THEN amt ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS jun
+        |FROM ch, nation WHERE nk = n_nationkey
+        |GROUP BY n_name ORDER BY n_name"""),
+
+    // q2/q59 shape — week-over-year ratios of in-week-slot pivots: weekly
+    // slot sums for year Y joined to year Y+1 on the ISO week number,
+    // emitting per-slot ratios. (The weekday itself is carried as
+    // `day(date) % 7` — a deterministic in-week slot available in both
+    // engines; Spark's and DuckDB's dayofweek origins differ.)
+    QDef.common("tpcds_s_weekpivot",
+      """WITH wk AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(weekofyear(o_orderdate) AS INT) AS wk,
+        |    CAST(SUM(CASE WHEN day(o_orderdate) % 7 = 0
+        |      THEN CAST(o_totalprice AS DECIMAL(28,4)) ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS s0,
+        |    CAST(SUM(CASE WHEN day(o_orderdate) % 7 = 3
+        |      THEN CAST(o_totalprice AS DECIMAL(28,4)) ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS s3,
+        |    CAST(SUM(CASE WHEN day(o_orderdate) % 7 = 6
+        |      THEN CAST(o_totalprice AS DECIMAL(28,4)) ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS s6
+        |  FROM orders
+        |  GROUP BY CAST(year(o_orderdate) AS INT), CAST(weekofyear(o_orderdate) AS INT))
+        |SELECT a.wk, ROUND(a.s0 / b.s0, 4) AS r0, ROUND(a.s3 / b.s3, 4) AS r3,
+        |  ROUND(a.s6 / b.s6, 4) AS r6
+        |FROM wk a, wk b
+        |WHERE a.wk = b.wk AND a.yr = 1996 AND b.yr = 1997
+        |  AND b.s0 > 0 AND b.s3 > 0 AND b.s6 > 0
+        |ORDER BY a.wk"""),
+
+    // q21 shape — the before/after pivot-date quantity ratio per
+    // (supplier, part), banded to [2/3, 3/2] (q21's warehouse/item
+    // inventory-shift band, carried onto the order timeline).
+    QDef.common("tpcds_s_beforeafter",
+      """WITH sp AS (
+        |  SELECT l_suppkey AS sk, l_partkey AS pk,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |      THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS before_q,
+        |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS after_q
+        |  FROM lineitem, orders WHERE l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT sk, pk, before_q, after_q FROM sp
+        |WHERE before_q > 0
+        |  AND after_q / before_q BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+        |ORDER BY sk, pk"""),
+
+    // q48 shape — one aggregate under a disjunction of per-segment
+    // (price-band AND quantity-band) conjuncts: the optimizer must keep
+    // the OR-of-ANDs intact on one fact scan.
+    QDef.common("tpcds_s_orbands",
+      """SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND ((c_mktsegment = 'AUTOMOBILE'
+        |        AND l_extendedprice BETWEEN 500 AND 50000
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |    OR (c_mktsegment = 'BUILDING'
+        |        AND l_extendedprice BETWEEN 1000 AND 60000
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |    OR (c_mktsegment = 'MACHINERY'
+        |        AND l_extendedprice BETWEEN 1500 AND 70000
+        |        AND l_quantity BETWEEN 20 AND 40))"""),
+
+    // q41 shape — DISTINCT dimension attributes filtered by an EXISTS
+    // whose body is its own OR-of-band conjuncts over the same dimension
+    // (q41's manufacturer self-probe; p_brand stands in for p_mfgr,
+    // p_type for p_container).
+    QDef.common("tpcds_s_existsbands",
+      """SELECT DISTINCT p_name FROM part p1
+        |WHERE p_size BETWEEN 10 AND 20
+        |  AND EXISTS (
+        |    SELECT 1 FROM part p2
+        |    WHERE p2.p_brand = p1.p_brand
+        |      AND ((p2.p_type = 'SMALL' AND p2.p_size BETWEEN 5 AND 15)
+        |        OR (p2.p_type = 'LARGE' AND p2.p_size BETWEEN 15 AND 25)))
+        |ORDER BY p_name""")
   )
 }

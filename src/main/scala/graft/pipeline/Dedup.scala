@@ -497,10 +497,11 @@ object Dedup {
 
   /** Calibrated peak-scratch cost per raw in-bucket candidate pair across
     * the verify phase's coexisting shuffle stages (pair explode →
-    * distinct → signature-prefilter joins). Anchor: the r12 sf1-eq ×100
-    * run — ~2×10⁸ pre-distinct pairs exceeded a 78 GB lz4 scratch
-    * envelope (SCALING.md r12-close), i.e. ≈390 B/pair; rounded up. */
-  val MinhashBytesPerPair = 400L
+    * distinct → signature-prefilter joins → gram-array verify). Anchor:
+    * the r12 sf1-eq ×100 run — 1.65×10⁸ pairs peaked at ~63 GB observed
+    * under zstd (SCALING.md r12-close), zstd ≈ half of lz4's volume ⇒
+    * ~760 B/pair on the default lz4 codec; rounded up. */
+  val MinhashBytesPerPair = 800L
 
   /** Fraction of the scratch volume the planner is allowed to commit —
     * shingle materializations, cached buckets, and the final verify join
@@ -796,21 +797,27 @@ object Dedup {
     // single-pass: the unchanged plan. Multi-pass: bands b ≡ i (mod K)
     // per pass, each pass's survivor list eagerly checkpointed (pinned
     // blocks registered with the supersede discipline, released on the
-    // operator's next invocation); a System.gc() between passes prompts
-    // the ContextCleaner to drop the finished pass's shuffle files — the
-    // same mechanism spark.cleaner.periodicGC runs on a timer — so pass
-    // i+1 starts with the scratch pass i used. A pair found by bands in
-    // two different groups appears in both survivor lists, hence the
-    // cross-pass distinct (within one pass the existing distinct holds).
+    // operator's next invocation). The pass's shuffle files are then
+    // dropped DETERMINISTICALLY via RDD.cleanShuffleDependencies over
+    // the just-executed physical RDD (queryExecution.toRdd is a cached
+    // lazy val, so this walks the exact DAG the checkpoint ran, not a
+    // fresh plan) — the whole point of the split is that pass i+1
+    // starts with the scratch pass i used, and a best-effort GC nudge
+    // does not bound that. A pair found by bands in two different
+    // groups appears in both survivor lists, hence the cross-pass
+    // distinct (within one pass the existing distinct holds).
     val survivors =
       if (numPasses == 1) prefilter(cands)
       else {
         val passes = (0 until numPasses).map { i =>
-          val passCands = candsFor(
-            buckets.where(pmod(col("bk").getField("b"), lit(numPasses)) === i))
+          val pre = prefilter(candsFor(
+            buckets.where(pmod(col("bk").getField("b"), lit(numPasses)) === i)))
           val mat = graft.Checkpoints.superseding(s"minhash-pass-$i",
-            prefilter(passCands).localCheckpoint(true))
-          System.gc()
+            pre.localCheckpoint(true))
+          pre.queryExecution.toRdd.cleanShuffleDependencies(blocking = true)
+          System.err.println(
+            f"[minhash-lsh] pass ${i + 1}/$numPasses done; scratch free " +
+              f"${usableScratchBytes(docs.sparkSession) / 1e9}%.1f GB")
           mat
         }
         passes.reduce(_.unionByName(_)).distinct()
@@ -827,12 +834,11 @@ object Dedup {
     // the per-partition hash from the corpus side, which is small by
     // construction (docs/partitions rows); g's persisted doc_id
     // hash-partitioning is reused, so the gram arrays never re-shuffle.
-    val withSets = survivors
+    def verifyJoin(pairs: DataFrame): DataFrame = pairs
       .join(g.select(col("doc_id").as("id_a"), col("gs").as("gs_a"))
         .hint("shuffle_hash"), "id_a")
       .join(g.select(col("doc_id").as("id_b"), col("gs").as("gs_b"))
         .hint("shuffle_hash"), "id_b")
-    withSets
       .select(col("id_a"), col("id_b"),
         graft.functions.IntersectSizeSorted
           .intersect_size_sorted(col("gs_a"), col("gs_b")).as("ni"),
@@ -840,5 +846,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
       .where(col("jac") >= threshold)
+    // The r13 ×100 disk-watch run showed the candidate passes returning
+    // their scratch fully (cleanShuffleDependencies) and the VERIFY join
+    // then writing the blow-up alone: each surviving pair drags two
+    // ~2.4 KB gram arrays through the join shuffles. Under a multi-pass
+    // plan the verify is therefore batch-partitioned the same way —
+    // survivors split by hash into K batches, each joined + checkpointed
+    // + its shuffle files reclaimed before the next starts. Peak verify
+    // scratch drops to 1/K at the cost of re-shuffling the (corpus-
+    // linear, ~90 B/doc... the gram relation) K times.
+    if (numPasses == 1) verifyJoin(survivors)
+    else {
+      val sv = graft.Checkpoints.superseding("minhash-survivors",
+        survivors.localCheckpoint(true))
+      (0 until numPasses).map { i =>
+        val pre = verifyJoin(
+          sv.where(pmod(xxhash64(col("id_a")), lit(numPasses)) === i))
+        val mat = graft.Checkpoints.superseding(s"minhash-verify-$i",
+          pre.localCheckpoint(true))
+        pre.queryExecution.toRdd.cleanShuffleDependencies(blocking = true)
+        System.err.println(
+          f"[minhash-lsh] verify batch ${i + 1}/$numPasses done; scratch free " +
+            f"${usableScratchBytes(docs.sparkSession) / 1e9}%.1f GB")
+        mat
+      }.reduce(_.unionByName(_))
+    }
   }
 }

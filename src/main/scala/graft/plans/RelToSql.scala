@@ -980,7 +980,13 @@ object RelToSql {
       case In(v, list) =>
         s"(${expr(v)} IN (${list.map(expr).mkString(", ")}))"
       case b: Between =>
-        s"(${expr(b.input)} BETWEEN ${expr(b.lower)} AND ${expr(b.upper)})"
+        // render the REPLACEMENT, not the sugar: after a self-join
+        // DeduplicateRelations rewrites only the executed replacement
+        // tree, so the sugar's input/lower/upper can carry STALE
+        // pre-dedup exprIds that alias the OUTER relation — rendering
+        // them silently flips an inner reference to a correlated one
+        // (caught by the tpcds_s_existsbands cycle gate, r13)
+        expr(b.replacement)
       // common-subexpression scaffolding (Spark 4 wraps e.g. BETWEEN's
       // input in With/CommonExpressionRef) — inline the definitions
       case w: With =>
@@ -1003,6 +1009,7 @@ object RelToSql {
 
       case Year(c) => s"YEAR(${expr(c)})"
       case Quarter(c) => s"QUARTER(${expr(c)})"
+      case WeekOfYear(c) => s"WEEKOFYEAR(${expr(c)})"
       case Month(c) => s"MONTH(${expr(c)})"
       case DayOfMonth(c) => s"DAY(${expr(c)})"
       case Hour(c, _) => s"HOUR(${expr(c)})"
@@ -1026,6 +1033,9 @@ object RelToSql {
       case Concat(children) if children.size == 2 =>
         d.concat(expr(children.head), expr(children(1)))
       case Abs(c, _) => s"ABS(${expr(c)})"
+      case Sqrt(c) => s"SQRT(${expr(c)})"
+      case Greatest(cs) => s"GREATEST(${cs.map(expr).mkString(", ")})"
+      case Least(cs) => s"LEAST(${cs.map(expr).mkString(", ")})"
       case Round(c, n, _) => s"ROUND(${expr(c)}, ${expr(n)})"
       // Spark-only (feeds LATERAL VIEW / UNNEST shapes); the Ansi dialect
       // has no portable split
@@ -1049,6 +1059,12 @@ object RelToSql {
         s"($v IN (${query(lq.plan)}))"
       case s: ScalarSubquery => s"(${query(s.plan)})"
       case OuterReference(a: Attribute) => d.quote(nameOf(a))
+
+      // last resort before rejecting: a RuntimeReplaceable sugar we have
+      // no pretty spelling for renders through its executed replacement
+      // (which is also the tree whose exprIds the analyzer keeps correct)
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        expr(r.replacement)
 
       case other => throw unsupported(s"expression ${other.nodeName}")
     }

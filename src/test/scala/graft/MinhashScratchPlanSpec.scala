@@ -29,9 +29,9 @@ class MinhashScratchPlanSpec extends AnyFunSuite {
     assert(Dedup.verifyPasses(fitMass * 10, budget, 96) == 10)
     // absurd mass → capped at the band count (can't slice finer)
     assert(Dedup.verifyPasses(fitMass * 1e6, budget, 96) == 96)
-    // the r12 anchor: 2×10⁸ pairs vs the 78 GB envelope that died on
+    // the r12 anchor: 1.65×10⁸ pairs vs the 78 GB envelope that died on
     // lz4 → the planner now splits instead of hitting ENOSPC
-    assert(Dedup.verifyPasses(2e8, 78L * 1000 * 1000 * 1000, 96) == 2)
+    assert(Dedup.verifyPasses(1.65e8, 78L * 1000 * 1000 * 1000, 96) == 3)
   }
 
   test("multi-pass verify returns exactly the single-pass pairs") {

@@ -56,6 +56,26 @@ class TpchCycleSpec extends AnyFunSuite {
     "foodmart_topcount_aggregate", "foodmart_visual_totals",
     "foodmart_two_fact_ratio", "foodmart_virtual_cube", "join_anti",
     "join_full_outer", "mv_spj_join_rewrite", "mv_agg_rollup_rewrite",
+    "tpcds_s_yeartotal", "tpcds_s_handoff", "tpcds_s_sharegrowth",
+    "tpcds_s_monthpivot", "tpcds_s_weekpivot", "tpcds_s_beforeafter",
+    "tpcds_s_orbands", "tpcds_s_existsbands",
+    // r13: the RuntimeReplaceable rendering fallback (RelToSql) made the
+    // whole Between/assert_true-sugar family convertible
+    "foodmart_avg_time_members", "foodmart_covariance",
+    "foodmart_drillthrough", "foodmart_linreg_r2", "foodmart_linregpoint",
+    "foodmart_month_rollup", "foodmart_multi_hierarchy",
+    "foodmart_opening_closing", "foodmart_parallel_period",
+    "foodmart_parallel_period_month_year",
+    "foodmart_parallel_period_quarter_edge", "foodmart_period_growth_pct",
+    "foodmart_qtd_running", "foodmart_quarter_pivot",
+    "foodmart_rollup_year", "foodmart_safe_divide",
+    "foodmart_semiadd_avg_period", "foodmart_set_ytd",
+    "foodmart_ytd_running", "tpcds_s_meandev", "tpcds_s_sliceratio",
+    "foodmart_stdev_months", "foodmart_minmax_children",
+    // r13: SQRT/GREATEST/LEAST rendering made the stats family convertible
+    "fn_agg_stats", "fn_conditional", "foodmart_correlation",
+    "foodmart_stdev_sample_children", "foodmart_var_children",
+    "text_mix_temperature", "tpcds_s_volatility",
     "join_inner_multiway", "join_left_outer", "join_semi", "join_theta_nl",
     "lateral_posexplode", "match_recognize_agg_define", "profile_lattice",
     "profile_column_origins", "profile_sql_advisor",

@@ -70,9 +70,13 @@ object JsonModes {
     // wrapping a scalar must RE-QUOTE strings (`get_json_object` strips
     // JSON string quotes): ["bar"], not [bar] — the reference's
     // JsonFunctions wrapper emits JSON text. Numbers/booleans/null keep
-    // their lexical form. Known limit: a string that LOOKS numeric
-    // ("123") is indistinguishable after extraction and wraps unquoted.
-    val plain = v.rlike("^(-?[0-9][0-9.eE+-]*|true|false|null)$")
+    // their lexical form, gated by the STRICT JSON number grammar so a
+    // malformed numeral-lookalike ("1-2", "1.2.3", "1e") falls to the
+    // to_json re-quoting path and stays valid JSON. Known limit: a
+    // string whose extracted form IS a valid JSON literal ("123",
+    // "true") is indistinguishable after extraction and wraps unquoted.
+    val plain =
+      v.rlike("^(-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false|null)$")
     val wrapped = when(plain, concat(lit("["), v, lit("]")))
       .otherwise(to_json(array(v)))
     when(!jsonIsValid(json), behave(onError, "malformed JSON (ON ERROR)"))

@@ -703,10 +703,10 @@ object Dedup {
     // ---- scratch planning (r13, VERDICT #2): the in-bucket pair mass --
     // the debug-only estimate promoted to a PRE-VERIFY PLANNING STEP —
     // now drives the verify topology automatically. Estimated peak
-    // shuffle scratch = pairs × BYTES_PER_PAIR (calibrated on the r12
-    // sf1-eq ×100 run: ~2×10⁸ pre-distinct pairs peaked above the 78 GB
-    // lz4 envelope ⇒ ~400 B/pair across the distinct + prefilter stages
-    // that coexist on disk). When the estimate exceeds the budget
+    // shuffle scratch = pairs × [[MinhashBytesPerPair]] (single
+    // authoritative derivation at that constant's scaladoc — the r12
+    // ×100 zstd measurement doubled for lz4). When the estimate exceeds
+    // the budget
     // (spark.local.dir usable space × 0.7 safety, or the caller's
     // override), the verify is split into K band-partitioned passes:
     // each pass generates + prefilters candidates for bands b ≡ i (mod

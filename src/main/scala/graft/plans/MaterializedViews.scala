@@ -504,19 +504,35 @@ object MaterializedViews {
       * given per-conjunct mapper. A conjunct the tile cannot express is
       * fatal UNLESS it is an optimizer-inferred `IsNotNull(col)` whose
       * null rejection is already enforced by a SIBLING conjunct that DID
-      * map and null-intolerantly references the same column (Spark's
+      * map and null-INTOLERANTLY reaches the same column (Spark's
       * InferFiltersFromConstraints adds `isnotnull(deptno)` next to
       * `deptno - 10 = 0`; the tile stores only `deptno - 10`, but the
-      * mapped comparison filters the nulls by itself). */
+      * mapped comparison filters the nulls by itself). Reaching the
+      * column through a null-tolerant node (`b > coalesce(a, 0)`, a
+      * null-safe `<=>`) does NOT reject null rows, so mere reference is
+      * not enough — the walk mirrors InferFiltersFromConstraints'.
+      *
+      * Rejects the whole rewrite when a residual equality collapses to
+      * `t = t`: a query-side equality the tile does not enforce is
+      * exactly what the residual must still apply, so a conjunct whose
+      * sides both mapped through normQ's class for THAT equality has
+      * been substituted through itself — the filter would be a
+      * tautology and rows violating the equality would leak. */
     def mapResidual(mapper: Expression => Option[Expression])
         : Option[Seq[Expression]] = {
       val mapped = residual.map(c => c -> mapper(c))
+      val circular = mapped.exists {
+        case (EqualTo(a, b), Some(EqualTo(x, y))) =>
+          x.semanticEquals(y) && !a.semanticEquals(b)
+        case _ => false
+      }
+      if (circular) return None
+      def nullRejects(c: Expression, a: Attribute): Boolean = c match {
+        case x: Attribute => x.exprId == a.exprId
+        case _ => c.nullIntolerant && c.children.exists(nullRejects(_, a))
+      }
       def coveredByNullRejectingSibling(a: Attribute): Boolean =
-        mapped.exists {
-          case (c: org.apache.spark.sql.catalyst.expressions.BinaryComparison, Some(_)) =>
-            c.references.contains(a)
-          case _ => false
-        }
+        mapped.exists { case (c, r) => r.isDefined && nullRejects(c, a) }
       val kept = mapped.flatMap {
         case (_, Some(m)) => Some(Some(m))
         case (org.apache.spark.sql.catalyst.expressions.IsNotNull(a: Attribute), None)
@@ -703,29 +719,15 @@ object MaterializedViews {
                     case _ => None
                   }
 
-                // Re-aggregate one query aggregate call from the tile.
-                def reAggCall(ae: AggregateExpression): Option[Expression] =
-                  if (sameLevel)
-                    // one tile row per group: the tile column IS the value
-                    mAggs.collectFirst {
-                      case (i, _, mCanon) if mCanon == u.cq(ae) => tile(i): Expression
-                    }
-                  else if (ae.isDistinct || ae.aggregateFunction.isInstanceOf[Min] ||
-                      ae.aggregateFunction.isInstanceOf[Max]) {
-                    // DISTINCT aggregates roll up exactly when every
-                    // argument is a tile grouping column (the tile keeps
-                    // the distinct value set per coarser group); MIN/MAX
-                    // over grouping columns are multiplicity-insensitive
-                    val kids = ae.aggregateFunction.children.map(mapGroupExpr)
-                    val filt = ae.filter.map(mapGroupExpr)
-                    if (kids.forall(_.isDefined) && filt.forall(_.isDefined))
-                      Some(AggregateExpression(
-                        ae.aggregateFunction.withNewChildren(kids.map(_.get))
-                          .asInstanceOf[AggregateFunction],
-                        Complete, isDistinct = ae.isDistinct,
-                        filter = filt.map(_.get)))
-                    else None
-                  } else if (ae.filter.nonEmpty) None
+                // Re-aggregate one query aggregate call from a tile column
+                // storing the SAME call (SUM→SUM, COUNT→SUM of partials,
+                // MIN→MIN, MAX→MAX). DISTINCT MIN/MAX qualify too — the
+                // flag is a no-op for them, so a tile storing MIN(x) per
+                // finer group re-aggregates MIN(DISTINCT x) exactly.
+                def tileAggPath(ae: AggregateExpression): Option[Expression] = {
+                  val minMax = ae.aggregateFunction.isInstanceOf[Min] ||
+                    ae.aggregateFunction.isInstanceOf[Max]
+                  if (ae.filter.nonEmpty || (ae.isDistinct && !minMax)) None
                   else mAggs.collectFirst {
                     case (i, mae, _)
                         if !mae.isDistinct && mae.filter.isEmpty &&
@@ -746,6 +748,35 @@ object MaterializedViews {
                         if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
                       }
                   }.flatten
+                }
+
+                // Re-aggregate one query aggregate call from the tile.
+                def reAggCall(ae: AggregateExpression): Option[Expression] =
+                  if (sameLevel)
+                    // one tile row per group: the tile column IS the value
+                    mAggs.collectFirst {
+                      case (i, _, mCanon) if mCanon == u.cq(ae) => tile(i): Expression
+                    }
+                  else if (ae.isDistinct || ae.aggregateFunction.isInstanceOf[Min] ||
+                      ae.aggregateFunction.isInstanceOf[Max]) {
+                    // DISTINCT aggregates roll up exactly when every
+                    // argument is a tile grouping column (the tile keeps
+                    // the distinct value set per coarser group); MIN/MAX
+                    // over grouping columns are multiplicity-insensitive.
+                    // When the argument is NOT a grouping column, MIN/MAX
+                    // still roll up from a tile column storing the same
+                    // call (multiplicity-insensitive again) — the
+                    // tile-column fallthrough below.
+                    val kids = ae.aggregateFunction.children.map(mapGroupExpr)
+                    val filt = ae.filter.map(mapGroupExpr)
+                    if (kids.forall(_.isDefined) && filt.forall(_.isDefined))
+                      Some(AggregateExpression(
+                        ae.aggregateFunction.withNewChildren(kids.map(_.get))
+                          .asInstanceOf[AggregateFunction],
+                        Complete, isDistinct = ae.isDistinct,
+                        filter = filt.map(_.get)))
+                    else tileAggPath(ae)
+                  } else tileAggPath(ae)
 
                 // A query output: grouping-level subtrees map onto the tile
                 // (whole MV outputs too at same level — shells like

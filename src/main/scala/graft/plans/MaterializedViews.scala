@@ -92,17 +92,162 @@ object MaterializedViews {
       val definition: DataFrame, val sources: Set[String],
       var stale: Boolean = false) {
     /** Cached SPJ normal form + leaf canonicals — computed once per
-      * registration, not once per optimized query node. */
+      * registration, not once per optimized query node. The reduced
+      * variant (FK-UK row-preserving joins eliminated) is tried after
+      * the full form, so declare constraints BEFORE create(). */
     lazy val spj: Option[Spj] = normalize(optimized)
-    lazy val leafCanon: Seq[LogicalPlan] =
-      spj.map(_.leaves.map(_.canonicalized)).getOrElse(Seq.empty)
-    lazy val aggChildSpj: Option[(Seq[Expression], Seq[NamedExpression], LogicalPlan, Spj)] =
+    /** Matchable normal forms, full first, FK-UK-reduced second, each
+      * with its precomputed leaf canonicals. */
+    lazy val spjVariants: Seq[(Spj, Seq[LogicalPlan])] =
+      (spj.toSeq ++ spj.flatMap(reduceFkUk))
+        .map(s => (s, s.leaves.map(_.canonicalized)))
+    lazy val aggChildSpj: Seq[(Seq[Expression], Seq[NamedExpression], LogicalPlan, Spj)] =
       optimized match {
-        case Aggregate(gm, am, childM, _) => normalize(childM).map(s => (gm, am, childM, s))
-        case _ => None
+        case Aggregate(gm, am, childM, _) =>
+          normalize(childM).toSeq.flatMap(s =>
+            (s +: reduceFkUk(s).toSeq).map(v => (gm, am, childM, v)))
+        case _ => Seq.empty
       }
   }
   private val registry = mutable.ArrayBuffer[Entry]()
+
+  // ======================================================================
+  // Referential constraints
+  // ======================================================================
+
+  /** A declared foreign key: every `childPath` row has `childCols` all
+    * non-null and matching EXACTLY ONE `parentPath` row on `parentCols`
+    * (which form a unique key of the parent). Like the reference's
+    * RelReferentialConstraint on HrFKUKSchema
+    * (core/src/test/java/org/apache/calcite/test/MaterializationTest.java:2901
+    * — rcs0: emps(deptno) → depts(deptno)), a declaration is TRUSTED,
+    * not checked against the data. */
+  final case class ForeignKey(childPath: String, childCols: Seq[String],
+      parentPath: String, parentCols: Seq[String])
+
+  private val foreignKeys = mutable.ArrayBuffer[ForeignKey]()
+
+  /** Declare an FK→UK constraint between two parquet tables (paths as
+    * passed to `spark.read.parquet`). Declare BEFORE registering MVs —
+    * each entry's reduced normal form is computed at first use. */
+  def declareForeignKey(spark: SparkSession, childPath: String,
+      childCols: Seq[String], parentPath: String, parentCols: Seq[String]): Unit = {
+    require(childCols.size == parentCols.size && childCols.nonEmpty)
+    val fk = ForeignKey(qualify(spark, childPath), childCols,
+      qualify(spark, parentPath), parentCols)
+    if (!foreignKeys.contains(fk)) foreignKeys += fk
+  }
+
+  def clearConstraints(): Unit = foreignKeys.clear()
+
+  /** FK-UK join elimination over a normal form (the reference
+    * AbstractMaterializedViewRule's referential-constraint compensation;
+    * behavioral corpus testJoinMaterializationUKFK1-9,
+    * MaterializationTest.java:2325): a leaf joined ONLY by the
+    * equi-conditions of a declared FK — one child leaf's FK columns
+    * against this parent leaf's full unique key — is row-preserving
+    * (every child row matches exactly one parent row), so the form minus
+    * that leaf and its join conjuncts answers the same queries. Parent
+    * attributes surviving in the outputs are rewritten to their
+    * child-side equals first; a parent attribute used anywhere else
+    * keeps the leaf. Iterated to fixpoint (UKFK6 joins depts twice).
+    * Returns None when nothing was eliminable. */
+  private def reduceFkUk(s0: Spj): Option[Spj] = {
+    if (foreignKeys.isEmpty) return None
+    def leafPath(p: LogicalPlan): Option[String] = p match {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.headOption.map(_.toString)
+          case _ => None
+        }
+      case _ => None
+    }
+    def step(s: Spj): Option[Spj] = {
+      val paths = s.leaves.map(leafPath)
+      val attrLeaf: Map[ExprId, Int] = s.leaves.zipWithIndex.flatMap {
+        case (l, i) => l.output.map(_.exprId -> i)
+      }.toMap
+      s.leaves.indices.iterator.flatMap { pi =>
+        paths(pi).iterator.flatMap { pp =>
+          val onParent = s.conjuncts.filter(
+            _.references.exists(a => attrLeaf.get(a.exprId).contains(pi)))
+          // every conjunct touching the parent must be `child = parent`
+          // over bare attributes, all from ONE child leaf — except
+          // optimizer-inferred IsNotNull on the joined parent key,
+          // vacuous once the join is gone (the FK guarantees the
+          // surviving child keys are non-null and matched)
+          val (equis, rest) = onParent.partition {
+            case EqualTo(_: Attribute, _: Attribute) => true
+            case _ => false
+          }
+          val pairs = equis.map {
+            case EqualTo(a: Attribute, b: Attribute) =>
+              (attrLeaf.get(a.exprId), attrLeaf.get(b.exprId)) match {
+                case (Some(ci), Some(`pi`)) if ci != pi => Some((ci, a, b))
+                case (Some(`pi`), Some(ci)) if ci != pi => Some((ci, b, a))
+                case _ => None
+              }
+            case _ => None
+          }
+          if (pairs.isEmpty || pairs.exists(_.isEmpty)) Iterator.empty
+          else {
+            val ps = pairs.map(_.get)
+            val parentKeyIds = ps.map(_._3.exprId).toSet
+            val childKeyIds = ps.map(_._2.exprId).toSet
+            val restOk = rest.forall {
+              case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: Attribute) =>
+                parentKeyIds.contains(a.exprId)
+              case _ => false
+            }
+            val childLeaves = ps.map(_._1).distinct
+            if (!restOk || childLeaves.size != 1) Iterator.empty
+            else {
+              val joined = ps.map { case (_, ca, pa) => (ca.name, pa.name) }.toSet
+              val ok = paths(childLeaves.head).exists(cp => foreignKeys.exists(
+                fk => fk.childPath == cp && fk.parentPath == pp &&
+                  fk.childCols.zip(fk.parentCols).toSet == joined))
+              if (!ok) Iterator.empty
+              else {
+                // parent attr → its child-side equal, for surviving
+                // outputs; a replaced TOP-LEVEL attribute keeps its
+                // original exprId behind an Alias — on the query side the
+                // surrounding plan references the pre-reduction ids
+                val sub: Map[ExprId, Attribute] =
+                  ps.map { case (_, ca, pa) => pa.exprId -> ca }.toMap
+                val outs = s.outputs.map {
+                  case a: Attribute if sub.contains(a.exprId) =>
+                    Alias(sub(a.exprId), a.name)(exprId = a.exprId)
+                  case ne => ne.transformUp {
+                    case a: Attribute => sub.getOrElse(a.exprId, a)
+                  }.asInstanceOf[NamedExpression]
+                }
+                val leftover = outs.exists(_.references.exists(
+                  a => attrLeaf.get(a.exprId).contains(pi)))
+                if (leftover) Iterator.empty
+                else Iterator.single(Spj(
+                  s.leaves.zipWithIndex.collect { case (l, i) if i != pi => l },
+                  // the child-side inferred IsNotNull on the FK columns is
+                  // equally vacuous (FK columns are declared non-null) and
+                  // the now-smaller query side will not re-infer it
+                  s.conjuncts.filterNot(onParent.contains).filterNot {
+                    case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: Attribute) =>
+                      childKeyIds.contains(a.exprId)
+                    case _ => false
+                  },
+                  outs))
+              }
+            }
+          }
+        }
+      }.nextOption()
+    }
+    var cur = s0
+    var any = false
+    var next = step(cur)
+    while (next.isDefined) { cur = next.get; any = true; next = step(cur) }
+    if (any) Some(cur) else None
+  }
 
   /** Base-table paths a definition reads (subqueries included) — the
     * staleness dependency set, the analogue of the reference's
@@ -598,12 +743,20 @@ object MaterializedViews {
         (qc.isInstanceOf[Union] && mc.isInstanceOf[Union])))
   }
 
-  /** Try to answer an SPJ query subtree from a registered tile. */
+  /** Try to answer an SPJ query subtree from a registered tile — the
+    * full normal forms first, then the FK-UK-reduced ones on either
+    * side (a query-side FK join to a leaf no tile carries is
+    * row-preserving and can be dropped outright — UKFK9's shape). */
   private def spjRewrite(spark: SparkSession, sub: LogicalPlan): Option[LogicalPlan] =
-    normalize(sub).flatMap { q =>
-      registry.iterator.filterNot(_.stale)
-        .filter(e => e.spj.isDefined && leafGate(q.leaves, e.leafCanon)).flatMap { entry =>
-        val m = entry.spj.get
+    normalize(sub).flatMap { q0 =>
+      // reduced form FIRST: when the query's own FK join is droppable, the
+      // tile answer that skips it beats the one that compensates it back
+      (reduceFkUk(q0).toSeq :+ q0).iterator.flatMap { q =>
+      registry.iterator.filterNot(_.stale).flatMap { entry =>
+        entry.spjVariants.iterator.collect {
+          case (m, lc) if leafGate(q.leaves, lc) => (entry, m)
+        }
+      }.flatMap { case (entry, m) =>
         matchLeaves(q.leaves, m.leaves).flatMap { case (sel, extras, sigma) =>
           val u = new Unifier(q, m, sel, extras, sigma)
           if (!u.covered) None
@@ -618,6 +771,7 @@ object MaterializedViews {
             else Some(Project(outs.map(_.get), u.rebuild(scan, resid.get)))
           }
         }
+      }
       }.nextOption()
     }
 
@@ -630,8 +784,7 @@ object MaterializedViews {
     * object, level 3). */
   private def rollup(spark: SparkSession, q: Aggregate): Option[LogicalPlan] =
     registry.iterator.filterNot(_.stale).flatMap { entry =>
-      entry.aggChildSpj match {
-        case Some((gm, am, childM, ms)) =>
+      entry.aggChildSpj.iterator.flatMap { case (gm, am, childM, ms) =>
           normalize(q.child) match {
             case Some(qs) if leafGate(qs.leaves, ms.leaves.map(_.canonicalized)) =>
               matchLeaves(qs.leaves, ms.leaves).flatMap { case (sel, extras, sigma) =>
@@ -824,7 +977,6 @@ object MaterializedViews {
               }
             case _ => None
           }
-        case _ => None
       }
     }.nextOption()
 

@@ -86,7 +86,47 @@ object MvRewriteDemo {
     })
   }
 
+  /** FK-UK join elimination (r14): the tile is lineitem ⋈ orders, but the
+    * declared FK l_orderkey → o_orderkey makes that join row-preserving —
+    * so the REDUCED tile form (lineitem alone) answers a pure-lineitem
+    * query the unreduced tile could never match
+    * (testJoinMaterializationUKFK1-9's capability on TPC-H). The plan
+    * hard-asserts BOTH base tables are gone: at 100 TB this answers
+    * fact-only queries from a fact⋈dim tile without re-scanning either. */
+  private def ukfk(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.t(spark, dir, "lineitem")
+    val orders = Tables.t(spark, dir, "orders")
+    MaterializedViews.declareForeignKey(spark,
+      s"$dir/lineitem.parquet", Seq("l_orderkey"),
+      s"$dir/orders.parquet", Seq("o_orderkey"))
+    try {
+      def tileDef = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_quantity") < 10)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      withTile(spark, "mv_ukfk_tile", tileDef, {
+        val df = lineitem.where(col("l_quantity") < 5)
+          .groupBy(col("l_partkey"))
+          .agg(
+            sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double")
+              .as("revenue"),
+            count(lit(1)).as("n"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("orders.parquet") && !plan.contains("lineitem.parquet"),
+          s"FK-UK elimination did not fully drop the base scans:\n$plan")
+        df
+      })
+    } finally MaterializedViews.clearConstraints()
+  }
+
   def defs: Seq[QDef] = Seq(
+    QDef.sql("mv_ukfk_rewrite",
+      """SELECT l_partkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_quantity < 5
+        |GROUP BY l_partkey""")(ukfk),
     QDef.sql("mv_spj_join_rewrite",
       """SELECT p_brand,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -980,6 +980,217 @@ object MaterializedViews {
       }
     }.nextOption()
 
+  /** GROUPING SETS rollup — a query `Aggregate` over Spark's `Expand`
+    * lowering of CUBE/ROLLUP/GROUPING SETS answered from a PLAIN
+    * aggregate tile (the reference's AggregateToAggregate unification
+    * with Aggregate.groupSets: testAggregateGroupSetsRollUp/RollUp2 and
+    * testAggregateOnProject2-4,
+    * core/src/test/java/org/apache/calcite/test/MaterializationTest.java:777,828).
+    *
+    * The lowered query shape is
+    * {{{
+    *   Aggregate [gCopies..., gid] [outs]
+    *   +- Expand [[pass..., masked grouping exprs..., gidLit], ...]
+    *              [passAttrs..., gCopies..., gid]
+    *      +- <SPJ child>
+    * }}}
+    * The rewrite keeps the Aggregate and Expand SHAPES — same per-set
+    * null masks, same gid literals, same output exprIds, so grouping()/
+    * grouping_id() shells over the gid keep working — and re-bases them
+    * onto the tile: grouping expressions map onto tile GROUPING columns,
+    * each aggregate call re-aggregates its tile column through a fresh
+    * pass-through slot (COUNT→SUM of partial counts, SUM→SUM, MIN→MIN,
+    * MAX→MAX), and query conjuncts beyond the tile's pre-filter the tile
+    * (grouping-column-expressible, hence exact). Sound exactly as plain
+    * rollup is: every grouping set is coarser than the tile grain, so
+    * each set's re-aggregation consumes every base row's partial once.
+    *
+    * At 100 TB this turns a CUBE over the fact table — which Expand
+    * would otherwise multiply by the number of grouping sets BEFORE the
+    * shuffle — into the same Expand over the (tiny) tile. */
+  private def expandRollup(spark: SparkSession, q: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, VirtualColumn}
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    def isNullLit(e: Expression) = e match {
+      case Literal(null, _) => true
+      case _ => false
+    }
+    q.child match {
+      case Expand(projections, exOut, child) if exOut.nonEmpty &&
+          exOut.last.name == VirtualColumn.groupingIdName &&
+          projections.nonEmpty && projections.forall(_.last.isInstanceOf[Literal]) &&
+          q.groupingExpressions.forall(_.isInstanceOf[Attribute]) &&
+          q.groupingExpressions.exists {
+            case a: Attribute => a.exprId == exOut.last.exprId; case _ => false } &&
+          q.groupingExpressions.forall { case a: Attribute =>
+            exOut.exists(_.exprId == a.exprId); case _ => false } =>
+        val gidAttr = exOut.last
+        val groupIds = q.groupingExpressions
+          .collect { case a: Attribute => a.exprId }.toSet
+        val groupPos = (0 until exOut.size - 1)
+          .filter(j => groupIds.contains(exOut(j).exprId))
+        val passPos = (0 until exOut.size - 1)
+          .filterNot(j => groupIds.contains(exOut(j).exprId))
+        // per grouping position: the one unmasked base expression; per
+        // pass-through position: the same child expression in every row
+        val baseExpr: Map[Int, Expression] = groupPos.flatMap { j =>
+          projections.map(_(j)).find(e => !isNullLit(e)).map(j -> _)
+        }.toMap
+        val shapeOk =
+          groupPos.forall(j => baseExpr.contains(j) &&
+            projections.forall(p => isNullLit(p(j)) || p(j) == baseExpr(j))) &&
+          passPos.forall(j => projections.forall(_(j) == projections.head(j)))
+        if (!shapeOk) None
+        else registry.iterator.filterNot(_.stale).flatMap { entry =>
+          entry.aggChildSpj.iterator.flatMap { case (gm, am, childM, ms) =>
+            (normalize(child) match {
+              case Some(qs) if leafGate(qs.leaves, ms.leaves.map(_.canonicalized)) =>
+                matchLeaves(qs.leaves, ms.leaves).flatMap { case (sel, extras, sigma) =>
+                  if (extras.nonEmpty) None
+                  else {
+                    val u = new Unifier(qs, ms, sel, extras, sigma)
+                    if (!u.covered) None
+                    else {
+                      val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+                      val tile = scan.output
+                      val qSub = subMap(child, qs)
+                      val mSub = subMap(childM, ms)
+                      def inQ(e: Expression) = inline(e, qSub)
+                      def inM(e: Expression) = inline(e, mSub)
+                      val mGroup: Map[Expression, Int] = am.zipWithIndex.collect {
+                        case (ne, i)
+                            if !strip(ne).exists(_.isInstanceOf[AggregateExpression]) =>
+                          u.cm(inM(strip(ne))) -> i
+                      }.reverse.toMap
+                      val mGroupPlain: Map[Expression, Int] = am.zipWithIndex.collect {
+                        case (ne, i)
+                            if !strip(ne).exists(_.isInstanceOf[AggregateExpression]) =>
+                          u.cmPlain(inM(strip(ne))) -> i
+                      }.reverse.toMap
+                      val mAggs: Seq[(Int, AggregateExpression)] = am.zipWithIndex.collect {
+                        case (ne, i) => strip(ne) match {
+                          case ae: AggregateExpression => Some((i, ae))
+                          case _ => None
+                        }
+                      }.flatten
+                      // tile-grouping-column mapper (rollup's, minus the
+                      // date_trunc coarsening and compensating leaves)
+                      def mapGroupExpr(c: Expression): Option[Expression] = {
+                        def rec(e: Expression): Option[Expression] = e match {
+                          case l: Literal => Some(l)
+                          case _ => mGroupPlain.get(u.cqPlain(e))
+                            .map(i => tile(i): Expression)
+                            .orElse(mGroup.get(u.cq(e)).map(i => tile(i): Expression))
+                            .orElse(e match {
+                              case _: Attribute => None
+                              case _ if e.children.isEmpty => Some(e)
+                              case _ =>
+                                val kids = e.children.map(rec)
+                                if (kids.forall(_.isDefined))
+                                  Some(e.withNewChildren(kids.map(_.get)))
+                                else None
+                            })
+                        }
+                        rec(c)
+                      }
+                      // grouping expressions onto tile grouping columns
+                      val mappedBase: Map[Int, Option[Expression]] =
+                        groupPos.map(j => j ->
+                          mapGroupExpr(u.toM(inQ(baseExpr(j)))).map(e =>
+                            if (e.dataType == exOut(j).dataType) e
+                            else Cast(e, exOut(j).dataType))).toMap
+                      // aggregate calls: re-base pass-through slots to the
+                      // child expressions they carry, find the tile column
+                      // storing the identical call, re-aggregate it through
+                      // a fresh pass-through slot
+                      val passSub: Map[ExprId, Expression] =
+                        passPos.map(j => exOut(j).exprId -> projections.head(j)).toMap
+                      // pass-through slots REUSE the child attr's exprId, so
+                      // only the masked copies and the gid are barred from
+                      // aggregate arguments (their per-set null masking has
+                      // no tile analogue)
+                      val maskedIds =
+                        (groupPos.map(j => exOut(j).exprId) :+ gidAttr.exprId).toSet
+                      val slots = mutable.LinkedHashMap[Int, AttributeReference]()
+                      def slot(i: Int): Attribute = slots.getOrElseUpdate(i,
+                        AttributeReference(s"_tile_agg_$i", tile(i).dataType)())
+                      def mapAggCall(ae: AggregateExpression): Option[Expression] = {
+                        if (ae.isDistinct || ae.filter.nonEmpty) return None
+                        val rebased = ae.transformUp {
+                          case a: Attribute if passSub.contains(a.exprId) => passSub(a.exprId)
+                        }.asInstanceOf[AggregateExpression]
+                        if (rebased.references.exists(a => maskedIds.contains(a.exprId)))
+                          return None
+                        val canonArgs =
+                          rebased.aggregateFunction.children.map(e => u.cq(inQ(e)))
+                        mAggs.collectFirst {
+                          case (i, mae)
+                              if !mae.isDistinct && mae.filter.isEmpty &&
+                                mae.aggregateFunction.getClass ==
+                                  rebased.aggregateFunction.getClass &&
+                                canonArgs ==
+                                  mae.aggregateFunction.children.map(e => u.cm(inM(e))) =>
+                            val t = slot(i)
+                            val sum: Expression = rebased.aggregateFunction match {
+                              case _: Sum => AggregateExpression(Sum(t), Complete, false)
+                              case _: Count => Coalesce(Seq(
+                                AggregateExpression(Sum(t), Complete, false), Literal(0L)))
+                              case _: Min => AggregateExpression(Min(t), Complete, false)
+                              case _: Max => AggregateExpression(Max(t), Complete, false)
+                              case _ => null
+                            }
+                            Option(sum).map(s =>
+                              if (s.dataType == ae.dataType) s else Cast(s, ae.dataType))
+                        }.flatten
+                      }
+                      def mapOut(ne: NamedExpression): Option[NamedExpression] = ne match {
+                        case a: Attribute => Some(a) // grouping copy / gid
+                        case _ =>
+                          def rec(e: Expression): Option[Expression] = e match {
+                            case ae: AggregateExpression => mapAggCall(ae)
+                            // grouping copies and the gid survive; a bare
+                            // pass-through slot outside an aggregate call
+                            // would dangle once its position is dropped
+                            case a: Attribute =>
+                              if (passSub.contains(a.exprId)) None else Some(a)
+                            case _ =>
+                              val kids = e.children.map(rec)
+                              if (kids.forall(_.isDefined))
+                                Some(e.withNewChildren(kids.map(_.get)))
+                              else None
+                          }
+                          rec(strip(ne)).map(r => Alias(r, ne.name)(exprId = ne.exprId))
+                      }
+                      val residual = u.mapResidual(mapGroupExpr)
+                      val outs = q.aggregateExpressions.map(mapOut)
+                      if (residual.isEmpty || outs.exists(_.isEmpty) ||
+                          mappedBase.values.exists(_.isEmpty)) None
+                      else {
+                        val filtered: LogicalPlan = residual.get match {
+                          case Seq() => scan
+                          case rs => Filter(rs.reduce(And), scan)
+                        }
+                        val keptPos = groupPos :+ (exOut.size - 1)
+                        val newOut = keptPos.map(exOut) ++ slots.values.toSeq
+                        val newProj = projections.map { p =>
+                          groupPos.map(j =>
+                            if (isNullLit(p(j))) p(j) else mappedBase(j).get) ++
+                            Seq(p.last) ++ slots.keys.toSeq.map(i => tile(i): Expression)
+                        }
+                        Some(Aggregate(q.groupingExpressions, outs.map(_.get),
+                          Expand(newProj, newOut, filtered)))
+                      }
+                    }
+                  }
+                }
+              case _ => None
+            }): Option[LogicalPlan]
+          }
+        }.nextOption()
+      case _ => None
+    }
+  }
+
   /** date_trunc formats STRICTLY finer than `f` along the nesting chain
     * (a WEEK boundary does not nest inside MONTH/QUARTER/YEAR, so WEEK
     * only coarsens DAY and below). */
@@ -1206,7 +1417,8 @@ object MaterializedViews {
               }, scan)
             case None =>
               sub match {
-                case agg: Aggregate => rollup(spark, agg).getOrElse(sub)
+                case agg: Aggregate =>
+                  rollup(spark, agg).orElse(expandRollup(spark, agg)).getOrElse(sub)
                 case p @ (_: Project | _: Filter | _: Join) =>
                   spjRewrite(spark, p).getOrElse(sub)
                 case un: Union => unionUnify(spark, un).getOrElse(un)

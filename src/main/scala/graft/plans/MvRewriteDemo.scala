@@ -119,7 +119,41 @@ object MvRewriteDemo {
     } finally MaterializedViews.clearConstraints()
   }
 
+  /** Grouping-sets rollup (r14): a CUBE query re-aggregates a plain
+    * (returnflag, linestatus)-grain tile — the Expand multiplies tile
+    * rows, not fact rows (testAggregateGroupSetsRollUp's capability,
+    * MaterializationTest.java:777). */
+  private def cubeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.t(spark, dir, "lineitem")
+    def tileDef = lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_raw"),
+        count(lit(1)).as("cnt"))
+    withTile(spark, "mv_cube_tile", tileDef, {
+      val df = lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("lineitem.parquet"),
+        s"grouping-sets rollup did not drop the fact scan:\n$plan")
+      df
+    })
+  }
+
   def defs: Seq[QDef] = Seq(
+    QDef.sql("mv_cube_rollup_rewrite",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""")(cubeRollup),
     QDef.sql("mv_ukfk_rewrite",
       """SELECT l_partkey,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -250,29 +250,34 @@ class MaterializationParitySpec extends AnyFunSuite {
     r("testCompensatingCalcWithAggregate2",
       "same under-aggregate residual shape as testCompensatingCalcWithAggregate1, plus a top-filter strengthening"),
     r("testAggregateGroupSets1",
-      "Spark lowers CUBE to Aggregate-over-Expand before the rewrite point; per-grouping-set unification against a plain tile not implemented"),
+      "the MV ITSELF is a CUBE (Aggregate-over-Expand definition); grouping-sets QUERIES over plain tiles rewrite (expandRollup, r14) but a grouping-sets TILE needs Expand-leaf subsumption over differently-pruned children"),
     n("testAggregateGroupSets2",
       "select empid, deptno, count(*) as c, sum(salary) as s from emps group by cube(empid, deptno)",
       "select count(*) + 1 as c, deptno from emps group by rollup(empid, deptno)"),
     m("testAggregateRollUp",
       "select empid, deptno, count(*) as c, sum(empid) as s from emps group by empid, deptno",
       "select count(*) + 1 as c, deptno from emps group by deptno"),
-    r("testAggregateGroupSetsRollUp",
-      "CUBE query — same Expand-lowering limit as testAggregateGroupSets1"),
-    r("testAggregateGroupSetsRollUp2",
-      "CUBE query — same Expand-lowering limit as testAggregateGroupSets1"),
+    m("testAggregateGroupSetsRollUp",
+      "select empid, deptno, count(*) as c, sum(salary) as s from emps group by empid, deptno",
+      "select count(*) + 1 as c, deptno from emps group by cube(empid, deptno)"),
+    m("testAggregateGroupSetsRollUp2",
+      "select empid, deptno, count(*) as c, sum(empid) as s from emps group by empid, deptno",
+      "select count(*) + 1 as c, deptno from emps group by cube(empid, deptno)"),
     m("testAggregateProject",
       "select deptno, count(*) as c, empid + 2, sum(empid) as s from emps group by empid, deptno",
       "select count(*) + 1 as c, deptno from emps group by deptno"),
     m("testAggregateOnProject1",
       "select empid, deptno, count(*) as c, sum(empid) as s from emps group by empid, deptno",
       "select count(*) + 1 as c, deptno from emps group by deptno, empid"),
-    r("testAggregateOnProject2",
-      "CUBE query — same Expand-lowering limit as testAggregateGroupSets1"),
-    r("testAggregateOnProject3",
-      "ROLLUP query — same Expand-lowering limit as testAggregateGroupSets1"),
-    r("testAggregateOnProject4",
-      "ROLLUP query — same Expand-lowering limit as testAggregateGroupSets1"),
+    m("testAggregateOnProject2",
+      "select empid, deptno, count(*) as c, sum(salary) as s from emps group by empid, deptno",
+      "select count(*) + 1 as c, deptno from emps group by cube(deptno, empid)"),
+    m("testAggregateOnProject3",
+      "select empid, deptno, count(*) as c, sum(salary) as s from emps group by empid, deptno",
+      "select count(*) + 1 as c, deptno from emps group by rollup(deptno, empid)"),
+    m("testAggregateOnProject4",
+      "select salary, empid, deptno, count(*) as c, sum(commission) as s from emps group by salary, empid, deptno",
+      "select count(*) + 1 as c, deptno from emps group by rollup(empid, deptno, salary)"),
     m("testAggregateOnProjectAndFilter",
       "select deptno, sum(salary), count(1) from emps group by deptno",
       "select deptno, count(1) from emps where deptno = 10 group by deptno"),

@@ -17,7 +17,11 @@ import graft.QDef
   * queries — q1 (CTE + correlated above-average filter), q17 (fact×fact
   * returns join with decomposed stats), q27 (AVG measures over ROLLUP),
   * q58 (cross-channel equal-share band), q72 (equi + non-equi date-band
-  * join), q95 (double-EXISTS chain with a self-join inside).
+  * join), q95 (double-EXISTS chain with a self-join inside); and the r14
+  * tranche — q57 (monthly deviation with LAG/LEAD neighbors), q32/q92
+  * (correlated excess-discount threshold), q62 (ship-latency bucket
+  * pivot), q76 (tagged-channel union), q44 (best/worst rank-position
+  * join), q61 (promotional-share ratio of two scalar aggregates).
   * Dialect-shared SQL; each doubles as its own DuckDB oracle.
   */
 object Tpcds {
@@ -815,6 +819,115 @@ object Tpcds {
         |    WHERE p2.p_brand = p1.p_brand
         |      AND ((p2.p_type = 'SMALL' AND p2.p_size BETWEEN 5 AND 15)
         |        OR (p2.p_type = 'LARGE' AND p2.p_size BETWEEN 15 AND 25)))
-        |ORDER BY p_name""")
+        |ORDER BY p_name"""),
+
+    // q57 shape (r14) — the call-center monthly deviation twin of q47:
+    // per-(brand, month) sales vs the brand's yearly average, with the
+    // NEIGHBORING months' sales carried through LAG/LEAD in the same
+    // window family; only large deviations with both neighbors survive.
+    QDef.common("tpcds_s_monthneighbor",
+      """WITH v AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sales
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |                JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |  GROUP BY p_brand, EXTRACT(MONTH FROM o_orderdate)
+        |), w AS (
+        |  SELECT brand, mo, sales,
+        |    CAST(SUM(CAST(sales AS DECIMAL(18,4))) OVER (PARTITION BY brand) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY brand) AS avg_sales,
+        |    LAG(sales) OVER (PARTITION BY brand ORDER BY mo) AS prev_sales,
+        |    LEAD(sales) OVER (PARTITION BY brand ORDER BY mo) AS next_sales
+        |  FROM v)
+        |SELECT brand, mo, sales, avg_sales, prev_sales, next_sales
+        |FROM w
+        |WHERE avg_sales > 0 AND abs(sales - avg_sales) / avg_sales > 0.4
+        |  AND prev_sales IS NOT NULL AND next_sales IS NOT NULL
+        |ORDER BY brand, mo"""),
+
+    // q32/q92 shape (r14) — "excess discount": lines whose discount
+    // exceeds 1.3x the per-item average, the threshold a CORRELATED
+    // scalar sub-query against the same fact (decorrelates to a
+    // per-item aggregate joined back — one extra pass, no N+1 scans).
+    QDef.common("tpcds_s_excessdiscount",
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS excess,
+        |  COUNT(*) AS n
+        |FROM lineitem l
+        |WHERE l.l_discount > 1.3 * (
+        |  SELECT CAST(SUM(CAST(l2.l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""),
+
+    // q62 shape (r14) — shipping-latency bucket pivot: per-priority counts
+    // in 30/60/90/90+ day ship-lag bands, one scan, CASE-banded sums
+    // (the interval-shifted comparisons keep the date math portable).
+    QDef.common("tpcds_s_shipbuckets",
+      """SELECT o_orderpriority AS c0,
+        |  CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |                 AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                 AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS d120
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY c0"""),
+
+    // q76 shape (r14) — tagged-channel union: each channel slice carries a
+    // literal tag through a UNION ALL, then one aggregation over the
+    // union (counts + amounts per tag x status).
+    QDef.common("tpcds_s_uniontags",
+      """SELECT channel, c0, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(price AS DECIMAL(28,2))) AS DOUBLE) AS amt
+        |FROM (
+        |  SELECT 'returned' AS channel, l_linestatus AS c0, l_extendedprice AS price
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT 'accepted' AS channel, l_linestatus AS c0, l_extendedprice AS price
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |  UNION ALL
+        |  SELECT 'neither' AS channel, l_linestatus AS c0, l_extendedprice AS price
+        |  FROM lineitem WHERE l_returnflag = 'N'
+        |) u
+        |GROUP BY channel, c0
+        |ORDER BY channel, c0"""),
+
+    // q44 shape (r14) — best/worst performers joined at rank position:
+    // the same per-item net-revenue aggregate ranked ascending AND
+    // descending, the two rankings equi-joined on rank (ties broken by
+    // item so both rankings are total orders).
+    QDef.common("tpcds_s_bestworst",
+      """WITH perf AS (
+        |  SELECT l_partkey AS item,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS net
+        |  FROM lineitem GROUP BY l_partkey),
+        |best AS (
+        |  SELECT item, net, RANK() OVER (ORDER BY net DESC, item) AS r FROM perf),
+        |worst AS (
+        |  SELECT item, net, RANK() OVER (ORDER BY net ASC, item) AS r FROM perf)
+        |SELECT b.r AS rnk, b.item AS best_item, w.item AS worst_item
+        |FROM best b JOIN worst w ON b.r = w.r
+        |WHERE b.r <= 10
+        |ORDER BY rnk"""),
+
+    // q61 shape (r14) — promotional-revenue share: two restricted
+    // aggregates of the same fact cross-joined into one ratio row
+    // (both scalar aggregates broadcast; no fact re-shuffle).
+    QDef.common("tpcds_s_promoratio",
+      """WITH promo AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS p
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type LIKE 'PROMO%'),
+        |total AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS t
+        |  FROM lineitem)
+        |SELECT p AS promo_rev, t AS total_rev, p / t * 100.0 AS pct
+        |FROM promo, total""")
   )
 }

@@ -57,6 +57,8 @@ class TpchCycleSpec extends AnyFunSuite {
     "foodmart_two_fact_ratio", "foodmart_virtual_cube", "join_anti",
     "join_full_outer", "mv_spj_join_rewrite", "mv_agg_rollup_rewrite",
     "mv_ukfk_rewrite", "mv_cube_rollup_rewrite",
+    "tpcds_s_monthneighbor", "tpcds_s_excessdiscount", "tpcds_s_shipbuckets",
+    "tpcds_s_uniontags", "tpcds_s_bestworst", "tpcds_s_promoratio",
     "tpcds_s_yeartotal", "tpcds_s_handoff", "tpcds_s_sharegrowth",
     "tpcds_s_monthpivot", "tpcds_s_weekpivot", "tpcds_s_beforeafter",
     "tpcds_s_orbands", "tpcds_s_existsbands",

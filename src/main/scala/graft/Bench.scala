@@ -174,8 +174,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name write failed: ${e.getMessage}")
       }
-    writeFile("BENCH_FULL.json", renderFull(total, results, sfDir))
-    writeFile("BENCH.json", renderLine(total, results, sfDir))
+    // A PARTIAL run (SPARK_GRAFT_ONLY filter — scale experiments, local
+    // iteration) must never masquerade as the round bench: it writes
+    // SCALE_BENCH*.json instead, and BenchFormatSpec pins the committed
+    // BENCH_FULL.json's n to the registry size (r13 closed with an n=1
+    // ×100-minhash artifact as BENCH.json — this split makes that
+    // structurally impossible).
+    val (fullName, lineName) =
+      if (defs.size == SparkEntry.allDefs.size) ("BENCH_FULL.json", "BENCH.json")
+      else ("SCALE_BENCH_FULL.json", "SCALE_BENCH.json")
+    writeFile(fullName, renderFull(total, results, sfDir))
+    writeFile(lineName, renderLine(total, results, sfDir))
     // Stop BEFORE printing so shutdown log noise precedes the JSON line and
     // the ~2000-char stdout tail the consumer keeps always ends with it.
     spark.stop()

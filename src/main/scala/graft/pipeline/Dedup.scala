@@ -719,7 +719,11 @@ object Dedup {
       .first().getDouble(0)
     val budget = scratchBudgetBytes.getOrElse(usableScratchBytes(docs.sparkSession))
     val numPasses = verifyPasses(pairMass, budget, bands)
-    if (numPasses > 1)
+    // the decision line is the scale-calibration instrument (SCALING.md
+    // records (pairMass, peak scratch) points against MinhashBytesPerPair)
+    // — print it whenever the pair mass is big enough to matter, not only
+    // when the planner slices
+    if (numPasses > 1 || pairMass > 1e6)
       System.err.println(
         f"[minhash-lsh] pair mass $pairMass%.3g -> $numPasses verify passes " +
           f"(budget ${budget / 1e9}%.1f GB)")

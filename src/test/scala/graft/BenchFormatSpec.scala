@@ -9,6 +9,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchFormatSpec extends AnyFunSuite {
 
+  test("committed BENCH_FULL.json is the FULL registry bench (r13 VERDICT #2)") {
+    val text = scala.io.Source.fromFile("BENCH_FULL.json", "UTF-8").mkString
+    val n = """"n":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      .getOrElse(fail("BENCH_FULL.json lost its \"n\" field"))
+    assert(n == SparkEntry.allDefs.size,
+      s"BENCH_FULL.json has n=$n but the registry has ${SparkEntry.allDefs.size} queries — " +
+        "a partial/scale run writes SCALE_BENCH*.json; the full sf0.1 bench must be " +
+        "regenerated whenever the registry changes (r13 shipped an n=1 scale run as the round bench)")
+  }
+
   test("every headline name exists in the registry, exactly once") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size)

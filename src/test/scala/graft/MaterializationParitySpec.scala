@@ -487,13 +487,17 @@ class MaterializationParitySpec extends AnyFunSuite {
     m("testJoinAggregateMaterializationNoAggregateFuncs10",
       "select depts.name, dependents.name as name2, emps.deptno, depts.deptno as deptno2, dependents.empid from depts, dependents, emps where depts.deptno > 10 group by depts.name, dependents.name, emps.deptno, depts.deptno, dependents.empid",
       "select dependents.empid from depts join dependents on (depts.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 10 group by dependents.empid"),
-    r("testJoinAggregateMaterializationAggregateFuncs1",
-      "query reads emps alone from an emps⋈depts tile — requires the schema's FK-UK join-preservation metadata we do not model"),
+    m("testJoinAggregateMaterializationAggregateFuncs1",
+      "select empid, depts.deptno, count(*) as c, sum(empid) as s from emps join depts using (deptno) group by empid, depts.deptno",
+      "select deptno from emps group by deptno",
+      note = "emps-only rollup from an emps⋈depts aggregate tile — the FK makes the tile's depts join row-preserving (r14)"),
     m("testJoinAggregateMaterializationAggregateFuncs2",
       "select empid, emps.deptno, count(*) as c, sum(empid) as s from emps join depts using (deptno) group by empid, emps.deptno",
       "select depts.deptno, count(*) as c, sum(empid) as s from emps join depts using (deptno) group by depts.deptno"),
-    r("testJoinAggregateMaterializationAggregateFuncs3",
-      "emps-only query from a join tile — FK-UK metadata as in AggregateFuncs1"),
+    m("testJoinAggregateMaterializationAggregateFuncs3",
+      "select empid, depts.deptno, count(*) as c, sum(empid) as s from emps join depts using (deptno) group by empid, depts.deptno",
+      "select deptno, empid, sum(empid) as s, count(*) as c from emps group by empid, deptno",
+      note = "emps-only same-level projection from an emps⋈depts aggregate tile via the FK (r14)"),
     m("testJoinAggregateMaterializationAggregateFuncs4",
       "select empid, emps.deptno, count(*) as c, sum(empid) as s from emps join depts using (deptno) where emps.deptno >= 10 group by empid, emps.deptno",
       "select depts.deptno, sum(empid) as s from emps join depts using (deptno) where emps.deptno > 10 group by depts.deptno"),

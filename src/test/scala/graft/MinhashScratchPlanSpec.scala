@@ -34,6 +34,28 @@ class MinhashScratchPlanSpec extends AnyFunSuite {
     assert(Dedup.verifyPasses(1.65e8, 78L * 1000 * 1000 * 1000, 96) == 3)
   }
 
+  test("MinhashBytesPerPair brackets both measured scale points (r14, VERDICT #8)") {
+    // measured on this machine (SCALING.md r13/r14 sections), lz4, no
+    // env vars: (in-bucket pair mass, planner passes K, observed peak
+    // scratch bytes). In-flight pairs per pass = mass / K; the constant
+    // must bound the observed bytes-per-in-flight-pair from ABOVE (or
+    // the planner under-slices into ENOSPC) while staying within 2× of
+    // the largest observed ratio (or it wastefully over-slices).
+    val measured = Seq(
+      ("x50 r14", 8.75e7, 2, 26.6e9),
+      ("x100 r13", 1.65e8, 3, 39.0e9))
+    val ratios = measured.map { case (name, mass, k, peak) =>
+      val perPair = peak / (mass / k)
+      assert(perPair <= Dedup.MinhashBytesPerPair,
+        f"$name: observed $perPair%.0f B/pair exceeds the calibration constant " +
+          s"${Dedup.MinhashBytesPerPair} — the planner would under-slice")
+      perPair
+    }
+    assert(Dedup.MinhashBytesPerPair <= 2 * ratios.max,
+      s"calibration constant ${Dedup.MinhashBytesPerPair} is more than 2x the " +
+        f"largest measured ratio ${ratios.max}%.0f — wastefully over-slicing")
+  }
+
   test("multi-pass verify returns exactly the single-pass pairs") {
     val docs = Tables.t(spark, sfDir, "documents")
     def collect(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

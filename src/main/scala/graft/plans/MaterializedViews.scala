@@ -617,10 +617,39 @@ object MaterializedViews {
       * `empid > 500 AND salary > 6000` jointly implies the MV's
       * `... OR (empid > 400 AND salary > 5000)` — no single conjunct
       * does). */
-    val covered: Boolean =
-      mEqui.forall(c => { val (a, b) = equiPair(c).get; repQ(a) == repQ(b) }) &&
-        mRestCanon.forall(mc =>
-          qRestCanon.contains(mc) || impliesDnf(qRestCanon, mc))
+    private val equiCovered: Boolean =
+      mEqui.forall(c => { val (a, b) = equiPair(c).get; repQ(a) == repQ(b) })
+    /** MV non-equi conjuncts the query does NOT imply — the rows the
+      * tile is missing relative to the query. */
+    val uncoveredRest: Seq[Expression] = mRest.zip(mRestCanon).collect {
+      case (c, mc) if !qRestCanon.contains(mc) && !impliesDnf(qRestCanon, mc) => c
+    }
+    val covered: Boolean = equiCovered && uncoveredRest.isEmpty
+
+    /** Preconditions for RANGE-UNION compensation (the reference
+      * AbstractMaterializedViewRule's union rewriting —
+      * testJoinMaterialization10, MaterializationTest.java:2280, and the
+      * aggregate variants NoAggregateFuncs7/9, AggregateFuncs11): the
+      * tile's filter is strictly NARROWER than the query's, so the
+      * query splits exactly into tile rows plus the base rows where the
+      * tile's extra conjuncts are NOT TRUE (false or null — the
+      * complement filter is null-tolerant, making the split a partition
+      * regardless of the filtered column's nulls). Requires: the MV's
+      * equi-joins all covered, its remaining uncovered conjuncts
+      * deterministic (normalize guarantees it), and every QUERY conjunct
+      * implied by the MV's — the subset direction. */
+    val rangeUnionApplicable: Boolean =
+      equiCovered && uncoveredRest.nonEmpty &&
+        qEqui.forall { c =>
+          val (a, b) = equiPair(c).get
+          sigmaRange(a) && sigmaRange(b) && repM(a) == repM(b)
+        } &&
+        qRestCanon.forall(qc =>
+          mRestCanonSet.contains(qc) || impliesDnf(mRestCanon, qc))
+
+    /** The query's conjuncts σ-rebased onto MV leaf attributes — the
+      * complement arm's filters (equi joins included). */
+    def qConjOnM: Seq[Expression] = qConjM
 
     /** Query conjuncts the tile does not already enforce: non-equi
       * conjuncts not exactly cancelled by an MV conjunct (implied-but-not-
@@ -690,18 +719,43 @@ object MaterializedViews {
     /** Rewrite a σ-rebased query expression onto tile attributes: replace
       * maximal subtrees matching an MV output with the tile column;
       * attributes of compensating leaves pass through; any other surviving
-      * attribute needs data the tile does not store — not answerable. */
+      * attribute needs data the tile does not store — not answerable,
+      * UNLESS the tile stores a lossless WIDENING CAST of it
+      * (testJoinMaterialization5/6, MaterializationTest.java:2201: the
+      * tile stores cast(empid as bigint); int→bigint is injective, so
+      * bare empid is recoverable as cast(tile_col as int)). */
     def mapExpr(e: Expression, tile: Seq[Attribute]): Option[Expression] = {
       // the extra-attr check runs BEFORE the canonical lookup: the
       // equivalence classes would otherwise redirect a compensating
       // leaf's join key into the tile column it equals, collapsing the
       // compensating join's condition into a tautology (cartesian)
+      def castInverse(a: Attribute): Option[Expression] = {
+        import org.apache.spark.sql.types._
+        val wider: Seq[DataType] = a.dataType match {
+          case ByteType => Seq(ShortType, IntegerType, LongType)
+          case ShortType => Seq(IntegerType, LongType)
+          case IntegerType => Seq(LongType)
+          case FloatType => Seq(DoubleType)
+          case _ => Seq.empty
+        }
+        // the stored Cast's evalMode depends on the session the MV was
+        // analyzed under — probe both spellings
+        val modes = Seq(
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY,
+          org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+        wider.view.flatMap { t =>
+          modes.view.flatMap { m =>
+            val probe: Expression = Cast(a, t, None, m)
+            mOutPlain.get(cqPlain(probe)).orElse(mOut.get(cq(probe)))
+          }.headOption
+        }.headOption.map(i => Cast(tile(i), a.dataType): Expression)
+      }
       def rec(x: Expression): Option[Expression] = x match {
         case a: Attribute if extraAttrIds(a.exprId) => Some(a)
         case l: Literal => Some(l)
         case _ => mOutPlain.get(cqPlain(x)).map(i => tile(i): Expression)
           .orElse(mOut.get(cq(x)).map(i => tile(i): Expression)).orElse(x match {
-          case _: Attribute => None
+          case a: Attribute => castInverse(a)
           case _ if x.children.isEmpty => Some(x)
           case _ =>
             val kids = x.children.map(rec)
@@ -729,6 +783,35 @@ object MaterializedViews {
       if (remaining.nonEmpty) plan = Filter(remaining.reduce(And), plan)
       plan
     }
+  }
+
+  /** `NOT (e IS TRUE)` — the range-union complement filter: keeps rows
+    * where `e` is false OR null, so tile-arm (e true) plus complement-arm
+    * partition the input exactly, nulls included. */
+  private def notTrue(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Not(
+      Coalesce(Seq(e, Literal(false))))
+
+  /** Reconstruct an executable plan from normal-form pieces, attaching
+    * each conjunct at the LOWEST level where its references resolve —
+    * the optimizer has already run (extraOptimizations), so nothing
+    * re-pushes a filter left on top, and an unconditioned Join would
+    * execute as a cartesian product. */
+  private def rebuildSpj(leaves: Seq[LogicalPlan], conjuncts: Seq[Expression],
+      outputs: Seq[NamedExpression]): LogicalPlan = {
+    var plan: LogicalPlan = leaves.head
+    var remaining = conjuncts
+    val (now0, later0) = remaining.partition(_.references.subsetOf(plan.outputSet))
+    if (now0.nonEmpty) plan = Filter(now0.reduce(And), plan)
+    remaining = later0
+    for (x <- leaves.tail) {
+      val avail = AttributeSet(plan.output ++ x.output)
+      val (now, later) = remaining.partition(_.references.subsetOf(avail))
+      plan = Join(plan, x, Inner, now.reduceOption(And), JoinHint.NONE)
+      remaining = later
+    }
+    if (remaining.nonEmpty) plan = Filter(remaining.reduce(And), plan)
+    Project(outputs, plan)
   }
 
   /** Cheap pre-gate: every MV leaf must have SOME plausible partner among
@@ -759,8 +842,7 @@ object MaterializedViews {
       }.flatMap { case (entry, m) =>
         matchLeaves(q.leaves, m.leaves).flatMap { case (sel, extras, sigma) =>
           val u = new Unifier(q, m, sel, extras, sigma)
-          if (!u.covered) None
-          else {
+          if (u.covered) {
             val scan = spark.read.parquet(entry.path).queryExecution.analyzed
             val tile = scan.output
             val resid = u.mapResidual(u.mapExpr(_, tile))
@@ -769,7 +851,27 @@ object MaterializedViews {
                 Alias(e, ne.name)(exprId = ne.exprId)))
             if (resid.isEmpty || outs.exists(_.isEmpty)) None
             else Some(Project(outs.map(_.get), u.rebuild(scan, resid.get)))
-          }
+          } else if (u.rangeUnionApplicable && extras.isEmpty) {
+            // RANGE-UNION compensation (testJoinMaterialization10): tile
+            // rows are a strict subset of the query's — answer with
+            // tile UNION ALL the base slice where the tile's extra
+            // conjuncts are NOT TRUE. No residual on the tile arm: the
+            // subset direction makes every query conjunct vacuous there.
+            val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+            val tile = scan.output
+            val outs = q.outputs.map(ne =>
+              u.mapExpr(u.toM(strip(ne)), tile).map(e =>
+                Alias(e, ne.name)(exprId = ne.exprId)))
+            if (outs.exists(_.isEmpty)) None
+            else {
+              val armA = Project(outs.map(_.get), scan)
+              val armB = rebuildSpj(m.leaves,
+                u.qConjOnM :+ notTrue(u.uncoveredRest.reduce(And)),
+                q.outputs.map(ne =>
+                  Alias(u.toM(strip(ne)), ne.name)(exprId = ne.exprId)))
+              Some(Union(Seq(armA, armB)))
+            }
+          } else None
         }
       }
       }.nextOption()
@@ -789,9 +891,26 @@ object MaterializedViews {
             case Some(qs) if leafGate(qs.leaves, ms.leaves.map(_.canonicalized)) =>
               matchLeaves(qs.leaves, ms.leaves).flatMap { case (sel, extras, sigma) =>
                 val u = new Unifier(qs, ms, sel, extras, sigma)
-                if (!u.covered) None else {
+                // RANGE-UNION at the tile grain (NoAggregateFuncs7/9,
+                // AggregateFuncs11): when the tile's filter is narrower,
+                // a parallel Aggregate over the complement slice — the MV
+                // definition re-instantiated with the query's filters AND
+                // the tile's extra conjuncts NOT TRUE — supplies the
+                // missing tile-grain partials; the union re-aggregates
+                // below. Sound for the re-aggregation paths (SUM/COUNT
+                // partials add across the split; MIN/MAX and
+                // grouping-column DISTINCT are multiplicity-insensitive);
+                // the same-level shortcut is disabled because a group may
+                // now span both arms as two partial rows.
+                val rangeUnion = !u.covered && u.rangeUnionApplicable && extras.isEmpty
+                if (!u.covered && !rangeUnion) None else {
                 val scan = spark.read.parquet(entry.path).queryExecution.analyzed
                 val tile = scan.output
+                val tileOrUnion: LogicalPlan =
+                  if (!rangeUnion) scan
+                  else Union(Seq(scan, Aggregate(gm, am, rebuildSpj(ms.leaves,
+                    u.qConjOnM :+ notTrue(u.uncoveredRest.reduce(And)),
+                    ms.outputs))))
                 // group exprs / agg calls are in CHILD-output terms on both
                 // sides — inline them into leaf terms first
                 val qSub = subMap(q.child, qs)
@@ -825,7 +944,8 @@ object MaterializedViews {
                 // multiplied by the join — a re-aggregation is always
                 // required, so the project-only shortcut needs equal
                 // grouping AND no extras
-                val sameLevel = extras.isEmpty && qGroupCanon.toSet == mGroupCanon.toSet
+                val sameLevel = extras.isEmpty && !rangeUnion &&
+                  qGroupCanon.toSet == mGroupCanon.toSet
 
                 // map a grouping-level expression onto tile GROUPING
                 // columns (plus compensating-leaf columns): replace maximal
@@ -966,7 +1086,7 @@ object MaterializedViews {
                 if (groups.exists(_.isEmpty) || residual.isEmpty ||
                     outs.exists(_.isEmpty)) None
                 else {
-                  val child = u.rebuild(scan, residual.get)
+                  val child = u.rebuild(tileOrUnion, residual.get)
                   if (sameLevel)
                     // one tile row per group: no aggregation needed at all
                     Some(Project(outs.map(_.get), child))

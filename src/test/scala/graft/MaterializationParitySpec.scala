@@ -477,13 +477,19 @@ class MaterializationParitySpec extends AnyFunSuite {
     m("testJoinAggregateMaterializationNoAggregateFuncs6",
       "select depts.deptno, emps.empid from depts join emps using (deptno) where emps.empid > 10 group by depts.deptno, emps.empid",
       "select depts.deptno from depts join emps using (deptno) where emps.empid > 15 group by depts.deptno"),
-    r("testJoinAggregateMaterializationNoAggregateFuncs7",
-      "deptno>10 only partially overlaps the tile's deptno>11 — needs the reference's range-union compensation (tile slice UNION base slice)"),
+    m("testJoinAggregateMaterializationNoAggregateFuncs7",
+      "select depts.deptno, dependents.empid from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 11 group by depts.deptno, dependents.empid",
+      "select dependents.empid from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 10 group by dependents.empid",
+      partial = true,
+      note = "tile-grain range-union (r14): tile UNION ALL re-grouped complement slice, re-aggregated"),
     n("testJoinAggregateMaterializationNoAggregateFuncs8",
       "select depts.deptno, dependents.empid from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 20 group by depts.deptno, dependents.empid",
       "select dependents.empid from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 10 and depts.deptno < 20 group by dependents.empid"),
-    r("testJoinAggregateMaterializationNoAggregateFuncs9",
-      "(10,20) strictly contains the tile's (11,19) — range-union compensation as in NoAggregateFuncs7"),
+    m("testJoinAggregateMaterializationNoAggregateFuncs9",
+      "select depts.deptno, dependents.empid from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 11 and depts.deptno < 19 group by depts.deptno, dependents.empid",
+      "select dependents.empid from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 10 and depts.deptno < 20 group by dependents.empid",
+      partial = true,
+      note = "two-sided range-union (r14): both tile bounds land in the complement filter"),
     m("testJoinAggregateMaterializationNoAggregateFuncs10",
       "select depts.name, dependents.name as name2, emps.deptno, depts.deptno as deptno2, dependents.empid from depts, dependents, emps where depts.deptno > 10 group by depts.name, dependents.name, emps.deptno, depts.deptno, dependents.empid",
       "select dependents.empid from depts join dependents on (depts.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 10 group by dependents.empid"),
@@ -522,8 +528,11 @@ class MaterializationParitySpec extends AnyFunSuite {
     n("testJoinAggregateMaterializationAggregateFuncs10",
       "select dependents.empid, emps.deptno, count(distinct salary) as s from emps join dependents on (emps.empid = dependents.empid) group by dependents.empid, emps.deptno",
       "select emps.deptno, count(distinct salary) as s from emps join dependents on (emps.empid = dependents.empid) group by emps.deptno"),
-    r("testJoinAggregateMaterializationAggregateFuncs11",
-      "(10,20) vs tile (11,19) — range-union compensation as in NoAggregateFuncs7"),
+    m("testJoinAggregateMaterializationAggregateFuncs11",
+      "select depts.deptno, dependents.empid, count(emps.salary) as s from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 11 and depts.deptno < 19 group by depts.deptno, dependents.empid",
+      "select dependents.empid, count(emps.salary) + 1 from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 10 and depts.deptno < 20 group by dependents.empid",
+      partial = true,
+      note = "range-union with COUNT partials: tile counts + complement-slice counts re-added by the SUM rollup (r14)"),
     n("testJoinAggregateMaterializationAggregateFuncs12",
       "select depts.deptno, dependents.empid, count(distinct emps.salary) as s from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 11 and depts.deptno < 19 group by depts.deptno, dependents.empid",
       "select dependents.empid, count(distinct emps.salary) + 1 from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 10 and depts.deptno < 20 group by dependents.empid"),
@@ -538,10 +547,14 @@ class MaterializationParitySpec extends AnyFunSuite {
     m("testJoinMaterialization4",
       "select empid deptno from emps join depts using (deptno)",
       "select empid deptno from emps join depts using (deptno) where empid = 1"),
-    r("testJoinMaterialization5",
-      "the tile stores cast(empid as bigint) only; recovering bare empid for the residual needs lossless-cast inverse mapping"),
-    r("testJoinMaterialization6",
-      "cast-inverse mapping as in testJoinMaterialization5"),
+    m("testJoinMaterialization5",
+      "select cast(empid as BIGINT) from emps join depts using (deptno)",
+      "select empid deptno from emps join depts using (deptno) where empid > 1",
+      note = "bare empid recovered as cast(tile as int) — widening casts are injective (r14)"),
+    m("testJoinMaterialization6",
+      "select cast(empid as BIGINT) from emps join depts using (deptno)",
+      "select empid deptno from emps join depts using (deptno) where empid = 1",
+      note = "cast-inverse mapping as in testJoinMaterialization5 (r14)"),
     m("testJoinMaterialization7",
       "select depts.name from emps join depts on (emps.deptno = depts.deptno)",
       "select dependents.empid from emps join depts on (emps.deptno = depts.deptno) join dependents on (depts.name = dependents.name)",
@@ -555,8 +568,11 @@ class MaterializationParitySpec extends AnyFunSuite {
       "select depts.name from emps join depts on (emps.deptno = depts.deptno)",
       "select dependents.empid from depts join dependents on (depts.name = dependents.name) join locations on (locations.name = dependents.name) join emps on (emps.deptno = depts.deptno)",
       partial = true),
-    r("testJoinMaterialization10",
-      "deptno>10 from a deptno>30 tile — range-union compensation as in NoAggregateFuncs7"),
+    m("testJoinMaterialization10",
+      "select depts.deptno, dependents.empid from depts join dependents on (depts.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 30",
+      "select dependents.empid from depts join dependents on (depts.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 10",
+      partial = true,
+      note = "range-union compensation (r14): tile UNION ALL base slice where deptno > 10 and not (deptno > 30) is true"),
     r("testJoinMaterialization11",
       "the IN subquery lowers to a LeftSemi join before the rewrite point; semi-join unification against an inner-join tile not implemented"),
     m("testJoinMaterialization12",
@@ -747,11 +763,16 @@ class MaterializationParitySpec extends AnyFunSuite {
       "select empid, deptno, salary from emps where empid = 100",
       "select empid, deptno, salary from emps where empid = 100 and deptno = 10",
       "a").contains("splitfilter_a"))
-    // ...but an x = 1 query can NOT use an x = 1 AND y = 2 tile
-    assert(!tilePlan(
+    // ...and an x = 1 query against an x = 1 AND y = 2 tile takes the
+    // range-union path (r14): tile UNION the y-=-2-not-true base slice —
+    // the reference's splitFilter returns null here (no rewrite); ours
+    // is a sound superset via union compensation
+    val planB = tilePlan(
       "select empid, deptno, salary from emps where empid = 100 and deptno = 10",
       "select empid, deptno, salary from emps where empid = 100",
-      "b").contains("splitfilter_b"))
+      "b")
+    assert(planB.contains("splitfilter_b") && planB.contains("Union"),
+      s"expected the union-compensated rewrite:\n$planB")
     // 1 = x spelling matches x = 1 (operand normalization)
     assert(tilePlan(
       "select empid, deptno, salary from emps where empid = 100",

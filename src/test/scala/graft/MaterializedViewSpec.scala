@@ -117,10 +117,19 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(!physical.contains("lineitem.parquet"), s"fact table still scanned:\n$physical")
     val got = rewritten.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got == want)
-    // a query whose predicate does NOT subsume the MV's is untouched
-    val other = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") > 5.0)
-    assert(!other.queryExecution.executedPlan.toString.contains("filt_tile"),
-      "weaker predicate wrongly answered from the tile")
+    // a WEAKER predicate is answered by range-union compensation (r14):
+    // tile rows plus the base slice where the tile's filter is not true
+    def weaker() = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") > 5.0).select("l_orderkey", "l_linenumber")
+    MaterializedViews.drop("mv_filt")
+    val wantW = weaker().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    MaterializedViews.create(spark, "mv_filt", mvDef(), "/tmp/graft_mv/filt_tile")
+    val w = weaker()
+    val wPlan = w.queryExecution.executedPlan.toString
+    assert(wPlan.contains("filt_tile") && wPlan.contains("Union"),
+      s"weaker predicate should take the range-union path:\n$wPlan")
+    assert(w.collect().map(r => (r.getLong(0), r.getInt(1))).toSet == wantW,
+      "range-union values diverge from direct evaluation")
     MaterializedViews.drop("mv_filt")
   }
 
@@ -140,15 +149,24 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(!physical.contains("lineitem.parquet"), s"fact table still scanned:\n$physical")
     val got = rewritten.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got == want)
-    // equality below the MV bound must NOT be served (20 = 20 edge is fine,
-    // 5 is not): x > 5 does not imply x > 10
-    val weaker = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") > 5.0)
-    assert(!weaker.queryExecution.executedPlan.toString.contains("rng_tile"),
-      "weaker range wrongly answered from the tile")
-    // boundary: x >= 10 does NOT imply x > 10
-    val boundary = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") >= 10.0)
-    assert(!boundary.queryExecution.executedPlan.toString.contains("rng_tile"),
-      "x >= 10 wrongly served from the x > 10 tile")
+    // x > 5 does not imply x > 10, so a tile-only answer is impossible —
+    // range-union compensation (r14) serves it as tile UNION ALL the
+    // 5 < x <= 10 base slice instead; same for the x >= 10 boundary,
+    // whose complement is exactly the x = 10 rows
+    def cnt(df: org.apache.spark.sql.DataFrame): Long = df.count()
+    def weaker() = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") > 5.0)
+    def boundary() = Tables.t(spark, sfDir, "lineitem").where(col("l_quantity") >= 10.0)
+    MaterializedViews.drop("mv_rng")
+    val (wantWeaker, wantBoundary) = (cnt(weaker()), cnt(boundary()))
+    MaterializedViews.create(spark, "mv_rng", mvDef(), "/tmp/graft_mv/rng_tile")
+    val wPlan = weaker().queryExecution.executedPlan.toString
+    assert(wPlan.contains("rng_tile") && wPlan.contains("Union"),
+      s"weaker range should take the range-union path:\n$wPlan")
+    assert(cnt(weaker()) == wantWeaker, "range-union row count diverges (weaker)")
+    val bPlan = boundary().queryExecution.executedPlan.toString
+    assert(bPlan.contains("rng_tile") && bPlan.contains("Union"),
+      s"boundary should take the range-union path:\n$bPlan")
+    assert(cnt(boundary()) == wantBoundary, "range-union row count diverges (boundary)")
     MaterializedViews.drop("mv_rng")
   }
 

@@ -1100,6 +1100,120 @@ object MaterializedViews {
       }
     }.nextOption()
 
+  /** FILTERED-AGGREGATE tile, same level — the reference's Calc-over-
+    * Aggregate compensation (testCompensatingCalcWithAggregate1/2,
+    * MaterializationTest.java:702): the MV is `Filter(mf, Aggregate)`
+    * (groups pre-filtered on their aggregate outputs), the query is
+    * `Filter(qf, Aggregate)` at the SAME grouping level whose child may
+    * add extra conjuncts E over GROUPING columns (each group's row set
+    * is then identical between the two sides, E only selects whole
+    * groups). Answerable from the tile when qf ∧ E implies every mf
+    * conjunct — the tile's missing groups are exactly ones the query
+    * discards anyway — by filtering tile rows with the mapped qf ∧ E.
+    */
+  private def filteredRollup(spark: SparkSession, qTop: Filter): Option[LogicalPlan] = {
+    val (qfConjs, qa) = qTop match {
+      case Filter(c, a: Aggregate) => (Conjuncts.split(c), a)
+      case _ => return None
+    }
+    registry.iterator.filterNot(_.stale).flatMap { entry =>
+      (entry.optimized match {
+        case Filter(mc, Aggregate(gm, am, childM, _)) =>
+          normalize(childM).map(ms => (Conjuncts.split(mc), gm, am, childM, ms))
+        case _ => None
+      }).iterator.flatMap { case (mfConjs, gm, am, childM, ms) =>
+        (normalize(qa.child) match {
+          case Some(qs) if leafGate(qs.leaves, ms.leaves.map(_.canonicalized)) =>
+            matchLeaves(qs.leaves, ms.leaves).flatMap { case (sel, extras, sigma) =>
+              if (extras.nonEmpty) None
+              else {
+                val u = new Unifier(qs, ms, sel, extras, sigma)
+                if (!u.covered) None
+                else {
+                  val qSub = subMap(qa.child, qs)
+                  val mSub = subMap(childM, ms)
+                  def inQ(e: Expression) = inline(e, qSub)
+                  def inM(e: Expression) = inline(e, mSub)
+                  // same grouping level only — each tile row IS one group
+                  val qGroupCanon = qa.groupingExpressions.map(e => u.cq(inQ(e)))
+                  val mGroupCanon = gm.map(e => u.cm(inM(e)))
+                  if (qGroupCanon.toSet != mGroupCanon.toSet) None
+                  else {
+                    val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+                    val tile = scan.output
+                    val mAll: Map[Expression, Int] =
+                      am.map(ne => u.cm(inM(strip(ne)))).zipWithIndex.reverse.toMap
+                    // map a query expression ALREADY INLINED to leaf+agg
+                    // terms onto tile columns (whole-output shells, then
+                    // recursion; bare leaf attrs only via stored columns)
+                    def mapQ(e: Expression): Option[Expression] = {
+                      def rec(x: Expression): Option[Expression] = x match {
+                        case l: Literal => Some(l)
+                        case _ => mAll.get(u.cq(x)).map(i => tile(i): Expression)
+                          .orElse(x match {
+                            case _: Attribute => None
+                            case _: AggregateExpression => None
+                            case _ if x.children.isEmpty => Some(x)
+                            case _ =>
+                              val kids = x.children.map(rec)
+                              if (kids.forall(_.isDefined))
+                                Some(x.withNewChildren(kids.map(_.get)))
+                              else None
+                          })
+                      }
+                      rec(e)
+                    }
+                    // the query's top-filter conjuncts in leaf+agg terms:
+                    // substitute the aggregate's output attrs by their
+                    // defining expressions, then inline the child
+                    val aqById: Map[ExprId, Expression] =
+                      qa.aggregateExpressions.map(ne => ne.exprId -> strip(ne)).toMap
+                    def hoist(c: Expression): Expression =
+                      inQ(c.transformUp {
+                        case a: Attribute => aqById.getOrElse(a.exprId, a)
+                      })
+                    val amById: Map[ExprId, Expression] =
+                      am.map(ne => ne.exprId -> strip(ne)).toMap
+                    def hoistM(c: Expression): Expression =
+                      inM(c.transformUp {
+                        case a: Attribute => amById.getOrElse(a.exprId, a)
+                      })
+                    // E = query child conjuncts beyond the MV's; they must
+                    // sit on grouping columns (whole-group selectors) —
+                    // mGroup-mappable is exactly that
+                    val eConjs = u.residual
+                    // antecedent for mf implication: qf + E, canonicalized
+                    val qfHoisted = qfConjs.map(hoist)
+                    val anteCanon = qfHoisted.map(u.cq) ++ eConjs.map(u.cq)
+                    val mfCovered = mfConjs.map(hoistM).map(u.cm).forall(mc =>
+                      anteCanon.contains(mc) || impliesDnf(anteCanon, mc))
+                    if (!mfCovered) None
+                    else {
+                      val mappedFilter =
+                        sequence(qfHoisted.map(mapQ) ++ eConjs.map(mapQ))
+                      val outs = qTop.output.zip(qa.aggregateExpressions).map {
+                        case (o, ne) => mapQ(u.toM(inQ(strip(ne))))
+                          .map(e => Alias(e, o.name)(exprId = o.exprId))
+                      }
+                      if (mappedFilter.isEmpty || outs.exists(_.isEmpty)) None
+                      else {
+                        val filtered: LogicalPlan = mappedFilter.get match {
+                          case Seq() => scan
+                          case cs => Filter(cs.reduce(And), scan)
+                        }
+                        Some(Project(outs.map(_.get), filtered))
+                      }
+                    }
+                  }
+                }
+              }
+            }
+          case _ => None
+        }): Option[LogicalPlan]
+      }
+    }.nextOption()
+  }
+
   /** GROUPING SETS rollup — a query `Aggregate` over Spark's `Expand`
     * lowering of CUBE/ROLLUP/GROUPING SETS answered from a PLAIN
     * aggregate tile (the reference's AggregateToAggregate unification
@@ -1539,7 +1653,9 @@ object MaterializedViews {
               sub match {
                 case agg: Aggregate =>
                   rollup(spark, agg).orElse(expandRollup(spark, agg)).getOrElse(sub)
-                case p @ (_: Project | _: Filter | _: Join) =>
+                case f: Filter =>
+                  spjRewrite(spark, f).orElse(filteredRollup(spark, f)).getOrElse(sub)
+                case p @ (_: Project | _: Join) =>
                   spjRewrite(spark, p).getOrElse(sub)
                 case un: Union => unionUnify(spark, un).getOrElse(un)
                 case _ => sub

@@ -245,10 +245,14 @@ class MaterializationParitySpec extends AnyFunSuite {
     m("testCompensatingCalcWithAggregate0",
       "select * from (select deptno, sum(salary) as sum_salary, sum(commission) from emps group by deptno) where sum_salary > 10",
       "select * from (select deptno, sum(salary) as sum_salary from emps group by deptno) where sum_salary > 10"),
-    r("testCompensatingCalcWithAggregate1",
-      "query adds a residual filter UNDER the shared aggregate; compensating through an Aggregate-leaf boundary (filter + re-group inside the leaf) is beyond whole-leaf subsumption"),
-    r("testCompensatingCalcWithAggregate2",
-      "same under-aggregate residual shape as testCompensatingCalcWithAggregate1, plus a top-filter strengthening"),
+    m("testCompensatingCalcWithAggregate1",
+      "select * from (select deptno, sum(salary) as sum_salary, sum(commission) from emps group by deptno) where sum_salary > 10",
+      "select * from (select deptno, sum(salary) as sum_salary from emps where deptno >= 20 group by deptno) where sum_salary > 10",
+      note = "filtered-aggregate tile (r14): the under-aggregate deptno >= 20 selects whole groups, the shared top filter matches — tile rows filtered by both"),
+    m("testCompensatingCalcWithAggregate2",
+      "select * from (select deptno, sum(salary) as sum_salary, sum(commission) from emps where deptno >= 10 group by deptno) where sum_salary > 10",
+      "select * from (select deptno, sum(salary) as sum_salary from emps where deptno >= 20 group by deptno) where sum_salary > 20",
+      note = "as CompensatingCalcWithAggregate1 plus top-filter strengthening: sum_salary > 20 implies the tile's > 10 (r14)"),
     r("testAggregateGroupSets1",
       "the MV ITSELF is a CUBE (Aggregate-over-Expand definition); grouping-sets QUERIES over plain tiles rewrite (expandRollup, r14) but a grouping-sets TILE needs Expand-leaf subsumption over differently-pruned children"),
     n("testAggregateGroupSets2",

@@ -4,7 +4,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, Coalesce, EqualTo, Expression, ExprId, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, Or, PredicateHelper, SubqueryExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, Sort, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -152,17 +152,59 @@ object MaterializedViews {
     * child-side equals first; a parent attribute used anywhere else
     * keeps the leaf. Iterated to fixpoint (UKFK6 joins depts twice).
     * Returns None when nothing was eliminable. */
-  private def reduceFkUk(s0: Spj): Option[Spj] = {
-    if (foreignKeys.isEmpty) return None
-    def leafPath(p: LogicalPlan): Option[String] = p match {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.headOption.map(_.toString)
+  /** The parquet path behind a bare relation leaf — the key constraint
+    * declarations are registered under. */
+  private def leafPath(p: LogicalPlan): Option[String] = p match {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.location.rootPaths.headOption.map(_.toString)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Is this LeftSemi join a NO-OP under a declared FK? True when the
+    * right side is the BARE parent table (no filters — any would break
+    * the guarantee), the condition equates one left leaf's FK columns
+    * with the parent's full unique key, and the declaration promises
+    * every left row a match — `deptno IN (select deptno from depts)`
+    * filters nothing (testJoinMaterialization11's query side,
+    * MaterializationTest.java:2299). */
+  private def semiFkNoOp(l: LogicalPlan, r: LogicalPlan, cond: Expression): Boolean = {
+    if (foreignKeys.isEmpty) return false
+    (normalize(l), normalize(r)) match {
+      case (Some(ls), Some(rs)) if rs.conjuncts.isEmpty && rs.leaves.size == 1 =>
+        val parent = rs.leaves.head
+        val rightIds = parent.output.map(_.exprId).toSet
+        def leftLeafOf(a: Attribute): Option[Int] =
+          ls.leaves.indices.find(i => ls.leaves(i).output.exists(_.exprId == a.exprId))
+        val pairs = Conjuncts.split(cond).map {
+          case EqualTo(a: Attribute, b: Attribute) if rightIds.contains(b.exprId) =>
+            leftLeafOf(a).map(i => (i, a, b))
+          case EqualTo(b: Attribute, a: Attribute) if rightIds.contains(b.exprId) =>
+            leftLeafOf(a).map(i => (i, a, b))
           case _ => None
         }
-      case _ => None
+        pairs.nonEmpty && pairs.forall(_.isDefined) && {
+          val ps = pairs.map(_.get)
+          val childLeaves = ps.map(_._1).distinct
+          childLeaves.size == 1 && {
+            val joined = ps.map { case (_, ca, pa) => (ca.name, pa.name) }.toSet
+            (leafPath(ls.leaves(childLeaves.head)), leafPath(parent)) match {
+              case (Some(cp), Some(pp)) => foreignKeys.exists(fk =>
+                fk.childPath == cp && fk.parentPath == pp &&
+                  fk.childCols.zip(fk.parentCols).toSet == joined)
+              case _ => false
+            }
+          }
+        }
+      case _ => false
     }
+  }
+
+  private def reduceFkUk(s0: Spj): Option[Spj] = {
+    if (foreignKeys.isEmpty) return None
     def step(s: Spj): Option[Spj] = {
       val paths = s.leaves.map(leafPath)
       val attrLeaf: Map[ExprId, Int] = s.leaves.zipWithIndex.flatMap {
@@ -409,6 +451,10 @@ object MaterializedViews {
           else Some(s.copy(conjuncts =
             s.conjuncts ++ Conjuncts.split(inline(cond, subMap(c, s)))))
         }
+      // an FK-guaranteed membership test keeps every left row — the semi
+      // join normalizes to its left side alone
+      case Join(l, r, LeftSemi, Some(cond), _) if ok(cond) && semiFkNoOp(l, r, cond) =>
+        normalize(l)
       case Join(l, r, Inner | Cross, cond, _) =>
         for {
           ls <- normalize(l); rs <- normalize(r)
@@ -1214,6 +1260,158 @@ object MaterializedViews {
     }.nextOption()
   }
 
+  /** SAME-LEVEL grouping-sets tile (testAggregateGroupSets1,
+    * MaterializationTest.java:743): both the MV and the query are
+    * CUBE/ROLLUP/GROUPING SETS aggregates over the SAME child with the
+    * SAME grouping sets — each tile row is exactly one (set, group) of
+    * the query, so the rewrite is a pure Project over the tile. The gid
+    * itself is not stored (and need not be: a projection consumes tile
+    * rows 1:1, set-ambiguous null groups included), so query outputs
+    * referencing it — grouping()/grouping_id() — bail to base. */
+  private def expandSameLevel(spark: SparkSession, q: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.VirtualColumn
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    def isNullLit(e: Expression) = e match {
+      case Literal(null, _) => true
+      case _ => false
+    }
+    /** (expand, grouping positions, per-position base expr, gid attr) —
+      * None when the shape is not the grouping-sets lowering. */
+    def parse(agg: Aggregate): Option[(Expand, Seq[Int], Map[Int, Expression], Attribute)] =
+      agg.child match {
+        case ex @ Expand(projections, exOut, _) if exOut.nonEmpty &&
+            exOut.last.name == VirtualColumn.groupingIdName &&
+            projections.nonEmpty && projections.forall(_.last.isInstanceOf[Literal]) &&
+            agg.groupingExpressions.forall(_.isInstanceOf[Attribute]) &&
+            agg.groupingExpressions.exists {
+              case a: Attribute => a.exprId == exOut.last.exprId; case _ => false } =>
+          val groupIds = agg.groupingExpressions
+            .collect { case a: Attribute => a.exprId }.toSet
+          val groupPos = (0 until exOut.size - 1)
+            .filter(j => groupIds.contains(exOut(j).exprId))
+          val baseExpr: Map[Int, Expression] = groupPos.flatMap { j =>
+            projections.map(_(j)).find(e => !isNullLit(e)).map(j -> _)
+          }.toMap
+          val ok = groupPos.forall(j => baseExpr.contains(j) &&
+            projections.forall(p => isNullLit(p(j)) || p(j) == baseExpr(j)))
+          if (ok) Some((ex, groupPos, baseExpr, exOut.last)) else None
+        case _ => None
+      }
+    parse(q).flatMap { case (exQ, groupPosQ, baseQ, gidQ) =>
+      registry.iterator.filterNot(_.stale).flatMap { entry =>
+        (entry.optimized match {
+          case ma @ Aggregate(_, am, _, _) =>
+            parse(ma).map(p => (am, p))
+          case _ => None
+        }).iterator.flatMap { case (am, (exM, groupPosM, baseM, _)) =>
+          if (exQ.projections.size != exM.projections.size) None
+          else (normalize(exQ.child), normalize(exM.child)) match {
+            case (Some(qs), Some(ms)) if leafGate(qs.leaves, ms.leaves.map(_.canonicalized)) =>
+              matchLeaves(qs.leaves, ms.leaves).flatMap { case (sel, extras, sigma) =>
+                if (extras.nonEmpty) None
+                else {
+                  val u = new Unifier(qs, ms, sel, extras, sigma)
+                  // two-sided conjunct equality: tile rows must be the
+                  // query's groups EXACTLY, nothing narrower or wider
+                  if (!u.covered || u.residual.nonEmpty) None
+                  else {
+                    val qSub = subMap(exQ.child, qs)
+                    val mSub = subMap(exM.child, ms)
+                    def inQ(e: Expression) = inline(e, qSub)
+                    def inM(e: Expression) = inline(e, mSub)
+                    // align grouping positions by canonical base expr
+                    val mByCanon: Map[Expression, Int] =
+                      groupPosM.map(j => u.cm(inM(baseM(j))) -> j).toMap
+                    val align: Map[Int, Int] = groupPosQ.flatMap(j =>
+                      mByCanon.get(u.cq(inQ(baseQ(j)))).map(j -> _)).toMap
+                    val aligned = align.size == groupPosQ.size &&
+                      align.values.toSet.size == groupPosM.size &&
+                      groupPosQ.size == groupPosM.size &&
+                      // identical per-row masks over aligned positions AND
+                      // identical gid literals (rows correspond by index —
+                      // the sets come out of the same lowering in the same
+                      // order when they match at all; the mask check makes
+                      // a mismatch fail loudly rather than silently)
+                      exQ.projections.zip(exM.projections).forall { case (pq, pm) =>
+                        pq.last == pm.last &&
+                          groupPosQ.forall(j =>
+                            isNullLit(pq(j)) == isNullLit(pm(align(j))))
+                      }
+                    if (!aligned) None
+                    else {
+                      val scan = spark.read.parquet(entry.path).queryExecution.analyzed
+                      val tile = scan.output
+                      // tile ordinal per MV Expand-copy attribute, and per
+                      // canonical aggregate call
+                      val copyIdx: Map[ExprId, Int] = am.zipWithIndex.collect {
+                        case (ne, i) => strip(ne) match {
+                          case a: Attribute => Some(a.exprId -> i)
+                          case _ => None
+                        }
+                      }.flatten.toMap
+                      val passSubQ: Map[ExprId, Expression] =
+                        (0 until exQ.output.size - 1).filterNot(groupPosQ.contains)
+                          .map(j => exQ.output(j).exprId -> exQ.projections.head(j)).toMap
+                      val passSubM: Map[ExprId, Expression] =
+                        (0 until exM.output.size - 1).filterNot(groupPosM.contains)
+                          .map(j => exM.output(j).exprId -> exM.projections.head(j)).toMap
+                      val mAggIdx: Map[Expression, Int] = am.zipWithIndex.collect {
+                        case (ne, i) => strip(ne) match {
+                          case ae: AggregateExpression =>
+                            val rebased = ae.transformUp {
+                              case a: Attribute if passSubM.contains(a.exprId) =>
+                                passSubM(a.exprId)
+                            }
+                            Some(u.cm(inM(rebased)) -> i)
+                          case _ => None
+                        }
+                      }.flatten.toMap
+                      val qCopyToTile: Map[ExprId, Int] = groupPosQ.flatMap { j =>
+                        copyIdx.get(exM.output(align(j)).exprId)
+                          .map(exQ.output(j).exprId -> _)
+                      }.toMap
+                      def mapOut(ne: NamedExpression): Option[NamedExpression] = {
+                        def rec(e: Expression): Option[Expression] = e match {
+                          case ae: AggregateExpression =>
+                            if (ae.isDistinct || ae.filter.nonEmpty) None
+                            else {
+                              val rebased = ae.transformUp {
+                                case a: Attribute if passSubQ.contains(a.exprId) =>
+                                  passSubQ(a.exprId)
+                              }
+                              if (rebased.references.exists(a =>
+                                  a.exprId == gidQ.exprId ||
+                                    qCopyToTile.contains(a.exprId))) None
+                              else mAggIdx.get(u.cq(inQ(rebased)))
+                                .map(i => tile(i): Expression)
+                            }
+                          case a: Attribute =>
+                            // grouping copy → the aligned tile column; the
+                            // gid (or anything else) has no tile analogue
+                            qCopyToTile.get(a.exprId).map(i => tile(i): Expression)
+                          case l: Literal => Some(l)
+                          case _ =>
+                            val kids = e.children.map(rec)
+                            if (kids.forall(_.isDefined))
+                              Some(e.withNewChildren(kids.map(_.get)))
+                            else None
+                        }
+                        rec(strip(ne)).map(r => Alias(r, ne.name)(exprId = ne.exprId))
+                      }
+                      val outs = q.aggregateExpressions.map(mapOut)
+                      if (outs.exists(_.isEmpty)) None
+                      else Some(Project(outs.map(_.get), scan))
+                    }
+                  }
+                }
+              }
+            case _ => None
+          }
+        }
+      }.nextOption()
+    }
+  }
+
   /** GROUPING SETS rollup — a query `Aggregate` over Spark's `Expand`
     * lowering of CUBE/ROLLUP/GROUPING SETS answered from a PLAIN
     * aggregate tile (the reference's AggregateToAggregate unification
@@ -1652,7 +1850,8 @@ object MaterializedViews {
             case None =>
               sub match {
                 case agg: Aggregate =>
-                  rollup(spark, agg).orElse(expandRollup(spark, agg)).getOrElse(sub)
+                  rollup(spark, agg).orElse(expandRollup(spark, agg))
+                    .orElse(expandSameLevel(spark, agg)).getOrElse(sub)
                 case f: Filter =>
                   spjRewrite(spark, f).orElse(filteredRollup(spark, f)).getOrElse(sub)
                 case p @ (_: Project | _: Join) =>

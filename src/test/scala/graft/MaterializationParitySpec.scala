@@ -253,8 +253,10 @@ class MaterializationParitySpec extends AnyFunSuite {
       "select * from (select deptno, sum(salary) as sum_salary, sum(commission) from emps where deptno >= 10 group by deptno) where sum_salary > 10",
       "select * from (select deptno, sum(salary) as sum_salary from emps where deptno >= 20 group by deptno) where sum_salary > 20",
       note = "as CompensatingCalcWithAggregate1 plus top-filter strengthening: sum_salary > 20 implies the tile's > 10 (r14)"),
-    r("testAggregateGroupSets1",
-      "the MV ITSELF is a CUBE (Aggregate-over-Expand definition); grouping-sets QUERIES over plain tiles rewrite (expandRollup, r14) but a grouping-sets TILE needs Expand-leaf subsumption over differently-pruned children"),
+    m("testAggregateGroupSets1",
+      "select empid, deptno, count(*) as c, sum(salary) as s from emps group by cube(empid, deptno)",
+      "select count(*) + 1 as c, deptno from emps group by cube(empid, deptno)",
+      note = "same-level grouping-sets tile (r14): each tile row is one (set, group) of the query — pure projection"),
     n("testAggregateGroupSets2",
       "select empid, deptno, count(*) as c, sum(salary) as s from emps group by cube(empid, deptno)",
       "select count(*) + 1 as c, deptno from emps group by rollup(empid, deptno)"),
@@ -577,8 +579,10 @@ class MaterializationParitySpec extends AnyFunSuite {
       "select dependents.empid from depts join dependents on (depts.name = dependents.name) join emps on (emps.deptno = depts.deptno) where depts.deptno > 10",
       partial = true,
       note = "range-union compensation (r14): tile UNION ALL base slice where deptno > 10 and not (deptno > 30) is true"),
-    r("testJoinMaterialization11",
-      "the IN subquery lowers to a LeftSemi join before the rewrite point; semi-join unification against an inner-join tile not implemented"),
+    m("testJoinMaterialization11",
+      "select empid from emps join depts using (deptno)",
+      "select empid from emps where deptno in (select deptno from depts)",
+      note = "both sides reduce to bare emps under the FK (r14): the MV's inner join is row-preserving, the query's IN semi join filters nothing"),
     m("testJoinMaterialization12",
       "select empid, emps.name, emps.deptno, depts.name from emps join depts using (deptno) where (depts.name is not null and emps.name = 'a') or (depts.name is not null and emps.name = 'b') or (depts.name is not null and emps.name = 'c')",
       "select depts.deptno, depts.name from emps join depts using (deptno) where (depts.name is not null and emps.name = 'a') or (depts.name is not null and emps.name = 'b')"))

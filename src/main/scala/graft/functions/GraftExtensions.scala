@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
+      (exprs: Seq[Expression]) => LongDotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "squared_l2"),
+      (exprs: Seq[Expression]) => SquaredL2(exprs.head, exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("intersect_size_sorted"),
       new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size_sorted"),
       (exprs: Seq[Expression]) => IntersectSizeSorted(exprs.head, exprs(1))))
@@ -70,6 +78,10 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_dot", exprs => LongDotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "squared_l2", exprs => SquaredL2(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "intersect_size_sorted",
       exprs => IntersectSizeSorted(exprs.head, exprs(1)), "built-in")

@@ -29,13 +29,20 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("stdout line stays under 1800 chars at worst-case timings") {
     // Worst case: every registry query present, every headline timing at
-    // four integer digits (9999.999 s — far beyond any plausible run).
+    // four integer digits (9999.999 s — far beyond any plausible run),
+    // rep evidence attached for the top-5 slowest (r14 VERDICT #6).
     val results = SparkEntry.allDefs.map(d => d.name -> Option(9999.999))
-    val line = Bench.renderLine(9999.999, results, "/root/testdata/sf0.1")
+    val reps = SparkEntry.allDefs
+      .map(d => d.name -> Seq(9999.999, 9999.999, 9999.999)).toMap
+    val line = Bench.renderLine(9999.999, results, "/root/testdata/sf0.1", reps)
     assert(line.length < 1800, s"stdout bench line too long: ${line.length}")
     assert(line.startsWith("""{"metric":"total""""))
     assert(line.endsWith("""}"""))
     assert(line.contains(""""failed":[]"""))
+    // the slowest block carries 5 entries, each with its raw reps
+    assert(line.contains(""""slowest":{"""))
+    assert("""\[9999\.999,9999\.999,9999\.999\]""".r
+      .findAllIn(line).size == 5, s"expected 5 rep lists in: $line")
   }
 
   test("stdout line stays bounded when every query fails (capped failed list)") {

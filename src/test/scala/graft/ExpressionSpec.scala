@@ -45,6 +45,65 @@ class ExpressionSpec extends AnyFunSuite {
     assert(v == 11.0)
   }
 
+  test("long_dot equals the interpreted integer fold, handles nulls, codegen'd") {
+    import graft.functions.LongDotProduct.long_dot
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 100).cast("long")).as("q"))
+    val both = e.select(
+      long_dot(col("q"), col("q")).as("cg"),
+      aggregate(zip_with(col("q"), col("q"), _ * _), lit(0L), _ + _).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)),
+      "codegen long dot diverges from the interpreted fold")
+    val s2 = spark
+    import s2.implicits._
+    val nulls = Seq(
+      (Some(Seq(2L, 3L)), Some(Seq(5L, 7L))),
+      (None, Some(Seq(1L))),
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long])))
+      .toDF("a", "b")
+      .select(long_dot(col("a"), col("b"))).collect()
+    assert(nulls(0).getLong(0) == 31L)
+    assert(nulls(1).isNullAt(0))
+    assert(nulls(2).getLong(0) == 0L)
+    val plan = e.select(long_dot(col("q"), col("q")).as("d"))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("long_dot")).getOrElse("")
+    assert(line.trim.startsWith("*"), s"long_dot not codegen'd:\n$plan")
+  }
+
+  test("squared_l2 equals the interpreted (x-y)^2 fold bit-for-bit, codegen'd") {
+    import graft.functions.SquaredL2.squared_l2
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val pairs = e.as("a").join(
+      broadcast(e.where(col("vec_id") < 4)
+        .select(col("v").as("w"), col("vec_id").as("wid"))),
+      col("vec_id") =!= col("wid"))
+    val both = pairs.select(
+      squared_l2(col("v"), col("w")).as("cg"),
+      aggregate(zip_with(col("v"), col("w"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "codegen squared L2 diverges from the sequential fold")
+    val plan = e.select(squared_l2(col("v"), col("v")).as("d"))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("squared_l2")).getOrElse("")
+    assert(line.trim.startsWith("*"), s"squared_l2 not codegen'd:\n$plan")
+  }
+
+  test("long_dot and squared_l2 registered for SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT long_dot(array(2L, 3L), array(5L, 7L)) AS d")
+      .head().getLong(0) == 31L)
+    assert(spark.sql("SELECT squared_l2(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d")
+      .head().getDouble(0) == 25.0)
+  }
+
   test("dot_product projection runs inside WholeStageCodegen") {
     val e = Tables.t(spark, sfDir, "embeddings")
       .select(transform(col("embedding"), _.cast("double")).as("v"))

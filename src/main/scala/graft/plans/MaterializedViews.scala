@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Cast, Coalesce, EqualTo, Expression, ExprId, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, Or, PredicateHelper, SubqueryExpression, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, BinaryComparison, Cast, Coalesce, EqualTo, Expression, ExprId, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, Or, PredicateHelper, SubqueryExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, Sort, Union}
@@ -92,22 +92,38 @@ object MaterializedViews {
       val definition: DataFrame, val sources: Set[String],
       var stale: Boolean = false) {
     /** Cached SPJ normal form + leaf canonicals — computed once per
-      * registration, not once per optimized query node. The reduced
-      * variant (FK-UK row-preserving joins eliminated) is tried after
-      * the full form, so declare constraints BEFORE create(). */
+      * registration, not once per optimized query node. The constraint-
+      * independent normalization stays lazy; the FK-UK-reduced variants
+      * are EPOCH-GATED on the constraint set (ADVICE r14: a lazy val
+      * computed under one FK set kept matching via its reduced variant
+      * after clearConstraints — now any declare/clear bumps the epoch
+      * and the variants recompute at next use). */
     lazy val spj: Option[Spj] = normalize(optimized)
-    /** Matchable normal forms, full first, FK-UK-reduced second, each
-      * with its precomputed leaf canonicals. */
-    lazy val spjVariants: Seq[(Spj, Seq[LogicalPlan])] =
-      (spj.toSeq ++ spj.flatMap(reduceFkUk))
-        .map(s => (s, s.leaves.map(_.canonicalized)))
-    lazy val aggChildSpj: Seq[(Seq[Expression], Seq[NamedExpression], LogicalPlan, Spj)] =
+    private lazy val aggBase: Option[(Seq[Expression], Seq[NamedExpression], LogicalPlan, Spj)] =
       optimized match {
         case Aggregate(gm, am, childM, _) =>
-          normalize(childM).toSeq.flatMap(s =>
-            (s +: reduceFkUk(s).toSeq).map(v => (gm, am, childM, v)))
-        case _ => Seq.empty
+          normalize(childM).map(s => (gm, am, childM, s))
+        case _ => None
       }
+    private var cachedEpoch: Long = -1L
+    private var spjVariantsCache: Seq[(Spj, Seq[LogicalPlan])] = Seq.empty
+    private var aggChildSpjCache: Seq[(Seq[Expression], Seq[NamedExpression], LogicalPlan, Spj)] = Seq.empty
+    private def refresh(): Unit = synchronized {
+      val e = constraintsEpoch
+      if (cachedEpoch != e) {
+        spjVariantsCache = (spj.toSeq ++ spj.flatMap(reduceFkUk))
+          .map(s => (s, s.leaves.map(_.canonicalized)))
+        aggChildSpjCache = aggBase.toSeq.flatMap { case (gm, am, childM, s) =>
+          (s +: reduceFkUk(s).toSeq).map(v => (gm, am, childM, v)) }
+        cachedEpoch = e
+      }
+    }
+    /** Matchable normal forms, full first, FK-UK-reduced second, each
+      * with its precomputed leaf canonicals. */
+    def spjVariants: Seq[(Spj, Seq[LogicalPlan])] = { refresh(); spjVariantsCache }
+    def aggChildSpj: Seq[(Seq[Expression], Seq[NamedExpression], LogicalPlan, Spj)] = {
+      refresh(); aggChildSpjCache
+    }
   }
   private val registry = mutable.ArrayBuffer[Entry]()
 
@@ -126,6 +142,10 @@ object MaterializedViews {
       parentPath: String, parentCols: Seq[String])
 
   private val foreignKeys = mutable.ArrayBuffer[ForeignKey]()
+  /** Bumped on every constraint change; Entry caches FK-reduced normal
+    * forms per epoch so a withdrawn constraint cannot keep matching
+    * through a stale cached variant. */
+  @volatile private var constraintsEpoch: Long = 0L
 
   /** Declare an FK→UK constraint between two parquet tables (paths as
     * passed to `spark.read.parquet`). Declare BEFORE registering MVs —
@@ -135,10 +155,11 @@ object MaterializedViews {
     require(childCols.size == parentCols.size && childCols.nonEmpty)
     val fk = ForeignKey(qualify(spark, childPath), childCols,
       qualify(spark, parentPath), parentCols)
-    if (!foreignKeys.contains(fk)) foreignKeys += fk
+    if (!foreignKeys.contains(fk)) { foreignKeys += fk; constraintsEpoch += 1 }
   }
 
-  def clearConstraints(): Unit = foreignKeys.clear()
+  def clearConstraints(): Unit =
+    if (foreignKeys.nonEmpty) { foreignKeys.clear(); constraintsEpoch += 1 }
 
   /** FK-UK join elimination over a normal form (the reference
     * AbstractMaterializedViewRule's referential-constraint compensation;
@@ -157,8 +178,15 @@ object MaterializedViews {
   private def leafPath(p: LogicalPlan): Option[String] = p match {
     case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
       lr.relation match {
-        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          h.location.rootPaths.headOption.map(_.toString)
+        // a multi-path scan (spark.read.parquet(a, b)) whose FIRST root
+        // equals a declared table is NOT that table — parent uniqueness /
+        // row-preservation would silently break (ADVICE r14). Same for
+        // partitioned relations: a pruned FileIndex is a SLICE of the
+        // declared table, so constraint matching only accepts a bare
+        // single-root unpartitioned scan.
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+            if h.location.rootPaths.size == 1 && h.partitionSchema.isEmpty =>
+          Some(h.location.rootPaths.head.toString)
         case _ => None
       }
     case _ => None
@@ -741,9 +769,15 @@ object MaterializedViews {
     def mapResidual(mapper: Expression => Option[Expression])
         : Option[Seq[Expression]] = {
       val mapped = residual.map(c => c -> mapper(c))
+      // ANY comparison whose mapped sides collapsed into the same tile
+      // expression while the originals differed has been substituted
+      // through itself — EqualTo becomes an always-true tautology,
+      // EqualNullSafe (<=>) likewise, an ordering comparison an
+      // always-false over-filter; all are wrong, reject the rewrite
+      // (ADVICE r14 extended this beyond top-level EqualTo).
       val circular = mapped.exists {
-        case (EqualTo(a, b), Some(EqualTo(x, y))) =>
-          x.semanticEquals(y) && !a.semanticEquals(b)
+        case (o: BinaryComparison, Some(r: BinaryComparison)) =>
+          r.left.semanticEquals(r.right) && !o.left.semanticEquals(o.right)
         case _ => false
       }
       if (circular) return None
@@ -843,14 +877,28 @@ object MaterializedViews {
     * the optimizer has already run (extraOptimizations), so nothing
     * re-pushes a filter left on top, and an unconditioned Join would
     * execute as a cartesian product. */
-  private def rebuildSpj(leaves: Seq[LogicalPlan], conjuncts: Seq[Expression],
+  private[plans] def rebuildSpj(leaves: Seq[LogicalPlan], conjuncts: Seq[Expression],
       outputs: Seq[NamedExpression]): LogicalPlan = {
     var plan: LogicalPlan = leaves.head
     var remaining = conjuncts
     val (now0, later0) = remaining.partition(_.references.subsetOf(plan.outputSet))
     if (now0.nonEmpty) plan = Filter(now0.reduce(And), plan)
     remaining = later0
-    for (x <- leaves.tail) {
+    // connected join order: always attach next a leaf that shares a
+    // cross-side conjunct with the accumulated plan — leaves [A,B,C]
+    // with only A-C and B-C conjuncts must produce (A⋈C)⋈B, not a
+    // cartesian Join(A,B) (ADVICE r14). Declaration order is the
+    // fallback only when no remaining leaf connects at all.
+    val pending = mutable.ArrayBuffer[LogicalPlan](leaves.tail: _*)
+    while (pending.nonEmpty) {
+      val idx = pending.indexWhere { x =>
+        remaining.exists { c =>
+          c.references.subsetOf(AttributeSet(plan.output ++ x.output)) &&
+            c.references.exists(plan.outputSet.contains) &&
+            c.references.exists(x.outputSet.contains)
+        }
+      }
+      val x = pending.remove(math.max(idx, 0))
       val avail = AttributeSet(plan.output ++ x.output)
       val (now, later) = remaining.partition(_.references.subsetOf(avail))
       plan = Join(plan, x, Inner, now.reduceOption(And), JoinHint.NONE)

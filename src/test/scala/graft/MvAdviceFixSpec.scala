@@ -119,6 +119,87 @@ class MvAdviceFixSpec extends AnyFunSuite {
     } finally MaterializedViews.drop("mv_md")
   }
 
+  test("EqualNullSafe residual must not collapse to a tautology either (r14 advice)") {
+    // same shape as the EqualTo tautology pin, spelled with <=>: the tile
+    // stores empid but not deptno, so empid <=> deptno is a query-only
+    // comparison the residual must still apply — substituting it through
+    // its own equivalence class would yield t <=> t (always true on the
+    // non-null fixture) and leak every row.
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    def q() = emps().where(col("empid") <=> col("deptno")).select(col("name"))
+    val want = q().collect().map(_.getString(0)).sorted
+    assert(want.isEmpty, "fixture invariant: no emps row has empid = deptno")
+    MaterializedViews.create(spark, "mv_tautns",
+      emps().select(col("empid"), col("name")), "/tmp/graft_mv/tautns_tile")
+    try {
+      val got = q().collect().map(_.getString(0)).sorted
+      assert(got.sameElements(want),
+        s"unsound <=> tautology rewrite leaked rows: ${got.mkString(",")}")
+    } finally MaterializedViews.drop("mv_tautns")
+  }
+
+  test("multi-path scan is not mistaken for a declared FK table (r14 advice)") {
+    // ghost table = emps schema plus one row with deptno 99 (no depts
+    // parent). A multi-path scan (emps, ghost) whose FIRST root is the
+    // declared FK child must NOT be treated as bare emps: the query's
+    // join to depts really does filter the 99-row, so FK join elimination
+    // on the multi-path leaf would leak it.
+    MvParityFixture.ensure(spark)
+    spark.sql(
+      """SELECT * FROM VALUES (999, 99, 'Ghost', CAST(1.0 AS DOUBLE), 0)
+        |AS t(empid, deptno, name, salary, commission)""".stripMargin)
+      .write.mode("overwrite").parquet("/tmp/graft_mv/ghost_emps")
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    def ms() = spark.read.parquet(s"${MvParityFixture.base}/emps", "/tmp/graft_mv/ghost_emps")
+    def depts() = spark.read.parquet(s"${MvParityFixture.base}/depts")
+    def q() = ms().join(depts().select(col("deptno")), Seq("deptno"))
+      .select(col("empid"), col("name"))
+    val want = q().collect().map(_.getString(1)).sorted
+    assert(!want.contains("Ghost"), "fixture invariant: deptno 99 has no depts parent")
+    MaterializedViews.create(spark, "mv_mp",
+      ms().select(col("empid"), col("deptno"), col("name")), "/tmp/graft_mv/mp_tile")
+    try {
+      val got = q().collect().map(_.getString(1)).sorted
+      assert(got.sameElements(want),
+        s"FK elimination misfired on a multi-path scan: got ${got.mkString(",")}")
+    } finally MaterializedViews.drop("mv_mp")
+  }
+
+  test("clearConstraints invalidates cached FK-reduced variants (r14 advice)") {
+    // A join tile answers an emps-only query VIA its FK-reduced variant;
+    // withdrawing the constraint (tile still registered) must stop that
+    // rewrite at the next query — the r14 lazy-val cache kept matching.
+    MvParityFixture.ensure(spark) // declares emps→depts
+    MaterializedViews.clear()
+    MaterializedViews.install(spark)
+    // read parquet directly: emps() would re-run ensure(), which re-declares
+    // the FK and would silently undo the clearConstraints under test
+    def empsRaw() = spark.read.parquet(s"${MvParityFixture.base}/emps")
+    def depts() = spark.read.parquet(s"${MvParityFixture.base}/depts")
+    def q() = empsRaw().select(col("empid"), col("name"))
+    val want = q().collect().map(_.getString(1)).sorted
+    MaterializedViews.create(spark, "mv_epoch",
+      empsRaw().join(depts().select(col("deptno")), Seq("deptno"))
+        .select(col("empid"), col("name")),
+      "/tmp/graft_mv/epoch_tile")
+    try {
+      val withFk = q()
+      assert(withFk.queryExecution.executedPlan.toString.contains("epoch_tile"),
+        "precondition: the FK-reduced variant should answer the emps-only query")
+      assert(withFk.collect().map(_.getString(1)).sorted.sameElements(want))
+      MaterializedViews.clearConstraints()
+      val withoutFk = q()
+      assert(!withoutFk.queryExecution.executedPlan.toString.contains("epoch_tile"),
+        "stale FK-reduced variant still matching after clearConstraints")
+      assert(withoutFk.collect().map(_.getString(1)).sorted.sameElements(want))
+    } finally {
+      MaterializedViews.drop("mv_epoch")
+      MvParityFixture.ensure(spark) // restore the schema FK for later suites
+    }
+  }
+
   test("JSON_QUERY wrapper quotes malformed numeral-lookalike strings (strict number grammar)") {
     import graft.operators.JsonModes
     val df = spark.range(1).select(

@@ -21,7 +21,13 @@ import graft.QDef
   * tranche — q57 (monthly deviation with LAG/LEAD neighbors), q32/q92
   * (correlated excess-discount threshold), q62 (ship-latency bucket
   * pivot), q76 (tagged-channel union), q44 (best/worst rank-position
-  * join), q61 (promotional-share ratio of two scalar aggregates).
+  * join), q61 (promotional-share ratio of two scalar aggregates); and
+  * the r15 tranche of full multi-CTE structures — q23 (frequent-item ∩
+  * max-derived best-customer sets restricting two UNION ALL channels),
+  * q49 (three channels dual-ranked separately then tag-unioned), q78
+  * (anti-join returns exclusion + zero-filled cross-channel ratio),
+  * q95 (shared multi-supplier CTE referenced directly and through the
+  * returns slice — the two-hop ship-chain).
   * Dialect-shared SQL; each doubles as its own DuckDB oracle.
   */
 object Tpcds {
@@ -928,6 +934,155 @@ object Tpcds {
         |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS t
         |  FROM lineitem)
         |SELECT p AS promo_rev, t AS total_rev, p / t * 100.0 AS pct
-        |FROM promo, total""")
+        |FROM promo, total"""),
+
+    // ---- r15 tranche: the four TpcdsTest structures named in the r13/r14
+    // verdicts as still-absent (plus/src/.../tpcds/TpcdsTest.java) --------
+
+    // q23 FULL shape — the existing tpcds_s_freqbest carries only the
+    // frequent-items ∩ best-customers intersection; the real q23 adds
+    // (a) a data-derived spend threshold (best customers = spend above a
+    // fraction of the MAX customer spend — a scalar subquery over the
+    // same per-customer CTE, not a literal), and (b) TWO channel slices
+    // each doubly restricted by both CTEs, combined by UNION ALL into one
+    // grand total. Both IN-lists broadcast (item and customer sets are
+    // dimension-sized); each channel scans the fact once with the filter
+    // pushed — no fact self-join anywhere.
+    QDef.common("tpcds_s_freqbest_channels",
+      """WITH freq_items AS (
+        |  SELECT l_partkey AS item FROM lineitem
+        |  GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) > 3),
+        |percust AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |best_cust AS (
+        |  SELECT cust FROM percust
+        |  WHERE total > 0.5 * (SELECT MAX(total) FROM percust)),
+        |chan1 AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linestatus = 'O'
+        |    AND l_partkey IN (SELECT item FROM freq_items)
+        |    AND o_custkey IN (SELECT cust FROM best_cust)),
+        |chan2 AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linestatus = 'F'
+        |    AND l_partkey IN (SELECT item FROM freq_items)
+        |    AND o_custkey IN (SELECT cust FROM best_cust))
+        |SELECT CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) AS total_rev
+        |FROM (SELECT rev FROM chan1 UNION ALL SELECT rev FROM chan2) u"""),
+
+    // q49 FULL shape — tpcds_s_dualrank ranks ONE channel two ways; the
+    // real q49 runs the dual ranking separately in THREE channels and
+    // UNION ALLs the tagged survivors. Channels here are market segments
+    // (the fixture's channel-like dimension); each branch aggregates its
+    // slice to per-item grain, ranks by returned-quantity share and
+    // returned-amount share with item tiebreaks, keeps rows in EITHER
+    // top-10. Each rank window runs over a dimension-sized per-item
+    // aggregate, never the fact.
+    QDef.common("tpcds_s_threechannel_rank",
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg, l_partkey AS item,
+        |    COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |      FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 0.0) AS ret_qty,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
+        |      FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 0.0) AS ret_amt,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS amt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        |  GROUP BY c_mktsegment, l_partkey),
+        |building AS (
+        |  SELECT 'BUILDING' AS channel, item, ret_qty / qty AS qty_ratio,
+        |    ret_amt / amt AS amt_ratio,
+        |    RANK() OVER (ORDER BY ret_qty / qty DESC, item) AS qty_rank,
+        |    RANK() OVER (ORDER BY ret_amt / amt DESC, item) AS amt_rank
+        |  FROM base WHERE seg = 'BUILDING' AND qty > 0 AND amt > 0),
+        |machinery AS (
+        |  SELECT 'MACHINERY' AS channel, item, ret_qty / qty AS qty_ratio,
+        |    ret_amt / amt AS amt_ratio,
+        |    RANK() OVER (ORDER BY ret_qty / qty DESC, item) AS qty_rank,
+        |    RANK() OVER (ORDER BY ret_amt / amt DESC, item) AS amt_rank
+        |  FROM base WHERE seg = 'MACHINERY' AND qty > 0 AND amt > 0),
+        |automobile AS (
+        |  SELECT 'AUTOMOBILE' AS channel, item, ret_qty / qty AS qty_ratio,
+        |    ret_amt / amt AS amt_ratio,
+        |    RANK() OVER (ORDER BY ret_qty / qty DESC, item) AS qty_rank,
+        |    RANK() OVER (ORDER BY ret_amt / amt DESC, item) AS amt_rank
+        |  FROM base WHERE seg = 'AUTOMOBILE' AND qty > 0 AND amt > 0)
+        |SELECT channel, item, qty_ratio, amt_ratio, qty_rank, amt_rank FROM (
+        |  SELECT * FROM building WHERE qty_rank <= 10 OR amt_rank <= 10
+        |  UNION ALL
+        |  SELECT * FROM machinery WHERE qty_rank <= 10 OR amt_rank <= 10
+        |  UNION ALL
+        |  SELECT * FROM automobile WHERE qty_rank <= 10 OR amt_rank <= 10
+        |) tagged
+        |ORDER BY channel, qty_rank, amt_rank, item"""),
+
+    // q78 FULL shape — tpcds_s_missingchannel carries only the anti join;
+    // the real q78 (a) EXCLUDES returned sales via a left-join-IS-NULL
+    // anti pattern at the sales grain, (b) aggregates the surviving rows
+    // per (customer, item) in each channel (years here), and (c) LEFT
+    // JOINs the primary channel to the other with COALESCE ZERO-FILL so
+    // customers absent from the second channel still appear, ordered by
+    // the cross-channel growth ratio. The returned-pair set is
+    // dimension-small after DISTINCT → broadcast anti join; each year
+    // aggregate shuffles once on (cust, item).
+    QDef.common("tpcds_s_channelratio",
+      """WITH returned_pairs AS (
+        |  SELECT DISTINCT l_orderkey AS rok, l_partkey AS rpk
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |clean AS (
+        |  SELECT o_custkey AS cust, l_partkey AS item,
+        |    CAST(year(o_orderdate) AS INT) AS yr, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  LEFT JOIN returned_pairs ON l_orderkey = rok AND l_partkey = rpk
+        |  WHERE rok IS NULL),
+        |y96 AS (
+        |  SELECT cust, item,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS amt
+        |  FROM clean WHERE yr = 1996 GROUP BY cust, item),
+        |y97 AS (
+        |  SELECT cust, item,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS amt
+        |  FROM clean WHERE yr = 1997 GROUP BY cust, item)
+        |SELECT w.cust, w.item, w.qty AS qty96, COALESCE(o.qty, 0.0) AS qty97,
+        |  w.amt AS amt96, COALESCE(o.amt, 0.0) AS amt97,
+        |  COALESCE(o.qty, 0.0) / w.qty AS growth_ratio
+        |FROM y96 w LEFT JOIN y97 o ON w.cust = o.cust AND w.item = o.item
+        |WHERE w.qty > 40
+        |ORDER BY growth_ratio, w.cust, w.item"""),
+
+    // q95 FULL shape — tpcds_s_existschain nests the supplier self-join
+    // inside an EXISTS; the real q95's distinguishing structure is a
+    // SHARED multi-supplier CTE referenced TWICE: once directly (orders
+    // shipped by >1 supplier) and once joined through the returns slice
+    // (returned orders that ALSO flowed through the chain) — the two-hop
+    // ship-chain. Both IN-lists reduce to DISTINCT order-key sets
+    // (semi-join sized), and the date window prunes the probe side first.
+    QDef.common("tpcds_s_shipchain2hop",
+      """WITH multi_supp AS (
+        |  SELECT DISTINCT l1.l_orderkey AS ok
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey),
+        |ret_chain AS (
+        |  SELECT DISTINCT lr.l_orderkey AS ok
+        |  FROM lineitem lr JOIN multi_supp m ON lr.l_orderkey = m.ok
+        |  WHERE lr.l_returnflag = 'R')
+        |SELECT o_orderpriority AS pri,
+        |  COUNT(DISTINCT o_orderkey) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderkey IN (SELECT ok FROM multi_supp)
+        |  AND o_orderkey IN (SELECT ok FROM ret_chain)
+        |GROUP BY o_orderpriority
+        |ORDER BY pri""")
   )
 }

@@ -62,6 +62,9 @@ class TpchCycleSpec extends AnyFunSuite {
     "tpcds_s_yeartotal", "tpcds_s_handoff", "tpcds_s_sharegrowth",
     "tpcds_s_monthpivot", "tpcds_s_weekpivot", "tpcds_s_beforeafter",
     "tpcds_s_orbands", "tpcds_s_existsbands",
+    // r15: the four still-absent TpcdsTest structures (q23/q49/q78/q95)
+    "tpcds_s_freqbest_channels", "tpcds_s_threechannel_rank",
+    "tpcds_s_channelratio", "tpcds_s_shipchain2hop",
     // r13: the RuntimeReplaceable rendering fallback (RelToSql) made the
     // whole Between/assert_true-sugar family convertible
     "foodmart_avg_time_members", "foodmart_covariance",

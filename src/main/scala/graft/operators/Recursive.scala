@@ -41,28 +41,37 @@ object Recursive {
       maxIter: Int = 100,
       checkpointEvery: Int = 8,
       unroll: Int = 8,
-      tag: String = "anon"): DataFrame = {
+      tag: String = "anon",
+      narrowDeltas: Boolean = true): DataFrame = {
     val spark = seed.sparkSession
-    // Iteration deltas are tiny relative to the cluster; the per-iteration
-    // floor is scheduler overhead, so run the loop's shuffles at minimal
-    // width and restore the session's setting afterwards. (At true scale a
-    // recursive step with large deltas would keep the session default.)
+    // narrowDeltas=true (the default): iteration deltas are tiny relative
+    // to the cluster; the per-iteration floor is scheduler overhead, so run
+    // the loop's shuffles at minimal width and restore the session's
+    // setting afterwards. A DATA-DOMINANT fixpoint (deltas of millions of
+    // rows — transitive closure over a fact-sized edge set) must pass
+    // narrowDeltas=false to keep the session's parallelism, AQE and
+    // codegen: 1-partition shuffles on wide deltas serialize the whole
+    // loop onto one core (measured in tools/RecursiveScale — the ×50
+    // closure runs 4.3× slower narrow than wide: 1136 s vs 263 s;
+    // SCALING.md "iterate-to-fixpoint" section).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     val prevFac = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    // AQE's per-stage re-planning is pure overhead on the loop's tiny
-    // shuffles; the deltas are single-partition by construction.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // The unrolled round plan is a few hundred operators over a handful of
-    // rows; Janino-compiling a fresh WholeStageCodegen body per round costs
-    // ~1s each — 3-4× the whole loop. Interpreted eval is microseconds on
-    // these deltas, so run the loop uncompiled. (A recursive step with
-    // LARGE deltas trades the other way; callers can re-enable via the
-    // session before calling.)
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    if (narrowDeltas) {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      // AQE's per-stage re-planning is pure overhead on the loop's tiny
+      // shuffles; the deltas are single-partition by construction.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // The unrolled round plan is a few hundred operators over a handful
+      // of rows; Janino-compiling a fresh WholeStageCodegen body per round
+      // costs ~1s each — 3-4× the whole loop. Interpreted eval is
+      // microseconds on these deltas, so run the loop uncompiled. (A
+      // recursive step with LARGE deltas trades the other way —
+      // narrowDeltas=false.)
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    }
     try {
       var acc = seed.distinct().localCheckpoint(eager = true)
       var accCkpt = acc // last checkpointed ancestor of acc's union chain

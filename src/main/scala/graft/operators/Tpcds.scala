@@ -1083,6 +1083,57 @@ object Tpcds {
         |  AND o_orderkey IN (SELECT ok FROM multi_supp)
         |  AND o_orderkey IN (SELECT ok FROM ret_chain)
         |GROUP BY o_orderpriority
-        |ORDER BY pri""")
+        |ORDER BY pri"""),
+
+    // q94 shape — the ANTI twin of q95/tpcds_s_shipchain2hop: orders
+    // shipped by more than one supplier with NO returned line at all
+    // (IN over the shared multi-supplier set + NOT IN over the returns
+    // slice — a semi join and an anti join against the same fact's
+    // derived key sets). TPC-DS pairs q94 (NOT EXISTS web_returns) with
+    // q95 (the two-hop IN) over the same ws_wh CTE.
+    QDef.common("tpcds_s_shipchain_anti",
+      """WITH multi_supp AS (
+        |  SELECT DISTINCT l1.l_orderkey AS ok
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey),
+        |returned AS (
+        |  SELECT DISTINCT l_orderkey AS ok FROM lineitem
+        |  WHERE l_returnflag = 'R')
+        |SELECT o_orderpriority AS pri,
+        |  COUNT(DISTINCT o_orderkey) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderkey IN (SELECT ok FROM multi_supp)
+        |  AND o_orderkey NOT IN (SELECT ok FROM returned)
+        |GROUP BY o_orderpriority
+        |ORDER BY pri"""),
+
+    // q69/q35/q10 exclusion shape — customers ACTIVE in the primary
+    // channel during the window but ABSENT from the secondary channel
+    // (EXISTS + NOT EXISTS over two slices of the same fact), rolled up
+    // by a demographic-like dimension with per-group counts. The OR-of-
+    // EXISTS variant is tpcds_s_orexists; this carries q69's conjunctive
+    // include/exclude screen.
+    QDef.common("tpcds_s_existsnotexists",
+      """SELECT c_mktsegment AS seg,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |      AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey
+        |      AND o2.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND o2.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |      AND o2.o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY seg""")
   )
 }

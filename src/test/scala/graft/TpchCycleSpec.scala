@@ -65,6 +65,7 @@ class TpchCycleSpec extends AnyFunSuite {
     // r15: the four still-absent TpcdsTest structures (q23/q49/q78/q95)
     "tpcds_s_freqbest_channels", "tpcds_s_threechannel_rank",
     "tpcds_s_channelratio", "tpcds_s_shipchain2hop",
+    "tpcds_s_shipchain_anti", "tpcds_s_existsnotexists",
     // r13: the RuntimeReplaceable rendering fallback (RelToSql) made the
     // whole Between/assert_true-sugar family convertible
     "foodmart_avg_time_members", "foodmart_covariance",

@@ -9,8 +9,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * calcite/sql/ddl/SqlCreateMaterializedView.java, executed eagerly by
   * ServerDdlExecutor). Grammar:
   *
-  *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] <name> AS <query>
+  *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] <name> [(alias, ...)] AS <query>
   *   DROP MATERIALIZED VIEW [IF EXISTS] <name>
+  *
+  * The optional column list is ALIASES ONLY (the reference's grammar:
+  * `create materialized view d7 (x int, y) as ...` is a parse error —
+  * server materialized_view.iq:204), and its degree must equal the
+  * definition's column count (materialized_view.iq:210-220).
   *
   * Lowering: the definition query is parsed/analyzed by the full session
   * pipeline (re-entrant `spark.sql`), materialized to parquet under the
@@ -23,7 +28,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object MaterializedViewSql {
 
   private val CreateRe =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$""".r
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*(\([^)]*\))?\s+AS\s+(.+)$""".r
+  private val AliasRe = """[A-Za-z_][A-Za-z_0-9]*""".r
   private val DropRe =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
   private val RefreshRe =
@@ -37,7 +43,20 @@ object MaterializedViewSql {
   /** Recognize and eagerly execute MV DDL; None for any other statement. */
   def tryParse(spark: SparkSession, delegate: ParserInterface,
       sqlText: String): Option[LogicalPlan] = sqlText match {
-    case CreateRe(ifNotExists, name, defText) =>
+    case CreateRe(ifNotExists, name, aliasList, defText) =>
+      // column list: bare aliases only — a typed entry like `(x int, y)`
+      // is a parse error in the reference's grammar too
+      // (server materialized_view.iq:204-208)
+      val aliases: Seq[String] = Option(aliasList).toSeq.flatMap { a =>
+        a.stripPrefix("(").stripSuffix(")").split(",").map(_.trim).toSeq
+          .map { entry =>
+            if (!AliasRe.pattern.matcher(entry).matches())
+              throw new IllegalArgumentException(
+                s"Materialized view column list must contain only aliases; " +
+                  s"found '$entry' (column declarations are not allowed)")
+            entry
+          }
+      }
       // reference semantics (server materialized_view.iq): duplicate
       // CREATE fails; IF NOT EXISTS keeps the existing tile untouched
       // a fixture-table name would shadow the registered batch view for
@@ -53,7 +72,16 @@ object MaterializedViewSql {
         Some(delegate.parsePlan(
           s"SELECT 'exists' AS status, '$name' AS materialized_view"))
       } else {
-        val df = spark.sql(defText)
+        val df0 = spark.sql(defText)
+        // alias-list degree must match the definition's column count
+        // (server materialized_view.iq:210-220)
+        if (aliases.nonEmpty && aliases.length != df0.columns.length)
+          throw new IllegalArgumentException(
+            s"List of column aliases must have same degree as table; table " +
+              s"has ${df0.columns.length} columns " +
+              s"(${df0.columns.map("'" + _ + "'").mkString(", ")}), whereas " +
+              s"alias list has ${aliases.length} columns")
+        val df = if (aliases.isEmpty) df0 else df0.toDF(aliases: _*)
         MaterializedViews.create(spark, name, df, tilePath(spark, name))
         MaterializedViews.install(spark)
         spark.read.parquet(tilePath(spark, name)).createOrReplaceTempView(name)

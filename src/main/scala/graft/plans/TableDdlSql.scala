@@ -52,6 +52,41 @@ object TableDdlSql {
 
   private val CreateRe =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*\((.+)\)\s*;?\s*$""".r
+  /** CREATE TABLE <name> (<aliases-or-typed-decls>) AS <query> — the
+    * server module's CTAS column list (reference: server/src/main/java/
+    * org/apache/calcite/sql/ddl/SqlCreateTable.java; behavior pinned by
+    * server/src/test/resources/sql/table_as.iq:190-249 — bare aliases
+    * rename positionally, typed entries also CAST, and the degree must
+    * match the query ("Number of columns must match number of query
+    * columns")). Spark's CTAS grammar has no column list, so this form is
+    * intercepted; list-less CTAS falls through to Spark untouched. */
+  private val CtasRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*\((.*?)\)\s+AS\s+(.+?);?\s*$""".r
+  private val CtasColRe =
+    """(?is)^\s*([A-Za-z_][A-Za-z_0-9]*)(?:\s+([A-Za-z_][A-Za-z_0-9]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?))?\s*$""".r
+  /** CREATE TYPE <name> AS <type> | AS (<field> <type> [NOT NULL], ...) —
+    * the server module's user-defined types (reference: server/src/main/
+    * java/org/apache/calcite/sql/ddl/SqlCreateType.java; behavior pinned
+    * by server/src/test/resources/sql/type.iq: a named scalar type is an
+    * alias, a named row type lowers to a struct). */
+  private val CreateTypeRe =
+    """(?is)^\s*CREATE\s+TYPE\s+([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+?);?\s*$""".r
+  private val DropTypeRe =
+    """(?is)^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
+  private val TypeFieldRe =
+    """(?is)^\s*([A-Za-z_][A-Za-z_0-9]*)\s+([A-Za-z_][A-Za-z_0-9]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*(?:NOT\s+NULL\s*)?$""".r
+
+  /** (session, lowercased name) → Spark DDL type string. */
+  private val types = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Expand a declared column type through the CREATE TYPE registry
+    * (identity for built-in type spellings). */
+  private def resolveType(spark: SparkSession, tpe: String): String =
+    Option(types.get((spark, tpe.trim.toLowerCase))).getOrElse(tpe)
+
+  private def usesCustomType(spark: SparkSession, cols: Seq[ColDef]): Boolean =
+    cols.exists(c => types.containsKey((spark, c.dataType.trim.toLowerCase)))
   private val DropRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
   private val InsertRe =
@@ -62,7 +97,7 @@ object TableDdlSql {
   /** One column definition:
     *   name type [NOT NULL] [DEFAULT expr | AS (expr) VIRTUAL] */
   private val ColRe =
-    """(?is)^\s*([A-Za-z_][A-Za-z_0-9]*)\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*(NOT\s+NULL\s*)?(?:DEFAULT\s+(.+?)\s*|AS\s*\((.+)\)\s*VIRTUAL\s*)?$""".r
+    """(?is)^\s*([A-Za-z_][A-Za-z_0-9]*)\s+([A-Za-z_][A-Za-z_0-9]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*(NOT\s+NULL\s*)?(?:DEFAULT\s+(.+?)\s*|AS\s*\((.+)\)\s*VIRTUAL\s*)?$""".r
 
   /** Split a column list on commas at paren depth 0. */
   private def splitCols(s: String): Seq[String] = {
@@ -96,10 +131,69 @@ object TableDdlSql {
   def tryParse(spark: SparkSession, delegate: ParserInterface,
       sqlText: String): Option[LogicalPlan] = sqlText match {
 
+    case CreateTypeRe(name, body0) =>
+      val b = body0.trim
+      val sparkType =
+        if (b.startsWith("(")) {
+          val fields = splitCols(b.stripPrefix("(").stripSuffix(")")).map {
+            case TypeFieldRe(fn, ft) => s"$fn: ${resolveType(spark, ft)}"
+            case bad => throw new IllegalArgumentException(
+              s"Invalid field '$bad' in CREATE TYPE")
+          }
+          fields.mkString("STRUCT<", ", ", ">")
+        } else resolveType(spark, b)
+      // reject unknown spellings now, not at first use
+      org.apache.spark.sql.types.DataType.fromDDL(sparkType)
+      types.put((spark, name.toLowerCase), sparkType)
+      Some(delegate.parsePlan(s"SELECT 'created' AS status, '$name' AS type_name"))
+
+    case DropTypeRe(ifExists, name) =>
+      val removed = types.remove((spark, name.toLowerCase))
+      if (removed == null && ifExists == null)
+        throw new IllegalArgumentException(s"Type '$name' not found")
+      Some(delegate.parsePlan(s"SELECT 'dropped' AS status, '$name' AS type_name"))
+
+    case CtasRe(ifNotExists, name, colsText, query)
+        // claim the statement only when every entry is alias-shaped or a
+        // typed decl — a DEFAULT expression containing " AS " inside a
+        // plain CREATE TABLE column list must fall through to CreateRe
+        if splitCols(colsText).forall(CtasColRe.pattern.matcher(_).matches()) =>
+      sweep()
+      val entries: Seq[(String, Option[String])] = splitCols(colsText).map {
+        case CtasColRe(n, t) => (n, Option(t))
+      }
+      val key = (spark, name.toLowerCase)
+      if (tables.containsKey(key) || spark.catalog.tableExists(name)) {
+        if (ifNotExists == null)
+          throw new IllegalArgumentException(s"Table '$name' already exists")
+        Some(delegate.parsePlan(
+          s"SELECT 'exists' AS status, '$name' AS table_name"))
+      } else {
+        val df0 = spark.sql(query)
+        if (entries.length != df0.columns.length)
+          throw new IllegalArgumentException(
+            "Number of columns must match number of query columns")
+        val cols = entries.zip(df0.schema.fields).map { case ((n, t), f) =>
+          ColDef(n, t.map(resolveType(spark, _)).getOrElse(f.dataType.sql),
+            notNull = false, None, None)
+        }
+        val data = df0.toDF(cols.map(_.name): _*).selectExpr(cols.map(c =>
+          s"CAST(${c.name} AS ${c.dataType}) AS ${c.name}"): _*)
+        val td = TableDef(name, cols, data)
+        tables.put(key, td)
+        registerView(spark, td)
+        Some(delegate.parsePlan(
+          s"SELECT 'created' AS status, '$name' AS table_name"))
+      }
+
     case CreateRe(ifNotExists, name, colsText) =>
       parseCols(colsText) match {
-        // intercept only what Spark cannot express: VIRTUAL or DEFAULT
-        case Some(cols) if cols.exists(c => c.default.isDefined || c.virtual.isDefined) =>
+        // intercept only what Spark cannot express: VIRTUAL, DEFAULT, or
+        // a column typed with a CREATE TYPE name
+        case Some(cols0) if cols0.exists(c =>
+            c.default.isDefined || c.virtual.isDefined) ||
+            usesCustomType(spark, cols0) =>
+          val cols = cols0.map(c => c.copy(dataType = resolveType(spark, c.dataType)))
           sweep()
           val key = (spark, name.toLowerCase)
           if (tables.containsKey(key)) {

@@ -161,6 +161,23 @@ object TableModify {
     * the DuckDB oracle replays the identical algebra (delete = filter,
     * update = projection, merge = left-join CASE + anti-join insert). */
   val defs: Seq[graft.QDef] = Seq(
+    // CREATE TYPE + column-list CTAS through the SQL front end — the
+    // server DDL surface the TableDdlSql layer supplies (reference:
+    // server/src/test/resources/sql/type.iq:24-50, table_as.iq:238-249).
+    // The typed column list CASTs positionally; the custom type resolves
+    // through the session type registry. Idempotent across bench reps:
+    // the table is dropped and re-created each run.
+    graft.QDef.sql("ddl_ctas_typed",
+      """SELECT CAST(n_nationkey AS INTEGER) AS k, CAST(n_name AS VARCHAR(25)) AS nm
+        |FROM nation WHERE n_regionkey = 1 ORDER BY k""") { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("DROP TABLE IF EXISTS ddl_ctas_t")
+      s.sql("CREATE TYPE ddl_name_t AS varchar(25)")
+      s.sql("""CREATE TABLE ddl_ctas_t (k int, nm ddl_name_t) AS
+              |SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1""".stripMargin)
+      s.sql("SELECT k, nm FROM ddl_ctas_t ORDER BY k")
+    },
+
     graft.QDef.sql("modify_lifecycle",
       """WITH del AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 3),
         |upd AS (SELECT n_nationkey,

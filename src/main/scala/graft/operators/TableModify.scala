@@ -178,6 +178,34 @@ object TableModify {
       s.sql("SELECT k, nm FROM ddl_ctas_t ORDER BY k")
     },
 
+    // DEFAULT-expression and VIRTUAL generated columns end-to-end
+    // (reference: server/src/test/resources/sql/table.iq:62-131 — the
+    // DEFAULT may reference other inserted columns; the VIRTUAL column
+    // is computed in the read projection, never stored). The oracle
+    // replays the completion algebra: rows inserted without the DEFAULT
+    // column take n_regionkey + 2, and the virtual column is the
+    // declared expression over the stored ones.
+    graft.QDef.sql("ddl_default_virtual",
+      """SELECT n_nationkey AS k,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_regionkey AS INTEGER)
+        |       ELSE CAST(n_nationkey + 2 AS INTEGER) END AS d,
+        |  CAST(n_nationkey * 10 + (CASE WHEN n_nationkey % 2 = 0
+        |       THEN n_regionkey ELSE n_nationkey + 2 END) AS INTEGER) AS v
+        |FROM nation ORDER BY k""") { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("DROP TABLE IF EXISTS ddl_dv_t")
+      s.sql("""CREATE TABLE ddl_dv_t (k int, d int DEFAULT k + 2,
+              |v int AS (k * 10 + d) VIRTUAL)""".stripMargin)
+      // even keys provide d explicitly; odd keys take the DEFAULT — which
+      // references the other inserted column, table.iq's `i + 2` shape
+      s.sql("""INSERT INTO ddl_dv_t (k, d)
+              |SELECT n_nationkey, n_regionkey FROM nation
+              |WHERE n_nationkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO ddl_dv_t (k)
+              |SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 1""".stripMargin)
+      s.sql("SELECT k, d, v FROM ddl_dv_t ORDER BY k")
+    },
+
     graft.QDef.sql("modify_lifecycle",
       """WITH del AS (SELECT * FROM nation WHERE n_nationkey % 7 <> 3),
         |upd AS (SELECT n_nationkey,

@@ -24,7 +24,7 @@ class TpchCycleSpec extends AnyFunSuite {
     * (SerializeFromObject/LogicalRDD from mapGroups/driver loops), and
     * expressions no dialect renders yet. */
   private val mustCycle = Set(
-    "ddl_ctas_typed",
+    "ddl_ctas_typed", "ddl_default_virtual",
     "agg_cube", "agg_distinct_filter", "agg_group_id", "agg_grouping_fn",
     "agg_grouping_sets", "agg_rollup", "agg_tpch_q1", "fn_extract_time",
     "foodmart_allmembers_crossjoin", "foodmart_banding",

@@ -31,6 +31,28 @@ object JsonModes {
   }
   import Behavior._
 
+  /** SQL:2016 IS JSON [VALUE | OBJECT | ARRAY | SCALAR] predicate family
+    * (reference: runtime/JsonFunctions.java isJsonValue/isJsonObject/
+    * isJsonArray/isJsonScalar; value rows in SqlOperatorBaseTest
+    * testJsonPredicate — '{}' is json object, '[]' is json array,
+    * '100' is json scalar). A well-formedness parse plus a
+    * first-significant-character dispatch; NULL input yields NULL like
+    * the predicates' SQL typing. Everything composes codegen'd
+    * expressions — no UDFs. */
+  def isJsonValue(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(get_json_object(c, "$").isNotNull)
+  private def firstChar(c: Column): Column = substring(trim(c), 1, 1)
+  def isJsonObject(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(
+      get_json_object(c, "$").isNotNull && firstChar(c) === "{")
+  def isJsonArray(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(
+      get_json_object(c, "$").isNotNull && firstChar(c) === "[")
+  def isJsonScalar(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(
+      get_json_object(c, "$").isNotNull &&
+        firstChar(c) =!= "{" && firstChar(c) =!= "[")
+
   /** Is the string well-formed JSON? (Spark: a full parse of `$`.) */
   def jsonIsValid(json: Column): Column = get_json_object(json, "$").isNotNull
 
@@ -127,6 +149,40 @@ object JsonModes {
         jsonExists(col("broken"), "$.k").as("je_lax"),
         jsonQuery(lit("""{"a":{"b":[10,20]}}"""), "$.a").as("jq_obj"),
         jsonQuery(col("props"), "$.k", arrayWrapper = true).as("jq_wrap"))
+    },
+
+    // IS JSON predicate family over a mixed column: objects (events
+    // props), arrays, numeric/string/boolean scalars, malformed text, and
+    // NULL — one row per kind per event. The DuckDB oracle mirrors the
+    // dispatch with json_valid + the first significant character.
+    QDef.sql("fn_json_predicates",
+      """WITH mixed AS (
+        |  SELECT event_id,
+        |    CASE (event_id % 7)
+        |      WHEN 0 THEN props WHEN 1 THEN '[1, 2, 3]' WHEN 2 THEN '100'
+        |      WHEN 3 THEN '"abc"' WHEN 4 THEN 'true'
+        |      WHEN 5 THEN concat('{', props) END AS j
+        |  FROM events WHERE event_id % 3 = 0)
+        |SELECT event_id, j,
+        |  json_valid(j) AS is_value,
+        |  json_valid(j) AND substr(trim(j), 1, 1) = '{' AS is_object,
+        |  json_valid(j) AND substr(trim(j), 1, 1) = '[' AS is_array,
+        |  json_valid(j) AND substr(trim(j), 1, 1) NOT IN ('{', '[') AS is_scalar,
+        |  NOT json_valid(j) AS not_value
+        |FROM mixed""") { (s, dir) =>
+      val j = when(col("event_id") % 7 === 0, col("props"))
+        .when(col("event_id") % 7 === 1, lit("[1, 2, 3]"))
+        .when(col("event_id") % 7 === 2, lit("100"))
+        .when(col("event_id") % 7 === 3, lit("\"abc\""))
+        .when(col("event_id") % 7 === 4, lit("true"))
+        .when(col("event_id") % 7 === 5, concat(lit("{"), col("props")))
+      t(s, dir, "events").where(col("event_id") % 3 === 0)
+        .select(col("event_id"), j.as("j"),
+          isJsonValue(j).as("is_value"),
+          isJsonObject(j).as("is_object"),
+          isJsonArray(j).as("is_array"),
+          isJsonScalar(j).as("is_scalar"),
+          (!isJsonValue(j)).as("not_value"))
     }
   )
 }

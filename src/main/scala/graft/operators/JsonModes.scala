@@ -39,19 +39,24 @@ object JsonModes {
     * first-significant-character dispatch; NULL input yields NULL like
     * the predicates' SQL typing. Everything composes codegen'd
     * expressions — no UDFs. */
+  // The JSON literal `null` is a valid JSON value/scalar (reference:
+  // JsonFunctions dejsonize accepts it) but Spark's get_json_object probe
+  // returns SQL NULL for it — special-cased before the probe.
+  private def isNullLiteral(c: Column): Column = c.rlike("^\\s*null\\s*$")
+  private def wellFormed(c: Column): Column =
+    get_json_object(c, "$").isNotNull || isNullLiteral(c)
+  // First significant character: regex \s covers tabs/newlines, unlike
+  // trim() which strips only spaces — '\n{}' must classify as object.
+  private def firstChar(c: Column): Column = regexp_extract(c, "^\\s*(.)", 1)
   def isJsonValue(c: Column): Column =
-    when(c.isNull, lit(null)).otherwise(get_json_object(c, "$").isNotNull)
-  private def firstChar(c: Column): Column = substring(trim(c), 1, 1)
+    when(c.isNull, lit(null)).otherwise(wellFormed(c))
   def isJsonObject(c: Column): Column =
-    when(c.isNull, lit(null)).otherwise(
-      get_json_object(c, "$").isNotNull && firstChar(c) === "{")
+    when(c.isNull, lit(null)).otherwise(wellFormed(c) && firstChar(c) === "{")
   def isJsonArray(c: Column): Column =
-    when(c.isNull, lit(null)).otherwise(
-      get_json_object(c, "$").isNotNull && firstChar(c) === "[")
+    when(c.isNull, lit(null)).otherwise(wellFormed(c) && firstChar(c) === "[")
   def isJsonScalar(c: Column): Column =
     when(c.isNull, lit(null)).otherwise(
-      get_json_object(c, "$").isNotNull &&
-        firstChar(c) =!= "{" && firstChar(c) =!= "[")
+      wellFormed(c) && firstChar(c) =!= "{" && firstChar(c) =!= "[")
 
   /** Is the string well-formed JSON? (Spark: a full parse of `$`.) */
   def jsonIsValid(json: Column): Column = get_json_object(json, "$").isNotNull
@@ -158,24 +163,29 @@ object JsonModes {
     QDef.sql("fn_json_predicates",
       """WITH mixed AS (
         |  SELECT event_id,
-        |    CASE (event_id % 7)
+        |    CASE (event_id % 9)
         |      WHEN 0 THEN props WHEN 1 THEN '[1, 2, 3]' WHEN 2 THEN '100'
         |      WHEN 3 THEN '"abc"' WHEN 4 THEN 'true'
-        |      WHEN 5 THEN concat('{', props) END AS j
+        |      WHEN 5 THEN concat('{', props)
+        |      WHEN 6 THEN 'null'
+        |      WHEN 7 THEN concat(chr(9), chr(10), '{"a":1}') END AS j
         |  FROM events WHERE event_id % 3 = 0)
         |SELECT event_id, j,
         |  json_valid(j) AS is_value,
-        |  json_valid(j) AND substr(trim(j), 1, 1) = '{' AS is_object,
-        |  json_valid(j) AND substr(trim(j), 1, 1) = '[' AS is_array,
-        |  json_valid(j) AND substr(trim(j), 1, 1) NOT IN ('{', '[') AS is_scalar,
+        |  json_valid(j) AND regexp_extract(j, '^\s*(.)', 1) = '{' AS is_object,
+        |  json_valid(j) AND regexp_extract(j, '^\s*(.)', 1) = '[' AS is_array,
+        |  json_valid(j) AND regexp_extract(j, '^\s*(.)', 1) NOT IN ('{', '[') AS is_scalar,
         |  NOT json_valid(j) AS not_value
         |FROM mixed""") { (s, dir) =>
-      val j = when(col("event_id") % 7 === 0, col("props"))
-        .when(col("event_id") % 7 === 1, lit("[1, 2, 3]"))
-        .when(col("event_id") % 7 === 2, lit("100"))
-        .when(col("event_id") % 7 === 3, lit("\"abc\""))
-        .when(col("event_id") % 7 === 4, lit("true"))
-        .when(col("event_id") % 7 === 5, concat(lit("{"), col("props")))
+      val m = col("event_id") % 9
+      val j = when(m === 0, col("props"))
+        .when(m === 1, lit("[1, 2, 3]"))
+        .when(m === 2, lit("100"))
+        .when(m === 3, lit("\"abc\""))
+        .when(m === 4, lit("true"))
+        .when(m === 5, concat(lit("{"), col("props")))
+        .when(m === 6, lit("null"))
+        .when(m === 7, lit("\t\n{\"a\":1}"))
       t(s, dir, "events").where(col("event_id") % 3 === 0)
         .select(col("event_id"), j.as("j"),
           isJsonValue(j).as("is_value"),

@@ -48,6 +48,12 @@ object TableDdlSql {
     while (it.hasNext) {
       if (it.next().getKey._1.sparkContext.isStopped) it.remove()
     }
+    // CREATE TYPE entries are session-keyed too: sweep them with the same
+    // discipline or stopped sessions stay pinned forever
+    val ti = types.entrySet().iterator()
+    while (ti.hasNext) {
+      if (ti.next().getKey._1.sparkContext.isStopped) ti.remove()
+    }
   }
 
   private val CreateRe =
@@ -62,8 +68,11 @@ object TableDdlSql {
     * intercepted; list-less CTAS falls through to Spark untouched. */
   private val CtasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*\((.*?)\)\s+AS\s+(.+?);?\s*$""".r
+  // the type spelling admits multi-word ANSI names (`double precision`,
+  // `timestamp with time zone`) plus an optional precision suffix;
+  // resolveType normalizes the multi-word spellings to Spark DDL
   private val CtasColRe =
-    """(?is)^\s*([A-Za-z_][A-Za-z_0-9]*)(?:\s+([A-Za-z_][A-Za-z_0-9]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?))?\s*$""".r
+    """(?is)^\s*([A-Za-z_][A-Za-z_0-9]*)(?:\s+([A-Za-z_][A-Za-z_0-9]*(?:\s+[A-Za-z_][A-Za-z_0-9]*)*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?))?\s*$""".r
   /** CREATE TYPE <name> AS <type> | AS (<field> <type> [NOT NULL], ...) —
     * the server module's user-defined types (reference: server/src/main/
     * java/org/apache/calcite/sql/ddl/SqlCreateType.java; behavior pinned
@@ -80,10 +89,36 @@ object TableDdlSql {
   private val types = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
-  /** Expand a declared column type through the CREATE TYPE registry
-    * (identity for built-in type spellings). */
-  private def resolveType(spark: SparkSession, tpe: String): String =
-    Option(types.get((spark, tpe.trim.toLowerCase))).getOrElse(tpe)
+  /** Multi-word ANSI spellings → the Spark DDL type they denote. */
+  private val AnsiTypeMap = Map(
+    "double precision" -> "double",
+    "character varying" -> "varchar",
+    "char varying" -> "varchar",
+    "national character varying" -> "varchar",
+    "national char varying" -> "varchar",
+    "national character" -> "char",
+    "national char" -> "char",
+    "timestamp with time zone" -> "timestamp",
+    "timestamp with local time zone" -> "timestamp",
+    "timestamp without time zone" -> "timestamp_ntz")
+
+  /** Expand a declared column type through the CREATE TYPE registry, then
+    * normalize multi-word ANSI spellings (identity for built-in Spark
+    * spellings). A precision suffix survives normalization:
+    * `character varying(20)` → `varchar(20)`. */
+  private def resolveType(spark: SparkSession, tpe: String): String = {
+    val norm = tpe.trim.replaceAll("\\s+", " ")
+    Option(types.get((spark, norm.toLowerCase))).getOrElse {
+      val (base, suffix) = norm.indexOf('(') match {
+        case -1 => (norm, "")
+        case i => (norm.substring(0, i).trim, norm.substring(i).trim)
+      }
+      AnsiTypeMap.get(base.toLowerCase) match {
+        case Some(mapped) => mapped + suffix
+        case None => norm
+      }
+    }
+  }
 
   private def usesCustomType(spark: SparkSession, cols: Seq[ColDef]): Boolean =
     cols.exists(c => types.containsKey((spark, c.dataType.trim.toLowerCase)))
@@ -196,7 +231,10 @@ object TableDdlSql {
           val cols = cols0.map(c => c.copy(dataType = resolveType(spark, c.dataType)))
           sweep()
           val key = (spark, name.toLowerCase)
-          if (tables.containsKey(key)) {
+          // check the Spark catalog too (matching the CTAS branch) so a
+          // custom-typed CREATE TABLE cannot silently shadow a native
+          // table or fixture view — the reference raises 'already exists'
+          if (tables.containsKey(key) || spark.catalog.tableExists(name)) {
             if (ifNotExists == null)
               throw new IllegalArgumentException(s"Table '$name' already exists")
             // IF NOT EXISTS: keep the ORIGINAL definition (table.iq: no K)

@@ -52,6 +52,28 @@ class JsonModesSpec extends AnyFunSuite {
       arrayWrapper = true)) == "[1]")
   }
 
+  test("IS JSON predicates: leading tabs/newlines and the null literal (r15 ADVICE)") {
+    import spark.implicits._
+    def row(s: String) = Seq(s).toDF("j").select(
+      JsonModes.isJsonValue(col("j")).as("v"),
+      JsonModes.isJsonObject(col("j")).as("o"),
+      JsonModes.isJsonArray(col("j")).as("a"),
+      JsonModes.isJsonScalar(col("j")).as("s")).head()
+    // a valid object/array behind a tab or newline classifies by its first
+    // SIGNIFICANT character, not the raw first byte (trim strips spaces only)
+    assert(row("\n{\"a\":1}") == org.apache.spark.sql.Row(true, true, false, false))
+    assert(row("\t[1,2]") == org.apache.spark.sql.Row(true, false, true, false))
+    // the JSON literal null is a value and a scalar (reference dejsonize),
+    // even though Spark's get_json_object probe returns SQL NULL for it
+    assert(row("null") == org.apache.spark.sql.Row(true, false, false, true))
+    assert(row("  null ") == org.apache.spark.sql.Row(true, false, false, true))
+    // malformed stays not-JSON; SQL NULL input stays NULL-typed
+    assert(row("{broken") == org.apache.spark.sql.Row(false, false, false, false))
+    val n = Seq[String](null).toDF("j")
+      .select(JsonModes.isJsonValue(col("j"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("JSON introspection quartet: depth/pretty/remove/storage_size edge cases") {
     import graft.functions.JsonIntrospect
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}

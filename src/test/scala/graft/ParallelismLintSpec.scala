@@ -51,14 +51,50 @@ class ParallelismLintSpec extends AnyFunSuite {
     here ++ p.children.flatMap(streamedSides)
   }
 
-  /** Violations of the lint rule in one DataFrame's physical plan. */
+  /** Violations of the lint rule in one DataFrame's physical plan.
+    *
+    * Plan-static (r15 VERDICT #5): nothing here runs a Spark job. The
+    * partition count comes from the RDD lineage (for a file scan that is
+    * the split count, computed at planning), and the "is it a real
+    * corpus, not a tiny dim" evidence comes from the optimizer's stats —
+    * the row-count estimate when available, else the size estimate (the
+    * embeddings corpus estimates in the MBs; genuinely small streamed
+    * sides — dims, post-aggregate tables — estimate far below the bar).
+    * The old lint ran `rdd.count()` on every candidate, re-executing
+    * sub-plans across all 330 queries; this covers the same trap class
+    * at plan-build cost only (canary below proves it still fires). */
   def lint(df: DataFrame): Seq[String] =
     streamedSides(df.queryExecution.executedPlan).flatMap { s =>
       val hasVector = s.output.exists(_.dataType.isInstanceOf[ArrayType])
       if (!hasVector) None
       else scala.util.Try {
-        val rdd = s.execute()
-        if (rdd.getNumPartitions == 1 && rdd.count() >= 400)
+        val nParts = s.execute().getNumPartitions
+        // a deliberately-reduced streamed side always carries a row filter
+        // (either a FilterExec node or predicates pushed into the scan);
+        // the trap shape streams the UNFILTERED corpus scan. Without CBO
+        // row counts a Filter doesn't shrink sizeInBytes, so filter
+        // presence — not the size estimate — is the static "small side"
+        // evidence (at real scale a filtered side on 1 partition means a
+        // genuinely tiny result; the corpus would be many file splits).
+        // IsNotNull guards inferred from join conditions reach the corpus
+        // scan too — only a REAL predicate counts as a reduction
+        def realPredicate(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(_) => false
+          case a: org.apache.spark.sql.catalyst.expressions.And =>
+            realPredicate(a.left) || realPredicate(a.right)
+          case _ => true
+        }
+        val reduced = s.exists {
+          case f: org.apache.spark.sql.execution.FilterExec =>
+            realPredicate(f.condition)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.dataFilters.exists(realPredicate)
+          case _ => false
+        }
+        val stats = s.logicalLink.map(_.stats)
+        val big = stats.flatMap(_.rowCount).map(_ >= BigInt(400))
+          .getOrElse(stats.forall(_.sizeInBytes >= BigInt(100000)))
+        if (nParts == 1 && big && !reduced)
           Some(s"1-partition streamed vector corpus (${s.nodeName}: " +
             s"${s.output.map(_.name).mkString(",")})")
         else None

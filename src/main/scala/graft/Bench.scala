@@ -253,7 +253,14 @@ object Bench {
       // between queries: drop the finished query's pinned checkpoint
       // blocks so they don't ride under every later query's scratch
       Checkpoints.releaseAll(spark)
-      val med = if (times.isEmpty) None else Some(median(times))
+      // the median runs over the FASTEST `reps` readings: contention only
+      // ADDS time, so after a re-measure the fastest-k subsample is the
+      // least-polluted — a median over all 5 would get WORSE when the
+      // extra reps land inside a deepening host wave (observed: reps
+      // [0.71, 0.76, 13.8, 22.8, 53.9] → median-of-all 13.8 vs
+      // median-of-fastest-3 0.76)
+      val med = if (times.isEmpty) None
+        else Some(median(times.sorted.take(reps)))
       val mn = if (times.isEmpty) None else Some(times.min)
       // stream per-query results to stderr so partial runs stay diagnosable
       System.err.println(s"[bench] ${d.name}: median=${med.map(fmt).getOrElse("FAILED")}s min=${mn.map(fmt).getOrElse("-")}s reps=[${times.map(fmt).mkString(",")}]")

@@ -64,35 +64,67 @@ object JsonModes {
   private def behave(b: Behavior, what: String): Column = b match {
     case Null => lit(null).cast("string")
     case Default(v) => v
-    case Error => raise_error(lit(s"JSON_VALUE $what"))
+    case Error => raise_error(lit(what))
   }
 
-  /** JSON_VALUE(json, path [mode] [behaviors]) → string scalar. */
+  /** JSON_VALUE(json, path [mode] [behaviors]) → string scalar.
+    * SQL:2016 §9.40 / reference JsonFunctions.jsonValue: a NON-SCALAR
+    * result (object/array) is EMPTY in lax mode but a structural ERROR
+    * in strict mode ("Strict jsonpath mode requires scalar value" —
+    * SqlOperatorBaseTest testJsonValue); a missing path is EMPTY in lax,
+    * ERROR in strict. */
   def jsonValue(json: Column, path: String, strict: Boolean = false,
       onEmpty: Behavior = Null, onError: Behavior = Null): Column = {
     val v = get_json_object(json, path)
-    when(!jsonIsValid(json), behave(onError, "malformed JSON (ON ERROR)"))
+    val nonScalar = substring(v, 1, 1).isin("{", "[")
+    when(!jsonIsValid(json), behave(onError, "JSON_VALUE malformed JSON (ON ERROR)"))
       .when(v.isNull,
-        if (strict) behave(onError, s"strict $path found nothing (ON ERROR)")
-        else behave(onEmpty, s"lax $path found nothing (ON EMPTY)"))
+        if (strict) behave(onError, s"JSON_VALUE strict $path found nothing (ON ERROR)")
+        else behave(onEmpty, s"JSON_VALUE lax $path found nothing (ON EMPTY)"))
+      .when(nonScalar,
+        if (strict) behave(onError,
+          s"JSON_VALUE strict jsonpath mode requires scalar value (ON ERROR)")
+        else behave(onEmpty, s"JSON_VALUE lax non-scalar is empty (ON EMPTY)"))
       .otherwise(v)
   }
 
-  /** JSON_EXISTS(json, path) — `errorResult` is the ON ERROR outcome for
-    * malformed JSON (SQL:2016 default FALSE). */
-  def jsonExists(json: Column, path: String,
+  /** JSON_EXISTS(json, path) — `errorResult` is the ON ERROR outcome
+    * (SQL:2016 default FALSE; TRUE/UNKNOWN spellable by passing
+    * lit(true) / lit(null)). In strict mode a missing path is an ERROR
+    * (takes `errorResult`); in lax it is simply FALSE
+    * (SqlOperatorBaseTest testJsonExists rows). */
+  def jsonExists(json: Column, path: String, strict: Boolean = false,
       errorResult: Column = lit(false)): Column =
-    when(!jsonIsValid(json), errorResult)
-      .otherwise(get_json_object(json, path).isNotNull)
+    when(!jsonIsValid(json), errorResult.cast("boolean"))
+      .otherwise(
+        if (strict)
+          when(get_json_object(json, path).isNull, errorResult.cast("boolean"))
+            .otherwise(lit(true))
+        else get_json_object(json, path).isNotNull)
 
-  /** JSON_QUERY(json, path) → JSON text of an object/array; under the
-    * default WITHOUT WRAPPER a scalar result is a STRUCTURAL ERROR (ON
-    * ERROR behavior, per SQL:2016 and the reference's JsonFunctions);
-    * `arrayWrapper` (WITH UNCONDITIONAL ARRAY WRAPPER) wraps scalars
-    * instead. */
-  def jsonQuery(json: Column, path: String, arrayWrapper: Boolean = false,
+  /** SQL:2016 JSON_QUERY wrapper modes. */
+  sealed trait Wrapper
+  object Wrapper {
+    /** WITHOUT [ARRAY] WRAPPER — scalar results are a structural error. */
+    case object Without extends Wrapper
+    /** WITH CONDITIONAL [ARRAY] WRAPPER — wrap unless already an array. */
+    case object Conditional extends Wrapper
+    /** WITH [UNCONDITIONAL] [ARRAY] WRAPPER — always wrap. */
+    case object Unconditional extends Wrapper
+  }
+
+  /** JSON_QUERY(json, path [mode] [wrapper] [behaviors]) → JSON text.
+    * Under WITHOUT WRAPPER a scalar result is a STRUCTURAL ERROR (ON
+    * ERROR behavior, per SQL:2016 and the reference's JsonFunctions
+    * "Strict jsonpath mode requires array or object value");
+    * CONDITIONAL wraps any non-array result, UNCONDITIONAL wraps
+    * everything (['[100]'] → [[100]] — testJsonQuery wrapper rows). A
+    * missing path is EMPTY in lax mode, ERROR in strict. */
+  def jsonQuery(json: Column, path: String,
+      wrapper: Wrapper = Wrapper.Without, strict: Boolean = false,
       onEmpty: Behavior = Null, onError: Behavior = Null): Column = {
     val v = get_json_object(json, path)
+    val isArray = substring(v, 1, 1) === "["
     val isStruct = substring(v, 1, 1).isin("{", "[")
     // wrapping a scalar must RE-QUOTE strings (`get_json_object` strips
     // JSON string quotes): ["bar"], not [bar] — the reference's
@@ -104,14 +136,24 @@ object JsonModes {
     // "true") is indistinguishable after extraction and wraps unquoted.
     val plain =
       v.rlike("^(-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false|null)$")
-    val wrapped = when(plain, concat(lit("["), v, lit("]")))
+    val wrapScalar = when(plain, concat(lit("["), v, lit("]")))
       .otherwise(to_json(array(v)))
-    when(!jsonIsValid(json), behave(onError, "malformed JSON (ON ERROR)"))
-      .when(v.isNull, behave(onEmpty, "path found nothing (ON EMPTY)"))
-      .otherwise(
-        if (arrayWrapper) when(isStruct, v).otherwise(wrapped)
-        else when(isStruct, v)
-          .otherwise(behave(onError, "scalar WITHOUT WRAPPER (ON ERROR)")))
+    // arrays/objects are already JSON text — bracket them verbatim
+    val wrapStruct = concat(lit("["), v, lit("]"))
+    when(!jsonIsValid(json), behave(onError, "JSON_QUERY malformed JSON (ON ERROR)"))
+      .when(v.isNull,
+        if (strict) behave(onError,
+          s"JSON_QUERY strict $path found nothing (ON ERROR)")
+        else behave(onEmpty, "JSON_QUERY path found nothing (ON EMPTY)"))
+      .otherwise(wrapper match {
+        case Wrapper.Without =>
+          when(isStruct, v).otherwise(behave(onError,
+            "JSON_QUERY scalar WITHOUT WRAPPER (ON ERROR)"))
+        case Wrapper.Conditional =>
+          when(isArray, v).when(isStruct, wrapStruct).otherwise(wrapScalar)
+        case Wrapper.Unconditional =>
+          when(isStruct, wrapStruct).otherwise(wrapScalar)
+      })
   }
 
   val defs: Seq[QDef] = Seq(
@@ -153,7 +195,7 @@ object JsonModes {
           onEmpty = Default(lit("none"))).as("jv_lax_missing"),
         jsonExists(col("broken"), "$.k").as("je_lax"),
         jsonQuery(lit("""{"a":{"b":[10,20]}}"""), "$.a").as("jq_obj"),
-        jsonQuery(col("props"), "$.k", arrayWrapper = true).as("jq_wrap"))
+        jsonQuery(col("props"), "$.k", wrapper = Wrapper.Unconditional).as("jq_wrap"))
     },
 
     // IS JSON predicate family over a mixed column: objects (events

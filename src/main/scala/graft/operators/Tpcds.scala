@@ -1134,6 +1134,77 @@ object Tpcds {
         |      AND o2.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |      AND o2.o_orderstatus = 'O')
         |GROUP BY c_mktsegment
-        |ORDER BY seg""")
+        |ORDER BY seg"""),
+
+    // q64 shape — the famous two-epoch mega-CTE: ONE aggregate CTE
+    // (cross_sales: item × location × year cells with count/sales/qty
+    // measures) joined to ITSELF at two adjacent year grains on the
+    // non-year keys, keeping pairs whose second-year activity did not
+    // grow (cs2.cnt <= cs1.cnt) — the only registry structure where the
+    // same CTE appears twice at different parameter pins. Plan posture:
+    // Catalyst inlines the CTE per arm and pushes each arm's year pin
+    // below the aggregate to the Filter directly over the orders scan
+    // (year(o_orderdate) = 1999 / 2000 — an expression predicate, so it
+    // lands in the scan-adjacent Filter rather than parquet PushedFilters;
+    // PLANS.md "tpcds_s_twoepoch_selfjoin" nodes (4)/(21)), so each arm
+    // reads the fact ONCE with its epoch filter applied before the
+    // aggregate; the join runs over two post-aggregate dimension-sized
+    // cell sets on (item, loc), never fact × fact.
+    QDef.common("tpcds_s_twoepoch_selfjoin",
+      """WITH cross_sales AS (
+        |  SELECT l_partkey AS item, c_nationkey AS loc,
+        |    CAST(year(o_orderdate) AS INT) AS syear,
+        |    COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sales,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY l_partkey, c_nationkey, CAST(year(o_orderdate) AS INT))
+        |SELECT cs1.item, cs1.loc,
+        |  cs1.syear AS year1, cs2.syear AS year2,
+        |  cs1.cnt AS cnt1, cs2.cnt AS cnt2,
+        |  cs1.sales AS sales1, cs2.sales AS sales2,
+        |  cs1.qty AS qty1, cs2.qty AS qty2
+        |FROM cross_sales cs1
+        |JOIN cross_sales cs2
+        |  ON cs1.item = cs2.item AND cs1.loc = cs2.loc
+        |WHERE cs1.syear = 1999 AND cs2.syear = 2000
+        |  AND cs2.cnt <= cs1.cnt
+        |ORDER BY cs1.item, cs1.loc"""),
+
+    // q14 cross_items shape — completes the q14 pair begun by
+    // tpcds_s_iceberg (which carries only the avg-sales threshold half):
+    // cross_items = items present in ALL THREE channels via a two-deep
+    // INTERSECT of per-channel item sets; the channel cells are then
+    // restricted to that set AND held above the iceberg threshold
+    // computed over the UNRESTRICTED union of all cells (real q14
+    // computes avg_sales over everything, not the restricted slice).
+    // Plan posture: each INTERSECT arm scans the fact once with its
+    // channel pin pushed down and aggregates to a dimension-sized item
+    // set; the IN-list broadcasts into the cells scan; the threshold is
+    // one scalar broadcast. No fact self-join.
+    QDef.common("tpcds_s_crossitems_iceberg",
+      """WITH chan AS (
+        |  SELECT c_mktsegment AS channel, l_partkey AS item,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        |  GROUP BY c_mktsegment, l_partkey),
+        |cross_items AS (
+        |  SELECT item FROM chan WHERE channel = 'BUILDING'
+        |  INTERSECT
+        |  SELECT item FROM chan WHERE channel = 'MACHINERY'
+        |  INTERSECT
+        |  SELECT item FROM chan WHERE channel = 'AUTOMOBILE'),
+        |threshold AS (
+        |  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_rev FROM chan)
+        |SELECT channel, item, CAST(rev AS DOUBLE) AS rev
+        |FROM chan, threshold
+        |WHERE item IN (SELECT item FROM cross_items)
+        |  AND CAST(rev AS DOUBLE) > 1.2 * avg_rev
+        |ORDER BY channel, item""")
   )
 }

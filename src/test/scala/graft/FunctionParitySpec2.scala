@@ -352,7 +352,7 @@ class FunctionParitySpec2 extends AnyFunSuite {
   checkCol("testJsonQuery", "lax scalar WITHOUT wrapper -> null",
     J.jsonQuery(lit("""{"foo":"bar"}"""), "$.foo"), NULL)
   checkCol("testJsonQuery", "lax scalar WITH wrapper -> [\"bar\"]",
-    J.jsonQuery(lit("""{"foo":"bar"}"""), "$.foo", arrayWrapper = true),
+    J.jsonQuery(lit("""{"foo":"bar"}"""), "$.foo", wrapper = J.Wrapper.Unconditional),
     S("""["bar"]"""))
 
   private def JI = graft.functions.JsonIntrospect

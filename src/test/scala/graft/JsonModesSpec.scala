@@ -49,7 +49,7 @@ class JsonModesSpec extends AnyFunSuite {
       onEmpty = Behavior.Default(lit("EMPTY")),
       onError = Behavior.Default(lit("ERR")))) == "ERR")
     assert(one(JsonModes.jsonQuery(lit("""{"a":1}"""), "$.a",
-      arrayWrapper = true)) == "[1]")
+      wrapper = JsonModes.Wrapper.Unconditional)) == "[1]")
   }
 
   test("IS JSON predicates: leading tabs/newlines and the null literal (r15 ADVICE)") {

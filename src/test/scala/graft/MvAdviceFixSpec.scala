@@ -203,13 +203,13 @@ class MvAdviceFixSpec extends AnyFunSuite {
   test("JSON_QUERY wrapper quotes malformed numeral-lookalike strings (strict number grammar)") {
     import graft.operators.JsonModes
     val df = spark.range(1).select(
-      JsonModes.jsonQuery(lit("""{"k":"1-2"}"""), "$.k", arrayWrapper = true).as("a"),
-      JsonModes.jsonQuery(lit("""{"k":"1.2.3"}"""), "$.k", arrayWrapper = true).as("b"),
-      JsonModes.jsonQuery(lit("""{"k":"1e"}"""), "$.k", arrayWrapper = true).as("c"),
-      JsonModes.jsonQuery(lit("""{"k":"007"}"""), "$.k", arrayWrapper = true).as("d"),
-      JsonModes.jsonQuery(lit("""{"k":12}"""), "$.k", arrayWrapper = true).as("e"),
-      JsonModes.jsonQuery(lit("""{"k":-0.5}"""), "$.k", arrayWrapper = true).as("f"),
-      JsonModes.jsonQuery(lit("""{"k":true}"""), "$.k", arrayWrapper = true).as("g"))
+      JsonModes.jsonQuery(lit("""{"k":"1-2"}"""), "$.k", wrapper = JsonModes.Wrapper.Unconditional).as("a"),
+      JsonModes.jsonQuery(lit("""{"k":"1.2.3"}"""), "$.k", wrapper = JsonModes.Wrapper.Unconditional).as("b"),
+      JsonModes.jsonQuery(lit("""{"k":"1e"}"""), "$.k", wrapper = JsonModes.Wrapper.Unconditional).as("c"),
+      JsonModes.jsonQuery(lit("""{"k":"007"}"""), "$.k", wrapper = JsonModes.Wrapper.Unconditional).as("d"),
+      JsonModes.jsonQuery(lit("""{"k":12}"""), "$.k", wrapper = JsonModes.Wrapper.Unconditional).as("e"),
+      JsonModes.jsonQuery(lit("""{"k":-0.5}"""), "$.k", wrapper = JsonModes.Wrapper.Unconditional).as("f"),
+      JsonModes.jsonQuery(lit("""{"k":true}"""), "$.k", wrapper = JsonModes.Wrapper.Unconditional).as("g"))
     val r = df.collect().head
     assert(r.getString(0) == """["1-2"]""")
     assert(r.getString(1) == """["1.2.3"]""")

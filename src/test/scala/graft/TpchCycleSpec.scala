@@ -67,6 +67,7 @@ class TpchCycleSpec extends AnyFunSuite {
     "tpcds_s_freqbest_channels", "tpcds_s_threechannel_rank",
     "tpcds_s_channelratio", "tpcds_s_shipchain2hop",
     "tpcds_s_shipchain_anti", "tpcds_s_existsnotexists",
+    "tpcds_s_twoepoch_selfjoin", "tpcds_s_crossitems_iceberg",
     // r13: the RuntimeReplaceable rendering fallback (RelToSql) made the
     // whole Between/assert_true-sugar family convertible
     "foodmart_avg_time_members", "foodmart_covariance",

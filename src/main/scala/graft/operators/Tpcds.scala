@@ -1205,6 +1205,35 @@ object Tpcds {
         |FROM chan, threshold
         |WHERE item IN (SELECT item FROM cross_items)
         |  AND CAST(rev AS DOUBLE) > 1.2 * avg_rev
+        |ORDER BY channel, item"""),
+
+    // The single-scan rewrite of tpcds_s_crossitems_iceberg (the
+    // SCALING.md r16 guidance made executable, same pattern as
+    // tpcds_s_missingchannel_1scan): the literal INTERSECT form inlines
+    // the `chan` CTE five times (three INTERSECT arms + restricted
+    // cells + threshold — five fact scans, measured 36.8 s at ×100).
+    // Because (channel, item) is the cells' group key, "item present in
+    // all three channels" is COUNT(*) OVER (PARTITION BY item) = 3 and
+    // the unrestricted threshold is SUM/COUNT OVER () — one fact scan,
+    // two window passes over the dimension-sized cells.
+    // TpcdsChannelsSpec pins both twins row-equal and the scan counts.
+    QDef.common("tpcds_s_crossitems_1scan",
+      """WITH chan AS (
+        |  SELECT c_mktsegment AS channel, l_partkey AS item,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DECIMAL(28,2)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        |  GROUP BY c_mktsegment, l_partkey),
+        |marked AS (
+        |  SELECT channel, item, rev,
+        |    COUNT(*) OVER (PARTITION BY item) AS nchan,
+        |    CAST(SUM(rev) OVER () AS DOUBLE) / COUNT(*) OVER () AS avg_rev
+        |  FROM chan)
+        |SELECT channel, item, CAST(rev AS DOUBLE) AS rev
+        |FROM marked
+        |WHERE nchan = 3 AND CAST(rev AS DOUBLE) > 1.2 * avg_rev
         |ORDER BY channel, item""")
   )
 }

@@ -55,4 +55,27 @@ class TpcdsChannelsSpec extends AnyFunSuite {
     assert(lineitemScans("tpcds_s_missingchannel_1scan") == 1)
     assert(factScans("tpcds_s_missingchannel_1scan") == 1)
   }
+
+  // --- tpcds_s_crossitems_iceberg vs its single-scan window twin (r16) ----
+
+  test("crossitems twin: window membership matches the INTERSECT form") {
+    val intersectForm =
+      SparkEntry.queries("tpcds_s_crossitems_iceberg")(spark, sfDir)
+    val oneScan = SparkEntry.queries("tpcds_s_crossitems_1scan")(spark, sfDir)
+    val a = intersectForm.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = oneScan.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("crossitems twin: one fact scan instead of five") {
+    def factScans(name: String): Int =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.collectLeaves()
+        .count(_.output.exists(_.name == "l_extendedprice"))
+    assert(factScans("tpcds_s_crossitems_iceberg") == 5,
+      "the literal INTERSECT form inlines the cells CTE five times")
+    assert(factScans("tpcds_s_crossitems_1scan") == 1)
+  }
 }

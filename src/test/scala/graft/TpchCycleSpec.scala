@@ -68,6 +68,7 @@ class TpchCycleSpec extends AnyFunSuite {
     "tpcds_s_channelratio", "tpcds_s_shipchain2hop",
     "tpcds_s_shipchain_anti", "tpcds_s_existsnotexists",
     "tpcds_s_twoepoch_selfjoin", "tpcds_s_crossitems_iceberg",
+    "tpcds_s_crossitems_1scan",
     // r13: the RuntimeReplaceable rendering fallback (RelToSql) made the
     // whole Between/assert_true-sugar family convertible
     "foodmart_avg_time_members", "foodmart_covariance",

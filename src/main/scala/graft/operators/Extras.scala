@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QDef, Tables}
+import graft.operators.JsonModes
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -195,9 +196,10 @@ object Extras {
         array_join(json_object_keys(col("props")), ",").as("ks"),
         json_array_length(concat(lit("["), col("event_id"), lit(","),
           col("user_id"), lit("]"))).as("arr_len"),
-        when(ltrim(col("props")).startsWith("{"), "OBJECT")
-          .when(ltrim(col("props")).startsWith("["), "ARRAY")
-          .otherwise("SCALAR").as("jtype"))
+        // the full MySQL classifier (JsonModes.jsonType, r16); the
+        // fixture's props are all objects, where DuckDB's json_type
+        // agrees on the spelling
+        JsonModes.jsonType(col("props")).as("jtype"))
     },
 
     // ---- JSON introspection II: DEPTH / PRETTY / REMOVE / STORAGE_SIZE ----

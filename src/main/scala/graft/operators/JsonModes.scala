@@ -61,6 +61,55 @@ object JsonModes {
   /** Is the string well-formed JSON? (Spark: a full parse of `$`.) */
   def jsonIsValid(json: Column): Column = get_json_object(json, "$").isNotNull
 
+  /** MySQL/Calcite JSON_TYPE classifier (reference: SqlLibraryOperators
+    * JSON_TYPE; value rows in SqlOperatorBaseTest testJsonType —
+    * '"1"'→STRING, '1'→INTEGER, '11.45'→DOUBLE, 'true'→BOOLEAN,
+    * 'null'→NULL, containers→OBJECT/ARRAY; invalid JSON raises). Pure
+    * codegen'd expression composition. */
+  def jsonType(c: Column): Column = {
+    val f = firstChar(c)
+    when(c.isNull, lit(null).cast("string"))
+      .when(!wellFormed(c),
+        raise_error(concat(lit("JSON_TYPE invalid JSON: "), c)))
+      .when(f === "{", lit("OBJECT"))
+      .when(f === "[", lit("ARRAY"))
+      .when(f === "\"", lit("STRING"))
+      .when(isNullLiteral(c), lit("NULL"))
+      .when(f === "t" || f === "f", lit("BOOLEAN"))
+      .when(regexp_replace(c, "^\\s+|\\s+$", "").rlike("^-?[0-9]+$"),
+        lit("INTEGER"))
+      .otherwise(lit("DOUBLE"))
+  }
+
+  /** MySQL/Calcite JSON_LENGTH (SqlOperatorBaseTest testJsonLength):
+    * object → member count, array → element count, scalar → 1; a missing
+    * path is NULL in lax mode and an error in strict mode. */
+  def jsonLength(json: Column, path: String = "$",
+      strict: Boolean = false): Column = {
+    val v = get_json_object(json, path)
+    val f = firstChar(v)
+    val missing =
+      if (strict)
+        raise_error(lit(s"JSON_LENGTH: No results for path: $path")).cast("int")
+      else lit(null).cast("int")
+    when(json.isNull, lit(null).cast("int"))
+      .when(v.isNull, missing)
+      .when(f === "{", size(json_object_keys(v)))
+      .when(f === "[", json_array_length(v))
+      .otherwise(lit(1))
+  }
+
+  /** MySQL/Calcite JSON_KEYS (SqlOperatorBaseTest testJsonKeys): the
+    * member names of an object at the path as JSON text; non-objects and
+    * missing paths yield the JSON literal "null" (the reference
+    * serializes a Java null through jsonize, not SQL NULL). */
+  def jsonKeys(json: Column, path: String = "$"): Column = {
+    val v = get_json_object(json, path)
+    when(json.isNull, lit(null).cast("string"))
+      .when(v.isNotNull && firstChar(v) === "{", to_json(json_object_keys(v)))
+      .otherwise(lit("null"))
+  }
+
   private def behave(b: Behavior, what: String): Column = b match {
     case Null => lit(null).cast("string")
     case Default(v) => v

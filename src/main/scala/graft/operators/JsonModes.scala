@@ -58,8 +58,15 @@ object JsonModes {
     when(c.isNull, lit(null)).otherwise(
       wellFormed(c) && firstChar(c) =!= "{" && firstChar(c) =!= "[")
 
-  /** Is the string well-formed JSON? (Spark: a full parse of `$`.) */
-  def jsonIsValid(json: Column): Column = get_json_object(json, "$").isNotNull
+  /** Is the string well-formed JSON? Defined via `wellFormed` so the JSON
+    * `null` literal counts as valid (the reference's dejsonize parses it)
+    * and every entry point — JSON_VALUE/QUERY/EXISTS and the IS JSON
+    * predicates — agrees on what "malformed" means. A null SCALAR at a
+    * path is still indistinguishable from a missing path downstream
+    * (`get_json_object` returns SQL NULL for both), matching the
+    * behaviors only at the NULL defaults — documented residual. */
+  def jsonIsValid(json: Column): Column =
+    when(json.isNull, lit(null)).otherwise(wellFormed(json))
 
   /** MySQL/Calcite JSON_TYPE classifier (reference: SqlLibraryOperators
     * JSON_TYPE; value rows in SqlOperatorBaseTest testJsonType —
@@ -76,8 +83,15 @@ object JsonModes {
       .when(f === "\"", lit("STRING"))
       .when(isNullLiteral(c), lit("NULL"))
       .when(f === "t" || f === "f", lit("BOOLEAN"))
+      // Jackson parses integer numerals as Integer when they fit, Long
+      // otherwise (reference JsonFunctions.jsonType via classifier on the
+      // parsed object) — '100000000000' is LONG, not INTEGER. FLOAT is
+      // unreachable from text input (Jackson never yields Float for JSON
+      // numerals), so only INTEGER/LONG/DOUBLE can appear here.
       .when(regexp_replace(c, "^\\s+|\\s+$", "").rlike("^-?[0-9]+$"),
-        lit("INTEGER"))
+        when(regexp_replace(c, "^\\s+|\\s+$", "").cast("decimal(38,0)")
+            .between(Int.MinValue.toLong, Int.MaxValue.toLong),
+          lit("INTEGER")).otherwise(lit("LONG")))
       .otherwise(lit("DOUBLE"))
   }
 
@@ -93,6 +107,10 @@ object JsonModes {
         raise_error(lit(s"JSON_LENGTH: No results for path: $path")).cast("int")
       else lit(null).cast("int")
     when(json.isNull, lit(null).cast("int"))
+      // malformed input raises in BOTH modes (reference
+      // invalidInputForJsonLength) — only a missing PATH is mode-sensitive
+      .when(!wellFormed(json),
+        raise_error(concat(lit("JSON_LENGTH invalid input: "), json)).cast("int"))
       .when(v.isNull, missing)
       .when(f === "{", size(json_object_keys(v)))
       .when(f === "[", json_array_length(v))
@@ -106,6 +124,10 @@ object JsonModes {
   def jsonKeys(json: Column, path: String = "$"): Column = {
     val v = get_json_object(json, path)
     when(json.isNull, lit(null).cast("string"))
+      // malformed input raises (reference invalidInputForJsonKeys); a
+      // missing path or non-object is the serialized "null" instead
+      .when(!wellFormed(json),
+        raise_error(concat(lit("JSON_KEYS invalid input: "), json)).cast("string"))
       .when(v.isNotNull && firstChar(v) === "{", to_json(json_object_keys(v)))
       .otherwise(lit("null"))
   }
@@ -125,8 +147,17 @@ object JsonModes {
   def jsonValue(json: Column, path: String, strict: Boolean = false,
       onEmpty: Behavior = Null, onError: Behavior = Null): Column = {
     val v = get_json_object(json, path)
-    val nonScalar = substring(v, 1, 1).isin("{", "[")
-    when(!jsonIsValid(json), behave(onError, "JSON_VALUE malformed JSON (ON ERROR)"))
+    // `get_json_object` strips JSON string quotes, so a STRING scalar whose
+    // content starts with '{'/'[' would look like a container by first char
+    // alone — require the extracted text to itself be well-formed container
+    // JSON before classifying non-scalar (reference isScalarObject checks
+    // the PARSED type). Residual ambiguity (same as jsonQuery's wrap
+    // comment): a string scalar whose content IS valid container JSON
+    // ('"[1]"') is indistinguishable after extraction.
+    val nonScalar =
+      substring(v, 1, 1).isin("{", "[") && get_json_object(v, "$").isNotNull
+    when(json.isNull, lit(null).cast("string"))
+      .when(!jsonIsValid(json), behave(onError, "JSON_VALUE malformed JSON (ON ERROR)"))
       .when(v.isNull,
         if (strict) behave(onError, s"JSON_VALUE strict $path found nothing (ON ERROR)")
         else behave(onEmpty, s"JSON_VALUE lax $path found nothing (ON EMPTY)"))
@@ -144,7 +175,8 @@ object JsonModes {
     * (SqlOperatorBaseTest testJsonExists rows). */
   def jsonExists(json: Column, path: String, strict: Boolean = false,
       errorResult: Column = lit(false)): Column =
-    when(!jsonIsValid(json), errorResult.cast("boolean"))
+    when(json.isNull, lit(null).cast("boolean"))
+      .when(!jsonIsValid(json), errorResult.cast("boolean"))
       .otherwise(
         if (strict)
           when(get_json_object(json, path).isNull, errorResult.cast("boolean"))
@@ -173,8 +205,12 @@ object JsonModes {
       wrapper: Wrapper = Wrapper.Without, strict: Boolean = false,
       onEmpty: Behavior = Null, onError: Behavior = Null): Column = {
     val v = get_json_object(json, path)
-    val isArray = substring(v, 1, 1) === "["
-    val isStruct = substring(v, 1, 1).isin("{", "[")
+    // same parsed-type narrowing as jsonValue's nonScalar: a string scalar
+    // whose content starts with '{'/'[' is NOT a container unless the
+    // extracted text itself parses as JSON
+    val reparses = get_json_object(v, "$").isNotNull
+    val isArray = substring(v, 1, 1) === "[" && reparses
+    val isStruct = substring(v, 1, 1).isin("{", "[") && reparses
     // wrapping a scalar must RE-QUOTE strings (`get_json_object` strips
     // JSON string quotes): ["bar"], not [bar] — the reference's
     // JsonFunctions wrapper emits JSON text. Numbers/booleans/null keep
@@ -189,15 +225,23 @@ object JsonModes {
       .otherwise(to_json(array(v)))
     // arrays/objects are already JSON text — bracket them verbatim
     val wrapStruct = concat(lit("["), v, lit("]"))
-    when(!jsonIsValid(json), behave(onError, "JSON_QUERY malformed JSON (ON ERROR)"))
+    when(json.isNull, lit(null).cast("string"))
+      .when(!jsonIsValid(json), behave(onError, "JSON_QUERY malformed JSON (ON ERROR)"))
       .when(v.isNull,
         if (strict) behave(onError,
           s"JSON_QUERY strict $path found nothing (ON ERROR)")
         else behave(onEmpty, "JSON_QUERY path found nothing (ON EMPTY)"))
       .otherwise(wrapper match {
         case Wrapper.Without =>
-          when(isStruct, v).otherwise(behave(onError,
-            "JSON_QUERY scalar WITHOUT WRAPPER (ON ERROR)"))
+          // a scalar WITHOUT WRAPPER takes the ON EMPTY behavior in lax
+          // mode but ON ERROR in strict (reference JsonFunctions.jsonQuery;
+          // SqlOperatorBaseTest testJsonQuery:4718-4724 — 'lax $.foo'
+          // empty-array-on-empty → '[]', strict raises)
+          when(isStruct, v).otherwise(
+            if (strict) behave(onError,
+              "JSON_QUERY scalar WITHOUT WRAPPER (ON ERROR)")
+            else behave(onEmpty,
+              "JSON_QUERY lax scalar WITHOUT WRAPPER (ON EMPTY)"))
         case Wrapper.Conditional =>
           when(isArray, v).when(isStruct, wrapStruct).otherwise(wrapScalar)
         case Wrapper.Unconditional =>

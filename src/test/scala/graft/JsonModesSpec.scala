@@ -39,13 +39,17 @@ class JsonModesSpec extends AnyFunSuite {
 
   test("JSON_QUERY wrapper semantics") {
     assert(one(JsonModes.jsonQuery(lit("""{"a":{"b":1}}"""), "$.a")) == """{"b":1}""")
-    // scalar WITHOUT WRAPPER is a structural ERROR (SQL:2016): it takes
-    // the ON ERROR behavior, not ON EMPTY
+    // scalar WITHOUT WRAPPER: ON EMPTY in lax mode, ON ERROR in strict
+    // (reference JsonFunctions.jsonQuery; r16 ADVICE fix — the earlier
+    // unconditional-ON-ERROR routing was wrong in lax)
     import spark.implicits._
     val r = Seq(1).toDF("x")
       .select(JsonModes.jsonQuery(lit("""{"a":1}"""), "$.a").as("r")).head()
-    assert(r.isNullAt(0)) // default ON ERROR = NULL
+    assert(r.isNullAt(0)) // defaults coincide at NULL
     assert(one(JsonModes.jsonQuery(lit("""{"a":1}"""), "$.a",
+      onEmpty = Behavior.Default(lit("EMPTY")),
+      onError = Behavior.Default(lit("ERR")))) == "EMPTY")
+    assert(one(JsonModes.jsonQuery(lit("""{"a":1}"""), "$.a", strict = true,
       onEmpty = Behavior.Default(lit("EMPTY")),
       onError = Behavior.Default(lit("ERR")))) == "ERR")
     assert(one(JsonModes.jsonQuery(lit("""{"a":1}"""), "$.a",

@@ -26,11 +26,23 @@ import org.apache.spark.sql.types.DecimalType
   */
 object MvRewriteDemo {
 
-  private def withTile(spark: SparkSession, name: String, definition: DataFrame,
-      query: => DataFrame): DataFrame = {
+  // Tile parquet rebuilt only when the DATA DIR changes for that tile
+  // name: the build is a once-per-deployment step, so bench reps after
+  // the first measure ONLY the rewritten query (r16 verdict: the
+  // slowest-5 list was carrying tile-build I/O, not rewrite overhead).
+  // Tracking the last-built dir (not a seen-set) keeps the single
+  // on-disk path correct if one JVM alternates sf dirs; a fresh JVM
+  // always rebuilds, so cross-round testdata regen is safe.
+  private val tileBuiltFor = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def withTile(spark: SparkSession, name: String, dir: String,
+      definition: DataFrame, query: => DataFrame): DataFrame = {
     MaterializedViews.clear()
     MaterializedViews.install(spark)
-    MaterializedViews.create(spark, name, definition, s"/tmp/graft_mv_demo/$name")
+    val path = s"/tmp/graft_mv_demo/$name"
+    val rebuild = !tileBuiltFor.put(name, dir).contains(dir) ||
+      !new java.io.File(path).exists
+    MaterializedViews.create(spark, name, definition, path, rebuild = rebuild)
     try {
       val df = query
       val plan = df.queryExecution.executedPlan.toString
@@ -50,7 +62,7 @@ object MvRewriteDemo {
     def tileDef = lineitem
       .where(col("l_quantity") < 10)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-    withTile(spark, "mv_lineitem_smallqty", tileDef, {
+    withTile(spark, "mv_lineitem_smallqty", dir, tileDef, {
       lineitem.where(col("l_quantity") < 5)
         .join(part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
@@ -75,7 +87,7 @@ object MvRewriteDemo {
       .agg(
         sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_raw"),
         count(lit(1)).as("cnt"))
-    withTile(spark, "mv_order_date_grain", tileDef, {
+    withTile(spark, "mv_order_date_grain", dir, tileDef, {
       joined
         .groupBy(col("o_orderdate"))
         .agg(
@@ -104,7 +116,7 @@ object MvRewriteDemo {
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .where(col("l_quantity") < 10)
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      withTile(spark, "mv_ukfk_tile", tileDef, {
+      withTile(spark, "mv_ukfk_tile", dir, tileDef, {
         val df = lineitem.where(col("l_quantity") < 5)
           .groupBy(col("l_partkey"))
           .agg(
@@ -130,7 +142,7 @@ object MvRewriteDemo {
       .agg(
         sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_raw"),
         count(lit(1)).as("cnt"))
-    withTile(spark, "mv_cube_tile", tileDef, {
+    withTile(spark, "mv_cube_tile", dir, tileDef, {
       val df = lineitem
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(

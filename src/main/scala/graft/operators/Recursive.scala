@@ -42,7 +42,13 @@ object Recursive {
       checkpointEvery: Int = 8,
       unroll: Int = 8,
       tag: String = "anon",
-      narrowDeltas: Boolean = true): DataFrame = {
+      narrowDeltas: Boolean = true,
+      bucketAcc: Boolean = false): DataFrame = {
+    if (bucketAcc)
+      // wide-delta strategy: runs at the session's full parallelism by
+      // construction, so narrowDeltas is irrelevant on this path
+      return repeatUnionBucketed(seed, step, maxIter, checkpointEvery,
+        unroll, tag)
     val spark = seed.sparkSession
     // narrowDeltas=true (the default): iteration deltas are tiny relative
     // to the cluster; the per-iteration floor is scheduler overhead, so run
@@ -130,6 +136,105 @@ object Recursive {
       spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
       spark.conf.set("spark.sql.codegen.factoryMode", prevFac)
     }
+  }
+
+  /** Bucketed-accumulator semi-naive loop — the r16 SCALING.md mitigation
+    * for the one measured super-linear edge (the ×100 wide closure's
+    * except-against-accumulator re-shuffled the whole 82.5 M-pair
+    * accumulator every round and spilled).
+    *
+    * The accumulator lives as DISJOINT pieces, each hash-partitioned on
+    * the full row and `localCheckpoint`ed (LogicalRDD preserves the
+    * physical outputPartitioning, so the planner still sees the hash
+    * clustering). Each round's "except acc" becomes a chain of
+    * CO-PARTITIONED shuffled-hash LEFT ANTI joins against the pieces:
+    * the candidate set shuffles once (it must anyway), the accumulator
+    * side shuffles and sorts ZERO times. Pieces older than the current
+    * delta merge into one (a single acc-wide shuffle) every
+    * `checkpointEvery` rounds — amortizing what the except paid per
+    * round — and the merged-out checkpoints release immediately.
+    *
+    * Row equality is === (null-UNSAFE), not <=>: Spark extracts
+    * null-safe join keys as coalesce-wrapped expressions, which no
+    * longer match the pieces' hash partitioning and would re-insert the
+    * very exchanges this path exists to remove. Consequence: a row
+    * containing a NULL never matches the accumulator, so it re-enters
+    * the delta every round — results stay set-correct (the terminal
+    * distinct dedupes), but fixpoint DETECTION degrades to maxIter.
+    * Closure keys are null-free by construction; pass null-producing
+    * steps through the default path instead. */
+  private def repeatUnionBucketed(
+      seed: DataFrame,
+      step: DataFrame => DataFrame,
+      maxIter: Int,
+      checkpointEvery: Int,
+      unroll: Int,
+      tag: String): DataFrame = {
+    val spark = seed.sparkSession
+    val names = seed.columns.toSeq
+    val keys = names.map(col)
+    val p = spark.sparkContext.defaultParallelism
+    // AQE must be OFF inside the loop: under AdaptiveSparkPlanExec,
+    // Dataset.localCheckpoint captures UnknownPartitioning (measured —
+    // ScratchPartitioningSpec's shape), so every piece would re-shuffle
+    // in the anti joins and the whole point of this path evaporates.
+    // The loop's topology is hand-planned; AQE has nothing to add here.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // left side streams; the piece side builds a per-partition hash map —
+      // no sort of either side, and EnsureRequirements sees matching
+      // HashPartitioning(p) on both, so no exchange either
+      def anti(l: DataFrame, piece: DataFrame): DataFrame = {
+        val r = piece.toDF(names.map(_ + "__acc"): _*).hint("shuffle_hash")
+        l.join(r, names.map(n => col(n) === col(n + "__acc")).reduce(_ && _),
+          "left_anti")
+      }
+      val acc0 = seed.repartition(p, keys: _*).dropDuplicates()
+        .localCheckpoint(eager = true)
+      // pieces: head = newest delta (next round's step input), disjoint by
+      // construction — every piece was anti-joined against all older ones
+      var pieces = List(acc0)
+      var delta = acc0
+      var i = 0
+      var round = 0
+      var done = false
+      while (!done && (maxIter < 0 || i < maxIter)) {
+        val levels = if (maxIter < 0) unroll else math.min(unroll, maxIter - i)
+        var d = delta
+        val parts = Seq.newBuilder[DataFrame]
+        var j = 0
+        while (j < levels) { d = step(d); parts += d; j += 1 }
+        // ONE shuffle of the round's candidate volume; the dropDuplicates
+        // aggregate and every anti join below reuse that partitioning
+        val cand = parts.result().reduce(_ union _)
+          .repartition(p, keys: _*).dropDuplicates()
+        val next = pieces.foldLeft(cand)(anti).localCheckpoint(eager = true)
+        delta = next
+        done = delta.isEmpty
+        if (done) {
+          graft.Checkpoints.release(delta)
+        } else {
+          pieces = delta :: pieces
+          // merge everything EXCEPT the newest delta (still live as the
+          // next round's step input); the merged-out checkpoints are gone
+          // from the live list, so releasing them is safe
+          if (round % checkpointEvery == checkpointEvery - 1 && pieces.tail.size > 1) {
+            val older = pieces.tail
+            val compacted = older.reduce(_ union _)
+              .repartition(p, keys: _*).localCheckpoint(eager = true)
+            older.foreach(graft.Checkpoints.release)
+            pieces = List(delta, compacted)
+          }
+          i += levels
+          round += 1
+        }
+      }
+      // pieces are disjoint, but keep the terminal distinct for exact parity
+      // with the default path's set semantics (and the === null caveat)
+      graft.Checkpoints.superseding(s"repeat_union/$tag",
+        pieces.reduce(_ union _).distinct())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   val defs: Seq[QDef] = Seq(

@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object RecursiveScale {
 
-  /** (start_k, node) pairs of the orders key-chain closure. */
-  def closure(spark: SparkSession, dir: String, narrow: Boolean): DataFrame = {
+  /** (start_k, node) pairs of the orders key-chain closure.
+    * `mode`: "wide" (narrowDeltas=false), "narrow" (the scale-trap
+    * configuration), or "bucketed" (r17: the bucketed-accumulator loop —
+    * co-partitioned anti-join chain instead of except-against-acc). */
+  def closure(spark: SparkSession, dir: String, mode: String): DataFrame = {
     val orders = Tables.t(spark, dir, "orders").select(col("o_orderkey").as("k"))
     val edges = orders.where(pmod(col("k"), lit(10)) =!= 0)
       .select(col("k").as("src"), (col("k") - 1).as("dst"))
@@ -41,20 +44,24 @@ object RecursiveScale {
       d.alias("r").join(edges.alias("e"), col("r.node") === col("e.src"))
         .select(col("r.start_k").as("start_k"), col("e.dst").as("node")),
       maxIter = 12, unroll = 5, tag = "recursive_scale",
-      narrowDeltas = narrow)
+      narrowDeltas = mode == "narrow",
+      bucketAcc = mode == "bucketed")
     graft.Checkpoints.release(edges)
     res
   }
 
+  def closure(spark: SparkSession, dir: String, narrow: Boolean): DataFrame =
+    closure(spark, dir, if (narrow) "narrow" else "wide")
+
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val narrow = args.lift(1).contains("narrow")
+    val mode = args.lift(1).getOrElse("wide")
     val spark = Engine.session("graft-recursive-scale")
     val t0 = System.nanoTime()
-    val n = closure(spark, dir, narrow).count()
+    val n = closure(spark, dir, mode).count()
     val wall = (System.nanoTime() - t0) / 1e9
     graft.Checkpoints.releaseAll(spark)
-    println(f"""{"recursive_scale":"$dir","mode":"${if (narrow) "narrow" else "wide"}","rows":$n,"wall_s":$wall%.1f}""")
+    println(f"""{"recursive_scale":"$dir","mode":"$mode","rows":$n,"wall_s":$wall%.1f}""")
     spark.stop()
   }
 }

@@ -36,13 +36,47 @@ class RecursiveScaleSpec extends AnyFunSuite {
     assert(native.length.toLong == expected)
   }
 
-  for (narrow <- Seq(true, false))
-    test(s"repeatUnion closure (narrowDeltas=$narrow) equals native WITH RECURSIVE") {
-      val got = RecursiveScale.closure(spark, sfDir, narrow)
+  for (mode <- Seq("narrow", "wide", "bucketed"))
+    test(s"repeatUnion closure (mode=$mode) equals native WITH RECURSIVE") {
+      val got = RecursiveScale.closure(spark, sfDir, mode)
         .collect().map(_.toString).sorted
       assert(got.length == native.length,
         s"row count ${got.length} != ${native.length}")
       assert(got.sameElements(native))
       Checkpoints.releaseAll(spark)
     }
+
+  test("bucketed anti-join chain is exchange-free on the accumulator side") {
+    // the physical plan of one bucketed round must not re-shuffle piece
+    // relations: every Exchange below the anti joins belongs to the
+    // candidate side (one repartition) — count exchanges in a 2-piece
+    // chain and pin the bound
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same conditions as inside repeatUnionBucketed: AQE off (see
+    // CheckpointPartitioningSpec — under AQE the checkpoint loses its
+    // partitioning and this very pin fails)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = spark.sparkContext.defaultParallelism
+      val a = Seq(1L, 2L, 3L).toDF("n").repartition(p, col("n"))
+        .localCheckpoint(eager = true)
+      val b = Seq(4L, 5L).toDF("n").repartition(p, col("n"))
+        .localCheckpoint(eager = true)
+      val cand = Seq(3L, 4L, 6L).toDF("n").repartition(p, col("n"))
+      val chained = cand
+        .join(a.toDF("n__acc").hint("shuffle_hash"),
+          col("n") === col("n__acc"), "left_anti")
+        .join(b.toDF("n__acc").hint("shuffle_hash"),
+          col("n") === col("n__acc"), "left_anti")
+      val plan = chained.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (candidate side only):\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), s"expected SHJ, got:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"piece side must not sort:\n$plan")
+      assert(chained.collect().map(_.getLong(0)).sorted.sameElements(Array(6L)))
+      Checkpoints.release(a); Checkpoints.release(b)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

@@ -67,9 +67,30 @@ object ExtendSql {
   /** ExtensibleTable.extend: the base relation with `fields` appended to
     * its row type. File scans re-read storage under the merged schema
     * (real values when the file has the column); everything else gets
-    * typed NULLs. Fields already declared are left untouched. */
+    * typed NULLs. Fields already declared with the SAME type are left
+    * untouched; redeclaring at a DIFFERENT type rejects, as does naming
+    * the same extended column twice (reference: SqlValidatorTest
+    * testSelectExtendedColumnDuplicate "Duplicate name in column list",
+    * testSelectExtendedColumnFailCollision "Cannot assign to target
+    * field"; the reference's nullability-only collisions are declaration-
+    * weak here — the standing NOT NULL rule). */
   def extend(spark: SparkSession, base: DataFrame,
       fields: Seq[StructField]): DataFrame = {
+    fields.groupBy(_.name.toLowerCase).collectFirst {
+      case (_, fs) if fs.size > 1 => fs.head.name
+    }.foreach { dup =>
+      throw new IllegalArgumentException(
+        s"Duplicate name '${dup.toUpperCase}' in column list")
+    }
+    fields.foreach { f =>
+      base.schema.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { d =>
+        if (d.dataType != f.dataType)
+          throw new IllegalArgumentException(
+            s"Cannot assign to target field '${f.name.toUpperCase}' of type " +
+              s"${d.dataType.sql} from source field '${f.name.toUpperCase}' " +
+              s"of type ${f.dataType.sql}")
+      }
+    }
     val fresh = fields.filterNot(f =>
       base.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
     if (fresh.isEmpty) base

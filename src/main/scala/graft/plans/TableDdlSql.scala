@@ -273,7 +273,33 @@ object TableDdlSql {
       Some(insertFrom(spark, delegate, lookup(spark, name).get, colList,
         provided => spark.sql(selectText).toDF(provided: _*)))
 
-    case _ => None
+    // CAST(x AS <registered type>) in an otherwise-plain statement:
+    // rewrite the alias to its Spark type and delegate (reference:
+    // SqlValidatorTest testCastRegisteredType — cast(123 as
+    // sales.customBigInt) resolves through the catalog's type registry)
+    case _ => resolveCastTypes(spark, sqlText).map(delegate.parsePlan)
+  }
+
+  /** Rewrite CREATE TYPE aliases appearing in `CAST(... AS <name>)`
+    * positions to their registered Spark types. Matched ONLY between
+    * CAST's parens (no nested parens in the cast argument), so column
+    * aliases named like a type are untouched; None when nothing matched
+    * (the delegate then sees the original text). */
+  private def resolveCastTypes(spark: SparkSession, sql: String): Option[String] = {
+    var out = sql
+    var changed = false
+    val it = types.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        val re = ("(?is)(\\bCAST\\s*\\([^()]*?\\s+AS\\s+)" +
+          java.util.regex.Pattern.quote(e.getKey._2) + "(\\s*\\))").r
+        val next = re.replaceAllIn(out, m => scala.util.matching.Regex
+          .quoteReplacement(m.group(1) + e.getValue + m.group(2)))
+        if (next != out) { changed = true; out = next }
+      }
+    }
+    if (changed) Some(out) else None
   }
 
   /** Shared INSERT path: validate the target list (generated columns

@@ -84,14 +84,22 @@ object JsonModes {
       .when(isNullLiteral(c), lit("NULL"))
       .when(f === "t" || f === "f", lit("BOOLEAN"))
       // Jackson parses integer numerals as Integer when they fit, Long
-      // otherwise (reference JsonFunctions.jsonType via classifier on the
-      // parsed object) — '100000000000' is LONG, not INTEGER. FLOAT is
-      // unreachable from text input (Jackson never yields Float for JSON
-      // numerals), so only INTEGER/LONG/DOUBLE can appear here.
-      .when(regexp_replace(c, "^\\s+|\\s+$", "").rlike("^-?[0-9]+$"),
-        when(regexp_replace(c, "^\\s+|\\s+$", "").cast("decimal(38,0)")
-            .between(Int.MinValue.toLong, Int.MaxValue.toLong),
-          lit("INTEGER")).otherwise(lit("LONG")))
+      // when they fit a long, and BigInteger beyond — and the reference's
+      // classifier has no BigInteger arm, so it RAISES for those
+      // (runtime/JsonFunctions.java jsonType else-branch). The >19-digit
+      // guard runs before the decimal cast so an over-wide numeral takes
+      // the raise, never an ANSI CAST_OVERFLOW. FLOAT is unreachable from
+      // text input (Jackson never yields Float for JSON numerals).
+      .when(regexp_replace(c, "^\\s+|\\s+$", "").rlike("^-?[0-9]+$"), {
+        val numeral = regexp_replace(c, "^\\s+|\\s+$", "")
+        when(length(regexp_replace(numeral, "^-", "")) > 19,
+          raise_error(concat(lit("JSON_TYPE invalid JSON: "), c)))
+          .when(numeral.cast("decimal(38,0)")
+              .between(Int.MinValue.toLong, Int.MaxValue.toLong), lit("INTEGER"))
+          .when(numeral.cast("decimal(38,0)")
+              .between(Long.MinValue, Long.MaxValue), lit("LONG"))
+          .otherwise(raise_error(concat(lit("JSON_TYPE invalid JSON: "), c)))
+      })
       .otherwise(lit("DOUBLE"))
   }
 

@@ -172,11 +172,16 @@ object Recursive {
       tag: String): DataFrame = {
     val spark = seed.sparkSession
     val names = seed.columns.toSeq
+    // the anti-join chain renames piece columns with this suffix; a seed
+    // column already carrying it would make the join condition ambiguous
+    require(!names.exists(_.endsWith("__acc")),
+      s"bucketAcc reserves the __acc column-name suffix; rename: " +
+        names.filter(_.endsWith("__acc")).mkString(", "))
     val keys = names.map(col)
     val p = spark.sparkContext.defaultParallelism
     // AQE must be OFF inside the loop: under AdaptiveSparkPlanExec,
-    // Dataset.localCheckpoint captures UnknownPartitioning (measured —
-    // ScratchPartitioningSpec's shape), so every piece would re-shuffle
+    // Dataset.localCheckpoint captures UnknownPartitioning (pinned in
+    // CheckpointPartitioningSpec), so every piece would re-shuffle
     // in the anti joins and the whole point of this path evaporates.
     // The loop's topology is hand-planned; AQE has nothing to add here.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

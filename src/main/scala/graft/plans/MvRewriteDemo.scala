@@ -40,9 +40,13 @@ object MvRewriteDemo {
     MaterializedViews.clear()
     MaterializedViews.install(spark)
     val path = s"/tmp/graft_mv_demo/$name"
-    val rebuild = !tileBuiltFor.put(name, dir).contains(dir) ||
+    val rebuild = !tileBuiltFor.get(name).contains(dir) ||
       !new java.io.File(path).exists
     MaterializedViews.create(spark, name, definition, path, rebuild = rebuild)
+    // recorded only AFTER create returns: a failed/partial tile write must
+    // not be remembered as built, or the next invocation would silently
+    // register the corrupt tile instead of rebuilding it
+    if (rebuild) tileBuiltFor.put(name, dir)
     try {
       val df = query
       val plan = df.queryExecution.executedPlan.toString

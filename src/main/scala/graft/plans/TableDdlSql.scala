@@ -283,20 +283,39 @@ object TableDdlSql {
   /** Rewrite CREATE TYPE aliases appearing in `CAST(... AS <name>)`
     * positions to their registered Spark types. Matched ONLY between
     * CAST's parens (no nested parens in the cast argument), so column
-    * aliases named like a type are untouched; None when nothing matched
-    * (the delegate then sees the original text). */
+    * aliases named like a type are untouched — and ONLY outside
+    * single-quoted string literals (doubled '' escapes included), so a
+    * literal that happens to CONTAIN cast-like text is never corrupted.
+    * None when nothing matched (the delegate sees the original text). */
   private def resolveCastTypes(spark: SparkSession, sql: String): Option[String] = {
+    // match against a copy with every single-quoted literal MASKED to
+    // same-length sentinel chars (doubled '' escapes included), then
+    // splice the type replacements into the ORIGINAL by position — so a
+    // literal containing cast-like text is never rewritten, while
+    // CAST('abc' AS name) (a literal INSIDE the cast argument) still is
+    val literalRe = "'(?:[^']|'')*'".r
+    def masked(s: String): String =
+      literalRe.replaceAllIn(s, m => "\u0001" * m.matched.length)
     var out = sql
     var changed = false
     val it = types.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq spark) {
-        val re = ("(?is)(\\bCAST\\s*\\([^()]*?\\s+AS\\s+)" +
-          java.util.regex.Pattern.quote(e.getKey._2) + "(\\s*\\))").r
-        val next = re.replaceAllIn(out, m => scala.util.matching.Regex
-          .quoteReplacement(m.group(1) + e.getValue + m.group(2)))
-        if (next != out) { changed = true; out = next }
+        val re = ("(?is)\\bCAST\\s*\\([^()]*?\\s+AS\\s+(" +
+          java.util.regex.Pattern.quote(e.getKey._2) + ")\\s*\\)").r
+        val ms = re.findAllMatchIn(masked(out)).toList
+        if (ms.nonEmpty) {
+          val sb = new StringBuilder
+          var pos = 0
+          for (m <- ms) {
+            sb.append(out.substring(pos, m.start(1))).append(e.getValue)
+            pos = m.end(1)
+          }
+          sb.append(out.substring(pos))
+          out = sb.toString
+          changed = true
+        }
       }
     }
     if (changed) Some(out) else None

@@ -35,6 +35,8 @@ object RecursiveScale {
     * configuration), or "bucketed" (r17: the bucketed-accumulator loop —
     * co-partitioned anti-join chain instead of except-against-acc). */
   def closure(spark: SparkSession, dir: String, mode: String): DataFrame = {
+    require(Set("wide", "narrow", "bucketed")(mode),
+      s"unknown mode '$mode' (wide | narrow | bucketed)")
     val orders = Tables.t(spark, dir, "orders").select(col("o_orderkey").as("k"))
     val edges = orders.where(pmod(col("k"), lit(10)) =!= 0)
       .select(col("k").as("src"), (col("k") - 1).as("dst"))
@@ -49,9 +51,6 @@ object RecursiveScale {
     graft.Checkpoints.release(edges)
     res
   }
-
-  def closure(spark: SparkSession, dir: String, narrow: Boolean): DataFrame =
-    closure(spark, dir, if (narrow) "narrow" else "wide")
 
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")

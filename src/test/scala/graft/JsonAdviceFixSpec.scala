@@ -19,7 +19,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *  3. jsonIsValid accepts the JSON `null` literal (reference dejsonize
   *     parses it), consistent with the IS JSON predicates' wellFormed.
   *  4. jsonType returns LONG for integer numerals outside Int range
-  *     (Jackson parses them as Long).
+  *     (Jackson parses them as Long) and raises beyond Long range
+  *     (Jackson yields BigInteger, which the reference's classifier
+  *     has no arm for).
   *  5. jsonLength/jsonKeys raise on MALFORMED input in both modes
   *     (reference invalidInputForJsonLength/invalidInputForJsonKeys) —
   *     only a missing path is mode-sensitive.
@@ -104,6 +106,13 @@ class JsonAdviceFixSpec extends AnyFunSuite {
     JsonModes.jsonType(lit("-2147483648")), S("INTEGER"))
   checkCol("jsonType: one past Int.MaxValue -> LONG",
     JsonModes.jsonType(lit("2147483648")), S("LONG"))
+  // beyond Long the reference's classifier has no arm (Jackson hands it a
+  // BigInteger) and raises — and an over-wide numeral must take that
+  // raise, not an ANSI CAST_OVERFLOW from the internal decimal compare
+  checkCol("jsonType: beyond Long range raises like the reference",
+    JsonModes.jsonType(lit("99999999999999999999")), RAISES("invalid JSON"))
+  checkCol("jsonType: 40-digit numeral raises (not CAST_OVERFLOW)",
+    JsonModes.jsonType(lit("1" * 40)), RAISES("invalid JSON"))
 
   // ---- fix 5: jsonLength/jsonKeys raise on malformed input ------------------
   checkCol("jsonLength: malformed input raises in lax mode",

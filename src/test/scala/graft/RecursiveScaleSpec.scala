@@ -46,6 +46,17 @@ class RecursiveScaleSpec extends AnyFunSuite {
       Checkpoints.releaseAll(spark)
     }
 
+  test("bucketAcc rejects seed columns carrying the reserved __acc suffix") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val seed = Seq(1L).toDF("n").withColumn("x__acc", lit(1))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Recursive.repeatUnion(seed, d => d.where(lit(false)),
+        maxIter = 1, bucketAcc = true)
+    }
+    assert(ex.getMessage.contains("__acc"), ex.getMessage)
+  }
+
   test("bucketed anti-join chain is exchange-free on the accumulator side") {
     // the physical plan of one bucketed round must not re-shuffle piece
     // relations: every Exchange below the anti joins belongs to the

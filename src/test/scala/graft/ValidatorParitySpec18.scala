@@ -174,6 +174,20 @@ class ValidatorParitySpec18 extends AnyFunSuite {
     } finally spark.sql("DROP TYPE IF EXISTS vp18_bigint")
   }
   rejected("testCastRegisteredType", "select cast(123 as nonexistent_custom_type)")
+  test("testCastRegisteredType: cast-like TEXT inside a string literal is never rewritten") {
+    spark.sql("CREATE TYPE vp18_money AS decimal(19,4)")
+    try {
+      // the literal survives verbatim; a real cast in the same statement
+      // still resolves through the registry
+      val r = spark.sql(
+        "SELECT 'CAST(1 AS vp18_money)' AS doc, CAST(2 AS vp18_money) AS v").head
+      assert(r.getString(0) == "CAST(1 AS vp18_money)")
+      assert(r.getDecimal(1).toPlainString == "2.0000")
+      // a literal INSIDE the cast argument does not block resolution
+      val f = spark.sql("SELECT CAST('3' AS vp18_money) AS c").schema.head
+      assert(f.dataType.simpleString == "decimal(19,4)")
+    } finally spark.sql("DROP TYPE IF EXISTS vp18_money")
+  }
 
   // ---- datetime casts (testDateTimeCast:1366) -------------------------------
   rejected("testDateTimeCast", "SELECT CAST(1 as DATE)")

@@ -39,18 +39,25 @@ object Checkpoints {
   private val lastResult = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
-  /** Memoized EVICTABLE materializations, keyed by (source DataFrame
-    * instance, config tag). DataFrame keys use identity equality, so this
-    * only ever hits when the caller's source relation is itself memoized
-    * (Tables.t) — fresh relations get fresh entries. persist, not
-    * localCheckpoint: persisted blocks can be evicted and recomputed from
-    * the scan, and the memo hands every re-invocation (bench reps) the
-    * same single materialization instead of stacking a pinned copy each
-    * rep. Eviction discipline: entries whose session is stopped drop on
-    * access (their blocks died with the context); the size-guard flush
-    * UNPERSISTS before clearing — CacheManager holds cached relations
-    * until unpersist, so clear() alone would leak them for the process's
-    * life. */
+  /** PER-INVOCATION evictable materializations, keyed by (source DataFrame
+    * instance, config tag) for release bookkeeping only. A relation an
+    * operator references several times in ONE invocation (the minhash gram
+    * arrays feed the banding pass, the signature pass and both verify join
+    * sides; a planning action executes it a first time before the query
+    * even returns) is persisted so that single invocation computes it
+    * once. The persist is NOT a cross-invocation memo: re-requesting a
+    * (src, tag) UNPERSISTS the previous entry and rebuilds, so every
+    * bench rep and every oracle run recomputes the relation from the
+    * parquet scan — a bench statistic must never time a predecessor rep's
+    * warm blocks. The previous entry is unpersisted BEFORE the new
+    * persist: CacheManager matches semantically-equal plans, so
+    * persisting first would log "already cached" and silently hand the
+    * new invocation the old blocks. persist, not localCheckpoint: blocks
+    * stay evictable under memory pressure (they recompute from the scan),
+    * and a superseded entry's release keeps the block store flat across
+    * reps instead of stacking a pinned copy each rep. Entries whose
+    * session has stopped drop on access (their blocks died with the
+    * context). */
   private val matCache =
     new java.util.concurrent.ConcurrentHashMap[(DataFrame, String), DataFrame]()
 
@@ -61,12 +68,11 @@ object Checkpoints {
       val e = it.next()
       if (e.getValue.sparkSession.sparkContext.isStopped) it.remove()
     }
-    if (matCache.size > 32) {
-      matCache.values.forEach(df => df.unpersist(blocking = false))
-      matCache.clear()
-    }
-    matCache.computeIfAbsent((src, tag), _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val prev = matCache.remove((src, tag))
+    if (prev != null) prev.unpersist(blocking = false)
+    val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    matCache.put((src, tag), df)
+    df
   }
 
   /** Release EVERY registered last-result checkpoint of the session.
@@ -81,6 +87,17 @@ object Checkpoints {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq spark) { release(e.getValue); it.remove() }
+    }
+    // the finished query's per-invocation persists are consumed too: drop
+    // them so their blocks don't sit under every later query's scratch
+    // (and so no later query can ever resolve against them via
+    // CacheManager plan matching)
+    val mit = matCache.entrySet().iterator()
+    while (mit.hasNext) {
+      val e = mit.next()
+      if (e.getValue.sparkSession eq spark) {
+        e.getValue.unpersist(blocking = false); mit.remove()
+      }
     }
   }
 

@@ -381,9 +381,10 @@ object Dedup {
     * and skips the merge scan for most candidate pairs. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val S = 8 // salt fan-out
-    // memoized evictable persist, NOT localCheckpoint: a pinned checkpoint
-    // per invocation accumulates across bench reps (the r7 clusters
-    // growth); the memo hands every rep the same single materialization
+    // per-invocation evictable persist, NOT localCheckpoint: a pinned
+    // checkpoint accumulates across bench reps (the r7 clusters growth);
+    // the superseding persist gives this invocation's two join sides one
+    // shared materialization and releases the previous invocation's
     val g = materialized(t(s, dir, "documents"), "ngram-tri")(
       t(s, dir, "documents").where(length(col("text")) >= 3)
         .select(col("doc_id"), col("source"),
@@ -595,9 +596,11 @@ object Dedup {
     // is truncated, so they can never be evicted) and a re-invoked query
     // accumulates them until GC notices — the r6 rep-to-rep variance.
     // Persisted blocks are evictable and recompute from the parquet scan.
-    // Memoized per (docs instance, config): Tables.t hands back the same
-    // DataFrame instance per table, so re-invocations (bench reps) reuse
-    // ONE cached materialization instead of stacking a fresh copy each rep.
+    // Persisted per invocation (superseding the previous invocation's
+    // blocks — every bench rep recomputes from parquet): ONE invocation
+    // references the gram arrays four times (banding, signatures, both
+    // verify join sides), so the persist collapses four computations into
+    // one without carrying anything across invocations.
     // hash-partitioned on doc_id (not round-robin): the verify joins key
     // on doc_id, so the persisted partitioning is REUSED by both join
     // sides — the heavy gram arrays never re-shuffle, only the pair list
@@ -680,10 +683,11 @@ object Dedup {
     // (a bucket holding hundreds of docs is non-discriminative — drop it
     // and rely on the doc's other bands; with r=8 true near-dup buckets
     // sit far below the cap, so the guard costs no recall).
-    // Buckets are MATERIALIZED (memoized, evictable — same discipline as
-    // the gram arrays) because the scratch PLANNER below aggregates them
-    // once before the verify runs; the verify passes then reuse the same
-    // cached relation instead of re-running the banding shuffle.
+    // Buckets are MATERIALIZED (per-invocation evictable persist — same
+    // discipline as the gram arrays) because the scratch PLANNER below
+    // aggregates them once before the verify runs; the verify passes then
+    // reuse the same materialization instead of re-running the banding
+    // shuffle.
     val allBuckets = banded
       .groupBy(col("bk"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
@@ -758,10 +762,9 @@ object Dedup {
     // gram-array verify join. The sig relation is corpus-linear and tiny
     // (~90 B/doc), so both hops are shuffle_hash with a small build side;
     // the byte truncation keeps the carried width at 1/8 of the raw bins.
-    // memoized like the gram arrays and buckets (r16 verdict #7: the sig
-    // relation was rebuilt per bench rep) — corpus-linear, ~90 B/doc, and
-    // a pure function of g, so one evictable persist serves every
-    // re-invocation
+    // persisted like the gram arrays and buckets (per invocation): the
+    // prefilter references the sig relation TWICE (id_a and id_b join
+    // sides), so one evictable persist halves the signature pass
     lazy val sigs = materialized(docs, s"minhash-sigs-$portable") {
       val sigDf = g.as[(Long, Array[Long])].mapPartitions { it =>
         it.map { case (id, a) =>
@@ -814,26 +817,13 @@ object Dedup {
     // does not bound that. A pair found by bands in two different
     // groups appears in both survivor lists, hence the cross-pass
     // distinct (within one pass the existing distinct holds).
-    // Single-pass PRODUCTION survivors are memoized too (same r16 #7
-    // audit): the candidate explode + distinct + signature-prefilter
-    // joins are the bulk of a re-invocation's work, their result is a
-    // deterministic function of (docs, config), and the post-prefilter
-    // survivor list is tiny (bare 16 B/pair), so the persist is cheap
-    // and evictable. The PORTABLE twin is excluded: it runs without the
-    // prefilter, so its "survivors" are the full raw in-bucket pair list
-    // (~1.3 M rows at sf0.1) — persisting that evicted the other dedup
-    // queries' caches and thrashed the bench (measured: portable reps
-    // grew 5.6→35.9 s across a run with the memo on). The multi-pass
-    // path keeps its checkpoint + shuffle-reclaim discipline — its whole
-    // point is bounding scratch, not rep latency.
+    // Single-pass survivors flow straight into the verify join — they are
+    // referenced exactly once, so a persist would be pure overhead under
+    // the per-invocation materialization discipline (Checkpoints). The
+    // multi-pass path keeps its checkpoint + shuffle-reclaim discipline —
+    // its whole point is bounding scratch, not rep latency.
     val survivors =
-      if (numPasses == 1) {
-        val pre = prefilter(cands)
-        if (sigPrefilter && !portable)
-          materialized(docs,
-            s"minhash-survivors-$numHashes-$bands-$threshold")(pre)
-        else pre
-      }
+      if (numPasses == 1) prefilter(cands)
       else {
         val passes = (0 until numPasses).map { i =>
           val pre = prefilter(candsFor(

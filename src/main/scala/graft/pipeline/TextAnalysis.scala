@@ -341,8 +341,8 @@ object TextAnalysis {
     // doc_id. The corpus is never self-joined and nothing collects.
     // Grams are hashed to 64-bit longs in one native pass (WordGramHashes —
     // no ~40-byte gram string is ever built; the explode/broadcast carry
-    // 8 bytes per gram) and the gram relation is persisted (memoized) so
-    // the holdout-build and probe sides share ONE scan+explode, not two.
+    // 8 bytes per gram) and the gram relation is persisted per invocation
+    // so the holdout-build and probe sides share ONE scan+explode, not two.
     // The hash never reaches the output (only per-doc hit counts do), so
     // the string-gram DuckDB oracle still hash-matches exactly.
     QDef.sql("text_contamination",
@@ -357,10 +357,11 @@ object TextAnalysis {
         |FROM w LEFT JOIN hits USING (doc_id) WHERE w.doc_id % 50 <> 0""") { (s, dir) =>
       val grams8 = graft.functions.WordGramHashes.word_gram_hashes(col("text"), 8)
       val docs = t(s, dir, "documents")
-      // memoized evictable persist, not localCheckpoint: pinned checkpoint
-      // blocks accumulate one copy per invocation (the r7 rep growth);
-      // the memo shares ONE materialization across holdout-build, probe,
-      // and every re-invocation, and recompute stays possible on eviction
+      // per-invocation evictable persist, not localCheckpoint: pinned
+      // checkpoint blocks accumulate one copy per invocation (the r7 rep
+      // growth); the persist shares ONE materialization between the
+      // holdout-build and probe sides of THIS invocation (superseding the
+      // previous invocation's), and recompute stays possible on eviction
       val gramRows = graft.Checkpoints.materialized(docs, "wordgrams-8")(
         docs.select(col("doc_id"), explode(grams8).as("g")))
       val bench = gramRows.where(col("doc_id") % 50 === 0)
@@ -398,7 +399,8 @@ object TextAnalysis {
         |  CAST(frequent AS DOUBLE) / n_grams < 0.3 AS keep
         |FROM per""") { (s, dir) =>
       val docs = t(s, dir, "documents")
-      // memoized evictable persist — see text_contamination's gram memo
+      // per-invocation evictable persist (two consumers: the doc-frequency
+      // aggregate and the per-doc join) — see text_contamination's grams
       val grams = graft.Checkpoints.materialized(docs, "wordgrams-all-5")(
         docs.select(col("doc_id"),
           explode(graft.functions.WordGramHashes.word_gram_hashes_all(col("text"), 5)).as("g")))

@@ -347,15 +347,12 @@ object MaterializedViews {
   /** Define + materialize a view: stores the result as parquet and
     * registers the definition for rewriting. */
   def create(spark: SparkSession, name: String, definition: DataFrame,
-      path: String, rebuild: Boolean = true): Unit = {
+      path: String): Unit = {
     // parquet refuses duplicate column names (`select c, s, s`; join MVs
     // carrying deptno from both sides) — store under uniquified names.
     // Harmless for matching: the unifier maps tile columns POSITIONALLY
     // against the definition's outputs, never by name.
-    // `rebuild = false` registers an already-materialized tile without
-    // re-writing its parquet — the once-per-deployment build step and the
-    // per-query rewrite are separate phases at scale.
-    if (rebuild) writeTile(definition, path)
+    writeTile(definition, path)
     // register the OPTIMIZED canonical form: extraOptimizations runs after
     // the main optimizer batches, so incoming subtrees are already pruned/
     // collapsed — the match must be against the same normal form

@@ -26,27 +26,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object MvRewriteDemo {
 
-  // Tile parquet rebuilt only when the DATA DIR changes for that tile
-  // name: the build is a once-per-deployment step, so bench reps after
-  // the first measure ONLY the rewritten query (r16 verdict: the
-  // slowest-5 list was carrying tile-build I/O, not rewrite overhead).
-  // Tracking the last-built dir (not a seen-set) keeps the single
-  // on-disk path correct if one JVM alternates sf dirs; a fresh JVM
-  // always rebuilds, so cross-round testdata regen is safe.
-  private val tileBuiltFor = scala.collection.concurrent.TrieMap.empty[String, String]
+  // The tile parquet is REBUILT ON EVERY INVOCATION. In a deployment the
+  // build is a once-per-lifecycle step and only the rewritten query
+  // recurs, so the honest per-deployment split would be build-once /
+  // query-many — but a benchmark rep that reuses a predecessor rep's tile
+  // is timing precomputed work, so each invocation pays the full
+  // lifecycle (build + rewrite + tile-scan query) from the base parquet.
+  // The two phases' individual costs are recorded in OPTIMIZATION_r17.md.
 
   private def withTile(spark: SparkSession, name: String, dir: String,
       definition: DataFrame, query: => DataFrame): DataFrame = {
     MaterializedViews.clear()
     MaterializedViews.install(spark)
     val path = s"/tmp/graft_mv_demo/$name"
-    val rebuild = !tileBuiltFor.get(name).contains(dir) ||
-      !new java.io.File(path).exists
-    MaterializedViews.create(spark, name, definition, path, rebuild = rebuild)
-    // recorded only AFTER create returns: a failed/partial tile write must
-    // not be remembered as built, or the next invocation would silently
-    // register the corrupt tile instead of rebuilding it
-    if (rebuild) tileBuiltFor.put(name, dir)
+    MaterializedViews.create(spark, name, definition, path)
     try {
       val df = query
       val plan = df.queryExecution.executedPlan.toString

@@ -509,6 +509,13 @@ object Dedup {
     * share the same disks. */
   val MinhashScratchSafety = 0.7
 
+  /** Broadcast budget for the 64-byte signature relation (guide §3.1): at
+    * ~90 B/doc the prefilter's sig side is broadcast only when the
+    * planner-measured doc count keeps it under this cap — well inside
+    * executor memory and far from the 8 GB broadcast hard limit. Beyond
+    * it the prefilter joins run shuffle_hash with the sig side as build. */
+  val MinhashSigBroadcastBytes: Long = 8L << 20
+
   /** Usable bytes on the shuffle scratch volume (first spark.local.dir,
     * else java.io.tmpdir — Spark's own resolution order). */
   def usableScratchBytes(spark: org.apache.spark.sql.SparkSession): Long = {
@@ -592,6 +599,16 @@ object Dedup {
         sequence(lit(1), length(col("text")) - 2),
         i => graft.functions.TokenPolyHash.token_poly_hash(
           col("text").substr(i, lit(3))))))
+    // AQE off for the whole operator: the topology is hand-planned — the
+    // one exchange per relation is placed explicitly, the partitioning is
+    // reused by construction, and every join strategy is pinned (hints /
+    // measured broadcast decision). AQE's per-stage re-optimization adds
+    // a planning barrier to each of the ~15 stages per invocation and can
+    // contribute nothing (no skew to split: bucket cap bounds groups, and
+    // coalescing would only erase the partitioning the plan reuses).
+    val prevAqe = docs.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+    docs.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // persist, not localCheckpoint: checkpoint blocks are pinned (lineage
     // is truncated, so they can never be evicted) and a re-invoked query
     // accumulates them until GC notices — the r6 rep-to-rep variance.
@@ -605,11 +622,24 @@ object Dedup {
     // on doc_id, so the persisted partitioning is REUSED by both join
     // sides — the heavy gram arrays never re-shuffle, only the pair list
     // moves (the r11 scale run's plan audit)
+    // GRAFT_LSH_PHASES: guide-§1 instrumentation — force each phase with a
+    // noop sink and print its wall time. Adds actions, so NEVER set during
+    // a timed bench; the unset path builds the identical lazy plan.
+    val phaseTimer = sys.env.contains("GRAFT_LSH_PHASES")
+    def phase[A <: DataFrame](label: String)(df: A): A = {
+      if (phaseTimer) {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        System.err.println(
+          f"[minhash-phase] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      df
+    }
     val mat = materialized(docs, s"minhash-$numHashes-$portable")(
       docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
         .where(length(col("text")) >= 3)
         .select(col("doc_id"), gramHashes.as("gs")))
-    val g = mat.select(col("doc_id"), col("gs"))
+    val g = phase("grams")(mat.select(col("doc_id"), col("gs")))
     // One-Permutation Hashing (Li/Owen/Zhang 2012) with rotation
     // densification (Shrivastava/Li DOPH): ONE hash per shingle lands in
     // bin h mod k keeping the bin-min; empty bins borrow the next filled
@@ -629,7 +659,7 @@ object Dedup {
     val nb = bands
     val rpb = rowsPerBand
     val port = portable
-    val banded = g
+    val banded0 = g
       .as[(Long, Array[Long])]   // primitive-array encoder: no per-element boxing
       .mapPartitions { it =>
         it.flatMap { case (id, a) =>
@@ -664,35 +694,32 @@ object Dedup {
           }
         }
       }.toDF("doc_id", "n", "b", "h")
-      .select(col("doc_id"), col("n"), struct(col("b"), col("h")).as("bk"))
+    // Candidate topology (r17 rework; r6 was a count-join + bucket
+    // SELF-join — three hash exchanges; r11-r16 aggregated buckets as
+    // collect_list arrays — but collect_list plans as ObjectHashAggregate,
+    // whose tiny fallback threshold degrades to a SORT-based aggregation
+    // building per-bucket array objects, measured 4.0 s of the 5.8 s
+    // invocation at sf0.1): ONE exchange on the band key, persisted, and
+    // BOTH consumers reuse its partitioning with no further shuffle —
+    //   1. the scratch planner's bucket-size aggregate (codegen
+    //      HashAggregate: count per (b,h), partial-agg-friendly);
+    //   2. the pair generator: a cap semi-join + co-partitioned self-join
+    //      on the band key (see candsFor) — no per-bucket array objects,
+    //      no ObjectHashAggregate, every operator codegen.
     // Bucket-size cap: a bucket holding hundreds of docs is
-    // non-discriminative (quadratic pair count, ~zero precision) — drop it
-    // and rely on the doc's other bands. With r=8 the true near-dup
+    // non-discriminative (quadratic pair count, ~zero precision) — drop
+    // it and rely on the doc's other bands. With r=8 the true near-dup
     // buckets sit far below the cap, so the guard costs no recall while
-    // bounding worst-case skew.
-    //
-    // Candidate topology (r6 was a count-join + bucket SELF-join — three
-    // hash exchanges of the banded relation): ONE shuffle on the band key.
-    // ONE aggregation on the band key builds the buckets; the size cap
-    // applies to the collected array (r11: the former window-count +
-    // aggregate pair computed the same partitioning but paid a full SORT
-    // of the banded relation for the running count — 48M rows at the
-    // derived-sf1 scale; a partial-aggregating groupBy moves strictly
-    // less). In-bucket pairs are expanded locally from the sorted array;
-    // the cap bounds the quadratic blow-up at 100·99/2 pairs per bucket
-    // (a bucket holding hundreds of docs is non-discriminative — drop it
-    // and rely on the doc's other bands; with r=8 true near-dup buckets
-    // sit far below the cap, so the guard costs no recall).
-    // Buckets are MATERIALIZED (per-invocation evictable persist — same
-    // discipline as the gram arrays) because the scratch PLANNER below
-    // aggregates them once before the verify runs; the verify passes then
-    // reuse the same materialization instead of re-running the banding
-    // shuffle.
-    val allBuckets = banded
-      .groupBy(col("bk"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-    val buckets = materialized(docs, s"minhash-buckets-$numHashes-$bands-$portable")(
-      allBuckets.where(size(col("ids")).between(2, 100)))
+    // bounding worst-case skew; the cap also bounds the self-join's
+    // matched-group buffer.
+    val banded = phase("banding")(
+      materialized(docs, s"minhash-banded-$numHashes-$bands-$portable")(
+        banded0.repartition(
+          spark2.sparkContext.defaultParallelism, col("b"), col("h"))))
+    // bucket sizes: pure codegen count aggregate, reusing the persisted
+    // partitioning (no exchange). Feeds the scratch planner AND the
+    // adaptive sig-join sizing below in ONE action.
+    val sizes = banded.groupBy(col("b"), col("h")).agg(count(lit(1)).as("c"))
     if (sys.env.contains("GRAFT_LSH_DEBUG")) {
       def timed[A](label: String)(body: => A): A = {
         val t0 = System.nanoTime(); val r = body
@@ -701,7 +728,7 @@ object Dedup {
       }
       val bandedRows = timed("banded count")(banded.count())
       System.err.println(s"[minhash-lsh] $bandedRows banded rows")
-      val dropped = timed("bucket agg")(allBuckets.where(size(col("ids")) > 100).count())
+      val dropped = timed("bucket sizes")(sizes.where(col("c") > 100).count())
       System.err.println(s"[minhash-lsh] $dropped buckets over the 100-doc cap")
     }
     // ---- scratch planning (r13, VERDICT #2): the in-bucket pair mass --
@@ -716,11 +743,14 @@ object Dedup {
     // each pass generates + prefilters candidates for bands b ≡ i (mod
     // K) and eagerly materializes its (tiny) survivor list, so only
     // 1/K of the raw pair mass is ever on disk at once, at the cost of
-    // K-1 extra scans of the cached bucket relation. K = 1 — the
+    // K-1 extra scans of the persisted banded relation. K = 1 — the
     // single-pass plan, unchanged — whenever the estimate fits.
-    val pairMass = buckets
-      .agg(coalesce(sum(expr("size(ids) * (size(ids) - 1) / 2")), lit(0.0)))
-      .first().getDouble(0)
+    val planStats = sizes.agg(
+      coalesce(sum(when(col("c").between(2, 100),
+        col("c") * (col("c") - 1) / 2)), lit(0.0)).as("pm"),
+      coalesce(sum(col("c")), lit(0L)).as("rows")).first()
+    val pairMass = planStats.getDouble(0)
+    val nDocs = planStats.getLong(1) / bands
     val budget = scratchBudgetBytes.getOrElse(usableScratchBytes(docs.sparkSession))
     val numPasses = verifyPasses(pairMass, budget, bands)
     // the decision line is the scale-calibration instrument (SCALING.md
@@ -731,37 +761,67 @@ object Dedup {
       System.err.println(
         f"[minhash-lsh] pair mass $pairMass%.3g -> $numPasses verify passes " +
           f"(budget ${budget / 1e9}%.1f GB)")
-    // ids is sorted ascending by doc_id, so (ids[i], ids[j]) with i < j
-    // gives id_a < id_b. LOSSLESS size-ratio prefilter (r11 scale run):
+    // Pair generation: the id_a < id_b join predicate emits each unordered
+    // pair exactly once. LOSSLESS size-ratio prefilter (r11 scale run):
     // |A∩B| ≤ min(|A|,|B|) gives jac = i/(|A|+|B|−i) ≤ min/max, so
     // jac ≥ t REQUIRES min ≥ t·max — pairs failing the ratio can never
-    // survive the exact verify and are dropped HERE, inside the bucket
-    // partition, before they hit the distinct's shuffle (at the
-    // derived-sf1 scale the fixture's in-bucket pair volume is ~2×10⁸;
-    // precision of the raw candidate set is ~10⁻⁴, so the pre-shuffle cut
-    // is the difference between the verify phase being pair-bound and
-    // being survivor-bound). The gram count rides the banded rows as one
-    // int; results are provably identical, so the DuckDB oracle replay of
-    // the portable twin is unchanged.
+    // survive the exact verify and are dropped HERE, inside the scan,
+    // before they hit the distinct's shuffle (at the derived-sf1 scale
+    // the fixture's in-bucket pair volume is ~2×10⁸; precision of the raw
+    // candidate set is ~10⁻⁴, so the pre-shuffle cut is the difference
+    // between the verify phase being pair-bound and being survivor-bound).
+    // The gram count rides the banded rows as one int; results are
+    // provably identical, so the DuckDB oracle replay of the portable
+    // twin is unchanged.
     val thr = lit(threshold)
-    def candsFor(slice: DataFrame): DataFrame = slice
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        filter(
-          transform(org.apache.spark.sql.functions.slice(
-              col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.getField("doc_id").as("id_a"), y.getField("doc_id").as("id_b"),
-              x.getField("n").as("na"), y.getField("n").as("nb"))),
-          s => least(s.getField("na"), s.getField("nb")).cast("double") >=
-            thr * greatest(s.getField("na"), s.getField("nb")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
-    val cands = candsFor(buckets)
+    def candsFor(slice: DataFrame): DataFrame = {
+      // keep only rows whose bucket passes the 2..100 cap (a left-semi
+      // against the per-slice size aggregate — both sides carry the
+      // persisted HashPartitioning(b, h), so neither join below inserts
+      // an exchange), then expand in-bucket pairs with a co-partitioned
+      // SELF-JOIN on the band key. The planner picks sort-merge: two
+      // in-partition sorts, and each matched group buffers at most 100
+      // rows (the cap bounds it), so per-task memory is flat at any
+      // corpus scale. Every operator here is whole-stage codegen —
+      // measured 4× faster COLD than a mapPartitions run scan doing the
+      // same work (Janino-compiled expression code is fast on the first
+      // invocation; Scala iterator chains need C2 warm-up the bench's
+      // cold reps never give them).
+      val sliceSizes = slice.groupBy(col("b"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      // shuffle_hash, NOT broadcast: the bucket-key list is corpus-linear
+      // (Catalyst's post-aggregate estimate reads "small" and would
+      // broadcast ~#buckets rows to the driver — unbounded at scale);
+      // both sides already carry HashPartitioning(b, h), so the semi-join
+      // plans with zero exchanges and a per-partition build.
+      val capped = slice.join(
+        sliceSizes.where(col("c").between(2, 100)).select(col("b"), col("h"))
+          .hint("shuffle_hash"),
+        Seq("b", "h"), "left_semi")
+      val x = capped.select(col("b"), col("h"),
+        col("doc_id").as("id_a"), col("n").as("na"))
+      val y = capped.select(col("b").as("yb"), col("h").as("yh"),
+        col("doc_id").as("id_b"), col("n").as("nb"))
+      x.join(y,
+        col("b") === col("yb") && col("h") === col("yh") &&
+          col("id_a") < col("id_b") &&
+          least(col("na"), col("nb")).cast("double") >=
+            thr * greatest(col("na"), col("nb")))
+        .select(col("id_a"), col("id_b")).distinct()
+    }
+    val cands = phase("cands+distinct")(candsFor(banded))
     // signature-estimate prefilter (see scaladoc): the distinct pair list
     // is still BARE (16 bytes/row) here — attach 64-byte signatures, not
     // gram arrays, and cut everything whose estimated Jaccard sits more
     // than the 4.1σ margin below the threshold. Only survivors reach the
-    // gram-array verify join. The sig relation is corpus-linear and tiny
-    // (~90 B/doc), so both hops are shuffle_hash with a small build side;
-    // the byte truncation keeps the carried width at 1/8 of the raw bins.
+    // gram-array verify join. The sig relation is corpus-linear (~90 B/doc)
+    // — the JOIN STRATEGY is chosen from the planner action's measured doc
+    // count (guide §3.1): when nDocs × 90 B fits comfortably under the
+    // broadcast budget the sig relation is BROADCAST and the pair list
+    // never shuffles in the prefilter at all; past that it degrades to
+    // shuffle_hash with the sig side as the small build (never broadcast
+    // blind — at corpus scale the sig relation is gigabytes). The byte
+    // truncation keeps the carried width at 1/8 of the raw bins.
     // persisted like the gram arrays and buckets (per invocation): the
     // prefilter references the sig relation TWICE (id_a and id_b join
     // sides), so one evictable persist halves the signature pass
@@ -793,14 +853,15 @@ object Dedup {
       }.toDF("doc_id", "sig")
       sigDf
     }
+    val sigsFit = nDocs * 90L < MinhashSigBroadcastBytes
     def prefilter(c: DataFrame): DataFrame =
       if (!sigPrefilter || portable) c
       else {
         val minEq = math.ceil(64.0 * math.max(0.0, threshold - 0.25)).toInt
-        c.join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-            .hint("shuffle_hash"), "id_a")
-          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-            .hint("shuffle_hash"), "id_b")
+        def side(s: DataFrame): DataFrame =
+          if (sigsFit) broadcast(s) else s.hint("shuffle_hash")
+        c.join(side(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))), "id_a")
+          .join(side(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))), "id_b")
           .where(graft.functions.EqualByteCount
             .equal_byte_count(col("sig_a"), col("sig_b")) >= minEq)
           .select(col("id_a"), col("id_b"))
@@ -822,12 +883,13 @@ object Dedup {
     // the per-invocation materialization discipline (Checkpoints). The
     // multi-pass path keeps its checkpoint + shuffle-reclaim discipline —
     // its whole point is bounding scratch, not rep latency.
+    if (phaseTimer && sigPrefilter && !portable) phase("sigs")(sigs)
     val survivors =
-      if (numPasses == 1) prefilter(cands)
+      if (numPasses == 1) phase("prefilter")(prefilter(cands))
       else {
         val passes = (0 until numPasses).map { i =>
           val pre = prefilter(candsFor(
-            buckets.where(pmod(col("bk").getField("b"), lit(numPasses)) === i)))
+            banded.where(pmod(col("b"), lit(numPasses)) === i)))
           val mat = graft.Checkpoints.superseding(s"minhash-pass-$i",
             pre.localCheckpoint(true))
           pre.queryExecution.toRdd.cleanShuffleDependencies(blocking = true)
@@ -871,7 +933,14 @@ object Dedup {
     // + its shuffle files reclaimed before the next starts. Peak verify
     // scratch drops to 1/K at the cost of re-shuffling the (corpus-
     // linear, ~90 B/doc... the gram relation) K times.
-    if (numPasses == 1) verifyJoin(survivors)
+    if (numPasses == 1)
+      // the verified pair list (tiny by construction) is materialized
+      // EAGERLY so the whole operator — including the caller-visible
+      // result — executes under the AQE-off scope this function controls;
+      // the returned frame is a plain scan of the checkpointed partitions
+      // and the NEXT invocation releases them (superseding discipline)
+      graft.Checkpoints.superseding(s"minhash-result-$portable",
+        verifyJoin(survivors).localCheckpoint(true))
     else {
       val sv = graft.Checkpoints.superseding("minhash-survivors",
         survivors.localCheckpoint(true))
@@ -887,5 +956,6 @@ object Dedup {
         mat
       }.reduce(_.unionByName(_))
     }
+    } finally docs.sparkSession.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }

@@ -155,6 +155,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner is GC-triggered: on an oversized driver heap a
+      // 333-query run never GCs, thousands of finished queries' broadcast/
+      // shuffle state accumulate, and late-registry queries degrade 5-15×
+      // (measured r17: text_chunks 0.28 s at -Xmx8g vs 3.3 s at -Xmx48g,
+      // clean CPU probes both). Forcing the cleaner's periodic GC every
+      // 5 min bounds that accumulation at ANY heap size, so the statistic
+      // measures the queries, not the runner's heap flag. (Default 30 min
+      // — longer than the whole run.)
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional local-iteration filter; the driver leaves this unset.

@@ -257,7 +257,10 @@ object Recursive {
       import s.implicits._
       val seed = Seq(1).toDF("n")
       // deep, cheap levels: unroll 25 per round → 5 driver rounds for the
-      // 100-level series instead of 100
+      // 100-level series instead of 100. r17 probed 15/25/50: 15 and 25
+      // measure the same (the per-round checkpoint+probe floor dominates),
+      // 50 is 1.8x SLOWER (plan size grows O(unroll²) and Catalyst's
+      // per-round analyze/optimize pass with it) — 25 is the plateau.
       repeatUnion(seed, d => d.where(col("n") < 100).select((col("n") + 1).as("n")),
         unroll = 25, tag = "recursive_series")
         .select(col("n"), (col("n") * col("n")).as("n_sq"))

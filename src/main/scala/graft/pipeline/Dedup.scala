@@ -453,7 +453,15 @@ object Dedup {
         df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head().getDecimal(0)
       var prevSum = labelSum(labels)
       var changed = true
+      val roundTimer = sys.env.contains("GRAFT_CLUSTERS_ROUNDS")
+      var roundNo = 0
+      var tRound = System.nanoTime()
       while (changed) {
+        if (roundTimer) {
+          val now = System.nanoTime()
+          System.err.println(f"[clusters] round $roundNo: ${(now - tRound) / 1e9}%.2f s")
+          tRound = now; roundNo += 1
+        }
         // Candidate labels per node, min-folded in ONE aggregation:
         //  - its own label,
         //  - its neighbors' labels (edge propagation),
@@ -933,14 +941,23 @@ object Dedup {
     // + its shuffle files reclaimed before the next starts. Peak verify
     // scratch drops to 1/K at the cost of re-shuffling the (corpus-
     // linear, ~90 B/doc... the gram relation) K times.
-    if (numPasses == 1)
+    if (numPasses == 1) {
+      val result = verifyJoin(survivors)
+      // plan-audit hook: the caller only ever sees the checkpointed scan,
+      // so the real topology is dumped here when asked (plans/r17)
+      sys.env.get("GRAFT_LSH_PLAN").foreach { p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          result.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
       // the verified pair list (tiny by construction) is materialized
       // EAGERLY so the whole operator — including the caller-visible
       // result — executes under the AQE-off scope this function controls;
       // the returned frame is a plain scan of the checkpointed partitions
       // and the NEXT invocation releases them (superseding discipline)
       graft.Checkpoints.superseding(s"minhash-result-$portable",
-        verifyJoin(survivors).localCheckpoint(true))
+        result.localCheckpoint(true))
+    }
     else {
       val sv = graft.Checkpoints.superseding("minhash-survivors",
         survivors.localCheckpoint(true))

@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver contract: `sbt "runMain graft.Bench"` must end its stdout
+// with the one-line JSON metrics payload. Two sbt behaviors broke that since
+// r04: (a) forked run output defaults to LoggedOutput, which prefixes every
+// stdout line with "[info] " (unparseable as JSON), and (b) sbt prints a
+// "[success] Total time: ..." trailer AFTER the program's last line, so a
+// last-line parse reads the trailer instead of the payload. StdoutOutput
+// passes the forked JVM's stdout/stderr through verbatim; showSuccess=false
+// drops the trailer. Exit codes are unchanged, so compile/test gating by rc
+// still works.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

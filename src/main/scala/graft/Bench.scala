@@ -286,10 +286,12 @@ object Bench {
     val allReps = timed.map { case (n, _, ts) => n -> ts }.toMap
     val total = results.flatMap(_._2).sum
     // Full map → BENCH_FULL.json, headline line → BENCH.json (and stdout).
-    // The driver's tail capture keeps sbt's "[success] Total time" trailer
-    // AFTER the stdout JSON line, so its last-line parse records null
-    // (BENCH_r04-r07); the files are the authoritative record either way
-    // (README "Benchmarks").
+    // The stdout JSON line is the LAST line of the process's stdout; since
+    // r18 build.sbt passes forked run output through verbatim
+    // (outputStrategy := StdoutOutput) and suppresses sbt's "[success]
+    // Total time" trailer (showSuccess := false), so the driver's last-line
+    // parse reads the payload instead of sbt noise (it recorded null in
+    // BENCH_r04-r17). The files remain the authoritative full record.
     def writeFile(name: String, content: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(name),
         (content + "\n").getBytes("UTF-8"))
